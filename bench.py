@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion JVM-side via the noop sink (no
+collect-to-Python overhead in the measurement; plan + shuffle + agg are all
+exercised).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_project_using_telegram_and_aws_spark.plans import all_queries
+from data_pipeline_project_using_telegram_and_aws_spark.session import get_spark
+
+# Headline set: grows as operators land. Keep it representative — reference
+# five + the heaviest breadth/extension queries — not exhaustive.
+HEADLINE = [
+    "q0_full_scan_limit",
+    "q1_daily_message_count",
+    "q2_user_daily_count",
+    "q3_user_daily_avg_len",
+    "q4_hour_weekday_weeknum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers with the cheapest query once
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

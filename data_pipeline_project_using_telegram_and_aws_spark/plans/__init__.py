@@ -1,0 +1,31 @@
+"""Named analytical queries.
+
+Each plan module exposes ``QUERIES: dict[str, Callable[[SparkSession, str],
+DataFrame]]`` and ``ORACLE: dict[str, str]`` (DuckDB-compatible ANSI SQL on
+the same parquet tables). ``all_queries()`` / ``all_oracles()`` merge every
+module for ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import dedup_queries, reference_queries, similarity_queries, starschema_queries, text_queries
+
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (reference_queries, starschema_queries, dedup_queries, similarity_queries, text_queries):
+        merged.update(mod.QUERIES)
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    from . import dedup_queries, reference_queries, similarity_queries, starschema_queries, text_queries
+
+    merged: dict[str, str] = {}
+    for mod in (reference_queries, starschema_queries, dedup_queries, similarity_queries, text_queries):
+        merged.update(mod.ORACLE)
+    return merged

@@ -1,0 +1,79 @@
+"""Parquet table access for the driver's testdata star schema.
+
+Reads go straight through ``spark.read.parquet`` so Catalyst keeps column
+pruning and predicate pushdown (verify with ``df.explain`` → ``ReadSchema``
+/ ``PushedFilters``). At 100 TB the same call works unchanged against a
+partitioned table directory — partition pruning kicks in for filters on the
+partition columns.
+
+Nanosecond timestamps: the testdata parquet stores ``TIMESTAMP(NANOS)``,
+which Spark's vectorized reader rejects. We flip the runtime conf
+``spark.sql.legacy.parquet.nanosAsLong`` (reads nanos as epoch-nano longs,
+keeping the fast vectorized path) and rewrite those columns to
+``TimestampType`` with integer-division truncation to microseconds —
+exactly how DuckDB reads the same files, so oracle comparisons line up.
+The nanos columns are detected once per table from the parquet footer
+(pyarrow, metadata-only read) and cached.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+
+@lru_cache(maxsize=256)
+def _nano_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as timestamp[ns] in the parquet footer."""
+    import pyarrow as pa
+    import pyarrow.types as pat
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        import glob
+        import os
+
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            return ()
+        schema = pq.read_schema(files[0])
+    return tuple(
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns" and f.type.tz is None
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, transparently fixing nanosecond-timestamp columns."""
+    nano_cols = _nano_timestamp_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The files store timestamps *without* timezone; DuckDB (the oracle)
+        # reads them as naive wall-clock. Spark's TimestampType is an
+        # instant, rendered in the session zone — pin the session to UTC so
+        # wall-clock extraction (to_date/hour/...) agrees with the oracle
+        # regardless of the caller's session zone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # integer division keeps full int64 precision (a double-based
+        # divide would corrupt epoch-nano values > 2^53)
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql``."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
