@@ -1,0 +1,147 @@
+"""End-to-end pipeline test (SURVEY §5 plan item 2).
+
+Synthetic raw Telegram updates (FIXTURES.md schema R) → streaming ingest
+(filter + raw zone) → daily batch ETL (flatten + compact) → catalog
+registration → the five reference queries with hand-computed goldens.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+
+import pytest
+
+from data_pipeline_project_using_telegram_and_aws_spark.plans.telegram_queries import (
+    run_telegram_query,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.schemas import ENRICHED_COLUMNS
+from data_pipeline_project_using_telegram_and_aws_spark.sources.lake import TelegramLake
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.etl_job import run_daily_etl
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.ingest import (
+    start_ingest_stream,
+)
+
+CHAT_ID = -4000
+
+# epoch seconds: 2024-01-01 (Mon, ISO week 1) and 2024-01-07 (Sun, week 1)
+T_MON_10 = 1704103200  # 2024-01-01 10:00:00 UTC
+T_MON_23 = 1704150000  # 2024-01-01 23:00:00 UTC
+T_SUN_05 = 1704606621  # 2024-01-07 05:50:21 UTC
+
+
+def _update(uid, mid, user, date, text=..., chat_id=CHAT_ID, bot=False):
+    msg = {
+        "message_id": mid,
+        "from": {"id": user[0], "is_bot": bot, "first_name": user[1]},
+        "chat": {"id": chat_id, "type": "group"},
+        "date": date,
+    }
+    if text is not ...:
+        msg["text"] = text
+    return {"update_id": uid, "message": msg}
+
+
+UPDATES = [
+    _update(1, 10, (1, "ada"), T_MON_10, "hello"),          # len 5
+    _update(2, 11, (1, "ada"), T_MON_10, "worlds!"),        # len 7 → avg 6
+    _update(3, 12, (2, "bob"), T_MON_23),                   # sticker → NULL text
+    _update(4, 13, (2, "bob"), T_SUN_05, "hi"),             # len 2
+    _update(5, 14, (9, "eve"), T_SUN_05, "spy", chat_id=-9999),  # foreign chat → dropped
+]
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lake"))
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for u in UPDATES:
+        with open(os.path.join(landing, f"u{u['update_id']}.json"), "w") as f:
+            json.dump(u, f)
+
+    lk = TelegramLake(root, chat_id=CHAT_ID)
+    q = start_ingest_stream(
+        spark, lk, landing, os.path.join(root, "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    today = dt.date.today()
+    n = run_daily_etl(spark, lk, context_date=today)
+    assert n == 4  # foreign-chat update dropped at ingest (P1)
+    lk.register_table(spark, "telegram")
+    return lk
+
+
+def test_raw_zone_partitioned_by_arrival_date(spark, lake):
+    # ST3: context_date is processing time — all rows land in today's
+    # partition regardless of event time (which spans 2024-01-01..07)
+    today = dt.date.today()
+    parts = {
+        os.path.basename(p)
+        for p in glob.glob(f"{lake.raw_path}/context_date=*")
+    }
+    assert parts == {f"context_date={today}"}
+
+
+def test_enriched_schema_matches_ddl(spark, lake):
+    df = lake.read_enriched(spark)
+    assert set(df.columns) == set(ENRICHED_COLUMNS) | {"context_date"}
+    types = dict(df.dtypes)
+    assert types["message_id"] == "bigint"
+    assert types["user_is_bot"] == "boolean"
+    assert types["text"] == "string"
+    assert types["date"] == "bigint"
+    assert types["context_date"] == "date"
+
+
+def test_compaction_one_file_per_partition(spark, lake):
+    files = glob.glob(f"{lake.enriched_path}/context_date=*/*.parquet")
+    assert len(files) == 1  # X4 invariant at reference scale
+
+
+def test_etl_rerun_is_idempotent(spark, lake):
+    run_daily_etl(spark, lake, context_date=dt.date.today())
+    assert lake.read_enriched(spark).count() == 4  # ST4: no duplication
+    files = glob.glob(f"{lake.enriched_path}/context_date=*/*.parquet")
+    assert len(files) == 1
+
+
+def test_select_limit(spark, lake):
+    assert len(run_telegram_query(spark, "select_limit").collect()) == 4
+
+
+def test_daily_count(spark, lake):
+    rows = run_telegram_query(spark, "daily_count").collect()
+    assert [(r.context_date, r.message_amount) for r in rows] == [
+        (dt.date.today(), 4)
+    ]
+
+
+def test_user_daily_count(spark, lake):
+    rows = run_telegram_query(spark, "user_daily_count").collect()
+    got = {(r.user_id, r.user_first_name): r.message_amount for r in rows}
+    assert got == {(1, "ada"): 2, (2, "bob"): 2}
+
+
+def test_user_daily_avg_len_skips_nulls(spark, lake):
+    rows = run_telegram_query(spark, "user_daily_avg_len").collect()
+    got = {r.user_id: r.average_message_length for r in rows}
+    # ada: (5+7)/2 = 6; bob: AVG skips the NULL sticker row → 2, not 1
+    assert got == {1: 6, 2: 2}
+
+
+def test_hour_weekday_weeknum(spark, lake):
+    rows = run_telegram_query(spark, "hour_weekday_weeknum").collect()
+    got = {
+        (r.parsed_date_hour, r.parsed_date_weekday, r.parsed_date_weeknum):
+        r.message_amount
+        for r in rows
+    }
+    # Mon 2024-01-01 10:00 ×2, Mon 23:00 ×1 (ISO dow 1), Sun 05:xx ×1 (dow 7)
+    assert got == {(10, 1, 1): 2, (23, 1, 1): 1, (5, 7, 1): 1}
+    # ordering: weeknum then weekday (reference ORDER BY)
+    keys = [(r.parsed_date_weeknum, r.parsed_date_weekday) for r in rows]
+    assert keys == sorted(keys)
