@@ -24,11 +24,25 @@ from data_pipeline_project_using_telegram_and_aws_spark.session import get_spark
 # Headline set: grows as operators land. Keep it representative — reference
 # five + the heaviest breadth/extension queries — not exhaustive.
 HEADLINE = [
+    # reference five (telegram analog on events)
     "q0_full_scan_limit",
     "q1_daily_message_count",
     "q2_user_daily_count",
     "q3_user_daily_avg_len",
     "q4_hour_weekday_weeknum",
+    # heaviest breadth queries (scan-agg, joins, windows)
+    "q6_tpch_q1_pricing_summary",
+    "q8_join_multiway_revenue_by_nation",
+    "q11_outer_join_null_handling",
+    "q19_window_running_sum",
+    "q23_correlated_subquery",
+    # extensions (dedup / similarity / text)
+    "dd2_ngram_jaccard_topk",
+    "dd4_minhash_lsh_candidates",
+    "ss1_bruteforce_topk",
+    "ss3_lsh_bucketed_neardup",
+    "tx2_quality_scores",
+    "tx6_document_frequency",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Model: media rides in an opaque ``binary`` column next to typed metadata
+(``media_type``, byte size, content hash) — the same two-timeline idea as
+the lake's raw zone: keep original bytes, extract features alongside.
+
+The *decode* step (PIL / torchaudio / ffmpeg) is STUBBED — those libraries
+are not in this container. ``decode_media_batch`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it produces a
+deterministic fake decode derived from the bytes (stable across runs /
+engines), so the Spark-side plumbing — schema, Arrow batching,
+``mapInPandas`` signature, partition balance — is real and tested.
+
+Scale notes: media bytes dominate row size, so the decode stage
+repartitions by a hash of the id to balance batches, projects only
+(id, media) into the Python worker, and rejoins features by id. Columns
+never pass through the driver; Arrow batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, media_col: str = "media"
+) -> DataFrame:
+    """Typed metadata columns computed JVM-side (no decode needed)."""
+    m = F.col(media_col)
+    return df.withColumn("media_n_bytes", F.length(m).cast("long")).withColumn(
+        "media_hash", F.md5(m)
+    )
+
+
+def decode_media_batch(
+    batch: pd.DataFrame, fake: bool = False
+) -> pd.DataFrame:
+    """Decode one Arrow batch of (media_id, media) into features.
+
+    Real implementation would dispatch on container bytes (PIL for images,
+    soundfile/ffmpeg for audio/video). STUB: deterministic fake decode —
+    dimensions and an 8-dim feature vector derived from the md5 digest of
+    the bytes, frame count from byte length.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg, not available in this "
+            "container; pass fake=True for the deterministic test decoder"
+        )
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        digest = hashlib.md5(raw).digest()
+        out.append(
+            {
+                "media_id": media_id,
+                "n_bytes": len(raw),
+                "content_hash": digest.hex(),
+                "width": 16 + digest[0] % 64,
+                "height": 16 + digest[1] % 64,
+                "n_frames": 1 + len(raw) % 8,
+                "feature": [float(b) / 255.0 for b in digest[:8]],
+            }
+        )
+    return pd.DataFrame(
+        out,
+        columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields],
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed decode/feature-extract via ``mapInPandas``.
+
+    Only (id, media) enters the Python worker; heavy bytes never hit the
+    driver. ``partitions`` rebalances ahead of the CPU-bound decode stage.
+    """
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(media_col).alias("media")
+    )
+    if partitions:
+        slim = slim.repartition(partitions, "media_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield decode_media_batch(batch, fake=fake)
+
+    return slim.mapInPandas(run, MEDIA_FEATURE_SCHEMA)

@@ -14,18 +14,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import dedup_queries, reference_queries, similarity_queries, starschema_queries, text_queries
+    from . import (
+        dedup_queries,
+        multimodal_queries,
+        reference_queries,
+        similarity_queries,
+        starschema_queries,
+        text_queries,
+    )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (reference_queries, starschema_queries, dedup_queries, similarity_queries, text_queries):
+    for mod in (reference_queries, starschema_queries, dedup_queries,
+                similarity_queries, text_queries, multimodal_queries):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from . import dedup_queries, reference_queries, similarity_queries, starschema_queries, text_queries
+    from . import (
+        dedup_queries,
+        multimodal_queries,
+        reference_queries,
+        similarity_queries,
+        starschema_queries,
+        text_queries,
+    )
 
     merged: dict[str, str] = {}
-    for mod in (reference_queries, starschema_queries, dedup_queries, similarity_queries, text_queries):
+    for mod in (reference_queries, starschema_queries, dedup_queries,
+                similarity_queries, text_queries, multimodal_queries):
         merged.update(mod.ORACLE)
     return merged

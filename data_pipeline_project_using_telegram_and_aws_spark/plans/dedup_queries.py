@@ -1,2 +1,185 @@
-QUERIES = {}
-ORACLE = {}
+"""Dedup queries over the ``documents`` table, each paired with an exact
+DuckDB oracle (the hash primitive is md5 everywhere precisely so the
+oracle can reproduce signatures byte-for-byte). See
+``operators/dedup.py`` for the scale rationale of each algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources.tables import load_table
+
+
+def dd1_exact_dedup(spark, sf_dir):
+    """Exact dedup: one surviving (min) doc id per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup_keep_first(docs)
+        .select("text_hash", "doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+def dd2_ngram_jaccard_topk(spark, sf_dir):
+    """Top-20 most similar document pairs by 3-gram Jaccard (inverted
+    shingle index — no cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(docs, n=3)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+def dd3_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 salted md5 permutations) for a deterministic
+    sample of documents — the building block of LSH dedup."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    return D.minhash_signatures(docs, n=3).orderBy("doc_id", "salt")
+
+
+def dd4_minhash_lsh_candidates(spark, sf_dir):
+    """Banded-LSH candidate pairs + estimated Jaccard (8 bands × 2 rows).
+    Sub-quadratic: only band-bucket collisions are paired."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_candidates(docs, n=3)
+        .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+def dd5_simhash_fingerprints(spark, sf_dir):
+    """16-bit SimHash fingerprint per document (md5-bit voting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash16(docs).orderBy("doc_id")
+
+
+QUERIES = {
+    "dd1_exact_dedup": dd1_exact_dedup,
+    "dd2_ngram_jaccard_topk": dd2_ngram_jaccard_topk,
+    "dd3_minhash_signatures": dd3_minhash_signatures,
+    "dd4_minhash_lsh_candidates": dd4_minhash_lsh_candidates,
+    "dd5_simhash_fingerprints": dd5_simhash_fingerprints,
+}
+
+# Shared SQL fragments (DuckDB): word 3-gram distinct shingles per doc.
+_SHINGLES_CTE = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    shingle_rows AS (
+        SELECT DISTINCT doc_id,
+               l[g] || ' ' || l[g+1] || ' ' || l[g+2] AS shingle
+        FROM toks, UNNEST(generate_series(1, greatest(len(l) - 2, 0))) AS t(g)
+    )
+"""
+
+ORACLE = {
+    "dd1_exact_dedup": """
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS doc_id,
+               COUNT(1) AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY doc_id
+    """,
+    "dd2_ngram_jaccard_topk": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (
+            SELECT doc_id, COUNT(1) AS n_shingles
+            FROM shingle_rows GROUP BY doc_id
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS common
+            FROM shingle_rows a JOIN shingle_rows b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        ORDER BY jaccard DESC, doc_a, doc_b
+        LIMIT 20
+    """,
+    "dd3_minhash_signatures": f"""
+        WITH documents_sample AS (
+            SELECT * FROM documents WHERE doc_id % 50 = 0
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents_sample
+        ),
+        shingle_rows AS (
+            SELECT DISTINCT doc_id,
+                   l[g] || ' ' || l[g+1] || ' ' || l[g+2] AS shingle
+            FROM toks, UNNEST(generate_series(1, greatest(len(l) - 2, 0))) AS t(g)
+        )
+        SELECT doc_id, salt,
+               MIN(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM shingle_rows, UNNEST(generate_series(0, 15)) AS s(salt)
+        GROUP BY doc_id, salt
+        ORDER BY doc_id, salt
+    """,
+    "dd4_minhash_lsh_candidates": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+            SELECT doc_id, salt,
+                   MIN(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minhash
+            FROM shingle_rows, UNNEST(generate_series(0, 15)) AS s(salt)
+            GROUP BY doc_id, salt
+        ),
+        bands AS (
+            SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+                   md5(string_agg(lpad(CAST(salt AS VARCHAR), 4, '0')
+                                  || ':' || minhash, ','
+                                  ORDER BY lpad(CAST(salt AS VARCHAR), 4, '0')
+                                           || ':' || minhash)) AS bucket
+            FROM sigs
+            GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                     / 16.0, 4) AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b AND sb.salt = sa.salt
+        GROUP BY doc_a, doc_b
+        ORDER BY est_jaccard DESC, doc_a, doc_b
+        LIMIT 50
+    """,
+    "dd5_simhash_fingerprints": """
+        WITH tokens AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, md5(token) AS h FROM tokens WHERE token <> ''
+        ),
+        votes AS (
+            SELECT doc_id, bit,
+                   SUM(CASE WHEN substr(h, bit + 1, 1) IN
+                            ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END) AS v
+            FROM hashed, UNNEST(generate_series(0, 15)) AS b(bit)
+            GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v >= 0 THEN POW(2, bit) ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM votes
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+}

@@ -1,2 +1,157 @@
-QUERIES = {}
-ORACLE = {}
+"""Similarity-search queries over the ``embeddings`` table with DuckDB
+oracles. Cosines are rounded to 4 dp *before* ranking on both sides so
+float-summation-order differences between engines can't reorder results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.vectors import cosine
+from ..operators import similarity as S
+from ..sources.tables import load_table
+
+
+def ss1_bruteforce_topk(spark, sf_dir):
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    broadcast queries × corpus scan, window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cos_sim", "neighbor_rank"
+    )
+
+
+def ss2_label_blocked_neardup(spark, sf_dir):
+    """Blocked near-dup: top-20 most-similar pairs *within a label block*
+    (the blocking key stands in for any coarse pre-cluster at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("__va"),
+        "label",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("__vb"),
+        "label",
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+def ss3_lsh_bucketed_neardup(spark, sf_dir):
+    """LSH-bucketed all-pairs near-dup (8 md5-derived hyperplanes → 256
+    buckets → in-bucket exact rerank) — the sub-quadratic scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_neardup_pairs(emb, spark, top=20)
+
+
+def ss4_bucket_histogram(spark, sf_dir):
+    """LSH bucket occupancy histogram — the skew diagnostic for the ANN
+    path (a hot bucket = a hot partition at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = S.hyperplane_buckets(emb, spark)
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {
+    "ss1_bruteforce_topk": ss1_bruteforce_topk,
+    "ss2_label_blocked_neardup": ss2_label_blocked_neardup,
+    "ss3_lsh_bucketed_neardup": ss3_lsh_bucketed_neardup,
+    "ss4_bucket_histogram": ss4_bucket_histogram,
+}
+
+_PLANES_CTE = """
+    planes AS (
+        SELECT p, d,
+               CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_'
+                                  || CAST(d AS VARCHAR)), 1, 1) >= '8'
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM UNNEST(generate_series(0, 7)) AS pp(p),
+             UNNEST(generate_series(0, 63)) AS dd(d)
+    ),
+    elems AS (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS e
+        FROM embeddings, UNNEST(generate_series(0, 63)) AS t(d)
+    ),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN SUM(e * w) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM elems JOIN planes USING (d)
+        GROUP BY vec_id, p
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(SUM(bit * POW(2, p)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id
+    )
+"""
+
+ORACLE = {
+    "ss1_bruteforce_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cos_sim, neighbor_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+            ) AS neighbor_rank
+            FROM scored
+        )
+        WHERE neighbor_rank <= 5
+        ORDER BY query_id, neighbor_rank
+    """,
+    "ss2_label_blocked_neardup": """
+        SELECT CAST(a.label AS BIGINT) AS label,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.label = b.label
+        WHERE a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 20
+    """,
+    "ss3_lsh_bucketed_neardup": f"""
+        WITH {_PLANES_CTE}
+        SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM buckets a
+        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 20
+    """,
+    "ss4_bucket_histogram": f"""
+        WITH {_PLANES_CTE}
+        SELECT bucket, COUNT(1) AS n_vectors
+        FROM buckets
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+}

@@ -1,0 +1,70 @@
+"""Dedup operators: recall/precision on constructed near-duplicates (the
+oracle gate already pins exact values on real testdata)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators import dedup as D
+
+BASE = "the quick brown fox jumps over the lazy dog while rain falls on the plain"
+NEAR = "the quick brown fox jumps over the lazy cat while rain falls on the plain"
+OTHER = "completely different words about spark query engines and shuffles here now"
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1 (one token changed)
+        (4, OTHER),
+        (5, "tiny"),        # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup_keep_first(_docs(spark)).collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id[1] == 2          # docs 1+2 collapse, min id survives
+    assert 2 not in by_id
+    assert by_id[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs(spark), n=3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0            # exact dup → jaccard 1
+    assert pairs[(3, 1) if (3, 1) in pairs else (1, 3)] > 0.5
+    assert (1, 4) not in pairs             # disjoint shingles → no pair row
+    assert all(a != 5 and b != 5 for a, b in pairs)  # too short → no shingles
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    cands = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in D.minhash_lsh_candidates(_docs(spark), n=3).collect()
+    }
+    assert cands[(1, 2)] == 1.0            # identical docs share every band
+    if (1, 3) in cands:                    # near-dups likely band-collide
+        assert cands[(1, 3)] >= 0.25
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark):
+    fps = {r.doc_id: r.simhash for r in D.simhash16(_docs(spark)).collect()}
+    assert fps[1] == fps[2]                # identical text → identical hash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fps[1], fps[3]) <= hamming(fps[1], fps[4])
+    assert 0 <= fps[1] < 2**16
+
+
+def test_empty_and_single_token_docs(spark):
+    df = spark.createDataFrame([(1, ""), (2, "one")], ["doc_id", "text"])
+    assert D.ngram_jaccard_pairs(df, n=3).count() == 0
+    sigs = D.minhash_signatures(df, n=3)
+    assert sigs.count() == 0               # no shingles → no signatures
