@@ -82,11 +82,17 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(
-        F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a")
+    # per-doc size table is tiny relative to the pair table — broadcast both
+    # sides so the pair stream never reshuffles
+    sa = F.broadcast(
+        sizes.select(
+            F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a")
+        )
     )
-    sb = sizes.select(
-        F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b")
+    sb = F.broadcast(
+        sizes.select(
+            F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b")
+        )
     )
     return (
         common.join(sa, "doc_a")
@@ -110,19 +116,28 @@ def minhash_signatures(
     """MinHash signature: for each salt, the lexicographic min of
     md5(salt || shingle) — a valid min-wise permutation family, chosen over
     integer hashing because md5 exists identically in the SQL oracle.
-    Output: (doc_id, salt, minhash)."""
-    sh = doc_shingles(df, n, id_col, text_col)
-    salted = sh.select(
-        id_col,
-        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
-        "shingle",
+    Output: (doc_id, salt, minhash).
+
+    Computed *row-locally*: each salt's min is an ``array_min`` fold over
+    the document's shingle array, so nothing shuffles — the naive
+    explode(shingles × salts) → groupBy formulation shuffles
+    |docs|·|shingles|·|salts| rows (≈80× more here) for identical output.
+
+    The nested lambda is written as one SQL ``expr`` with named variables:
+    composing many Python-lambda ``F.transform`` calls in a single
+    expression tree silently collides their auto-generated lambda-variable
+    names (observed: wrong mins), so higher-order nesting stays in SQL.
+    """
+    mins = F.expr(
+        f"transform(sequence(0, {n_salts - 1}), s -> "
+        "array_min(transform(__sh, x -> "
+        "md5(concat(cast(s as string), '|', x)))))"
     )
-    return salted.groupBy(id_col, "salt").agg(
-        F.min(
-            F.md5(
-                F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle"))
-            )
-        ).alias("minhash")
+    return (
+        df.withColumn("__sh", shingles(F.col(text_col), n))
+        .select(F.col(id_col), F.posexplode(mins).alias("salt", "minhash"))
+        .filter(F.col("minhash").isNotNull())
+        .select(id_col, F.col("salt").cast("long").alias("salt"), "minhash")
     )
 
 
