@@ -10,11 +10,20 @@ Scale design (100 TB corpus):
   (shuffle carries the digest + doc id only).
 - shingling: per-row ``transform(sequence(...))`` — no explode until after
   ``array_distinct``, so the shuffle sees each (doc, shingle) once.
-- MinHash/LSH: signature agg shuffles |docs|×|salts| small rows; the band
-  join only pairs docs sharing a band bucket — the classic sub-quadratic
-  near-dup path. Brute-force pair verification happens only on candidates.
+- MinHash: salted-md5 mins computed as plain aggregate columns inside
+  whole-stage codegen; partial (map-side) agg reduces the shuffle to one
+  |salts|-wide row per doc per map partition. The band join only pairs
+  docs sharing a band bucket — the classic sub-quadratic near-dup path —
+  and signatures ride through the join so verification is row-local.
 - SimHash: fingerprint is a single int per doc; near-dup candidates join
   on the fingerprint (or banded substrings of it at scale).
+
+Hard-won engine note: Catalyst higher-order functions (``transform`` /
+``filter`` lambdas) are never whole-stage-codegen'd — they evaluate
+interpreted, per element, at ~100× the cost of the same expression in a
+codegen'd projection. Keep HOFs off any path whose element count scales
+with corpus size (shingles×salts, candidate pairs); explode + ordinary
+column expressions instead.
 """
 
 from __future__ import annotations
@@ -22,6 +31,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 N_SALTS = 16  # minhash permutations (md5-salted lexicographic min)
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition up to the session's parallelism when the source scan
+    yields fewer partitions (e.g. one small parquet file locally). The heavy
+    per-row work (shingling, md5 signatures) otherwise runs in a single
+    task. On a real multi-file 100 TB scan the input is already wide and
+    this is a no-op."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want, key)
+    return df
 
 
 def with_text_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -67,36 +88,59 @@ def doc_shingles(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard via an inverted shingle index (shuffle on
-    shingle, then on the pair key — never a cross join)."""
-    sh = doc_shingles(df, n, id_col, text_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    """All-pairs n-gram Jaccard via an inverted shingle index (equi-join on
+    shingle — never a cross join).
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    # per-doc size table is tiny relative to the pair table — broadcast both
-    # sides so the pair stream never reshuffles
-    sa = F.broadcast(
-        sizes.select(
-            F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a")
+    One scan computes (doc, n_shingles, shingle) and is checkpointed; the
+    self-join on `shingle` meets only docs sharing a shingle, and one
+    shuffle aggregates common-shingle counts per pair. Doc sizes ride along
+    in the exploded rows, so there is no size-table join and no broadcast
+    job. Everything after shingling is joins/aggs in whole-stage codegen —
+    a posting-list formulation that builds pairs with higher-order
+    ``transform`` lambdas benchmarked ~2× slower because HOF lambdas
+    evaluate interpreted, per element.
+
+    ``max_df`` (optional, default off to keep exact semantics) drops
+    shingles whose document frequency exceeds the cap — the standard
+    hot-shingle guard at 100 TB, where one boilerplate phrase shared by
+    1e6 docs would otherwise emit ~5e11 pairs.
+    """
+    sh = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("__sh"),
         )
-    )
-    sb = F.broadcast(
-        sizes.select(
-            F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b")
+        .select(
+            "doc_id",
+            F.size("__sh").alias("n_shingles"),
+            F.explode("__sh").alias("shingle"),
         )
+        # materialize the shingle rows executor-side so the self-join's two
+        # sides don't each redo the shingling (the interpreted-HOF token
+        # work is the expensive part; the 100 TB analog is persisting the
+        # shingle table to the lake between the two passes)
+        .localCheckpoint(eager=False)
+    )
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(F.broadcast(hot.filter(F.col("__df") > max_df)), "shingle", "left_anti")
+        )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"), "shingle"
     )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("common"))
         .select(
             "doc_a",
             "doc_b",
@@ -116,28 +160,50 @@ def minhash_signatures(
     """MinHash signature: for each salt, the lexicographic min of
     md5(salt || shingle) — a valid min-wise permutation family, chosen over
     integer hashing because md5 exists identically in the SQL oracle.
-    Output: (doc_id, salt, minhash).
-
-    Computed *row-locally*: each salt's min is an ``array_min`` fold over
-    the document's shingle array, so nothing shuffles — the naive
-    explode(shingles × salts) → groupBy formulation shuffles
-    |docs|·|shingles|·|salts| rows (≈80× more here) for identical output.
-
-    The nested lambda is written as one SQL ``expr`` with named variables:
-    composing many Python-lambda ``F.transform`` calls in a single
-    expression tree silently collides their auto-generated lambda-variable
-    names (observed: wrong mins), so higher-order nesting stays in SQL.
+    Output: (doc_id, salt, minhash) — the exploded view of
+    :func:`minhash_sig_array` (see its docstring for the plan-shape
+    rationale).
     """
-    mins = F.expr(
-        f"transform(sequence(0, {n_salts - 1}), s -> "
-        "array_min(transform(__sh, x -> "
-        "md5(concat(cast(s as string), '|', x)))))"
-    )
+    sig = minhash_sig_array(df, n, n_salts, id_col, text_col)
     return (
-        df.withColumn("__sh", shingles(F.col(text_col), n))
-        .select(F.col(id_col), F.posexplode(mins).alias("salt", "minhash"))
-        .filter(F.col("minhash").isNotNull())
+        sig.select(F.col(id_col), F.posexplode("sig").alias("salt", "minhash"))
         .select(id_col, F.col("salt").cast("long").alias("salt"), "minhash")
+    )
+
+
+def minhash_sig_array(
+    df: DataFrame, n: int = 3, n_salts: int = N_SALTS,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, sig: array<string>[n_salts]) — the whole signature in one row.
+
+    Plan shape, chosen deliberately: explode to (doc, shingle) rows once,
+    then compute the n_salts salted-md5 mins as *plain aggregate columns*
+    over a ``groupBy(doc)``. The salted hashes are ordinary projections, so
+    they run inside whole-stage codegen; the earlier formulation — a nested
+    ``transform(sequence(salts), s -> array_min(transform(shingles, ..)))``
+    — evaluates every hash through Catalyst's *interpreted* higher-order-
+    function path (HOF lambdas are never codegen'd) at ~100× the per-call
+    cost, which dominated the whole benchmark. Partial (map-side)
+    aggregation reduces the shuffle to one |n_salts|-wide row per doc per
+    map partition, so the explode never hits the wire. Rows with no
+    shingles (texts shorter than *n* tokens) vanish with the explode.
+    """
+    sh = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("__shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("__shingle")))).alias(f"__m{s}")
+        for s in range(n_salts)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{s}") for s in range(n_salts)]).alias("sig"),
+        )
     )
 
 
@@ -151,51 +217,42 @@ def minhash_lsh_candidates(
     The band join is the sub-quadratic step: bucket key =
     (band, md5(concat of the band's minhashes)). Only bucket collisions are
     paired — at 100 TB this is the difference between feasible and not.
-    """
-    sigs = minhash_signatures(df, n, n_salts, id_col, text_col)
-    # array_sort before hashing: collect_list order is nondeterministic
-    bands = (
-        sigs.withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.array_sort(
-                        F.collect_list(
-                            F.concat_ws(":", F.lpad("salt", 4, "0"), "minhash")
-                        )
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
-        )
-    )
-    left = bands.select(F.col(id_col).alias("doc_a"), "band", "bucket")
-    right = bands.select(F.col(id_col).alias("doc_b"), "band", "bucket")
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
 
-    siga = sigs.select(
-        F.col(id_col).alias("doc_a"), "salt", F.col("minhash").alias("mh_a")
+    Single-pass plan: the signature array is computed once (row-local, no
+    shuffle), band buckets are derived from it row-locally, and the full
+    signature rides through the band self-join so the estimated Jaccard is
+    a row-local ``zip_with`` on the joined pair — no post-hoc signature
+    re-join, no recomputation of the md5 work.
+    """
+    n_bands = n_salts // rows_per_band
+    sigs = minhash_sig_array(df, n, n_salts, id_col, text_col)
+    # bucket string mirrors the exploded formulation (and the SQL oracle):
+    # sorted 'lpad(salt):minhash' entries of the band joined with ','
+    buckets = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"md5(array_join(array_sort(transform(sequence(0, {rows_per_band - 1}), "
+        f"r -> concat(lpad(cast(b * {rows_per_band} + r as string), 4, '0'), "
+        f"':', element_at(sig, b * {rows_per_band} + r + 1)))), ',')))"
     )
-    sigb = sigs.select(
-        F.col(id_col).alias("doc_b"), "salt", F.col("minhash").alias("mh_b")
+    bands = sigs.select(
+        F.col(id_col), F.col("sig"), F.posexplode(buckets).alias("band", "bucket")
+    )
+    left = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    est = (
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x <=> y), v -> v))")
+        / F.lit(float(n_salts))
     )
     return (
-        cand.join(siga, "doc_a")
-        .join(sigb, ["doc_b", "salt"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
-                / F.lit(float(n_salts)),
-                4,
-            ).alias("est_jaccard")
-        )
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .groupBy("doc_a", "doc_b")  # dedup pairs colliding in >1 band
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 
