@@ -36,11 +36,14 @@ HEADLINE = [
     "q11_outer_join_null_handling",
     "q19_window_running_sum",
     "q23_correlated_subquery",
+    "q33_asof_join_last_order",
+    "q34_range_join_bins",
     # extensions (dedup / similarity / text)
     "dd2_ngram_jaccard_topk",
     "dd4_minhash_lsh_candidates",
     "ss1_bruteforce_topk",
     "ss3_lsh_bucketed_neardup",
+    "ss5_ivf_topk",
     "tx2_quality_scores",
     "tx6_document_frequency",
 ]

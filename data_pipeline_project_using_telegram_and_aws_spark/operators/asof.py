@@ -1,0 +1,138 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+interval/range join (north-star extensions; the reference itself has no
+joins at all — SURVEY.md §2.3 — these serve the star-schema testdata and
+the training-pipeline workloads).
+
+Scale design (100 TB):
+
+- **As-of join** is implemented as the *union-window* pattern: tag both
+  inputs, union them, and carry the right side's columns forward with
+  ``last(..., ignorenulls=True)`` over a (key, time)-ordered window. One
+  shuffle on the join key, no range explosion, no per-key driver loop —
+  the canonical distributed as-of. (A sort-merge "point join" would need a
+  custom physical operator; the union-window gets identical semantics from
+  pure Catalyst primitives and AQE handles skewed keys.)
+- **Range join** maps the interval predicate onto an *equi-join on a bin
+  key*: each right-side interval is exploded to every fixed-width bin it
+  overlaps, the join runs on the bin id (hash shuffle or broadcast — never
+  a nested-loop cross product), and a residual predicate removes edge
+  false-positives. Bin width should be chosen near the median interval
+  width so each interval lands in O(1) bins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+_KEY = "__asof_key"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    include_equal: bool = True,
+) -> DataFrame:
+    """Backward as-of LEFT join: each left row picks up ``right_cols`` from
+    the latest right row of the same key with ``right_ts <= left_ts``
+    (strictly ``<`` when ``include_equal=False``); null when none exists.
+
+    The right side must be unique per (key, ts) — pre-aggregate otherwise,
+    or which row "wins" a tie is undefined (matching DuckDB ``ASOF JOIN``,
+    the oracle semantics).
+
+    Union-window plan: one hash shuffle on the key, one intra-partition
+    sort — O(n log n) per key group, zero row amplification.
+    """
+    left_out = [c for c in left.columns]
+    lhs = left.select(
+        F.col(left_key).alias(_KEY),
+        F.col(left_ts).cast("timestamp").alias(_TS),
+        F.lit(1).alias(_TAG),
+        *[F.col(c) for c in left_out],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    rhs = right.select(
+        F.col(right_key).alias(_KEY),
+        F.col(right_ts).cast("timestamp").alias(_TS),
+        F.lit(0).alias(_TAG),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_out],
+        *[F.col(c) for c in right_cols],
+    )
+    # at equal ts: tag 0 (right) sorts first => visible to the left row.
+    # include_equal=False flips the tag order so the left row comes first
+    # and cannot see the same-timestamp right row.
+    tag_order = F.col(_TAG).asc() if include_equal else F.col(_TAG).desc()
+    w = (
+        Window.partitionBy(_KEY)
+        .orderBy(F.col(_TS).asc(), tag_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols
+    ]
+    return (
+        lhs.unionByName(rhs)
+        .select(_TAG, *left_out, *carried)
+        .filter(F.col(_TAG) == 1)
+        .drop(_TAG)
+    )
+
+
+def binned_range_join(
+    left: DataFrame,
+    value_col: str,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Join each left row to every right interval with
+    ``lo <= value < hi``, via an equi-join on a fixed-width bin key.
+
+    The right side explodes to one row per bin its interval overlaps
+    (``sequence(floor(lo/w), floor((hi)/w))``), so the join is a plain
+    hash join on ``__bin`` followed by the exact residual predicate —
+    never a broadcast-nested-loop over the raw inequality. With intervals
+    of width ~``bin_width`` the explosion factor is ~2.
+    """
+    binned_right = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor(F.col(hi_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    if broadcast_right:
+        binned_right = F.broadcast(binned_right)
+    binned_left = left.withColumn(
+        "__bin", F.floor(F.col(value_col) / bin_width).cast("long")
+    )
+    return (
+        binned_left.join(binned_right, "__bin")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("__bin")
+    )
+
+
+def time_bucket(ts: Column, seconds: int) -> Column:
+    """Fixed-width tumbling time bucket (hypertable-style): the bucket's
+    start timestamp. Epoch-floor arithmetic, identical to DuckDB/Timescale
+    ``time_bucket`` for widths that divide a day."""
+    return F.timestamp_seconds(
+        (F.unix_timestamp(ts) / seconds).cast("long") * seconds
+    )

@@ -108,6 +108,95 @@ def hyperplane_buckets(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    max_rank: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its ``max_rank`` nearest centroids by cosine
+    (rounded to 4 dp, centroid id as tie-break — deterministic across
+    engines). Centroids are broadcast; the corpus never shuffles for the
+    scoring, only |vectors|×|centroids| scored rows enter the per-vector
+    top-k window."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    scored = vectors.crossJoin(c).select(
+        F.col(id_col).alias(out_id),
+        "centroid_id",
+        F.round(cosine(F.col(vec_col), F.col("__cvec")), 4).alias("__cos"),
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.desc("__cos"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rank)
+        .select(out_id, "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_queries: int = 5,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Index: every vector is assigned to its nearest centroid (the inverted
+    lists). Query: each query probes its ``nprobe`` nearest centroids and
+    exact-reranks only those lists — the classic recall/cost dial. Here
+    the "trained" centroids are the vectors with id < n_centroids
+    (deterministic stand-in for a k-means pass, which would be run offline
+    at scale); queries are the vectors with id < n_queries.
+
+    At 100 TB the inverted lists are the partition key: assignments are
+    written bucketed by centroid_id, so a query touches nprobe partitions
+    instead of the whole corpus.
+    """
+    centroids = vectors.filter(F.col(id_col) < n_centroids)
+    queries = vectors.filter(F.col(id_col) < n_queries)
+
+    lists = ivf_assign(vectors, centroids, 1, id_col, vec_col)
+    probes = ivf_assign(
+        queries, centroids, nprobe, id_col, vec_col, out_id="query_id"
+    )
+    cand = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("ivf_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("ivf_rank") <= k)
+        .orderBy("query_id", "ivf_rank")
+    )
+
+
 def lsh_neardup_pairs(
     vectors: DataFrame,
     spark: SparkSession,

@@ -20,12 +20,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         reference_queries,
         similarity_queries,
         starschema_queries,
+        temporal_queries,
         text_queries,
     )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (reference_queries, starschema_queries, dedup_queries,
-                similarity_queries, text_queries, multimodal_queries):
+    for mod in (reference_queries, starschema_queries, temporal_queries,
+                dedup_queries, similarity_queries, text_queries,
+                multimodal_queries):
         merged.update(mod.QUERIES)
     return merged
 
@@ -37,11 +39,13 @@ def all_oracles() -> dict[str, str]:
         reference_queries,
         similarity_queries,
         starschema_queries,
+        temporal_queries,
         text_queries,
     )
 
     merged: dict[str, str] = {}
-    for mod in (reference_queries, starschema_queries, dedup_queries,
-                similarity_queries, text_queries, multimodal_queries):
+    for mod in (reference_queries, starschema_queries, temporal_queries,
+                dedup_queries, similarity_queries, text_queries,
+                multimodal_queries):
         merged.update(mod.ORACLE)
     return merged

@@ -59,12 +59,45 @@ def dd5_simhash_fingerprints(spark, sf_dir):
     return D.simhash16(docs).orderBy("doc_id")
 
 
+def dd6_embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: semantic duplicate candidates via
+    hyperplane-LSH buckets + exact in-bucket cosine over threshold,
+    emitted as a canonical (keep = lower id, drop = higher id) decision.
+    The 0.4 threshold is tuned to this synthetic corpus (random vectors —
+    max pairwise cosine ≈ 0.51); a real near-dup corpus would use ~0.95."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = S.hyperplane_buckets(emb, spark)
+    vb = emb.join(buckets, "vec_id")
+    a = vb.select(
+        F.col("vec_id").alias("doc_keep"), F.col("embedding").alias("__va"), "bucket"
+    )
+    b = vb.select(
+        F.col("vec_id").alias("doc_drop"), F.col("embedding").alias("__vb"), "bucket"
+    )
+    from ..functions.vectors import cosine
+
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_keep") < F.col("doc_drop"))
+        .select(
+            "doc_keep",
+            "doc_drop",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy(F.desc("cos_sim"), "doc_keep", "doc_drop")
+    )
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_topk": dd2_ngram_jaccard_topk,
     "dd3_minhash_signatures": dd3_minhash_signatures,
     "dd4_minhash_lsh_candidates": dd4_minhash_lsh_candidates,
     "dd5_simhash_fingerprints": dd5_simhash_fingerprints,
+    "dd6_embedding_cosine_neardup": dd6_embedding_cosine_neardup,
 }
 
 # Shared SQL fragments (DuckDB): word 3-gram distinct shingles per doc.
@@ -158,6 +191,42 @@ ORACLE = {
         GROUP BY doc_a, doc_b
         ORDER BY est_jaccard DESC, doc_a, doc_b
         LIMIT 50
+    """,
+    "dd6_embedding_cosine_neardup": """
+        WITH planes AS (
+            SELECT p, d,
+                   CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_'
+                                      || CAST(d AS VARCHAR)), 1, 1) >= '8'
+                        THEN 1.0 ELSE -1.0 END AS w
+            FROM UNNEST(generate_series(0, 7)) AS pp(p),
+                 UNNEST(generate_series(0, 63)) AS dd(d)
+        ),
+        elems AS (
+            SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS e
+            FROM embeddings, UNNEST(generate_series(0, 63)) AS t(d)
+        ),
+        bits AS (
+            SELECT vec_id, p,
+                   CASE WHEN SUM(e * w) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM elems JOIN planes USING (d)
+            GROUP BY vec_id, p
+        ),
+        buckets AS (
+            SELECT vec_id, CAST(SUM(bit * POW(2, p)) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id
+        )
+        SELECT a.vec_id AS doc_keep, b.vec_id AS doc_drop,
+               ROUND(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM buckets a
+        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ROUND(list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
+        ORDER BY cos_sim DESC, doc_keep, doc_drop
     """,
     "dd5_simhash_fingerprints": """
         WITH tokens AS (

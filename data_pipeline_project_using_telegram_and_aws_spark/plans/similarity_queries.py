@@ -69,11 +69,20 @@ def ss4_bucket_histogram(spark, sf_dir):
     )
 
 
+def ss5_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: inverted lists under 16 deterministic
+    centroids, queries (vec_id < 5) probe their 2 nearest lists and
+    exact-rerank only those — the recall/cost dial of a production ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, n_centroids=16, n_queries=5, nprobe=2, k=5)
+
+
 QUERIES = {
     "ss1_bruteforce_topk": ss1_bruteforce_topk,
     "ss2_label_blocked_neardup": ss2_label_blocked_neardup,
     "ss3_lsh_bucketed_neardup": ss3_lsh_bucketed_neardup,
     "ss4_bucket_histogram": ss4_bucket_histogram,
+    "ss5_ivf_topk": ss5_ivf_topk,
 }
 
 _PLANES_CTE = """
@@ -153,5 +162,57 @@ ORACLE = {
         FROM buckets
         GROUP BY bucket
         ORDER BY bucket
+    """,
+    "ss5_ivf_topk": """
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+            FROM embeddings WHERE vec_id < 16
+        ),
+        lists AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.ce), 4) DESC,
+                               c.centroid_id ASC
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.vec_id AS query_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]), c.ce), 4) DESC,
+                               c.centroid_id ASC
+                       ) AS rn
+                FROM embeddings q, cents c WHERE q.vec_id < 5
+            ) WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT p.query_id, l.vec_id
+            FROM probes p JOIN lists l USING (centroid_id)
+            WHERE l.vec_id <> p.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings q ON q.vec_id = c.query_id
+        )
+        SELECT query_id, vec_id, cos_sim, ivf_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC
+            ) AS ivf_rank
+            FROM scored
+        )
+        WHERE ivf_rank <= 5
+        ORDER BY query_id, ivf_rank
     """,
 }

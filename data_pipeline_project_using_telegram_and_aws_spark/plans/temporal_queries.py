@@ -1,0 +1,216 @@
+"""Temporal-join and analytics-breadth queries: as-of join, binned range
+join, hypertable-style time-bucket rollup, pivot, exact percentiles, and
+deterministic hash sampling — each with a DuckDB oracle.
+
+The as-of oracle uses DuckDB's native ``ASOF LEFT JOIN``, which pins the
+semantics our union-window implementation (operators/asof.py) must match:
+latest right row with ``right_ts <= left_ts`` per key, null if none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import asof as A
+from ..sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q33_asof_join_last_order(spark, sf_dir):
+    """For every event, the customer's most recent order at-or-before the
+    event time (as-of backward join on user_id = o_custkey). Orders are
+    pre-aggregated to one row per (custkey, orderdate) so ties are
+    deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ords = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_orderkey")
+    )
+    joined = A.asof_join(
+        events.select("event_id", "user_id", "ts"),
+        ords.withColumnRenamed("o_orderdate", "last_order_date"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="last_order_date",
+        right_cols=["last_orderkey", "last_order_date"],
+    )
+    return joined.select(
+        "event_id", "user_id", "last_orderkey", "last_order_date"
+    ).orderBy("event_id")
+
+
+def q34_range_join_bins(spark, sf_dir):
+    """Histogram by value band: join events to band intervals
+    [p*50, p*50+50) — executed as a binned equi-join, checked against the
+    oracle's true inequality join."""
+    events = load_table(spark, sf_dir, "events")
+    bands = (
+        spark.range(10)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 50.0).alias("lo"),
+            (F.col("id") * 50.0 + 50.0).alias("hi"),
+        )
+    )
+    joined = A.binned_range_join(events, "value", bands, "lo", "hi", 50.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+def q35_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: events → 15-minute buckets →
+    daily summary re-aggregated *from the bucket aggregates* (counts and
+    sums compose; the bucket level is what a continuous aggregate would
+    materialize)."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = (
+        events.withColumn("bucket", A.time_bucket(F.col("ts"), 900))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return (
+        bucketed.withColumn("day", F.date_trunc("day", "bucket"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_active_buckets"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def q36_pivot_event_types(spark, sf_dir):
+    """Pivot: per user cohort (user_id % 10), total value by event type as
+    columns. Pivot values are pinned so the output schema is static."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("cohort")
+    )
+
+
+def q37_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p25/p50/p75) of l_quantity per
+    return flag — Spark ``percentile`` vs DuckDB ``quantile_cont``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q38_hash_sample(spark, sf_dir):
+    """Deterministic ~10% sample via md5 prefix of the row key — the
+    reproducible, engine-independent alternative to TABLESAMPLE (which is
+    seeded differently per engine). Aggregates prove the sample is stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.md5(
+        F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")).cast("binary")
+    )
+    return (
+        li.filter(F.substring(key, 1, 2) < "1a")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES = {
+    "q33_asof_join_last_order": q33_asof_join_last_order,
+    "q34_range_join_bins": q34_range_join_bins,
+    "q35_time_bucket_rollup": q35_time_bucket_rollup,
+    "q36_pivot_event_types": q36_pivot_event_types,
+    "q37_percentiles": q37_percentiles,
+    "q38_hash_sample": q38_hash_sample,
+}
+
+ORACLE = {
+    "q33_asof_join_last_order": """
+        WITH ords AS (
+            SELECT o_custkey, o_orderdate AS last_order_date,
+                   MAX(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, o.last_orderkey, o.last_order_date
+        FROM events e
+        ASOF LEFT JOIN ords o
+          ON e.user_id = o.o_custkey AND e.ts >= o.last_order_date
+        ORDER BY e.event_id
+    """,
+    "q34_range_join_bins": """
+        WITH bands AS (
+            SELECT p AS band_id, p * 50.0 AS lo, p * 50.0 + 50.0 AS hi
+            FROM UNNEST(generate_series(0, 9)) t(p)
+        )
+        SELECT band_id, COUNT(1) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY band_id
+        ORDER BY band_id
+    """,
+    "q35_time_bucket_rollup": """
+        WITH bucketed AS (
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+                       AS bucket,
+                   event_type, COUNT(1) AS n, SUM(value) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day, event_type,
+               SUM(n) AS n_events, ROUND(SUM(v), 2) AS sum_value,
+               COUNT(1) AS n_active_buckets
+        FROM bucketed
+        GROUP BY 1, 2
+        ORDER BY day, event_type
+    """,
+    "q36_pivot_event_types": """
+        SELECT user_id % 10 AS cohort,
+               ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+               ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+               ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+               ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY cohort
+    """,
+    "q37_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q38_hash_sample": """
+        SELECT l_returnflag, COUNT(1) AS n_rows,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+}

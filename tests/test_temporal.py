@@ -1,0 +1,107 @@
+"""Unit tests for the temporal operators (as-of join, binned range join,
+time_bucket) — semantics pinned on tiny hand-computed inputs, including
+the tie/boundary/no-match edge cases the big oracle queries can miss."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators import asof as A
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-05 00:00:00"), "e1"),
+         (1, _ts("2024-01-01 00:00:00"), "e2"),
+         (2, _ts("2024-01-03 00:00:00"), "e3")],
+        "k long, t timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-02 00:00:00"), 100),
+         (1, _ts("2024-01-04 00:00:00"), 200),
+         (3, _ts("2024-01-01 00:00:00"), 999)],
+        "rk long, rt timestamp, val int",
+    )
+    out = A.asof_join(
+        left, right, "k", "rk", "t", "rt", ["val"]
+    ).orderBy("ev").collect()
+    # e1@01-05 sees 01-04's 200; e2@01-01 predates all -> null; key 2 has
+    # no right rows at all -> null
+    assert [(r.ev, r.val) for r in out] == [("e1", 200), ("e2", None), ("e3", None)]
+
+
+def test_asof_equal_ts_inclusive_vs_strict(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-02 00:00:00"), "e")], "k long, t timestamp, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-02 00:00:00"), 7), (1, _ts("2024-01-01 00:00:00"), 3)],
+        "rk long, rt timestamp, val int",
+    )
+    inc = A.asof_join(left, right, "k", "rk", "t", "rt", ["val"]).collect()
+    assert inc[0].val == 7  # ts == matches when include_equal
+    strict = A.asof_join(
+        left, right, "k", "rk", "t", "rt", ["val"], include_equal=False
+    ).collect()
+    assert strict[0].val == 3  # strictly-before row wins
+
+
+def test_asof_matches_duckdb_oracle_shape(spark):
+    """The q33 oracle at sf0.001 — spot-check the union-window against
+    DuckDB ASOF JOIN on real data (full hash parity runs in the driver)."""
+    import duckdb
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.temporal_queries import (
+        ORACLE,
+        q33_asof_join_last_order,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_id: (r.last_orderkey, r.last_order_date)
+        for r in q33_asof_join_last_order(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = {
+        row[0]: (row[2], row[3])
+        for row in con.execute(ORACLE["q33_asof_join_last_order"]).fetchall()
+    }
+    assert got == want
+
+
+def test_binned_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 0.0), (2, 49.999), (3, 50.0), (4, 150.0)], "id long, v double"
+    )
+    right = spark.createDataFrame(
+        [(10, 0.0, 50.0), (20, 50.0, 100.0)], "band long, lo double, hi double"
+    )
+    out = A.binned_range_join(left, "v", right, "lo", "hi", 50.0)
+    got = sorted((r.id, r.band) for r in out.collect())
+    # lo inclusive, hi exclusive; 150.0 falls in no band
+    assert got == [(1, 10), (2, 10), (3, 20)]
+
+
+def test_binned_range_join_wide_interval_no_dup(spark):
+    """An interval spanning many bins must still match each row once."""
+    left = spark.createDataFrame([(1, 75.0)], "id long, v double")
+    right = spark.createDataFrame([(9, 0.0, 1000.0)], "band long, lo double, hi double")
+    out = A.binned_range_join(left, "v", right, "lo", "hi", 50.0).collect()
+    assert [(r.id, r.band) for r in out] == [(1, 9)]
+
+
+def test_time_bucket(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 00:22:11"),), (_ts("2024-01-01 00:44:59"),)],
+        "t timestamp",
+    )
+    got = [r.b for r in df.select(A.time_bucket(F.col("t"), 900).alias("b")).collect()]
+    assert got == [_ts("2024-01-01 00:15:00"), _ts("2024-01-01 00:30:00")]
