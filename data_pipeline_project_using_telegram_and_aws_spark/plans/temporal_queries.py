@@ -138,6 +138,18 @@ def q38_hash_sample(spark, sf_dir):
     )
 
 
+def q39_session_windows(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity) per user via
+    Spark's engine-merged ``session_window`` — checked against the classic
+    gaps-and-islands SQL formulation. Session end = last event + gap."""
+    from ..streaming.windows import session_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    return session_aggregate(events, "30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
 QUERIES = {
     "q33_asof_join_last_order": q33_asof_join_last_order,
     "q34_range_join_bins": q34_range_join_bins,
@@ -145,6 +157,7 @@ QUERIES = {
     "q36_pivot_event_types": q36_pivot_event_types,
     "q37_percentiles": q37_percentiles,
     "q38_hash_sample": q38_hash_sample,
+    "q39_session_windows": q39_session_windows,
 }
 
 ORACLE = {
@@ -212,5 +225,34 @@ ORACLE = {
                          || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "q39_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                        ) > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                        ) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(1) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM islands
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
     """,
 }

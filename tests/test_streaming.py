@@ -1,0 +1,125 @@
+"""Streaming-operator tests: watermarked tumbling windows, session
+windows (batch parity), and applyInPandasWithState dedup with state
+restored from the checkpoint across separate runs."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.streaming import windows as W
+
+EVENTS_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def _write_batch(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _drain(stream_df, out_dir, checkpoint):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            {"k": "click", "ts": "2024-01-01 00:01:00"},
+            {"k": "click", "ts": "2024-01-01 00:14:00"},
+            {"k": "view", "ts": "2024-01-01 00:16:00"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp").json(landing)
+    )
+    agg = W.windowed_event_counts(stream, "15 minutes", "30 minutes",
+                                  ts_col="ts", key_col="k")
+    out = str(tmp_path / "out")
+    _drain(agg, out, str(tmp_path / "ckpt"))
+    # AvailableNow + append emits only finalized windows after the
+    # watermark advances; with one batch nothing finalizes yet — feed a
+    # second batch far in the future to close the earlier windows.
+    _write_batch(landing, "b2.json", [{"k": "click", "ts": "2024-01-01 06:00:00"}])
+    _drain(agg, out, str(tmp_path / "ckpt"))
+    rows = {
+        (r.window_start.strftime("%H:%M"), r.k): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("00:00", "click")] == 2
+    assert rows[("00:15", "view")] == 1
+
+
+def test_session_window_batch_streaming_parity(spark, tmp_path):
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01 00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01 00:10:00", "value": 2.0},
+        # 40-minute gap > 30 => new session
+        {"user_id": 1, "ts": "2024-01-01 00:50:00", "value": 4.0},
+        {"user_id": 2, "ts": "2024-01-01 00:05:00", "value": 8.0},
+    ]
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], datetime.fromisoformat(r["ts"]), r["value"]) for r in rows],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M")): (
+            r.session_end.strftime("%H:%M"), r.n_events, r.sum_value
+        )
+        for r in W.session_aggregate(batch_df).collect()
+    }
+    # session end = last event + gap
+    assert got[(1, "00:00")] == ("00:40", 2, 3.0)
+    assert got[(1, "00:50")] == ("01:20", 1, 4.0)
+    assert got[(2, "00:05")] == ("00:35", 1, 8.0)
+
+
+def test_streaming_first_seen_dedup_state_survives_restart(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            {"doc_id": 5, "text": "alpha", "ts": "2024-01-01 00:00:00"},
+            {"doc_id": 3, "text": "alpha", "ts": "2024-01-01 00:01:00"},
+            {"doc_id": 7, "text": "beta", "ts": "2024-01-01 00:02:00"},
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(landing)
+    _drain(W.streaming_first_seen_dedup(stream), out, ckpt)
+    first = {r.text_hash: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert sorted(first.values()) == [3, 7]  # lowest doc_id per hash
+
+    # second, separate run: 'alpha' arrives again -> suppressed by the
+    # checkpointed state; 'gamma' is new -> emitted
+    _write_batch(
+        landing,
+        "b2.json",
+        [
+            {"doc_id": 1, "text": "alpha", "ts": "2024-01-02 00:00:00"},
+            {"doc_id": 9, "text": "gamma", "ts": "2024-01-02 00:01:00"},
+        ],
+    )
+    stream2 = spark.readStream.schema(EVENTS_SCHEMA).json(landing)
+    _drain(W.streaming_first_seen_dedup(stream2), out, ckpt)
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert final == {3, 7, 9}
