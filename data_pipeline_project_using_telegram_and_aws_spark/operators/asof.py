@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _TAG = "__asof_tag"
 _TS = "__asof_ts"
 _KEY = "__asof_key"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join(
@@ -47,25 +48,32 @@ def asof_join(
 
     The right side must be unique per (key, ts) — pre-aggregate otherwise,
     or which row "wins" a tie is undefined (matching DuckDB ``ASOF JOIN``,
-    the oracle semantics).
+    the oracle semantics). Right rows with a NULL ``right_ts`` are dropped
+    before the union — DuckDB's ASOF never matches NULL timestamps.
+
+    All ``right_cols`` are carried as ONE struct, so a matched right row
+    whose column value is legitimately NULL stays NULL (a struct of NULL
+    fields is itself non-NULL), and every output row's right columns come
+    from the same right row — never a mix of rows.
 
     Union-window plan: one hash shuffle on the key, one intra-partition
     sort — O(n log n) per key group, zero row amplification.
     """
     left_out = [c for c in left.columns]
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
+        F.col(right_key).alias(_KEY),
+        F.col(right_ts).cast("timestamp").alias(_TS),
+        F.lit(0).alias(_TAG),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_out],
+        F.struct(*[F.col(c) for c in right_cols]).alias(_PAYLOAD),
+    )
+    payload_type = rhs.schema[_PAYLOAD].dataType
     lhs = left.select(
         F.col(left_key).alias(_KEY),
         F.col(left_ts).cast("timestamp").alias(_TS),
         F.lit(1).alias(_TAG),
         *[F.col(c) for c in left_out],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
-    )
-    rhs = right.select(
-        F.col(right_key).alias(_KEY),
-        F.col(right_ts).cast("timestamp").alias(_TS),
-        F.lit(0).alias(_TAG),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_out],
-        *[F.col(c) for c in right_cols],
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
     )
     # at equal ts: tag 0 (right) sorts first => visible to the left row.
     # include_equal=False flips the tag order so the left row comes first
@@ -76,14 +84,18 @@ def asof_join(
         .orderBy(F.col(_TS).asc(), tag_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols
-    ]
     return (
         lhs.unionByName(rhs)
-        .select(_TAG, *left_out, *carried)
+        .select(
+            _TAG,
+            *left_out,
+            F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD),
+        )
         .filter(F.col(_TAG) == 1)
-        .drop(_TAG)
+        .select(
+            *left_out,
+            *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_cols],
+        )
     )
 
 
@@ -134,5 +146,5 @@ def time_bucket(ts: Column, seconds: int) -> Column:
     start timestamp. Epoch-floor arithmetic, identical to DuckDB/Timescale
     ``time_bucket`` for widths that divide a day."""
     return F.timestamp_seconds(
-        (F.unix_timestamp(ts) / seconds).cast("long") * seconds
+        F.floor(F.unix_timestamp(ts) / F.lit(seconds)).cast("long") * seconds
     )

@@ -69,14 +69,19 @@ def q35_time_bucket_rollup(spark, sf_dir):
     """Hypertable-style hierarchical rollup: events → 15-minute buckets →
     daily summary re-aggregated *from the bucket aggregates* (counts and
     sums compose; the bucket level is what a continuous aggregate would
-    materialize)."""
+    materialize).
+
+    The two-level sum runs in DECIMAL(18,6): summing doubles twice lets
+    Spark-vs-oracle accumulation order flip the final 2-dp rounding
+    (driver red in round 1); decimal addition is exact and
+    order-independent on both engines."""
     events = load_table(spark, sf_dir, "events")
     bucketed = (
         events.withColumn("bucket", A.time_bucket(F.col("ts"), 900))
         .groupBy("bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("v"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
         )
     )
     return (
@@ -84,7 +89,7 @@ def q35_time_bucket_rollup(spark, sf_dir):
         .groupBy("day", "event_type")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("v"), 2).alias("sum_value"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
             F.count(F.lit(1)).alias("n_active_buckets"),
         )
         .orderBy("day", "event_type")
@@ -187,11 +192,13 @@ ORACLE = {
         WITH bucketed AS (
             SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
                        AS bucket,
-                   event_type, COUNT(1) AS n, SUM(value) AS v
+                   event_type, COUNT(1) AS n,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS v
             FROM events GROUP BY 1, 2
         )
         SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day, event_type,
-               SUM(n) AS n_events, ROUND(SUM(v), 2) AS sum_value,
+               SUM(n) AS n_events,
+               CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sum_value,
                COUNT(1) AS n_active_buckets
         FROM bucketed
         GROUP BY 1, 2

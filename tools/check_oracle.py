@@ -33,7 +33,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # Full shortest-roundtrip repr: strictly at-least-as-strict as the
+        # driver's hash, so local green predicts driver green. (Round 1:
+        # %.6g masked a 2-dp flip in ~6-digit sums — driver red, local ok.)
+        return repr(v)
     if isinstance(v, (datetime, date)):
         return str(v)
     if isinstance(v, (list, tuple)):
