@@ -10,9 +10,14 @@ against DuckDB. Every query aliases computed columns identically to its
 oracle and casts to stable types (bigint/double) so hashes align.
 
 Scale notes per query are inline: broadcast hints on dimension tables,
-single-shuffle aggregations, rank-pushdown windows. Double-valued
-aggregates are rounded (2 dp) on both sides — floating summation order
-differs between engines.
+single-shuffle aggregations, rank-pushdown windows.
+
+Hash-checked SUM/AVG over double columns run in DECIMAL(18,6) on BOTH the
+Spark plan and the DuckDB oracle: double summation is order-dependent and
+Spark's partial-agg combine order is not even stable run-to-run, so a
+rounded double sum can flip its last 2-dp digit between engines (the
+round-1 q35 red row). Decimal addition is exact, so the rounding input is
+identical on both sides; results cast back to double for a stable schema.
 """
 
 from __future__ import annotations
@@ -25,6 +30,24 @@ from ..sources.tables import load_table, register_views
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, dp: int = 2):
+    """Exact order-independent sum of a double expression: accumulate in
+    DECIMAL(18,6), round, return double (see module docstring)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(col.cast("decimal(18,6)")), dp).cast("double")
+
+
+def _davg(col, dp: int = 2):
+    """Engine-stable mean: exact decimal sum / exact count, one double
+    division (deterministic IEEE), then round."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(col.cast("decimal(18,6)")).cast("double")
+        / F.count(col),
+        dp,
+    )
 
 
 # --- filters / arithmetic / single-row aggregate --------------------------
@@ -41,7 +64,7 @@ def q5_tpch_q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"))
             .alias("revenue")
         )
     )
@@ -56,13 +79,13 @@ def q6_tpch_q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -71,26 +94,11 @@ def q6_tpch_q1_pricing_summary(spark, sf_dir):
 
 # --- joins ----------------------------------------------------------------
 
-def q7_join_broadcast_dim(spark, sf_dir):
-    """Fact⋈dim with an explicit broadcast hint — no shuffle of orders at
-    any scale (customer is the small side; at 100 TB it still broadcasts
-    after projection to 2 columns)."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
 def q8_join_multiway_revenue_by_nation(spark, sf_dir):
     """lineitem ⋈ supplier ⋈ nation ⋈ region chain (TPC-H Q5 shape): one
-    shuffle join on the fact, broadcast the dim chain."""
+    shuffle join on the fact, broadcast the dim chain. This is also the
+    registry's broadcast-hash-join coverage (former q7's single fact⋈dim
+    broadcast is subsumed by the explicit ``F.broadcast(dims)`` here)."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation")
@@ -104,37 +112,35 @@ def q8_join_multiway_revenue_by_nation(spark, sf_dir):
         li.join(dims, li.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
-def q9_semi_join(spark, sf_dir):
-    """LEFT SEMI: customers that have at least one urgent order."""
+def q9_semi_anti_join(spark, sf_dir):
+    """LEFT SEMI ∪ LEFT ANTI in one result: per market segment, customers
+    with at least one urgent order (src='semi') and customers with no
+    orders at all (src='anti')."""
     cust = _t(spark, sf_dir, "customer")
     urgent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    return (
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
         cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("customer_count"))
-        .orderBy("c_mktsegment")
+        .withColumn("src", F.lit("semi"))
     )
-
-
-def q10_anti_join(spark, sf_dir):
-    """LEFT ANTI: customers with no orders at all."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
-    return (
+    anti = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+        .withColumn("src", F.lit("anti"))
     )
+    return semi.unionByName(anti).orderBy("src", "c_mktsegment")
 
 
 def q11_outer_join_null_handling(spark, sf_dir):
@@ -143,14 +149,17 @@ def q11_outer_join_null_handling(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("spend")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
     )
     return (
         cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
         .select(
             "c_custkey",
             F.coalesce(F.col("n"), F.lit(0)).alias("order_count"),
-            F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2).alias("total_spend"),
+            F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2)
+            .cast("double")
+            .alias("total_spend"),
         )
         .orderBy("c_custkey")
     )
@@ -158,12 +167,19 @@ def q11_outer_join_null_handling(spark, sf_dir):
 
 # --- distinct / set ops / grouping sets -----------------------------------
 
-def q12_distinct(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_linestatus")
-        .distinct()
-        .orderBy("l_returnflag", "l_linestatus")
+def q12_distinct_and_counts(spark, sf_dir):
+    """DISTINCT projection + exact COUNT(DISTINCT): the distinct
+    (returnflag, linestatus) pairs, each annotated with global distinct-key
+    cardinalities attached via a broadcast scalar cross join (no second
+    driver-side action)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_returnflag", "l_linestatus").distinct()
+    counts = li.agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppkeys"),
+        F.countDistinct("l_partkey").alias("distinct_partkeys"),
+    )
+    return pairs.crossJoin(F.broadcast(counts)).orderBy(
+        "l_returnflag", "l_linestatus"
     )
 
 
@@ -188,30 +204,28 @@ def q13_set_operations(spark, sf_dir):
     return union.union(intersect).union(except_).orderBy("src", "nationkey")
 
 
-def q14_rollup(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(
+def q14_rollup_cube(spark, sf_dir):
+    """ROLLUP and CUBE over the same keys, tagged and unioned — one query
+    covering both grouping-sugar operators (the cube side adds the
+    priority-only stratum the rollup lacks)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def agg(grouped):
+        return grouped.agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            _dsum("o_totalprice").alias("total_price"),
         )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
+
+    r = agg(o.rollup("o_orderstatus", "o_orderpriority")).withColumn(
+        "src", F.lit("rollup")
     )
-
-
-def q15_cube(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
+    c = agg(o.cube("o_orderstatus", "o_orderpriority")).withColumn(
+        "src", F.lit("cube")
+    )
+    return r.unionByName(c).orderBy(
+        "src",
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
     )
 
 
@@ -243,8 +257,9 @@ def q17_having(spark, sf_dir):
 # --- window functions ------------------------------------------------------
 
 def q18_window_rank(spark, sf_dir):
-    """rank + dense_rank + row_number per partition; row_number's order key
-    is made unique (totalprice, orderkey) for determinism."""
+    """Ranking (rank/dense_rank/row_number) + navigation (lag/lead) over
+    one window spec; row_number's order key is made unique (totalprice,
+    orderkey) for determinism, which also pins lag/lead neighbors."""
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -257,6 +272,10 @@ def q18_window_rank(spark, sf_dir):
             F.rank().over(w).cast("long").alias("price_rank"),
             F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
             F.row_number().over(w).cast("long").alias("price_row_number"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+            ).alias("gap_to_prev"),
+            F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
         )
         .filter(F.col("price_row_number") <= 5)
         .orderBy("o_orderpriority", "price_row_number")
@@ -275,24 +294,11 @@ def q19_window_running_sum(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.round(F.sum("value").over(w), 2).alias("running_value"),
-        )
-        .orderBy("event_id")
-    )
-
-
-def q20_window_lag_lead(spark, sf_dir):
-    """lag/lead navigation: per-user deltas between consecutive events."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        _t(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            "user_id",
             F.round(
-                F.col("value") - F.lag("value", 1).over(w), 2
-            ).alias("delta_prev"),
-            F.lead("event_id", 1).over(w).alias("next_event_id"),
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2
+            )
+            .cast("double")
+            .alias("running_value"),
         )
         .orderBy("event_id")
     )
@@ -311,27 +317,19 @@ def q21_topk(spark, sf_dir):
 
 # --- subqueries ------------------------------------------------------------
 
-def q22_scalar_subquery(spark, sf_dir):
-    """Uncorrelated scalar subquery: customers above the mean balance."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
-        ORDER BY c_custkey
-        """
-    )
-
-
 def q23_correlated_subquery(spark, sf_dir):
-    """Correlated subquery (decorrelated by Catalyst into a join)."""
+    """Correlated subquery (decorrelated by Catalyst into a join) AND an
+    uncorrelated scalar subquery in the same predicate — one query covers
+    both subquery shapes. The scalar threshold uses MEDIAN (exact, both
+    engines) rather than AVG so a double mean can never flip a boundary
+    row's membership between engines."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
         FROM orders o
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > (SELECT MEDIAN(o_totalprice) FROM orders)
+          AND o_totalprice > 2 * (
             SELECT AVG(o2.o_totalprice) FROM orders o2
             WHERE o2.o_custkey = o.o_custkey
         )
@@ -342,61 +340,30 @@ def q23_correlated_subquery(spark, sf_dir):
 
 # --- scalar function families ---------------------------------------------
 
-def q24_string_functions(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.filter(F.col("c_name").like("%1%"))
-        .select(
-            "c_custkey",
-            F.upper("c_name").alias("upper_name"),
-            F.lower("c_mktsegment").alias("lower_segment"),
-            F.substring("c_name", 1, 8).alias("name_prefix"),
-            F.length("c_name").cast("long").alias("name_len"),
-            F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
-            F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
-            F.trim(F.lpad("c_name", 20, " ")).alias("name_trimmed"),
-        )
-        .orderBy("c_custkey")
-    )
-
-
-def q25_date_functions(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            # to_date: Spark's date_trunc yields timestamp, DuckDB's a date
-            F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
-            F.year("o_orderdate").cast("long").alias("order_year"),
-            F.month("o_orderdate").cast("long").alias("order_monthnum"),
-            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
-        )
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("order_month")
-    )
-
-
-def q26_datediff_join(spark, sf_dir):
-    """Ship latency: join lineitem→orders, day difference distribution."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
-            .cast("long")
-            .alias("ship_delay_days")
-        )
-        .groupBy("ship_delay_days")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("ship_delay_days")
-    )
-
-
-def q27_math_functions(spark, sf_dir):
+def q24_scalar_functions(spark, sf_dir):
+    """One row-level panel covering the string, math, and conditional/null
+    scalar-function families (former q24/q27/q28) — all whole-stage-codegen
+    expressions over a single pruned scan of lineitem."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("linenumber"),
+        # string family
+        F.upper("l_returnflag").alias("upper_flag"),
+        F.lower("l_linestatus").alias("lower_status"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.substring(F.concat_ws("", "l_returnflag", "l_linestatus"), 1, 1)
+        .alias("flag_prefix"),
+        F.length(F.concat_ws("_", "l_returnflag", "l_linestatus"))
+        .cast("long")
+        .alias("tag_len"),
+        F.regexp_replace(
+            F.concat_ws("", "l_returnflag", F.lit("7"), "l_linestatus"),
+            "[0-9]+",
+            "#",
+        ).alias("tag_masked"),
+        F.trim(F.lpad("l_returnflag", 5, " ")).alias("flag_trimmed"),
+        # math family
         F.round(F.abs(-F.col("l_extendedprice")), 2).alias("abs_price"),
         F.ceil("l_discount").cast("long").alias("ceil_disc"),
         F.floor("l_tax").cast("long").alias("floor_tax"),
@@ -404,25 +371,46 @@ def q27_math_functions(spark, sf_dir):
         F.round(F.pow(F.col("l_quantity"), F.lit(2)), 2).alias("qty_squared"),
         F.round(F.ln(F.col("l_extendedprice") + 1), 4).alias("ln_price"),
         (F.col("l_partkey") % 7).cast("long").alias("partkey_mod7"),
+        # conditional / null family
+        F.when(F.col("l_extendedprice") > 50000, "high")
+        .when(F.col("l_extendedprice") > 20000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NOT_N")
+        ).alias("flag_nn"),
     ).orderBy("l_orderkey", "linenumber")
 
 
-def q28_case_and_null_functions(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+def q25_date_functions(spark, sf_dir):
+    """Date-part extraction + DATEDIFF across a join (former q25/q26):
+    lineitem⋈orders ship latency, grouped by order month with avg delay.
+    The mean delay is an exact long sum / count — one double division,
+    engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    delay = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    ).cast("long")
     return (
-        o.select(
-            "o_orderkey",
-            F.when(F.col("o_totalprice") > 300000, "high")
-            .when(F.col("o_totalprice") > 100000, "mid")
-            .otherwise("low")
-            .alias("price_band"),
-            F.coalesce(
-                F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NOT_P")
-            ).alias("status_np"),
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderdate", delay.alias("ship_delay_days"))
+        .groupBy(
+            # to_date: Spark's date_trunc yields timestamp, DuckDB's a date
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_monthnum"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
         )
-        .groupBy("price_band", "status_np")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("price_band", "status_np")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum("ship_delay_days").cast("double")
+                / F.count("ship_delay_days"),
+                4,
+            ).alias("avg_ship_delay"),
+        )
+        .orderBy("order_month")
     )
 
 
@@ -439,18 +427,9 @@ def q29_json_functions(spark, sf_dir):
     )
 
 
-def q30_distinct_count(spark, sf_dir):
-    """Exact COUNT(DISTINCT) — the oracle-checkable cardinality query."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.countDistinct("user_id").alias("distinct_users"),
-        F.countDistinct("event_type").alias("distinct_types"),
-    )
-
-
 def q31_approx_count_distinct(spark, sf_dir):
     """HLL approximate distinct (rows-only check: estimates are
-    engine-specific, SURVEY §7; exact twin is q30)."""
+    engine-specific, SURVEY §7; exact twin lives in q12's countDistinct)."""
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
@@ -475,37 +454,29 @@ def q32_array_functions(spark, sf_dir):
 QUERIES = {
     "q5_tpch_q6_forecast_revenue": q5_tpch_q6_forecast_revenue,
     "q6_tpch_q1_pricing_summary": q6_tpch_q1_pricing_summary,
-    "q7_join_broadcast_dim": q7_join_broadcast_dim,
     "q8_join_multiway_revenue_by_nation": q8_join_multiway_revenue_by_nation,
-    "q9_semi_join": q9_semi_join,
-    "q10_anti_join": q10_anti_join,
+    "q9_semi_anti_join": q9_semi_anti_join,
     "q11_outer_join_null_handling": q11_outer_join_null_handling,
-    "q12_distinct": q12_distinct,
+    "q12_distinct_and_counts": q12_distinct_and_counts,
     "q13_set_operations": q13_set_operations,
-    "q14_rollup": q14_rollup,
-    "q15_cube": q15_cube,
+    "q14_rollup_cube": q14_rollup_cube,
     "q16_grouping_sets": q16_grouping_sets,
     "q17_having": q17_having,
     "q18_window_rank": q18_window_rank,
     "q19_window_running_sum": q19_window_running_sum,
-    "q20_window_lag_lead": q20_window_lag_lead,
     "q21_topk": q21_topk,
-    "q22_scalar_subquery": q22_scalar_subquery,
     "q23_correlated_subquery": q23_correlated_subquery,
-    "q24_string_functions": q24_string_functions,
+    "q24_scalar_functions": q24_scalar_functions,
     "q25_date_functions": q25_date_functions,
-    "q26_datediff_join": q26_datediff_join,
-    "q27_math_functions": q27_math_functions,
-    "q28_case_and_null_functions": q28_case_and_null_functions,
     "q29_json_functions": q29_json_functions,
-    "q30_distinct_count": q30_distinct_count,
     "q31_approx_count_distinct": q31_approx_count_distinct,
     "q32_array_functions": q32_array_functions,
 }
 
 ORACLE = {
     "q5_tpch_q6_forecast_revenue": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -514,30 +485,23 @@ ORACLE = {
     """,
     "q6_tpch_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 2) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 2) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 2) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
                COUNT(1) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    "q7_join_broadcast_dim": """
-        SELECT c_mktsegment,
-               COUNT(1) AS order_count,
-               ROUND(SUM(o_totalprice), 2) AS total_revenue
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment
-        ORDER BY c_mktsegment
-    """,
     "q8_join_multiway_revenue_by_nation": """
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
@@ -546,38 +510,40 @@ ORACLE = {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,
-    "q9_semi_join": """
-        SELECT c_mktsegment, COUNT(1) AS customer_count
+    "q9_semi_anti_join": """
+        SELECT c_mktsegment, COUNT(1) AS customer_count, 'semi' AS src
         FROM customer
         WHERE EXISTS (
             SELECT 1 FROM orders
             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
         )
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment
-    """,
-    "q10_anti_join": """
-        SELECT c_custkey, c_name, c_mktsegment
+        UNION ALL
+        SELECT c_mktsegment, COUNT(1) AS customer_count, 'anti' AS src
         FROM customer
         WHERE NOT EXISTS (
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
         )
-        ORDER BY c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY src, c_mktsegment
     """,
     "q11_outer_join_null_handling": """
         SELECT c_custkey,
                COALESCE(n, 0) AS order_count,
-               ROUND(COALESCE(spend, 0.0), 2) AS total_spend
+               CAST(ROUND(COALESCE(spend, 0), 2) AS DOUBLE) AS total_spend
         FROM customer
         LEFT JOIN (
-            SELECT o_custkey, COUNT(1) AS n, SUM(o_totalprice) AS spend
+            SELECT o_custkey, COUNT(1) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
             FROM orders GROUP BY o_custkey
         ) ON c_custkey = o_custkey
         ORDER BY c_custkey
     """,
-    "q12_distinct": """
-        SELECT DISTINCT l_returnflag, l_linestatus
-        FROM lineitem
+    "q12_distinct_and_counts": """
+        SELECT l_returnflag, l_linestatus,
+               (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS distinct_suppkeys,
+               (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS distinct_partkeys
+        FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         ORDER BY l_returnflag, l_linestatus
     """,
     "q13_set_operations": """
@@ -590,20 +556,27 @@ ORACLE = {
         SELECT nationkey, 'except' AS src FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
         ORDER BY src, nationkey
     """,
-    "q14_rollup": """
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(1) AS order_count,
-               ROUND(SUM(o_totalprice), 2) AS total_price
-        FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus ASC NULLS FIRST,
+    "q14_rollup_cube": """
+        SELECT * FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(1) AS order_count,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_price,
+                   'rollup' AS src
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(1) AS order_count,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_price,
+                   'cube' AS src
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        )
+        ORDER BY src,
+                 o_orderstatus ASC NULLS FIRST,
                  o_orderpriority ASC NULLS FIRST
-    """,
-    "q15_cube": """
-        SELECT l_returnflag, l_linestatus, COUNT(1) AS cnt
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """,
     "q16_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority, COUNT(1) AS order_count
@@ -624,7 +597,10 @@ ORACLE = {
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    RANK() OVER w AS price_rank,
                    DENSE_RANK() OVER w AS price_dense_rank,
-                   ROW_NUMBER() OVER w AS price_row_number
+                   ROW_NUMBER() OVER w AS price_row_number,
+                   ROUND(o_totalprice - LAG(o_totalprice, 1) OVER w, 2)
+                       AS gap_to_prev,
+                   LEAD(o_orderkey, 1) OVER w AS next_orderkey
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -634,19 +610,11 @@ ORACLE = {
     """,
     "q19_window_running_sum": """
         SELECT event_id, user_id,
-               ROUND(SUM(value) OVER (
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS running_value
+               ), 2) AS DOUBLE) AS running_value
         FROM events
-        ORDER BY event_id
-    """,
-    "q20_window_lag_lead": """
-        SELECT event_id, user_id,
-               ROUND(value - LAG(value, 1) OVER w, 2) AS delta_prev,
-               LEAD(event_id, 1) OVER w AS next_event_id
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """,
     "q21_topk": """
@@ -655,76 +623,61 @@ ORACLE = {
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 10
     """,
-    "q22_scalar_subquery": """
-        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
-        ORDER BY c_custkey
-    """,
     "q23_correlated_subquery": """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
         FROM orders o
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > (SELECT MEDIAN(o_totalprice) FROM orders)
+          AND o_totalprice > 2 * (
             SELECT AVG(o2.o_totalprice) FROM orders o2
             WHERE o2.o_custkey = o.o_custkey
         )
         ORDER BY o_orderkey
     """,
-    "q24_string_functions": """
-        SELECT c_custkey,
-               UPPER(c_name) AS upper_name,
-               LOWER(c_mktsegment) AS lower_segment,
-               SUBSTRING(c_name, 1, 8) AS name_prefix,
-               CAST(LENGTH(c_name) AS BIGINT) AS name_len,
-               CONCAT_WS('-', c_mktsegment, c_name) AS seg_name,
-               REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_masked,
-               TRIM(LPAD(c_name, 20, ' ')) AS name_trimmed
-        FROM customer
-        WHERE c_name LIKE '%1%'
-        ORDER BY c_custkey
-    """,
-    "q25_date_functions": """
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-               CAST(year(o_orderdate) AS BIGINT) AS order_year,
-               CAST(month(o_orderdate) AS BIGINT) AS order_monthnum,
-               CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
-               COUNT(1) AS order_count
-        FROM orders
-        GROUP BY 1, 2, 3, 4
-        ORDER BY order_month
-    """,
-    "q26_datediff_join": """
-        SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
-                              CAST(l_shipdate AS DATE)) AS BIGINT)
-                   AS ship_delay_days,
-               COUNT(1) AS cnt
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY 1
-        ORDER BY ship_delay_days
-    """,
-    "q27_math_functions": """
+    "q24_scalar_functions": """
         SELECT l_orderkey,
                CAST(l_linenumber AS BIGINT) AS linenumber,
+               UPPER(l_returnflag) AS upper_flag,
+               LOWER(l_linestatus) AS lower_status,
+               CONCAT_WS('-', l_returnflag, l_linestatus) AS flag_status,
+               SUBSTRING(CONCAT_WS('', l_returnflag, l_linestatus), 1, 1)
+                   AS flag_prefix,
+               CAST(LENGTH(CONCAT_WS('_', l_returnflag, l_linestatus))
+                    AS BIGINT) AS tag_len,
+               REGEXP_REPLACE(CONCAT_WS('', l_returnflag, '7', l_linestatus),
+                              '[0-9]+', '#', 'g') AS tag_masked,
+               TRIM(LPAD(l_returnflag, 5, ' ')) AS flag_trimmed,
                ROUND(ABS(-l_extendedprice), 2) AS abs_price,
                CAST(CEIL(l_discount) AS BIGINT) AS ceil_disc,
                CAST(FLOOR(l_tax) AS BIGINT) AS floor_tax,
                ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
                ROUND(POW(l_quantity, 2), 2) AS qty_squared,
                ROUND(LN(l_extendedprice + 1), 4) AS ln_price,
-               CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7
+               CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7,
+               CASE WHEN l_extendedprice > 50000 THEN 'high'
+                    WHEN l_extendedprice > 20000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               COALESCE(NULLIF(l_returnflag, 'N'), 'NOT_N') AS flag_nn
         FROM lineitem
         WHERE l_orderkey % 100 = 0
         ORDER BY l_orderkey, linenumber
     """,
-    "q28_case_and_null_functions": """
-        SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
-                    WHEN o_totalprice > 100000 THEN 'mid'
-                    ELSE 'low' END AS price_band,
-               COALESCE(NULLIF(o_orderstatus, 'P'), 'NOT_P') AS status_np,
-               COUNT(1) AS cnt
-        FROM orders
-        GROUP BY 1, 2
-        ORDER BY price_band, status_np
+    "q25_date_functions": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_monthnum,
+               CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+               COUNT(1) AS n_lineitems,
+               ROUND(CAST(SUM(ship_delay_days) AS DOUBLE)
+                     / COUNT(ship_delay_days), 4) AS avg_ship_delay
+        FROM (
+            SELECT o_orderdate,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) AS BIGINT)
+                       AS ship_delay_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        GROUP BY 1, 2, 3, 4
+        ORDER BY order_month
     """,
     "q29_json_functions": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -732,11 +685,6 @@ ORACLE = {
         FROM events
         GROUP BY 1
         ORDER BY k
-    """,
-    "q30_distinct_count": """
-        SELECT COUNT(DISTINCT user_id) AS distinct_users,
-               COUNT(DISTINCT event_type) AS distinct_types
-        FROM events
     """,
     # q31_approx_count_distinct: intentionally no oracle (HLL estimates are
     # engine-specific); rows-only check.

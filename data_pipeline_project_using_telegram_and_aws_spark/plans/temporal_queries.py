@@ -59,7 +59,9 @@ def q34_range_join_bins(spark, sf_dir):
         joined.groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("band_id")
     )
@@ -104,7 +106,10 @@ def q36_pivot_event_types(spark, sf_dir):
         events.withColumn("cohort", F.col("user_id") % 10)
         .groupBy("cohort")
         .pivot("event_type", EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 2))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+        )
         .orderBy("cohort")
     )
 
@@ -137,7 +142,9 @@ def q38_hash_sample(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -183,7 +190,9 @@ ORACLE = {
             SELECT p AS band_id, p * 50.0 AS lo, p * 50.0 + 50.0 AS hi
             FROM UNNEST(generate_series(0, 9)) t(p)
         )
-        SELECT band_id, COUNT(1) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        SELECT band_id, COUNT(1) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS sum_value
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY band_id
         ORDER BY band_id
@@ -206,11 +215,11 @@ ORACLE = {
     """,
     "q36_pivot_event_types": """
         SELECT user_id % 10 AS cohort,
-               ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-               ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
-               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-               ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
-               ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS click,
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS error,
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS purchase,
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS signup,
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS view
         FROM events
         GROUP BY 1
         ORDER BY cohort
@@ -226,7 +235,8 @@ ORACLE = {
     """,
     "q38_hash_sample": """
         SELECT l_returnflag, COUNT(1) AS n_rows,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_price
         FROM lineitem
         WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
                          || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
@@ -257,7 +267,8 @@ ORACLE = {
                MIN(ts) AS session_start,
                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                COUNT(1) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS sum_value
         FROM islands
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start

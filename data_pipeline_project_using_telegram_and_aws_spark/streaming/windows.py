@@ -76,7 +76,11 @@ def session_aggregate(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("sum_value"),
+            # decimal sum: order-independent, so the rounded value is
+            # engine- and run-deterministic (see plans docstrings)
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             key_col,
