@@ -121,14 +121,21 @@ def ngram_jaccard_pairs(
     ``max_df`` (optional, default off to keep exact semantics) drops
     shingles whose document frequency exceeds the cap — the standard
     hot-shingle guard at 100 TB, where one boilerplate phrase shared by
-    1e6 docs would otherwise emit ~5e11 pairs.
+    1e6 docs would otherwise emit ~5e11 pairs. The filter runs BEFORE
+    per-doc sizes are attached, so the result is the exact Jaccard over
+    the *filtered* shingle sets (not a denominator that still counts
+    dropped shingles).
     """
-    sh = (
-        shingle_rows(
-            _spread(df, id_col), n, id_col, text_col, distinct=True
+    sh = shingle_rows(
+        _spread(df, id_col), n, id_col, text_col, distinct=True
+    ).withColumnRenamed(id_col, "doc_id")
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("__df") > max_df)), "shingle", "left_anti"
         )
-        .withColumnRenamed(id_col, "doc_id")
-        .withColumn(
+    sh = (
+        sh.withColumn(
             "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         )
         # materialize the shingle rows executor-side so the self-join's two
@@ -136,11 +143,6 @@ def ngram_jaccard_pairs(
         # persisting the shingle table to the lake between the two passes)
         .localCheckpoint(eager=False)
     )
-    if max_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = (
-            sh.join(F.broadcast(hot.filter(F.col("__df") > max_df)), "shingle", "left_anti")
-        )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"), "shingle"
     )

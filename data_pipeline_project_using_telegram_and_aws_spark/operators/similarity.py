@@ -1,31 +1,145 @@
 """Similarity search over embedding columns (north-star extension,
 SURVEY.md §7 Phase 4).
 
-Two tiers, mirroring how ANN works on a real cluster:
+Three tiers, mirroring how ANN works on a real cluster:
 
 - **Brute force** (baseline): query-set × corpus with the query side
   broadcast — the corpus is never shuffled, each executor scans its
   partitions once per batch of queries. Exact, O(|Q|·|C|·d); right when
   |Q| is small or as the reranker behind a candidate generator.
-- **Hyperplane LSH buckets** (scale path): 8 deterministic random
-  hyperplanes (signs derived from md5, so the SQL oracle reproduces them)
-  → 256 buckets; pairs are generated only within a bucket. Sub-quadratic
-  candidate generation for all-pairs similarity; the exact cosine reranks
-  candidates. At 100 TB the bucket id becomes the shuffle/partition key
-  and each bucket is processed independently.
+- **Hyperplane LSH** (all-pairs scale path): ``n_planes`` deterministic
+  random hyperplanes (signs derived from md5(p_d), so a SQL oracle
+  reproduces them bit-for-bit) hash each vector to sign bits. Geometry is
+  a *parameter*: plane count should grow ~log2(corpus size) so expected
+  bucket occupancy stays O(1) — a fixed 8-plane/256-bucket table is
+  quadratic-per-bucket at 100 TB. For recall at tight geometries, the
+  bits split into **bands** (MinHash-style): a pair is a candidate if it
+  matches on *all* bits of *any* band — each band's join is sub-quadratic
+  and the union of bands recovers neighbors a single long code would
+  miss.
+- **IVF** (query-time scale path): vectors are assigned to inverted lists
+  under k centroids (trained by :func:`train_centroids_lloyd` — a few
+  Lloyd iterations expressed as pure DataFrame ops); queries probe their
+  ``nprobe`` nearest lists and exact-rerank only those.
 
-All vector math is JVM-side fold expressions (functions/vectors.py) — no
-Python UDF in any hot path.
+Plane weights are computed driver-side with :mod:`hashlib` md5 — the
+*same* public derivation the SQL oracle runs (md5 of ``"{p}_{d}"``,
+first hex digit >= '8' → +1) — and shipped as a small broadcast weights
+table. Bit computation is posexplode(vector) ⋈ broadcast(weights) with a
+map-side partial aggregate, so the only shuffle is n_planes rows per
+vector. (A fully-unrolled ±element_at projection was tried and measured:
+n_planes×dims terms blow the whole-stage-codegen method limits, Spark
+falls back to interpreted expression evaluation, and the "zero-shuffle"
+plan runs ~5× slower than the explode+join — keep the join.) All vector
+math is JVM-side expressions (functions/vectors.py) — no Python UDF in
+any hot path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.vectors import cosine
 
 N_PLANES = 8
 DIMS = 64
+
+
+def plane_weights(n_planes: int, dims: int) -> list[list[float]]:
+    """±1 hyperplane weights from the public md5 rule (reproduced verbatim
+    by the SQL oracle): w[p][d] = +1 iff the first hex digit of
+    md5("{p}_{d}") is >= '8'."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _plane_df(spark: SparkSession, n_planes: int, dims: int) -> DataFrame:
+    """The ±1 weights as a small (n_planes×dims)-row DataFrame, built from
+    driver-side literals — broadcast to every executor, never shuffled."""
+    ws = plane_weights(n_planes, dims)
+    rows = [
+        (p, d, ws[p][d]) for p in range(n_planes) for d in range(dims)
+    ]
+    return spark.createDataFrame(rows, "p int, d int, w double")
+
+
+def hyperplane_bits(
+    vectors: DataFrame,
+    n_planes: int = N_PLANES,
+    dims: int = DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, p, bit): sign bit per vector per hyperplane, bit_p =
+    (v · w_p) >= 0. posexplode ⋈ broadcast(weights) with map-side partial
+    agg — the shuffle carries n_planes rows per vector."""
+    spark = vectors.sparkSession
+    elems = vectors.select(
+        id_col, F.posexplode(vec_col).alias("d", "e")
+    ).withColumn("e", F.col("e").cast("double"))
+    return (
+        elems.join(F.broadcast(_plane_df(spark, n_planes, dims)), "d")
+        .groupBy(id_col, "p")
+        .agg(F.sum(F.col("e") * F.col("w")).alias("proj"))
+        .withColumn("bit", (F.col("proj") >= 0).cast("long"))
+        .select(id_col, "p", "bit")
+    )
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    spark: SparkSession | None = None,
+    n_planes: int = N_PLANES,
+    dims: int = DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its LSH bucket id = sum(bit_p * 2^p) over all
+    planes (single-band code). ``spark`` is accepted for call-site
+    compatibility but unused (the session comes from ``vectors``)."""
+    bits = hyperplane_bits(vectors, n_planes, dims, id_col, vec_col)
+    return bits.groupBy(id_col).agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")))
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+def banded_buckets(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    rows_per_band: int = 8,
+    dims: int = DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MinHash-style banding of the hyperplane bits: one (id, band,
+    bucket) row per band, bucket = the band's bits packed into an int.
+    Pairs matching any full band become candidates — each band join is
+    sub-quadratic and recall comes from the band union."""
+    assert n_planes % rows_per_band == 0
+    bits = hyperplane_bits(vectors, n_planes, dims, id_col, vec_col)
+    return (
+        bits.withColumn("band", F.floor(F.col("p") / rows_per_band))
+        .groupBy(id_col, "band")
+        .agg(
+            F.sum(
+                F.col("bit")
+                * F.pow(F.lit(2.0), F.col("p") % rows_per_band)
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    )
 
 
 def brute_force_topk(
@@ -50,7 +164,9 @@ def brute_force_topk(
     scored = pairs.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias("cos_sim"),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -62,50 +178,75 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets(
+def train_centroids_lloyd(
     vectors: DataFrame,
-    spark: SparkSession,
-    n_planes: int = N_PLANES,
-    dims: int = DIMS,
+    k: int = 16,
+    iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector an LSH bucket: bit p = sign(v · w_p), where
-    hyperplane weights w_p[d] ∈ {±1} come from md5(p_d) — deterministic,
-    engine-independent, and good enough for cosine LSH (random signs)."""
-    planes = (
-        spark.range(n_planes)
-        .withColumnRenamed("id", "p")
-        .crossJoin(spark.range(dims).withColumnRenamed("id", "d"))
-        .withColumn(
-            "w",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat_ws("_", F.col("p"), F.col("d")).cast("binary")
-                    ),
-                    1,
-                    1,
-                )
-                >= "8",
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
+    """K-means centroids via ``iters`` Lloyd iterations, pure DataFrame
+    ops, engine-deterministic end to end (DuckDB reproduces every step):
+
+    - seed: the k vectors with the smallest ``md5(cast(id as string))``
+      (ties by id) — a deterministic pseudo-random sample;
+    - assign: nearest centroid by cosine rounded to 4 dp, centroid id as
+      tie-break (broadcast centroids — the corpus never shuffles);
+    - update: per-dimension mean of members as exact DECIMAL(18,6) sum /
+      count (order-independent), one double division.
+
+    Output: (centroid_id, cvec: array<double>) — centroid_id is the seed
+    vector's id; a centroid that loses all members drops out. Each
+    iteration is checkpointed (k×dims rows) so the plan stays flat; at
+    100 TB the assign step is a broadcast join + map-side partial agg of
+    k×dims cells — one shuffle of k×dims rows per iteration.
+    """
+    cents = (
+        vectors.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("cvec"),
         )
+        .localCheckpoint(eager=True)
     )
-    elems = vectors.select(
-        id_col, F.posexplode(vec_col).alias("d", "e")
-    ).withColumn("e", F.col("e").cast("double"))
-    bits = (
-        elems.join(F.broadcast(planes), "d")
-        .groupBy(id_col, "p")
-        .agg(F.sum(F.col("e") * F.col("w")).alias("proj"))
-        .withColumn("bit", (F.col("proj") >= 0).cast("long"))
-    )
-    return bits.groupBy(id_col).agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")))
-        .cast("long")
-        .alias("bucket")
-    )
+    for _ in range(iters):
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "centroid_id",
+            F.round(cosine(F.col(vec_col), F.col("cvec")), 4).alias(
+                "__cos"
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__cos"), F.asc("centroid_id")
+        )
+        best = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "centroid_id")
+        )
+        members = vectors.join(best, id_col).select(
+            "centroid_id", F.posexplode(vec_col).alias("d", "e")
+        )
+        means = members.groupBy("centroid_id", "d").agg(
+            (
+                F.sum(
+                    F.col("e").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("e")
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda x: x.getField("m")).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
 
 
 def ivf_assign(
@@ -118,18 +259,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``max_rank`` nearest centroids by cosine
     (rounded to 4 dp, centroid id as tie-break — deterministic across
-    engines). Centroids are broadcast; the corpus never shuffles for the
-    scoring, only |vectors|×|centroids| scored rows enter the per-vector
-    top-k window."""
-    c = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
-        )
-    )
+    engines). ``centroids`` has schema (centroid_id, cvec). Centroids are
+    broadcast; the corpus never shuffles for the scoring, only
+    |vectors|×|centroids| scored rows enter the per-vector top-k window."""
+    c = F.broadcast(centroids.select("centroid_id", "cvec"))
     scored = vectors.crossJoin(c).select(
         F.col(id_col).alias(out_id),
         "centroid_id",
-        F.round(cosine(F.col(vec_col), F.col("__cvec")), 4).alias("__cos"),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 4).alias("__cos"),
     )
     w = Window.partitionBy(out_id).orderBy(
         F.desc("__cos"), F.asc("centroid_id")
@@ -149,21 +286,25 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
     Index: every vector is assigned to its nearest centroid (the inverted
     lists). Query: each query probes its ``nprobe`` nearest centroids and
-    exact-reranks only those lists — the classic recall/cost dial. Here
-    the "trained" centroids are the vectors with id < n_centroids
-    (deterministic stand-in for a k-means pass, which would be run offline
-    at scale); queries are the vectors with id < n_queries.
+    exact-reranks only those lists — the classic recall/cost dial. Pass
+    ``centroids`` from :func:`train_centroids_lloyd` for a real index;
+    the default (None) falls back to the id < n_centroids stand-in.
 
     At 100 TB the inverted lists are the partition key: assignments are
     written bucketed by centroid_id, so a query touches nprobe partitions
     instead of the whole corpus.
     """
-    centroids = vectors.filter(F.col(id_col) < n_centroids)
+    if centroids is None:
+        centroids = vectors.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("cvec"),
+        )
     queries = vectors.filter(F.col(id_col) < n_queries)
 
     lists = ivf_assign(vectors, centroids, 1, id_col, vec_col)
@@ -186,7 +327,9 @@ def ivf_topk(
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias("cos_sim"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -199,15 +342,20 @@ def ivf_topk(
 
 def lsh_neardup_pairs(
     vectors: DataFrame,
-    spark: SparkSession,
+    spark: SparkSession | None = None,
     top: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dims: int = DIMS,
 ) -> DataFrame:
-    """All-pairs near-duplicate search, LSH-bucketed then exactly reranked:
-    candidates are only generated within a bucket (the sub-quadratic
-    step), then exact cosine orders them."""
-    buckets = hyperplane_buckets(vectors, spark, id_col=id_col, vec_col=vec_col)
+    """All-pairs near-duplicate search, single-band LSH-bucketed then
+    exactly reranked. Prefer :func:`lsh_banded_neardup_pairs` at scale —
+    this single-code variant trades recall for simplicity and its bucket
+    count must be tuned (~log2 N planes) to stay sub-quadratic."""
+    buckets = hyperplane_buckets(
+        vectors, n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col
+    )
     vb = vectors.join(buckets, id_col)
     a = vb.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "bucket"
@@ -221,8 +369,58 @@ def lsh_neardup_pairs(
             "bucket",
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(top)
     )
+
+
+def lsh_banded_neardup_pairs(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    rows_per_band: int = 8,
+    top: int | None = 20,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs: candidates collide on all bits of at
+    least one band; exact cosine (4 dp) reranks. The banded join is the
+    scale path — per-band bucket count is 2^rows_per_band and total code
+    length n_planes grows with log2(corpus), so in-bucket work stays
+    ~O(1) per vector while the band union keeps recall.
+
+    Embeddings ride through the band join and pair-dedup happens on the
+    (vec_a, vec_b) group-by — no signature re-join. ``threshold`` filters
+    on cosine; ``top`` keeps the global best pairs (either may be None).
+    """
+    bb = banded_buckets(
+        vectors, n_planes, rows_per_band, dims, id_col, vec_col
+    )
+    vb = vectors.select(id_col, vec_col).join(bb, id_col)
+    a = vb.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"),
+        "band", "bucket",
+    )
+    b = vb.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"),
+        "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.round(
+                F.first(cosine(F.col("__va"), F.col("__vb"))), 4
+            ).alias("cos_sim")
+        )
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("cos_sim") >= threshold)
+    pairs = pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+    return pairs.limit(top) if top is not None else pairs

@@ -61,32 +61,25 @@ def dd5_simhash_fingerprints(spark, sf_dir):
 
 def dd6_embedding_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: semantic duplicate candidates via
-    hyperplane-LSH buckets + exact in-bucket cosine over threshold,
-    emitted as a canonical (keep = lower id, drop = higher id) decision.
-    The 0.4 threshold is tuned to this synthetic corpus (random vectors —
-    max pairwise cosine ≈ 0.51); a real near-dup corpus would use ~0.95."""
+    BANDED hyperplane LSH (16 planes → 2 bands × 256 buckets) + exact
+    in-band cosine over threshold, emitted as a canonical (keep = lower
+    id, drop = higher id) decision. Banding keeps in-bucket work
+    sub-quadratic while the band union holds recall (plane count is the
+    log2(N) scale dial). The 0.4 threshold is tuned to this synthetic
+    corpus (random vectors — max pairwise cosine ≈ 0.51); a real
+    near-dup corpus would use ~0.95."""
     from ..operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = S.hyperplane_buckets(emb, spark)
-    vb = emb.join(buckets, "vec_id")
-    a = vb.select(
-        F.col("vec_id").alias("doc_keep"), F.col("embedding").alias("__va"), "bucket"
-    )
-    b = vb.select(
-        F.col("vec_id").alias("doc_drop"), F.col("embedding").alias("__vb"), "bucket"
-    )
-    from ..functions.vectors import cosine
-
     return (
-        a.join(b, "bucket")
-        .filter(F.col("doc_keep") < F.col("doc_drop"))
-        .select(
-            "doc_keep",
-            "doc_drop",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        S.lsh_banded_neardup_pairs(
+            emb, n_planes=16, rows_per_band=8, top=None, threshold=0.4
         )
-        .filter(F.col("cos_sim") >= 0.4)
+        .select(
+            F.col("vec_a").alias("doc_keep"),
+            F.col("vec_b").alias("doc_drop"),
+            "cos_sim",
+        )
         .orderBy(F.desc("cos_sim"), "doc_keep", "doc_drop")
     )
 
@@ -198,7 +191,7 @@ ORACLE = {
                    CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_'
                                       || CAST(d AS VARCHAR)), 1, 1) >= '8'
                         THEN 1.0 ELSE -1.0 END AS w
-            FROM UNNEST(generate_series(0, 7)) AS pp(p),
+            FROM UNNEST(generate_series(0, 15)) AS pp(p),
                  UNNEST(generate_series(0, 63)) AS dd(d)
         ),
         elems AS (
@@ -211,18 +204,26 @@ ORACLE = {
             FROM elems JOIN planes USING (d)
             GROUP BY vec_id, p
         ),
-        buckets AS (
-            SELECT vec_id, CAST(SUM(bit * POW(2, p)) AS BIGINT) AS bucket
-            FROM bits GROUP BY vec_id
+        bands AS (
+            SELECT vec_id,
+                   CAST(floor(p / 8) AS BIGINT) AS band,
+                   CAST(SUM(bit * POW(2, p % 8)) AS BIGINT) AS bucket
+            FROM bits
+            GROUP BY vec_id, floor(p / 8)
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS doc_keep, b.vec_id AS doc_drop
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS doc_keep, b.vec_id AS doc_drop,
+        SELECT doc_keep, doc_drop,
                ROUND(list_cosine_similarity(
                    CAST(ea.embedding AS DOUBLE[]),
                    CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
-        FROM buckets a
-        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = doc_keep
+        JOIN embeddings eb ON eb.vec_id = doc_drop
         WHERE ROUND(list_cosine_similarity(
                   CAST(ea.embedding AS DOUBLE[]),
                   CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4

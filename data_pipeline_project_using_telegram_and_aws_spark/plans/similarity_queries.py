@@ -1,6 +1,8 @@
 """Similarity-search queries over the ``embeddings`` table with DuckDB
 oracles. Cosines are rounded to 4 dp *before* ranking on both sides so
 float-summation-order differences between engines can't reorder results.
+Hyperplane signs and k-means seeds derive from md5, so every step is
+reproducible in ANSI SQL.
 """
 
 from __future__ import annotations
@@ -10,6 +12,11 @@ from pyspark.sql import Window, functions as F
 from ..functions.vectors import cosine
 from ..operators import similarity as S
 from ..sources.tables import load_table
+
+SS3_PLANES = 16       # total hyperplanes for the banded near-dup path
+SS3_ROWS_PER_BAND = 8  # → 2 bands × 256 buckets
+SS5_K = 16            # k-means centroids
+SS5_ITERS = 3         # Lloyd iterations
 
 
 def ss1_bruteforce_topk(spark, sf_dir):
@@ -23,8 +30,12 @@ def ss1_bruteforce_topk(spark, sf_dir):
 
 
 def ss2_label_blocked_neardup(spark, sf_dir):
-    """Blocked near-dup: top-20 most-similar pairs *within a label block*
-    (the blocking key stands in for any coarse pre-cluster at scale)."""
+    """Blocked near-dup BASELINE: top-20 most-similar pairs *within a
+    label block*. O(block²) within each block — this is the demo of
+    blocking on a pre-existing coarse key, NOT the recommended near-dup
+    path at scale; use the banded LSH path (ss3 /
+    ``lsh_banded_neardup_pairs``), which bounds in-bucket work by
+    geometry instead of trusting the label distribution."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -43,7 +54,9 @@ def ss2_label_blocked_neardup(spark, sf_dir):
             F.col("label").cast("long").alias("label"),
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias(
+                "cos_sim"
+            ),
         )
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)
@@ -51,10 +64,14 @@ def ss2_label_blocked_neardup(spark, sf_dir):
 
 
 def ss3_lsh_bucketed_neardup(spark, sf_dir):
-    """LSH-bucketed all-pairs near-dup (8 md5-derived hyperplanes → 256
-    buckets → in-bucket exact rerank) — the sub-quadratic scale path."""
+    """Banded hyperplane-LSH all-pairs near-dup (16 md5-derived planes →
+    2 bands × 256 buckets → in-bucket exact rerank). Banding is the scale
+    geometry: per-band occupancy stays O(N/256) with recall from the band
+    union, and plane count is a parameter to grow with log2(N)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_neardup_pairs(emb, spark, top=20)
+    return S.lsh_banded_neardup_pairs(
+        emb, n_planes=SS3_PLANES, rows_per_band=SS3_ROWS_PER_BAND, top=20
+    )
 
 
 def ss4_bucket_histogram(spark, sf_dir):
@@ -70,11 +87,14 @@ def ss4_bucket_histogram(spark, sf_dir):
 
 
 def ss5_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: inverted lists under 16 deterministic
-    centroids, queries (vec_id < 5) probe their 2 nearest lists and
-    exact-rerank only those — the recall/cost dial of a production ANN."""
+    """IVF approximate top-5 over a REAL k-means index: 16 centroids
+    trained with 3 deterministic Lloyd iterations (md5-sampled seeds,
+    decimal-exact mean updates), queries (vec_id < 5) probe their 2
+    nearest lists and exact-rerank only those — the recall/cost dial of a
+    production ANN."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, n_centroids=16, n_queries=5, nprobe=2, k=5)
+    cents = S.train_centroids_lloyd(emb, k=SS5_K, iters=SS5_ITERS)
+    return S.ivf_topk(emb, n_queries=5, nprobe=2, k=5, centroids=cents)
 
 
 QUERIES = {
@@ -85,30 +105,74 @@ QUERIES = {
     "ss5_ivf_topk": ss5_ivf_topk,
 }
 
-_PLANES_CTE = """
+
+def _planes_cte(n_planes: int, dims: int = 64) -> str:
+    """Shared hyperplane-bit CTE: identical md5 sign rule as
+    operators/similarity.plane_weights."""
+    return f"""
     planes AS (
         SELECT p, d,
                CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_'
                                   || CAST(d AS VARCHAR)), 1, 1) >= '8'
                     THEN 1.0 ELSE -1.0 END AS w
-        FROM UNNEST(generate_series(0, 7)) AS pp(p),
-             UNNEST(generate_series(0, 63)) AS dd(d)
+        FROM UNNEST(generate_series(0, {n_planes - 1})) AS pp(p),
+             UNNEST(generate_series(0, {dims - 1})) AS dd(d)
     ),
     elems AS (
         SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS e
-        FROM embeddings, UNNEST(generate_series(0, 63)) AS t(d)
+        FROM embeddings, UNNEST(generate_series(0, {dims - 1})) AS t(d)
     ),
     bits AS (
         SELECT vec_id, p,
                CASE WHEN SUM(e * w) >= 0 THEN 1 ELSE 0 END AS bit
         FROM elems JOIN planes USING (d)
         GROUP BY vec_id, p
-    ),
-    buckets AS (
-        SELECT vec_id, CAST(SUM(bit * POW(2, p)) AS BIGINT) AS bucket
-        FROM bits GROUP BY vec_id
-    )
-"""
+    )"""
+
+
+def _lloyd_cte(k: int, iters: int, dims: int = 64) -> str:
+    """Unrolled Lloyd iterations mirroring train_centroids_lloyd exactly:
+    md5-ordered seeds, 4-dp-rounded cosine assignment with centroid-id
+    tie-break, DECIMAL(18,6)-exact per-dimension means."""
+    parts = [
+        f"""c0 AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {k}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC,
+                           c.centroid_id ASC
+                   ) AS rn
+            FROM embeddings e, c{i - 1} c
+        ) WHERE rn = 1
+    )""")
+        parts.append(f"""m{i} AS (
+        SELECT centroid_id, d,
+               CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / COUNT(e) AS m
+        FROM (
+            SELECT a.centroid_id, t.d,
+                   CAST(emb.embedding[t.d + 1] AS DOUBLE) AS e
+            FROM a{i} a
+            JOIN embeddings emb USING (vec_id),
+                 UNNEST(generate_series(0, {dims - 1})) AS t(d)
+        )
+        GROUP BY centroid_id, d
+    )""")
+        parts.append(f"""c{i} AS (
+        SELECT centroid_id, list(m ORDER BY d) AS cvec
+        FROM m{i} GROUP BY centroid_id
+    )""")
+    return ",\n    ".join(parts)
+
 
 ORACLE = {
     "ss1_bruteforce_topk": """
@@ -144,40 +208,54 @@ ORACLE = {
         LIMIT 20
     """,
     "ss3_lsh_bucketed_neardup": f"""
-        WITH {_PLANES_CTE}
-        SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WITH {_planes_cte(SS3_PLANES)},
+        bands AS (
+            SELECT vec_id,
+                   CAST(floor(p / {SS3_ROWS_PER_BAND}) AS BIGINT) AS band,
+                   CAST(SUM(bit * POW(2, p % {SS3_ROWS_PER_BAND})) AS BIGINT)
+                       AS bucket
+            FROM bits
+            GROUP BY vec_id, floor(p / {SS3_ROWS_PER_BAND})
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
                ROUND(list_cosine_similarity(
                    CAST(ea.embedding AS DOUBLE[]),
                    CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
-        FROM buckets a
-        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = vec_a
+        JOIN embeddings eb ON eb.vec_id = vec_b
         ORDER BY cos_sim DESC, vec_a, vec_b
         LIMIT 20
     """,
     "ss4_bucket_histogram": f"""
-        WITH {_PLANES_CTE}
+        WITH {_planes_cte(8)},
+        buckets AS (
+            SELECT vec_id, CAST(SUM(bit * POW(2, p)) AS BIGINT) AS bucket
+            FROM bits GROUP BY vec_id
+        )
         SELECT bucket, COUNT(1) AS n_vectors
         FROM buckets
         GROUP BY bucket
         ORDER BY bucket
     """,
-    "ss5_ivf_topk": """
-        WITH cents AS (
-            SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
-            FROM embeddings WHERE vec_id < 16
-        ),
+    "ss5_ivf_topk": f"""
+        WITH {_lloyd_cte(SS5_K, SS5_ITERS)},
         lists AS (
             SELECT vec_id, centroid_id FROM (
                 SELECT e.vec_id, c.centroid_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY e.vec_id
                            ORDER BY ROUND(list_cosine_similarity(
-                               CAST(e.embedding AS DOUBLE[]), c.ce), 4) DESC,
+                               CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC,
                                c.centroid_id ASC
                        ) AS rn
-                FROM embeddings e, cents c
+                FROM embeddings e, c{SS5_ITERS} c
             ) WHERE rn = 1
         ),
         probes AS (
@@ -186,10 +264,10 @@ ORACLE = {
                        ROW_NUMBER() OVER (
                            PARTITION BY q.vec_id
                            ORDER BY ROUND(list_cosine_similarity(
-                               CAST(q.embedding AS DOUBLE[]), c.ce), 4) DESC,
+                               CAST(q.embedding AS DOUBLE[]), c.cvec), 4) DESC,
                                c.centroid_id ASC
                        ) AS rn
-                FROM embeddings q, cents c WHERE q.vec_id < 5
+                FROM embeddings q, c{SS5_ITERS} c WHERE q.vec_id < 5
             ) WHERE rn <= 2
         ),
         cand AS (

@@ -99,19 +99,26 @@ def tx5_token_histogram(spark, sf_dir):
 
 def tx6_document_frequency(spark, sf_dir):
     """Corpus df/idf table: per-term document frequency and idf — the
-    shared statistic behind tf-idf ranking and rare-term filters."""
+    shared statistic behind tf-idf ranking and rare-term filters.
+
+    Corpus size is computed IN-PLAN (one-row aggregate attached via a
+    broadcast cross join), not with a driver-side ``count()`` — a second
+    full corpus scan at 100 TB and an extra job per invocation."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     term_doc = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term")
     )
     return (
         term_doc.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             "df",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+            F.round(
+                F.log(F.col("__n_docs").cast("double") / F.col("df")), 6
+            ).alias("idf"),
         )
         .orderBy(F.desc("df"), "term")
     )

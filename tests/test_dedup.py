@@ -68,3 +68,35 @@ def test_empty_and_single_token_docs(spark):
     assert D.ngram_jaccard_pairs(df, n=3).count() == 0
     sigs = D.minhash_signatures(df, n=3)
     assert sigs.count() == 0               # no shingles → no signatures
+
+
+def test_max_df_jaccard_is_over_filtered_sets(spark):
+    """With max_df set, similarity must be exact Jaccard over the
+    *filtered* shingle sets — sizes recomputed after the hot-shingle
+    drop, not biased by dropped shingles in the denominator."""
+    # docs 1/2 share a hot boilerplate phrase (in every doc) plus one
+    # unique shingle each; doc 3 carries only the boilerplate.
+    boiler = "all rights reserved here"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma"),
+            (2, f"{boiler} alpha beta delta"),
+            (3, boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    # 3-gram shingles of doc1: [all rights reserved, rights reserved here,
+    # reserved here alpha, here alpha beta, alpha beta gamma]; the first
+    # two appear in all 3 docs -> df=3 > max_df=2 -> dropped.
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, n=3, max_df=2).collect()
+    }
+    # dropped (df=3 > 2): "all rights reserved", "rights reserved here".
+    # docs 1/2 each keep 3 shingles ("reserved here alpha",
+    # "here alpha beta", "<alpha beta gamma|delta>"), sharing the first
+    # two: jaccard = 2 / (3 + 3 - 2) = 0.5 over the FILTERED sets (the
+    # biased pre-fix denominator would have given 2 / (5 + 5 - 2) = 0.25)
+    assert pairs[(1, 2)] == 0.5
+    # doc 3 loses all shingles -> appears in no pair
+    assert all(3 not in p for p in pairs)

@@ -104,7 +104,16 @@ _messages = st.fixed_dictionaries(
 
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
-@given(st.lists(_messages, min_size=1, max_size=8))
+@given(
+    st.lists(
+        _messages,
+        min_size=1,
+        max_size=8,
+        # the test keys rows by message_id; duplicate ids would collapse
+        # the lookup dict and pair rows with the wrong source message
+        unique_by=lambda m: m["message_id"],
+    )
+)
 def test_flatten_properties(spark, msgs):
     docs = [{"update_id": i, "message": m} for i, m in enumerate(msgs)]
     out = flatten_updates(_updates_df(spark, docs))

@@ -58,3 +58,47 @@ def test_lsh_bucket_determinism_and_recall(spark):
     pairs = S.lsh_neardup_pairs(df, spark, top=5).collect()
     assert (pairs[0].vec_a, pairs[0].vec_b) == (0, 40)
     assert pairs[0].cos_sim > 0.999
+
+
+def test_banded_lsh_matches_python_reference_at_2x_planes(spark):
+    """Non-default geometry (32 planes = 2× the ss3 setting, 4 bands):
+    the banded candidate set must equal an independent Python
+    recomputation from the same md5 weight rule, and the planted
+    near-copy must survive banding."""
+    df, vecs = _vectors(spark, dims=64)
+    n_planes, rpb = 32, 8
+    ws = S.plane_weights(n_planes, 64)
+
+    def bits(v):
+        return [1 if sum(e * w for e, w in zip(v, ws[p])) >= 0 else 0
+                for p in range(n_planes)]
+
+    codes = {i: bits(v) for i, v in vecs.items()}
+    expected = set()
+    ids = sorted(codes)
+    for x in ids:
+        for y in ids:
+            if x < y and any(
+                codes[x][b * rpb:(b + 1) * rpb] == codes[y][b * rpb:(b + 1) * rpb]
+                for b in range(n_planes // rpb)
+            ):
+                expected.add((x, y))
+    got = S.lsh_banded_neardup_pairs(
+        df, n_planes=n_planes, rows_per_band=rpb, top=None
+    ).collect()
+    assert {(r.vec_a, r.vec_b) for r in got} == expected
+    assert (0, 40) in expected  # near-copy pair survives banding
+
+
+def test_lloyd_centroids_deterministic_and_sane(spark):
+    df, vecs = _vectors(spark, n=40, dims=16)
+    c1 = S.train_centroids_lloyd(df, k=4, iters=2).collect()
+    c2 = S.train_centroids_lloyd(df, k=4, iters=2).collect()
+    as_map = lambda rows: {r.centroid_id: list(r.cvec) for r in rows}
+    assert as_map(c1) == as_map(c2)      # fully deterministic
+    assert 1 <= len(c1) <= 4
+    assert all(len(r.cvec) == 16 for r in c1)
+    # every centroid is a mean of member vectors → inside the data's range
+    lo = min(min(v) for v in vecs.values())
+    hi = max(max(v) for v in vecs.values())
+    assert all(lo <= x <= hi for r in c1 for x in r.cvec)
