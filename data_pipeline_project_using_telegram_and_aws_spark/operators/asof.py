@@ -30,6 +30,7 @@ _TAG = "__asof_tag"
 _TS = "__asof_ts"
 _KEY = "__asof_key"
 _PAYLOAD = "__asof_payload"
+_CHUNK = "__asof_chunk"
 
 
 def asof_join(
@@ -41,6 +42,7 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     include_equal: bool = True,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of LEFT join: each left row picks up ``right_cols`` from
     the latest right row of the same key with ``right_ts <= left_ts``
@@ -58,6 +60,14 @@ def asof_join(
 
     Union-window plan: one hash shuffle on the key, one intra-partition
     sort — O(n log n) per key group, zero row amplification.
+
+    **Skew guard** (``bucket_seconds``): the plain plan puts each key in
+    ONE window partition, so a hot key becomes a hot task (AQE skew
+    handling does not split windows). With ``bucket_seconds`` set, rows
+    window within (key, time-chunk) partitions instead, and a per-chunk
+    carry-in (the last right payload of all earlier chunks, computed over
+    the tiny per-chunk summary table) preserves exact semantics — a hot
+    key's work is spread across its time chunks.
     """
     left_out = [c for c in left.columns]
     rhs = right.filter(F.col(right_ts).isNotNull()).select(
@@ -79,19 +89,70 @@ def asof_join(
     # include_equal=False flips the tag order so the left row comes first
     # and cannot see the same-timestamp right row.
     tag_order = F.col(_TAG).asc() if include_equal else F.col(_TAG).desc()
-    w = (
-        Window.partitionBy(_KEY)
-        .orderBy(F.col(_TS).asc(), tag_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        lhs.unionByName(rhs)
-        .select(
+    union = lhs.unionByName(rhs)
+
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(_KEY)
+            .orderBy(F.col(_TS).asc(), tag_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        resolved = union.select(
             _TAG,
             *left_out,
             F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD),
         )
-        .filter(F.col(_TAG) == 1)
+    else:
+        chunk = F.floor(
+            F.unix_timestamp(F.col(_TS)) / F.lit(bucket_seconds)
+        ).cast("long")
+        union = union.withColumn(_CHUNK, chunk)
+        # within-(key, chunk) carry — the hot key is split across chunks
+        w1 = (
+            Window.partitionBy(_KEY, _CHUNK)
+            .orderBy(F.col(_TS).asc(), tag_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # per-chunk summary: the LAST right payload of each chunk (right
+        # rows only; unique (key, ts) makes max_by deterministic), then a
+        # window over the per-key chunk sequence yields each chunk's
+        # carry-in = last payload of any EARLIER chunk. The summary table
+        # has one row per (key, chunk) — tiny relative to the data.
+        chunks = union.select(_KEY, _CHUNK).distinct()
+        rsum = (
+            union.filter(F.col(_TAG) == 0)
+            .groupBy(_KEY, _CHUNK)
+            .agg(F.max_by(_PAYLOAD, F.col(_TS)).alias("__chunk_last"))
+        )
+        w2 = (
+            Window.partitionBy(_KEY)
+            .orderBy(_CHUNK)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            chunks.join(rsum, [_KEY, _CHUNK], "left")
+            .select(
+                _KEY,
+                _CHUNK,
+                F.last("__chunk_last", ignorenulls=True)
+                .over(w2)
+                .alias("__carry_in"),
+            )
+        )
+        resolved = (
+            union.join(carry, [_KEY, _CHUNK])
+            .select(
+                _TAG,
+                *left_out,
+                F.coalesce(
+                    F.last(_PAYLOAD, ignorenulls=True).over(w1),
+                    F.col("__carry_in"),
+                ).alias(_PAYLOAD),
+            )
+        )
+
+    return (
+        resolved.filter(F.col(_TAG) == 1)
         .select(
             *left_out,
             *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_cols],

@@ -19,32 +19,81 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..schemas import RAW_UPDATE_SCHEMA
 
+# The reference pins the pipeline clock to UTC-3 (ipynb:310:
+# ``timezone(offset=timedelta(hours=-3))``): partition values are the
+# *wall-clock date in Brasília time* of the arrival instant. The engine
+# session stays in UTC; only the partition-value derivation shifts.
+DEFAULT_INGEST_TZ = "-03:00"
+
+
+def _tzinfo(tz: str) -> dt.tzinfo:
+    """tzinfo from a fixed offset ("±HH:MM") or an IANA zone name."""
+    if tz and tz[0] in "+-":
+        h, m = tz[1:].split(":")
+        delta = dt.timedelta(hours=int(h), minutes=int(m))
+        return dt.timezone(-delta if tz[0] == "-" else delta)
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(tz)
+
+
+def arrival_date(ts: Column, tz: str = DEFAULT_INGEST_TZ) -> Column:
+    """Arrival-date partition value: the wall-clock date in the pipeline
+    ingest timezone of UTC instant ``ts``. An event arriving 01:00 UTC
+    belongs to the *previous* day's partition under the default UTC-3."""
+    return F.to_date(F.from_utc_timestamp(ts, tz))
+
+
+def pipeline_today(tz: str = DEFAULT_INGEST_TZ) -> dt.date:
+    """Driver-side twin of :func:`arrival_date` at now() — the reference's
+    ``datetime.now(tzinfo=timezone(timedelta(hours=-3)))`` (ipynb:310)."""
+    return dt.datetime.now(dt.timezone.utc).astimezone(_tzinfo(tz)).date()
+
 
 class TelegramLake:
-    """Paths + IO for one logical pipeline instance."""
+    """Paths + IO for one logical pipeline instance.
 
-    def __init__(self, root: str, chat_id: int | None = None):
+    ``ingest_tz`` is the pipeline clock for arrival-date partitioning,
+    defaulting to the reference's fixed UTC-3; pass an IANA name (e.g.
+    "America/Sao_Paulo") for DST-aware semantics instead.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        chat_id: int | None = None,
+        ingest_tz: str = DEFAULT_INGEST_TZ,
+    ):
         self.root = root.rstrip("/")
         self.raw_path = f"{self.root}/raw/telegram"
         self.enriched_path = f"{self.root}/enriched/telegram"
         self.chat_id = chat_id
+        self.ingest_tz = ingest_tz
         self._registered: set[str] = set()
+
+    def today(self) -> dt.date:
+        """Current date on the pipeline clock (UTC-3 by default)."""
+        return pipeline_today(self.ingest_tz)
 
     # --- raw zone ---------------------------------------------------------
 
     def write_raw(self, updates: DataFrame) -> None:
         """Append updates into the raw zone, partitioned by arrival date.
 
-        ``context_date`` is *processing time* (reference ipynb:310-311: the
-        partition key is arrival date, event time is preserved separately in
+        ``context_date`` is *processing time on the pipeline's UTC-3
+        clock* (reference ipynb:310-311: the partition key is arrival date
+        in ``timezone(-3h)``, event time is preserved separately in
         ``message.date`` — the two-timeline model, SURVEY §2.9 ST3).
         """
         (
-            updates.withColumn("context_date", F.current_date())
+            updates.withColumn(
+                "context_date",
+                arrival_date(F.current_timestamp(), self.ingest_tz),
+            )
             .write.mode("append")
             .partitionBy("context_date")
             .json(self.raw_path)
@@ -106,3 +155,29 @@ class TelegramLake:
         zero-copy and always-fresh without a metastore dependency."""
         self.read_enriched(spark).createOrReplaceTempView(name)
         self._registered.add(name)
+
+    def register_persistent_table(
+        self, spark: SparkSession, name: str = "telegram"
+    ) -> None:
+        """Persistent variant of S9: a real *catalog* table over the
+        enriched prefix — ``CREATE TABLE ... USING PARQUET ... LOCATION``
+        plus ``MSCK REPAIR TABLE`` partition recovery, the exact analogue
+        of the Athena external DDL + MSCK (reference ipynb:732-750).
+        Unlike a temp view, the table is session-independent: any session
+        sharing the catalog (and, with a metastore, any future process)
+        sees it without re-registration."""
+        from ..schemas import ENRICHED_SCHEMA
+
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in ENRICHED_SCHEMA.fields
+            if f.name != "context_date"
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({cols}, context_date DATE) "
+            f"USING PARQUET PARTITIONED BY (context_date) "
+            f"LOCATION '{self.enriched_path}'"
+        )
+        # external-location tables don't auto-discover partition dirs the
+        # way path reads do — recover them (the MSCK step, ipynb:750)
+        spark.sql(f"MSCK REPAIR TABLE {name}")

@@ -28,10 +28,11 @@ def run_daily_etl(
     context_date: dt.date | str | None = None,
     files_per_partition: int = 1,
 ) -> int:
-    """Process one day (default: D-1, the reference's cadence) from the raw
-    zone into the enriched zone. Returns the number of rows written."""
+    """Process one day (default: D-1 on the pipeline's UTC-3 clock, the
+    reference's cadence — ipynb:562) from the raw zone into the enriched
+    zone. Returns the number of rows written."""
     if context_date is None:
-        context_date = dt.date.today() - dt.timedelta(days=1)
+        context_date = lake.today() - dt.timedelta(days=1)
 
     raw = lake.read_raw(spark, context_date=context_date)
     flat = flatten_updates(raw).withColumn(

@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import RAW_UPDATE_SCHEMA
-from ..sources.lake import TelegramLake
+from ..sources.lake import TelegramLake, arrival_date
 
 
 def start_ingest_stream(
@@ -43,7 +43,11 @@ def start_ingest_stream(
         updates = updates.filter(
             F.col("message.chat.id") == F.lit(lake.chat_id)
         )
-    stamped = updates.withColumn("context_date", F.current_date())
+    # arrival date on the pipeline's UTC-3 clock (reference ipynb:310)
+    stamped = updates.withColumn(
+        "context_date",
+        arrival_date(F.current_timestamp(), lake.ingest_tz),
+    )
 
     writer = (
         stamped.writeStream.format("json")

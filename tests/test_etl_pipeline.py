@@ -13,6 +13,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_pipeline_project_using_telegram_and_aws_spark.plans.telegram_queries import (
     run_telegram_query,
@@ -68,7 +69,7 @@ def lake(spark, tmp_path_factory):
     )
     q.awaitTermination(120)
 
-    today = dt.date.today()
+    today = lk.today()  # pipeline clock (UTC-3, reference ipynb:310)
     n = run_daily_etl(spark, lk, context_date=today)
     assert n == 4  # foreign-chat update dropped at ingest (P1)
     lk.register_table(spark, "telegram")
@@ -76,9 +77,10 @@ def lake(spark, tmp_path_factory):
 
 
 def test_raw_zone_partitioned_by_arrival_date(spark, lake):
-    # ST3: context_date is processing time — all rows land in today's
-    # partition regardless of event time (which spans 2024-01-01..07)
-    today = dt.date.today()
+    # ST3: context_date is processing time on the UTC-3 pipeline clock —
+    # all rows land in today's partition regardless of event time
+    # (which spans 2024-01-01..07)
+    today = lake.today()
     parts = {
         os.path.basename(p)
         for p in glob.glob(f"{lake.raw_path}/context_date=*")
@@ -103,7 +105,7 @@ def test_compaction_one_file_per_partition(spark, lake):
 
 
 def test_etl_rerun_is_idempotent(spark, lake):
-    run_daily_etl(spark, lake, context_date=dt.date.today())
+    run_daily_etl(spark, lake, context_date=lake.today())
     assert lake.read_enriched(spark).count() == 4  # ST4: no duplication
     files = glob.glob(f"{lake.enriched_path}/context_date=*/*.parquet")
     assert len(files) == 1
@@ -116,7 +118,7 @@ def test_select_limit(spark, lake):
 def test_daily_count(spark, lake):
     rows = run_telegram_query(spark, "daily_count").collect()
     assert [(r.context_date, r.message_amount) for r in rows] == [
-        (dt.date.today(), 4)
+        (lake.today(), 4)
     ]
 
 
@@ -145,3 +147,41 @@ def test_hour_weekday_weeknum(spark, lake):
     # ordering: weeknum then weekday (reference ORDER BY)
     keys = [(r.parsed_date_weeknum, r.parsed_date_weekday) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_arrival_date_is_utc_minus_3(spark):
+    """Reference fidelity (ipynb:310): the partition clock is UTC-3, so a
+    message arriving 01:00 UTC belongs to the PREVIOUS day's partition."""
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.lake import arrival_date
+
+    df = spark.createDataFrame(
+        [("2024-01-02 01:00:00",), ("2024-01-02 03:00:00",),
+         ("2024-01-02 02:59:59",)],
+        ["ts_utc"],
+    ).select(
+        arrival_date(F.col("ts_utc").cast("timestamp")).alias("d")
+    )
+    got = [str(r.d) for r in df.collect()]
+    assert got == ["2024-01-01", "2024-01-02", "2024-01-01"]
+
+
+def test_persistent_catalog_table_survives_sessions(spark, lake):
+    """S9 complete: CREATE TABLE ... USING PARQUET LOCATION + MSCK. The
+    catalog table (unlike a temp view) is visible from a NEW session."""
+    lake.register_persistent_table(spark, "telegram_ext")
+    assert spark.table("telegram_ext").count() == 4
+
+    fresh = spark.newSession()
+    try:
+        # temp views are session-scoped and must NOT leak...
+        assert "telegram" not in [
+            t.name for t in fresh.catalog.listTables()
+            if t.tableType == "TEMPORARY"
+        ]
+        # ...but the catalog table is there, partitions recovered
+        rows = fresh.sql(
+            "SELECT context_date, COUNT(1) AS n FROM telegram_ext GROUP BY 1"
+        ).collect()
+        assert [(r.context_date, r.n) for r in rows] == [(lake.today(), 4)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS telegram_ext")

@@ -105,3 +105,65 @@ def test_time_bucket(spark):
     )
     got = [r.b for r in df.select(A.time_bucket(F.col("t"), 900).alias("b")).collect()]
     assert got == [_ts("2024-01-01 00:15:00"), _ts("2024-01-01 00:30:00")]
+
+
+def test_asof_null_value_and_null_ts_semantics(spark):
+    """A matched right row whose value is legitimately NULL must stay NULL
+    (not leak the previous row's value), and right rows with NULL ts must
+    never match (DuckDB ASOF semantics)."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 02:00:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 00:00:00"), 100),   # older, value present
+            ("k", _ts("2024-01-01 01:00:00"), None),  # newest match, NULL value
+            ("k", None, 999),                          # NULL ts: never matches
+        ],
+        "k string, rts timestamp, v long",
+    )
+    out = A.asof_join(
+        left, right, "k", "k", "ts", "rts", ["v", "rts"]
+    ).collect()
+    assert len(out) == 1
+    # the newest matching row (01:00) wins atomically: v is its NULL, not 100
+    assert out[0].v is None
+    assert out[0].rts == _ts("2024-01-01 01:00:00")
+
+
+def test_asof_bucketed_matches_duckdb_on_skewed_fixture(spark):
+    """The time-chunk skew guard must preserve exact ASOF semantics: one
+    hot key with 2000 events + sparse cold keys, checked row-for-row
+    against DuckDB ASOF LEFT JOIN and against the unbucketed plan."""
+    import duckdb
+    import pandas as pd
+
+    base = _ts("2024-01-01 00:00:00")
+    lrows = [(i, "hot", base + pd.Timedelta(seconds=37 * i)) for i in range(2000)]
+    lrows += [(10_000 + i, f"cold{i}", base + pd.Timedelta(hours=i)) for i in range(5)]
+    rrows = [("hot", base + pd.Timedelta(seconds=600 * j), j) for j in range(120)]
+    rrows += [("cold3", base + pd.Timedelta(minutes=90), 777)]
+    lpdf = pd.DataFrame(lrows, columns=["id", "k", "ts"])
+    rpdf = pd.DataFrame(rrows, columns=["k", "rts", "v"])
+
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    plain = A.asof_join(left, right, "k", "k", "ts", "rts", ["v"])
+    bucketed = A.asof_join(
+        left, right, "k", "k", "ts", "rts", ["v"], bucket_seconds=3600
+    )
+    got_plain = {(r.id): (r.v,) for r in plain.collect()}
+    got_bucketed = {(r.id): (r.v,) for r in bucketed.collect()}
+    assert got_bucketed == got_plain
+
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("r", rpdf)
+    oracle = {
+        row[0]: (row[1],)
+        for row in con.execute(
+            "SELECT l.id, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.rts"
+        ).fetchall()
+    }
+    assert got_bucketed == oracle
