@@ -24,15 +24,16 @@ Three tiers, mirroring how ANN works on a real cluster:
 
 Plane weights are computed driver-side with :mod:`hashlib` md5 — the
 *same* public derivation the SQL oracle runs (md5 of ``"{p}_{d}"``,
-first hex digit >= '8' → +1) — and shipped as a small broadcast weights
-table. Bit computation is posexplode(vector) ⋈ broadcast(weights) with a
-map-side partial aggregate, so the only shuffle is n_planes rows per
-vector. (A fully-unrolled ±element_at projection was tried and measured:
-n_planes×dims terms blow the whole-stage-codegen method limits, Spark
-falls back to interpreted expression evaluation, and the "zero-shuffle"
-plan runs ~5× slower than the explode+join — keep the join.) All vector
-math is JVM-side expressions (functions/vectors.py) — no Python UDF in
-any hot path.
+first hex digit >= '8' → +1) — and baked in as constant-array literals:
+bit computation is posexplode(vector) → ONE groupBy(id) with n_planes
+conditional-sum columns (``element_at`` into the literal weight array),
+map-side partial agg → a single n_planes-wide shuffled row per vector.
+(Two alternatives were measured and rejected: a fully-unrolled
+±element_at projection — n_planes×dims terms blow the whole-stage-
+codegen method limits and run interpreted, ~5× slower; and a broadcast
+weights-table join — amplifies the explode to dims×planes rows and
+needs a second shuffle for banding.) All vector math is JVM-side
+expressions (functions/vectors.py) — no Python UDF in any hot path.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_with_norms, norm
 
 N_PLANES = 8
 DIMS = 64
@@ -62,14 +63,35 @@ def plane_weights(n_planes: int, dims: int) -> list[list[float]]:
     ]
 
 
-def _plane_df(spark: SparkSession, n_planes: int, dims: int) -> DataFrame:
-    """The ±1 weights as a small (n_planes×dims)-row DataFrame, built from
-    driver-side literals — broadcast to every executor, never shuffled."""
+def _plane_projections(
+    vectors: DataFrame,
+    n_planes: int,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, __proj0..__projN): one row per vector with every hyperplane
+    projection v · w_p as a column.
+
+    Plan shape: posexplode the vector once (dims rows per vector — NOT
+    dims×planes; weights are constant-array literals indexed by
+    ``element_at``, no weights-table join amplification), then ONE
+    groupBy(id) with n_planes codegen'd conditional-sum columns;
+    map-side partial agg makes the shuffle a single n_planes-wide row
+    per vector per partition."""
     ws = plane_weights(n_planes, dims)
-    rows = [
-        (p, d, ws[p][d]) for p in range(n_planes) for d in range(dims)
-    ]
-    return spark.createDataFrame(rows, "p int, d int, w double")
+    warr = [F.array(*[F.lit(w) for w in ws[p]]) for p in range(n_planes)]
+    elems = vectors.select(
+        id_col, F.posexplode(vec_col).alias("d", "e")
+    ).withColumn("e", F.col("e").cast("double"))
+    return elems.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("e") * F.element_at(warr[p], F.col("d") + 1)).alias(
+                f"__proj{p}"
+            )
+            for p in range(n_planes)
+        ]
+    )
 
 
 def hyperplane_bits(
@@ -80,18 +102,19 @@ def hyperplane_bits(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, p, bit): sign bit per vector per hyperplane, bit_p =
-    (v · w_p) >= 0. posexplode ⋈ broadcast(weights) with map-side partial
-    agg — the shuffle carries n_planes rows per vector."""
-    spark = vectors.sparkSession
-    elems = vectors.select(
-        id_col, F.posexplode(vec_col).alias("d", "e")
-    ).withColumn("e", F.col("e").cast("double"))
-    return (
-        elems.join(F.broadcast(_plane_df(spark, n_planes, dims)), "d")
-        .groupBy(id_col, "p")
-        .agg(F.sum(F.col("e") * F.col("w")).alias("proj"))
-        .withColumn("bit", (F.col("proj") >= 0).cast("long"))
-        .select(id_col, "p", "bit")
+    (v · w_p) >= 0 — the exploded view of :func:`_plane_projections`."""
+    projs = _plane_projections(vectors, n_planes, dims, id_col, vec_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                (F.col(f"__proj{p}") >= 0).cast("long").alias("bit"),
+            )
+            for p in range(n_planes)
+        ]
+    )
+    return projs.select(id_col, F.explode(pairs).alias("pb")).select(
+        id_col, F.col("pb.p").alias("p"), F.col("pb.bit").alias("bit")
     )
 
 
@@ -104,14 +127,18 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector its LSH bucket id = sum(bit_p * 2^p) over all
-    planes (single-band code). ``spark`` is accepted for call-site
-    compatibility but unused (the session comes from ``vectors``)."""
-    bits = hyperplane_bits(vectors, n_planes, dims, id_col, vec_col)
-    return bits.groupBy(id_col).agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")))
-        .cast("long")
-        .alias("bucket")
+    planes (single-band code) — row-local from the projection columns,
+    one shuffle total. ``spark`` is accepted for call-site compatibility
+    but unused (the session comes from ``vectors``)."""
+    projs = _plane_projections(vectors, n_planes, dims, id_col, vec_col)
+    bucket = sum(
+        (
+            (F.col(f"__proj{p}") >= 0).cast("long") * (2 ** p)
+            for p in range(n_planes)
+        ),
+        F.lit(0),
     )
+    return projs.select(id_col, bucket.cast("long").alias("bucket"))
 
 
 def banded_buckets(
@@ -123,22 +150,37 @@ def banded_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """MinHash-style banding of the hyperplane bits: one (id, band,
-    bucket) row per band, bucket = the band's bits packed into an int.
+    bucket) row per band, bucket = the band's bits packed into an int —
+    derived row-locally from the projection columns (one shuffle total).
     Pairs matching any full band become candidates — each band join is
     sub-quadratic and recall comes from the band union."""
     assert n_planes % rows_per_band == 0
-    bits = hyperplane_bits(vectors, n_planes, dims, id_col, vec_col)
-    return (
-        bits.withColumn("band", F.floor(F.col("p") / rows_per_band))
-        .groupBy(id_col, "band")
-        .agg(
-            F.sum(
-                F.col("bit")
-                * F.pow(F.lit(2.0), F.col("p") % rows_per_band)
+    n_bands = n_planes // rows_per_band
+    projs = _plane_projections(vectors, n_planes, dims, id_col, vec_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (
+                        (F.col(f"__proj{b * rows_per_band + r}") >= 0).cast(
+                            "long"
+                        )
+                        * (2 ** r)
+                        for r in range(rows_per_band)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("bucket"),
             )
-            .cast("long")
-            .alias("bucket")
-        )
+            for b in range(n_bands)
+        ]
+    )
+    return projs.select(id_col, F.explode(bands).alias("bb")).select(
+        id_col,
+        F.col("bb.band").cast("long").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
 
@@ -154,19 +196,28 @@ def brute_force_topk(
 
     Ranking uses the *rounded* cosine (4 dp) with the neighbor id as
     tie-break, so results are reproducible across engines and runs.
+    Norms are computed once per vector and carried through the cross
+    join (``cosine_with_norms``), so per pair only the dot fold runs —
+    bit-identical values at a third of the interpreted-HOF work.
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    pairs = corpus.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
+    withn = corpus.withColumn("__vn", norm(F.col(vec_col)))
+    pairs = withn.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(
-            "cos_sim"
-        ),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+            ),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -191,15 +242,19 @@ def train_centroids_lloyd(
     - seed: the k vectors with the smallest ``md5(cast(id as string))``
       (ties by id) — a deterministic pseudo-random sample;
     - assign: nearest centroid by cosine rounded to 4 dp, centroid id as
-      tie-break (broadcast centroids — the corpus never shuffles);
-    - update: per-dimension mean of members as exact DECIMAL(18,6) sum /
-      count (order-independent), one double division.
+      tie-break (broadcast centroids — the corpus never shuffles for the
+      scoring; a row-local literal-argmin variant was measured SLOWER at
+      this scale: k·dims literal expression trees cost more in analysis
+      and interpreted evaluation than the k× row amplification costs in
+      the broadcast join);
+    - update: per-dimension mean of members as an exact scaled-long sum
+      (order-independent) with two deterministic double divisions.
 
     Output: (centroid_id, cvec: array<double>) — centroid_id is the seed
     vector's id; a centroid that loses all members drops out. Each
-    iteration is checkpointed (k×dims rows) so the plan stays flat; at
-    100 TB the assign step is a broadcast join + map-side partial agg of
-    k×dims cells — one shuffle of k×dims rows per iteration.
+    iteration is checkpointed (k×dims rows) so the plan stays flat; per
+    iteration the shuffles are the per-vector argmin window and the
+    k×dims-cell mean aggregation.
     """
     cents = (
         vectors.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -211,29 +266,20 @@ def train_centroids_lloyd(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        scored = vectors.crossJoin(F.broadcast(cents)).select(
-            id_col,
-            "centroid_id",
-            F.round(cosine(F.col(vec_col), F.col("cvec")), 4).alias(
-                "__cos"
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("__cos"), F.asc("centroid_id")
-        )
-        best = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "centroid_id")
-        )
+        best = ivf_assign(vectors, cents, 1, id_col, vec_col)
         members = vectors.join(best, id_col).select(
             "centroid_id", F.posexplode(vec_col).alias("d", "e")
         )
+        # exact fixed-point mean (functions/exact.py rationale): scaled
+        # integer sum, then two deterministic double divisions — the
+        # oracle reproduces the identical arithmetic
         means = members.groupBy("centroid_id", "d").agg(
             (
                 F.sum(
-                    F.col("e").cast("double").cast("decimal(18,6)")
-                ).cast("double")
+                    F.round(F.col("e").cast("double") * 1000000.0)
+                    .cast("long")
+                )
+                / 1000000.0
                 / F.count("e")
             ).alias("m")
         )
@@ -261,12 +307,28 @@ def ivf_assign(
     (rounded to 4 dp, centroid id as tie-break — deterministic across
     engines). ``centroids`` has schema (centroid_id, cvec). Centroids are
     broadcast; the corpus never shuffles for the scoring, only
-    |vectors|×|centroids| scored rows enter the per-vector top-k window."""
-    c = F.broadcast(centroids.select("centroid_id", "cvec"))
-    scored = vectors.crossJoin(c).select(
-        F.col(id_col).alias(out_id),
-        "centroid_id",
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 4).alias("__cos"),
+    |vectors|×|centroids| scored rows enter the per-vector top-k window.
+    Norms ride the join (computed once per vector/centroid), so per pair
+    only the dot fold runs."""
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", "cvec", norm(F.col("cvec")).alias("__cn")
+        )
+    )
+    scored = (
+        vectors.withColumn("__vn", norm(F.col(vec_col)))
+        .crossJoin(c)
+        .select(
+            F.col(id_col).alias(out_id),
+            "centroid_id",
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("cvec"),
+                    F.col("__vn"), F.col("__cn"),
+                ),
+                4,
+            ).alias("__cos"),
+        )
     )
     w = Window.partitionBy(out_id).orderBy(
         F.desc("__cos"), F.asc("centroid_id")
@@ -318,18 +380,29 @@ def ivf_topk(
     )
     qv = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
     )
     scored = (
-        cand.join(vectors.select(id_col, vec_col), id_col)
+        cand.join(
+            vectors.select(
+                id_col, vec_col, norm(F.col(vec_col)).alias("__vn")
+            ),
+            id_col,
+        )
         .join(qv, "query_id")
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"),
+                    F.col("__vn"), F.col("__qn"),
+                ),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -356,12 +429,14 @@ def lsh_neardup_pairs(
     buckets = hyperplane_buckets(
         vectors, n_planes=n_planes, dims=dims, id_col=id_col, vec_col=vec_col
     )
-    vb = vectors.join(buckets, id_col)
+    vb = vectors.withColumn("__n", norm(F.col(vec_col))).join(buckets, id_col)
     a = vb.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "bucket"
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"), "bucket",
     )
     b = vb.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"), "bucket"
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"), "bucket",
     )
     cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     return (
@@ -369,9 +444,12 @@ def lsh_neardup_pairs(
             "bucket",
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                cosine_with_norms(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(top)
@@ -401,14 +479,18 @@ def lsh_banded_neardup_pairs(
     bb = banded_buckets(
         vectors, n_planes, rows_per_band, dims, id_col, vec_col
     )
-    vb = vectors.select(id_col, vec_col).join(bb, id_col)
+    vb = (
+        vectors.select(id_col, vec_col)
+        .withColumn("__n", norm(F.col(vec_col)))
+        .join(bb, id_col)
+    )
     a = vb.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"),
-        "band", "bucket",
+        F.col("__n").alias("__na"), "band", "bucket",
     )
     b = vb.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"),
-        "band", "bucket",
+        F.col("__n").alias("__nb"), "band", "bucket",
     )
     pairs = (
         a.join(b, ["band", "bucket"])
@@ -416,7 +498,13 @@ def lsh_banded_neardup_pairs(
         .groupBy("vec_a", "vec_b")
         .agg(
             F.round(
-                F.first(cosine(F.col("__va"), F.col("__vb"))), 4
+                F.first(
+                    cosine_with_norms(
+                        F.col("__va"), F.col("__vb"),
+                        F.col("__na"), F.col("__nb"),
+                    )
+                ),
+                4,
             ).alias("cos_sim")
         )
     )

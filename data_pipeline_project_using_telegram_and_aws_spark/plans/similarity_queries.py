@@ -133,7 +133,7 @@ def _planes_cte(n_planes: int, dims: int = 64) -> str:
 def _lloyd_cte(k: int, iters: int, dims: int = 64) -> str:
     """Unrolled Lloyd iterations mirroring train_centroids_lloyd exactly:
     md5-ordered seeds, 4-dp-rounded cosine assignment with centroid-id
-    tie-break, DECIMAL(18,6)-exact per-dimension means."""
+    tie-break, scaled-long-exact per-dimension means."""
     parts = [
         f"""c0 AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
@@ -157,7 +157,8 @@ def _lloyd_cte(k: int, iters: int, dims: int = 64) -> str:
     )""")
         parts.append(f"""m{i} AS (
         SELECT centroid_id, d,
-               CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / COUNT(e) AS m
+               SUM(CAST(round(e * 1000000) AS BIGINT))
+                   / 1000000.0 / COUNT(e) AS m
         FROM (
             SELECT a.centroid_id, t.d,
                    CAST(emb.embedding[t.d + 1] AS DOUBLE) AS e

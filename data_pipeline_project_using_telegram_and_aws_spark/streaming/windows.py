@@ -26,6 +26,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from ..functions.exact import exact_sum
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -76,11 +78,9 @@ def session_aggregate(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # decimal sum: order-independent, so the rounded value is
-            # engine- and run-deterministic (see plans docstrings)
-            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            # exact fixed-point sum: order-independent, so the rounded
+            # value is engine- and run-deterministic (functions/exact.py)
+            exact_sum(value_col).alias("sum_value"),
         )
         .select(
             key_col,
