@@ -9,14 +9,16 @@ Three tiers, mirroring how ANN works on a real cluster:
   |Q| is small or as the reranker behind a candidate generator.
 - **Hyperplane LSH** (all-pairs scale path): ``n_planes`` deterministic
   random hyperplanes (signs derived from md5(p_d), so a SQL oracle
-  reproduces them bit-for-bit) hash each vector to sign bits. Geometry is
-  a *parameter*: plane count should grow ~log2(corpus size) so expected
-  bucket occupancy stays O(1) — a fixed 8-plane/256-bucket table is
-  quadratic-per-bucket at 100 TB. For recall at tight geometries, the
-  bits split into **bands** (MinHash-style): a pair is a candidate if it
-  matches on *all* bits of *any* band — each band's join is sub-quadratic
-  and the union of bands recovers neighbors a single long code would
-  miss.
+  reproduces them bit-for-bit) hash each vector to sign bits, split into
+  **bands** (MinHash-style): a pair is a candidate iff it matches all
+  bits of at least one band. Geometry is a *parameter* with two dials:
+  ``rows_per_band`` (bits per band → 2^rpb buckets per band) controls
+  bucket occupancy and must grow ~log2(corpus) so candidates stay
+  ~linear — a fixed bucket count is quadratic-per-bucket at 100 TB;
+  band count controls recall (and only multiplies candidates). Measured
+  in ``tools/scale_probe.py``: at N=2k/8k/32k, fixed 16-plane geometry
+  grows 18k→293k→4.7M candidate pairs (quadratic) while log2-scaled
+  rows_per_band grows 18k→83k→375k (~linear).
 - **IVF** (query-time scale path): vectors are assigned to inverted lists
   under k centroids (trained by :func:`train_centroids_lloyd` — a few
   Lloyd iterations expressed as pure DataFrame ops); queries probe their
@@ -468,9 +470,10 @@ def lsh_banded_neardup_pairs(
 ) -> DataFrame:
     """Banded-LSH near-dup pairs: candidates collide on all bits of at
     least one band; exact cosine (4 dp) reranks. The banded join is the
-    scale path — per-band bucket count is 2^rows_per_band and total code
-    length n_planes grows with log2(corpus), so in-bucket work stays
-    ~O(1) per vector while the band union keeps recall.
+    scale path — grow ``rows_per_band`` with log2(corpus) so the 2^rpb
+    buckets per band keep occupancy O(1) (candidates ~linear, see
+    tools/scale_probe.py for the measured curve), and use band count for
+    recall.
 
     Embeddings ride through the band join and pair-dedup happens on the
     (vec_a, vec_b) group-by — no signature re-join. ``threshold`` filters

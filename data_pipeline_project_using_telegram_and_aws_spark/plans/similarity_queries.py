@@ -66,8 +66,9 @@ def ss2_label_blocked_neardup(spark, sf_dir):
 def ss3_lsh_bucketed_neardup(spark, sf_dir):
     """Banded hyperplane-LSH all-pairs near-dup (16 md5-derived planes →
     2 bands × 256 buckets → in-bucket exact rerank). Banding is the scale
-    geometry: per-band occupancy stays O(N/256) with recall from the band
-    union, and plane count is a parameter to grow with log2(N)."""
+    geometry: rows_per_band grows with log2(N) to keep per-band occupancy
+    O(1) (measured curve in tools/scale_probe.py), band count buys
+    recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_banded_neardup_pairs(
         emb, n_planes=SS3_PLANES, rows_per_band=SS3_ROWS_PER_BAND, top=20
