@@ -35,8 +35,10 @@ def mm1_binary_metadata(spark, sf_dir):
 
 def mm2_decode_features(spark, sf_dir):
     """Distributed (fake) decode via mapInPandas → typed feature rows.
-    No SQL oracle: the decode stage is the explicitly stubbed non-SQL
-    surface; determinism is asserted by unit tests instead."""
+    The real decode (PIL/ffmpeg) is the stubbed non-SQL stage, but the
+    deterministic fake decoder is intentionally md5-derived so even the
+    Arrow/mapInPandas plumbing is oracle-checked end-to-end — the SQL
+    twin reparses the md5 hex digits the Python worker hashes."""
     media = _media_df(spark, sf_dir)
     feats = extract_media_features(media, fake=True, partitions=8)
     return feats.select(
@@ -58,6 +60,31 @@ ORACLE = {
         FROM documents
         ORDER BY media_id
     """,
-    # mm2_decode_features: intentionally no oracle — the decode is the
-    # stubbed non-SQL-expressible stage (rows-only check).
+    # hex-pair -> byte value, mirroring digest[i] in the Python decoder
+    "mm2_decode_features": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) AS hex,
+                   octet_length(CAST(text AS BLOB)) AS nb
+            FROM documents
+        ),
+        b AS (
+            SELECT media_id, hex, nb,
+                   16 * (strpos('0123456789abcdef', substr(hex, 1, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hex, 2, 1)) - 1)
+                       AS byte0,
+                   16 * (strpos('0123456789abcdef', substr(hex, 3, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(hex, 4, 1)) - 1)
+                       AS byte1
+            FROM h
+        )
+        SELECT media_id,
+               CAST(nb AS BIGINT) AS n_bytes,
+               hex AS content_hash,
+               CAST(16 + byte0 % 64 AS INTEGER) AS width,
+               CAST(16 + byte1 % 64 AS INTEGER) AS height,
+               CAST(1 + nb % 8 AS INTEGER) AS n_frames
+        FROM b
+        ORDER BY media_id
+    """,
 }
