@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import (
+        curation_queries,
         dedup_queries,
         multimodal_queries,
         reference_queries,
@@ -29,14 +30,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first, the relational-breadth block last.
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (reference_queries, temporal_queries, dedup_queries,
-                similarity_queries, text_queries, multimodal_queries,
-                starschema_queries):
+                curation_queries, similarity_queries, text_queries,
+                multimodal_queries, starschema_queries):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
     from . import (
+        curation_queries,
         dedup_queries,
         multimodal_queries,
         reference_queries,
@@ -48,7 +50,7 @@ def all_oracles() -> dict[str, str]:
 
     merged: dict[str, str] = {}
     for mod in (reference_queries, temporal_queries, dedup_queries,
-                similarity_queries, text_queries, multimodal_queries,
-                starschema_queries):
+                curation_queries, similarity_queries, text_queries,
+                multimodal_queries, starschema_queries):
         merged.update(mod.ORACLE)
     return merged

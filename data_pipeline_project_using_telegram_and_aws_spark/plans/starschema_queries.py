@@ -241,14 +241,8 @@ def q16_grouping_sets(spark, sf_dir):
     )
 
 
-def q17_having(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .filter(F.col("order_count") >= 15)
-        .orderBy("o_custkey")
-    )
+# (former q17_having merged into q25_date_functions' post-aggregation
+# filter — HAVING is exercised there; the slot funds cu1_corpus_curation)
 
 
 # --- window functions ------------------------------------------------------
@@ -376,10 +370,11 @@ def q24_scalar_functions(spark, sf_dir):
 
 
 def q25_date_functions(spark, sf_dir):
-    """Date-part extraction + DATEDIFF across a join (former q25/q26):
-    lineitem⋈orders ship latency, grouped by order month with avg delay.
-    The mean delay is an exact long sum / count — one double division,
-    engine-stable."""
+    """Date-part extraction + DATEDIFF across a join + HAVING (former
+    q25/q26/q17): lineitem⋈orders ship latency, grouped by order month
+    with avg delay, keeping only months with enough lineitems (the
+    post-aggregation HAVING filter). The mean delay is an exact long
+    sum / count — one double division, engine-stable."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     delay = F.datediff(
@@ -403,6 +398,7 @@ def q25_date_functions(spark, sf_dir):
                 4,
             ).alias("avg_ship_delay"),
         )
+        .filter(F.col("n_lineitems") >= 100)  # HAVING (former q17)
         .orderBy("order_month")
     )
 
@@ -454,7 +450,6 @@ QUERIES = {
     "q13_set_operations": q13_set_operations,
     "q14_rollup_cube": q14_rollup_cube,
     "q16_grouping_sets": q16_grouping_sets,
-    "q17_having": q17_having,
     "q18_window_rank": q18_window_rank,
     "q19_window_running_sum": q19_window_running_sum,
     "q21_topk": q21_topk,
@@ -574,13 +569,6 @@ ORACLE = {
         ORDER BY o_orderstatus ASC NULLS FIRST,
                  o_orderpriority ASC NULLS FIRST
     """,
-    "q17_having": """
-        SELECT o_custkey, COUNT(1) AS order_count
-        FROM orders
-        GROUP BY o_custkey
-        HAVING COUNT(1) >= 15
-        ORDER BY o_custkey
-    """,
     "q18_window_rank": """
         SELECT * FROM (
             SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -666,6 +654,7 @@ ORACLE = {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         )
         GROUP BY 1, 2, 3, 4
+        HAVING COUNT(1) >= 100
         ORDER BY order_month
     """,
     "q29_json_functions": """
