@@ -123,3 +123,45 @@ def test_streaming_first_seen_dedup_state_survives_restart(spark, tmp_path):
     _drain(W.streaming_first_seen_dedup(stream2), out, ckpt)
     final = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert final == {3, 7, 9}
+
+
+def test_quarantine_captures_malformed_payloads(spark, tmp_path):
+    """With quarantine_dir set, unparseable webhook bodies are captured
+    verbatim (replayable) while well-formed updates flow to the raw zone;
+    without it, broken lines vanish silently (reference behavior)."""
+    import json as _json
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.lake import TelegramLake
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.ingest import start_ingest_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    good = {
+        "update_id": 1,
+        "message": {
+            "message_id": 10,
+            "from": {"id": 1, "is_bot": False, "first_name": "ada"},
+            "chat": {"id": -42, "type": "group"},
+            "date": 1704103200,
+            "text": "hello",
+        },
+    }
+    (landing / "u1.json").write_text(_json.dumps(good))
+    (landing / "u2.json").write_text('{"update_id": 2, "message": {broken')
+
+    lake = TelegramLake(str(tmp_path / "lake"), chat_id=-42)
+    q = start_ingest_stream(
+        spark,
+        lake,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(120)
+
+    raw = lake.read_raw(spark)
+    assert [r.update_id for r in raw.collect()] == [1]
+    quarantined = spark.read.json(str(tmp_path / "quarantine")).collect()
+    assert len(quarantined) == 1
+    assert quarantined[0].payload == '{"update_id": 2, "message": {broken'
