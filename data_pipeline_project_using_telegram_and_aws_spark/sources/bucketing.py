@@ -1,0 +1,100 @@
+"""Bucketed catalog tables — co-located fact-to-fact joins without a
+shuffle.
+
+Broadcast handles the small-dimension side of a star join; what it cannot
+handle is the 100 TB fact-to-fact join (lineitem ⋈ orders on orderkey,
+assignments ⋈ corpus on centroid_id, ...) where BOTH sides are too big to
+broadcast. Spark's answer is bucketing: write each table hash-partitioned
+into the same number of buckets on the join key
+(``df.write.bucketBy(n, key).sortBy(key).saveAsTable(...)``). Two tables
+bucketed the same way are *co-located by construction* — the sort-merge
+join reads bucket i of each side in the same task and the Exchange (and,
+with ``sortBy``, the per-task Sort) disappears from the physical plan.
+Sort elision additionally needs one file per bucket (``write_bucketed``
+guarantees it) and, since Spark 3.0, the reader flag
+``spark.sql.legacy.bucketedTableScan.outputOrdering=true``; without the
+flag the join is still shuffle-free and only the cheap per-task sort
+remains.
+
+At 100 TB this is the difference between re-shuffling ~100 TB per join
+and shuffling it exactly once at write time, amortized over every
+subsequent join/aggregation on that key. The same write also serves
+``groupBy(key)`` aggregations shuffle-free. Bucket count is a real dial:
+it bounds join parallelism (one task per bucket), so size it to
+cluster cores × a small factor at the target scale — the 100 TB profile
+wants thousands of buckets, tests use 8.
+
+The reference pipeline keeps everything in unbucketed S3 prefixes and
+lets Athena shuffle per query (ipynb:732-750 registers plain external
+tables); this module is the engine's scale path beyond that design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str | list[str],
+    sorted_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally per-bucket-sorted)
+    catalog table. ``sorted_by`` defaults to the bucket key — sorted
+    buckets let the sort-merge join skip its per-task Sort as well."""
+    keys = [key] if isinstance(key, str) else list(key)
+    sorts = (
+        keys
+        if sorted_by is None
+        else [sorted_by]
+        if isinstance(sorted_by, str)
+        else list(sorted_by)
+    )
+    # one file per bucket: Spark only trusts the sortBy metadata (and
+    # skips the join-side Sort) when a bucket is a single file — with
+    # several writer tasks each bucket gets several files and the reader
+    # must merge-sort them anyway. repartition on the bucket key uses the
+    # same Murmur3 hash as the bucket spec, so task i holds exactly
+    # bucket i's rows. At 100 TB keep this: writer parallelism then
+    # equals bucket count, which the module docstring sizes in the
+    # thousands anyway.
+    df = df.repartition(buckets, *[df[k] for k in keys])
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, keys[0], *keys[1:])
+        .sortBy(sorts[0], *sorts[1:])
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def cojoined(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket keys. With both
+    sides bucketed on the join key, Catalyst plans a SortMergeJoin whose
+    inputs report the bucket spec as their output partitioning — no
+    Exchange on either side (pin: tests/test_bucketing.py asserts the
+    executed plan is exchange-free)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[left_key] == right[right_key], how)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the executed physical
+    plan — the metric bucketing exists to drive to zero."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
