@@ -257,6 +257,15 @@ def train_centroids_lloyd(
     iteration is checkpointed (k×dims rows) so the plan stays flat; per
     iteration the shuffles are the per-vector argmin window and the
     k×dims-cell mean aggregation.
+
+    Caching note (measured, sf0.1): persisting ``vectors`` across the
+    iterations — the textbook iterative-ML idiom, right at 100 TB where
+    it replaces 2×iters lake scans with MEMORY_AND_DISK reads — was
+    tried and ran ~1.7× SLOWER here (warm 10.8 s vs 6.2 s for the full
+    ss5): at bench scale the InMemoryRelation build + columnar-cache
+    scan costs more than the parquet re-reads it saves. Re-add the
+    persist only behind a size threshold if training ever runs at real
+    scale in this codebase.
     """
     cents = (
         vectors.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
