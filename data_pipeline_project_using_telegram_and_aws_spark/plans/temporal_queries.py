@@ -193,7 +193,12 @@ ORACLE = {
     """,
     "q35_time_bucket_rollup": f"""
         WITH bucketed AS (
-            SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+            -- make_timestamp(microseconds) is TZ-free; the previous
+            -- CAST(to_timestamp(..) AS TIMESTAMP) went through TIMESTAMPTZ
+            -- and shifted buckets by DuckDB's session TimeZone (the round-2
+            -- driver-red row: same data, buckets -3h under America/Sao_Paulo)
+            SELECT make_timestamp(
+                       CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000)
                        AS bucket,
                    event_type, COUNT(1) AS n,
                    SUM(CAST(round(value * {SCALE}) AS BIGINT)) AS v

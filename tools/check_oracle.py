@@ -62,6 +62,11 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Pin the oracle's session zone to the DRIVER's (America/Sao_Paulo), not
+    # this machine's default (UTC). Round 2's only red row was a TZ-dependent
+    # oracle construct that local UTC masked — local red must predict driver
+    # red, so the checker runs under the least-forgiving zone.
+    con.execute("SET TimeZone='America/Sao_Paulo'")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
