@@ -20,6 +20,16 @@ scales. At 100 TB group sums approaching 1e12 would need the scale
 dropped (e.g. 10⁴) or the DECIMAL path — a documented dial, not a
 silent wrap.
 
+Definition caveat: a checked aggregate is the sum of PER-ROW
+round(v·10⁶) values, not the rounded true sum — each row contributes up
+to 5e-7 absolute error, so with n rows the fixed-point result can drift
+up to n·5e-7 from the plain double/DECIMAL sum and, at large n, flip
+the last displayed digit vs a canonical (e.g. TPC-H-published) answer.
+That is the accepted trade: both engines compute the identical
+fixed-point definition, which is what makes the comparison
+deterministic; raise SCALE where value magnitudes leave headroom if
+closer agreement with the true sum is ever needed.
+
 Every helper here has a textual twin for the DuckDB oracle so both sides
 compute literally the same arithmetic.
 """

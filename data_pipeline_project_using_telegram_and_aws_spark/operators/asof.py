@@ -139,10 +139,29 @@ def asof_join(
                 .alias("__carry_in"),
             )
         )
+        # Null-safe equi-join: a left row with NULL left_ts has a NULL
+        # chunk, and a plain equality join would silently DROP it — the
+        # unbucketed path keeps such rows (NULLs sort first in the window,
+        # so they see no right payload → NULL columns). eqNullSafe restores
+        # identical LEFT-join semantics: (key, NULL) chunks match their
+        # carry row, whose carry-in is NULL because NULL orders before
+        # every real chunk in w2. Same for NULL join keys, which the
+        # window's partitionBy groups together.
+        carry = carry.select(
+            F.col(_KEY).alias("__carry_key"),
+            F.col(_CHUNK).alias("__carry_chunk"),
+            "__carry_in",
+        )
         resolved = (
-            union.join(carry, [_KEY, _CHUNK])
+            union.join(
+                carry,
+                F.col(_KEY).eqNullSafe(F.col("__carry_key"))
+                & F.col(_CHUNK).eqNullSafe(F.col("__carry_chunk")),
+            )
             .select(
                 _TAG,
+                _KEY,
+                _CHUNK,
                 *left_out,
                 F.coalesce(
                     F.last(_PAYLOAD, ignorenulls=True).over(w1),

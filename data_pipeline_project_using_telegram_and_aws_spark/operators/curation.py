@@ -12,11 +12,17 @@ month later without re-running anything.
 Scale shape: every stage is a pure DataFrame composition over the ops in
 :mod:`dedup` (hash group-by, banded LSH — both sub-quadratic) plus
 row-local quality expressions; the only joins against the corpus are
-broadcast- or key-equi-joins on doc ids. Near-dup grouping keeps the
-LOWEST id of each candidate pair (greedy per-pair, not connected
-components: A~B and B~C can keep A and C even if A~C was never a
-candidate — the standard large-scale compromise; exact transitive
-closure would need an iterative union-find pass).
+broadcast- or key-equi-joins on doc ids. Near-dup semantics are
+**drop-every-doc_b**: any document appearing as the higher id of a
+candidate pair is dropped, so a chain A~B, B~C drops BOTH B and C and
+keeps only A (one pass, no iteration — NOT connected components, and
+NOT per-pair greedy either: greedy could keep C after B's removal).
+This over-drops relative to union-find transitive closure but is the
+standard single-pass compromise at scale; exact closure would need an
+iterative union-find. A ledger reason's referenced keeper
+(``vs doc X``) is the pair's lower id and may itself have been dropped
+by another pair — the ``kept_alive`` flag on the ledger row says
+whether the referenced document survived the stage.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from . import dedup as D
 
-LEDGER_COLS = ["doc_id", "stage", "reason"]
+LEDGER_COLS = ["doc_id", "stage", "reason", "kept_alive"]
 
 
 def _tokens(col):
@@ -47,9 +53,13 @@ def curate_corpus(
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
     ``kept`` preserves the input schema; ``ledger`` has one row per
-    dropped document: (doc_id, stage, reason). Stages run in fixed order
-    and each operates on the previous stage's survivors, so a document is
-    dropped exactly once, by the first stage that rejects it.
+    dropped document: (doc_id, stage, reason, kept_alive). Stages run in
+    fixed order and each operates on the previous stage's survivors, so a
+    document is dropped exactly once, by the first stage that rejects it.
+    ``kept_alive`` is only meaningful on near_dedup rows: TRUE iff the
+    keeper referenced in the reason (the pair's lower id) itself survived
+    the near-dup stage — under drop-all-doc_b semantics it may not have
+    (see module docstring); NULL on every other stage.
     """
     ledgers: list[DataFrame] = []
 
@@ -57,6 +67,7 @@ def curate_corpus(
     hashed = D.with_text_hash(docs, text_col)
     w = Window.partitionBy("text_hash").orderBy(id_col)
     ranked = hashed.withColumn("__rn", F.row_number().over(w))
+    null_flag = F.lit(None).cast("boolean").alias("kept_alive")
     ledgers.append(
         ranked.filter(F.col("__rn") > 1).select(
             F.col(id_col).alias("doc_id"),
@@ -64,6 +75,7 @@ def curate_corpus(
             F.concat(F.lit("duplicate text_hash="), F.col("text_hash")).alias(
                 "reason"
             ),
+            null_flag,
         )
     )
     survivors = ranked.filter(F.col("__rn") == 1).drop("__rn", "text_hash")
@@ -72,9 +84,17 @@ def curate_corpus(
     cand = D.minhash_lsh_candidates(
         survivors, n=ngram, id_col=id_col, text_col=text_col
     ).filter(F.col("est_jaccard") >= jaccard_threshold)
+    near_base = cand.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("__kept"), F.max("est_jaccard").alias("__j")
+    )
+    # kept_alive: did the referenced keeper itself survive this stage?
+    # (drop-all-doc_b can remove it via another pair — the audit trail
+    # must say so instead of pointing at a ghost)
+    dropped_ids = near_base.select(
+        F.col("doc_id").alias("__kept"), F.lit(True).alias("__kept_dropped")
+    )
     near_drops = (
-        cand.groupBy(F.col("doc_b").alias("doc_id"))
-        .agg(F.min("doc_a").alias("__kept"), F.max("est_jaccard").alias("__j"))
+        near_base.join(dropped_ids, "__kept", "left")
         .select(
             "doc_id",
             F.lit("near_dedup").alias("stage"),
@@ -86,6 +106,7 @@ def curate_corpus(
                 F.lit(" vs doc "),
                 F.col("__kept").cast("string"),
             ).alias("reason"),
+            F.col("__kept_dropped").isNull().alias("kept_alive"),
         )
     )
     ledgers.append(near_drops)
@@ -109,6 +130,7 @@ def curate_corpus(
             F.col(id_col).alias("doc_id"),
             F.lit("quality").alias("stage"),
             F.col("__reason").alias("reason"),
+            null_flag,
         )
     )
     survivors = flagged.filter(F.col("__reason").isNull()).drop("__reason")
@@ -121,6 +143,7 @@ def curate_corpus(
                 F.col(id_col).alias("doc_id"),
                 F.lit("language").alias("stage"),
                 F.concat(F.lit("lang="), F.col(lang_col)).alias("reason"),
+                null_flag,
             )
         )
         survivors = survivors.filter(~bad)

@@ -20,8 +20,8 @@ KEEP_LANGS = ["de", "en", "es", "fr"]  # drops zh on the synthetic corpus
 
 
 def cu1_corpus_curation(spark, sf_dir):
-    """Drop ledger of the full curation pipeline (doc_id, stage, reason),
-    one row per removed document, ordered by doc_id."""
+    """Drop ledger of the full curation pipeline (doc_id, stage, reason,
+    kept_alive), one row per removed document, ordered by doc_id."""
     docs = load_table(spark, sf_dir, "documents")
     _kept, ledger = curate_corpus(
         docs,
@@ -91,14 +91,19 @@ ORACLE = {
             JOIN sigs sb ON sb.doc_id = doc_b AND sb.salt = sa.salt
             GROUP BY doc_a, doc_b
         ),
-        near_drops AS (
-            SELECT doc_b AS doc_id, 'near_dedup' AS stage,
-                   'minhash est_jaccard='
-                   || CAST(CAST(MAX(ej) AS DECIMAL(6,4)) AS VARCHAR)
-                   || ' vs doc ' || CAST(MIN(doc_a) AS VARCHAR) AS reason
+        near_base AS (
+            SELECT doc_b AS doc_id, MIN(doc_a) AS kept, MAX(ej) AS ej
             FROM est
             WHERE ej >= {JACCARD_THRESHOLD}
             GROUP BY doc_b
+        ),
+        near_drops AS (
+            SELECT doc_id, 'near_dedup' AS stage,
+                   'minhash est_jaccard='
+                   || CAST(CAST(ej AS DECIMAL(6,4)) AS VARCHAR)
+                   || ' vs doc ' || CAST(kept AS VARCHAR) AS reason,
+                   kept NOT IN (SELECT doc_id FROM near_base) AS kept_alive
+            FROM near_base
         ),
         s2 AS (
             SELECT * FROM s1
@@ -127,10 +132,13 @@ ORACLE = {
             FROM graded
             WHERE q_reason IS NULL AND lang NOT IN {_LANG_SQL}
         )
-        SELECT doc_id, stage, reason FROM exact_drops
-        UNION ALL SELECT doc_id, stage, reason FROM near_drops
-        UNION ALL SELECT doc_id, stage, reason FROM quality_drops
-        UNION ALL SELECT doc_id, stage, reason FROM lang_drops
+        SELECT doc_id, stage, reason, CAST(NULL AS BOOLEAN) AS kept_alive
+        FROM exact_drops
+        UNION ALL SELECT doc_id, stage, reason, kept_alive FROM near_drops
+        UNION ALL SELECT doc_id, stage, reason, CAST(NULL AS BOOLEAN)
+        FROM quality_drops
+        UNION ALL SELECT doc_id, stage, reason, CAST(NULL AS BOOLEAN)
+        FROM lang_drops
         ORDER BY doc_id
     """,
 }

@@ -417,11 +417,24 @@ def q29_json_functions(spark, sf_dir):
 
 
 def q31_approx_count_distinct(spark, sf_dir):
-    """HLL approximate distinct (rows-only check: estimates are
-    engine-specific, SURVEY §7; exact twin lives in q12's countDistinct)."""
+    """HLL approximate distinct, made hash-checkable: raw HLL estimates
+    are engine-specific, so the deterministic output is the EXACT count
+    plus a boolean asserting each engine's own estimate lands within 5%
+    of it (Spark runs rsd=0.01, DuckDB's HLL is ~0.4% — both clear the
+    bound by an order of magnitude, so the row is stable). This closes
+    the one `no_oracle` hole from rounds 1-2 while still executing the
+    approximate aggregate on both engines."""
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    agg = ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("__approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return agg.select(
+        "n_users_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * 0.05
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -664,8 +677,19 @@ ORACLE = {
         GROUP BY 1
         ORDER BY k
     """,
-    # q31_approx_count_distinct: intentionally no oracle (HLL estimates are
-    # engine-specific); rows-only check.
+    # q31: raw HLL estimates are engine-specific, so each engine checks its
+    # OWN estimate against the exact count — the exact count + tolerance
+    # boolean are deterministic, making the row hash-comparable.
+    "q31_approx_count_distinct": """
+        SELECT n_users_exact,
+               ABS(a - n_users_exact) <= n_users_exact * 0.05
+                   AS approx_within_5pct
+        FROM (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   approx_count_distinct(user_id) AS a
+            FROM events
+        )
+    """,
     "q32_array_functions": """
         SELECT token, COUNT(1) AS cnt
         FROM (

@@ -22,9 +22,11 @@ is silently dropped by the chat filter — the reference's behavior (its
 Lambda 500s and Telegram retries). With ``quarantine_dir`` set, the
 stream captures every unparseable line verbatim (plus an arrival
 timestamp) into a quarantine area via ``foreachBatch``, so bad payloads
-are auditable and replayable instead of lost. The foreachBatch sink is
-at-least-once (vs the file sink's exactly-once) — the documented
-trade-off for the two-output route.
+are auditable and replayable instead of lost. foreachBatch delivery is
+at-least-once, so both of its outputs key their layout on the
+deterministic micro-batch id (``ingest_batch=`` partition + dynamic
+overwrite): a re-delivered batch rewrites its own partitions instead of
+appending duplicates — effective exactly-once for the two-output route.
 """
 
 from __future__ import annotations
@@ -106,20 +108,33 @@ def _start_with_quarantine(
         .json(landing_dir)
     )
 
-    def sink(batch, _batch_id: int) -> None:
+    def sink(batch, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after a failure the SAME batch id
+        # is re-delivered with the SAME rows. Both writes below key their
+        # layout on that id (ingest_batch= partition + dynamic overwrite),
+        # so a replay rewrites its own partitions instead of appending
+        # duplicates — upgrading the two-output route to effective
+        # exactly-once (the file sink's commit log gives the single-output
+        # route the same property).
         batch = batch.cache()  # consumed twice (good + bad split)
         try:
             bad = batch.filter(F.col(CORRUPT_COL).isNotNull()).select(
                 F.col(CORRUPT_COL).alias("payload"),
                 F.current_timestamp().alias("quarantined_at"),
+                F.lit(batch_id).alias("ingest_batch"),
             )
-            bad.write.mode("append").json(quarantine_dir)
+            (
+                bad.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .json(quarantine_dir)
+            )
             good = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
             if lake.chat_id is not None:
                 good = good.filter(
                     F.col("message.chat.id") == F.lit(lake.chat_id)
                 )
-            lake.write_raw(good)
+            lake.write_raw(good, ingest_batch=batch_id)
         finally:
             batch.unpersist()
 

@@ -40,7 +40,26 @@ def interval_join(
     """Inner-join two streams on ``key`` where the right event lands in
     ``[left_ts, left_ts + within]``. Watermarks are applied here, on the
     already-renamed timestamp columns, so callers can't accidentally
-    build the unbounded-state variant."""
+    build the unbounded-state variant.
+
+    The join predicate is built from raw column names, so colliding
+    names would make it ambiguous or silently self-referential (e.g.
+    both timestamps called ``ts`` would compare a column to itself);
+    the guard below rejects those shapes up front with a clear error
+    instead."""
+    if left_ts == right_ts:
+        raise ValueError(
+            f"left_ts and right_ts must differ (both {left_ts!r}): rename "
+            "one side's timestamp column before the join"
+        )
+    overlap = sorted(
+        ({left_ts} & set(right.columns)) | ({right_ts} & set(left.columns))
+    )
+    if overlap:
+        raise ValueError(
+            f"timestamp columns must be side-unique: {overlap} appear on "
+            "both inputs — rename before the join"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withColumnRenamed(key, "__rk").withWatermark(
         right_ts, watermark

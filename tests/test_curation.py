@@ -50,3 +50,27 @@ def test_curation_drops_each_doc_exactly_once(spark):
     kept_ids = {r.doc_id for r in kept.collect()}
     assert kept_ids.isdisjoint(dropped)
     assert kept_ids | set(dropped) == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_near_dedup_kept_alive_flag(spark):
+    """kept_alive marks whether the referenced keeper survived the
+    near-dup stage: in a chain A~B, B~C drop-all-doc_b removes both B
+    and C; B's keeper (A) is alive, C's keeper (B) is not."""
+    chain = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota", "en"),
+            (3, "alpha beta gamma delta epsilon zeta mu iota", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    _, ledger = curate_corpus(chain, jaccard_threshold=0.2, min_tokens=1)
+    near = {r.doc_id: r.kept_alive for r in ledger.collect()
+            if r.stage == "near_dedup"}
+    assert near.get(2) is True         # keeper doc 1 survived
+    if 3 in near:                      # doc 3's keeper may be doc 1 or 2
+        reasons = {r.doc_id: r.reason for r in ledger.collect()}
+        if "vs doc 2" in reasons[3]:
+            assert near[3] is False    # doc 2 was itself dropped
+        else:
+            assert near[3] is True

@@ -165,3 +165,50 @@ def test_quarantine_captures_malformed_payloads(spark, tmp_path):
     quarantined = spark.read.json(str(tmp_path / "quarantine")).collect()
     assert len(quarantined) == 1
     assert quarantined[0].payload == '{"update_id": 2, "message": {broken'
+
+
+def test_quarantine_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after checkpoint loss the same
+    micro-batch is re-delivered with the same id. Both outputs key their
+    layout on that id (ingest_batch= partition + dynamic overwrite), so
+    a replay rewrites its own partitions — zero duplicate raw or
+    quarantine rows."""
+    import json as _json
+    import shutil
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.lake import TelegramLake
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.ingest import start_ingest_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    good = {
+        "update_id": 1,
+        "message": {
+            "message_id": 10,
+            "from": {"id": 1, "is_bot": False, "first_name": "ada"},
+            "chat": {"id": -42, "type": "group"},
+            "date": 1704103200,
+            "text": "hello",
+        },
+    }
+    (landing / "u1.json").write_text(_json.dumps(good))
+    (landing / "u2.json").write_text('{"update_id": 2, "message": {broken')
+    lake = TelegramLake(str(tmp_path / "lake"), chat_id=-42)
+
+    for attempt in range(2):  # second pass = the re-delivered batch
+        if attempt == 1:
+            shutil.rmtree(tmp_path / "ckpt")  # lose the commit log
+        q = start_ingest_stream(
+            spark,
+            lake,
+            str(landing),
+            str(tmp_path / "ckpt"),
+            available_now=True,
+            quarantine_dir=str(tmp_path / "quarantine"),
+        )
+        q.awaitTermination(120)
+
+    assert [r.update_id for r in lake.read_raw(spark).collect()] == [1]
+    quarantined = spark.read.json(str(tmp_path / "quarantine")).collect()
+    assert len(quarantined) == 1
+    assert quarantined[0].payload == '{"update_id": 2, "message": {broken'

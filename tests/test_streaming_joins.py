@@ -87,3 +87,20 @@ def test_enrich_with_dim_broadcasts_and_keeps_unmatched(spark, tmp_path):
     _drain(enriched, out, str(tmp_path / "ckpt"))
     got = {r.nation_key: r.n_name for r in spark.read.parquet(out).collect()}
     assert got == {0: "ALGERIA", 999: None}
+
+
+def test_interval_join_rejects_colliding_timestamp_names(spark):
+    """The predicate is built from raw column names — colliding names
+    would silently compare a column to itself, so the operator refuses."""
+    import pytest
+
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.joins import interval_join
+
+    a = spark.createDataFrame([], "k long, ts timestamp")
+    b = spark.createDataFrame([], "k long, ts timestamp")
+    with pytest.raises(ValueError, match="must differ"):
+        interval_join(a, b, "k", left_ts="ts", right_ts="ts")
+    c = spark.createDataFrame([], "k long, l_ts timestamp, r_ts timestamp")
+    d = spark.createDataFrame([], "k long, r_ts timestamp")
+    with pytest.raises(ValueError, match="side-unique"):
+        interval_join(c, d, "k", left_ts="l_ts", right_ts="r_ts")

@@ -167,3 +167,27 @@ def test_asof_bucketed_matches_duckdb_on_skewed_fixture(spark):
         ).fetchall()
     }
     assert got_bucketed == oracle
+
+
+def test_asof_bucketed_keeps_null_left_ts_rows(spark):
+    """LEFT-join semantics must not depend on the skew-guard tuning flag:
+    a left row with NULL ts is kept (NULL right columns) by the plain
+    path, and the bucketed path must do the same — it used to drop the
+    row because NULL chunks never matched the plain equi-join."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 02:00:00")),
+         (2, "k", None),
+         (3, "nokey", None)],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 01:00:00"), 7)],
+        "k string, rts timestamp, v long",
+    )
+    plain = A.asof_join(left, right, "k", "k", "ts", "rts", ["v"])
+    bucketed = A.asof_join(
+        left, right, "k", "k", "ts", "rts", ["v"], bucket_seconds=3600
+    )
+    want = {(1, 7), (2, None), (3, None)}
+    assert {(r.id, r.v) for r in plain.collect()} == want
+    assert {(r.id, r.v) for r in bucketed.collect()} == want
