@@ -8,8 +8,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.lsh_tuning import hyperplane_rows_per_band, minhash_rows_per_band
 from ..operators import dedup as D
 from ..sources.tables import load_table
+
+# Banded geometries derived from the scale rule (functions/lsh_tuning.py)
+# at the sf0.1 bench corpus sizes, pinned through the oracle SQL:
+# 500 documents → 2 salts/band (8 bands); 2000 embeddings → 8 bits/band.
+DD4_ROWS_PER_BAND = minhash_rows_per_band(500)        # = 2
+DD6_ROWS_PER_BAND = hyperplane_rows_per_band(2000)    # = 8
 
 
 def dd1_exact_dedup(spark, sf_dir):
@@ -47,7 +54,7 @@ def dd4_minhash_lsh_candidates(spark, sf_dir):
     Sub-quadratic: only band-bucket collisions are paired."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        D.minhash_lsh_candidates(docs, n=3)
+        D.minhash_lsh_candidates(docs, n=3, rows_per_band=DD4_ROWS_PER_BAND)
         .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
         .limit(50)
     )
@@ -73,7 +80,11 @@ def dd6_embedding_cosine_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         S.lsh_banded_neardup_pairs(
-            emb, n_planes=16, rows_per_band=8, top=None, threshold=0.4
+            emb,
+            n_planes=2 * DD6_ROWS_PER_BAND,
+            rows_per_band=DD6_ROWS_PER_BAND,
+            top=None,
+            threshold=0.4,
         )
         .select(
             F.col("vec_a").alias("doc_keep"),

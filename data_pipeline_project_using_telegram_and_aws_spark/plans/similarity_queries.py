@@ -9,12 +9,16 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..functions.lsh_tuning import hyperplane_rows_per_band
 from ..functions.vectors import cosine
 from ..operators import similarity as S
 from ..sources.tables import load_table
 
-SS3_PLANES = 16       # total hyperplanes for the banded near-dup path
-SS3_ROWS_PER_BAND = 8  # → 2 bands × 256 buckets
+# Geometry derived from the scale rule (functions/lsh_tuning.py) at the
+# sf0.1 bench corpus size (2000 embeddings) → 8 bits/band; pinned through
+# the oracle SQL so every scale factor checks the same plan.
+SS3_ROWS_PER_BAND = hyperplane_rows_per_band(2000)   # = 8
+SS3_PLANES = 2 * SS3_ROWS_PER_BAND                   # 2 bands × 256 buckets
 SS5_K = 16            # k-means centroids
 SS5_ITERS = 3         # Lloyd iterations
 SS5_SAMPLE = 256      # md5-ordered deterministic training sample
