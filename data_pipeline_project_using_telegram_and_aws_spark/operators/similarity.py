@@ -414,6 +414,106 @@ def ivf_assign(
     )
 
 
+def build_ivf_assignments_table(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted lists as a catalog table BUCKETED by
+    ``centroid_id`` — the 100 TB index layout.
+
+    The one-time build assigns every vector to its nearest centroid and
+    writes (centroid_id, id, vector, norm) hash-bucketed on centroid_id
+    (sources/bucketing.py: one file per bucket). Query time then:
+
+    - the probes ⋈ assignments join on centroid_id needs NO shuffle of
+      the corpus — the table's bucket spec IS the join partitioning, so
+      only the tiny probe side moves (pinned: tests/test_similarity.py
+      asserts the executed plan has no Exchange on the assignment scan);
+    - a query touches at most ``nprobe`` buckets' files instead of the
+      whole corpus, and the vectors + norms ride in the table so the
+      rerank is row-local.
+
+    Bucket count bounds probe parallelism (one task per bucket) — size
+    it ≥ k at real scale so hot lists split across files.
+    """
+    assigned = ivf_assign(vectors, centroids, 1, id_col, vec_col).join(
+        vectors.select(
+            id_col, vec_col, norm(F.col(vec_col)).alias("__vn")
+        ),
+        id_col,
+    )
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(assigned, table, buckets, "centroid_id")
+
+
+def ivf_topk_from_table(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF query over a persisted bucketed assignments table
+    (:func:`build_ivf_assignments_table`): probe selection against the
+    broadcast centroids, then a centroid_id join against the bucketed
+    lists (the corpus side never shuffles), then row-local rerank.
+    Returns the same (query_id, vec_id, cos_sim, ivf_rank) shape as
+    :func:`ivf_topk`.
+
+    ``probe_ids`` is the bucket-PRUNING dial: Spark prunes buckets only
+    on literal equality/IN filters, so when the caller materializes the
+    probed centroid ids (k·nprobe integers — planning metadata from a
+    millisecond pre-query, the ANN equivalent of partition pruning by a
+    known date) the lists scan reads just those buckets' files —
+    ``SelectedBucketsCount: n of B`` in the executed plan (pinned in
+    tests). Without it the plan is still shuffle-free on the corpus
+    (broadcast probes) but scans every bucket."""
+    lists = spark.table(table)
+    if probe_ids is not None:
+        lists = lists.filter(F.col("centroid_id").isin(*probe_ids))
+    probes = ivf_assign(
+        queries, centroids, nprobe, id_col, vec_col, out_id="query_id"
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine_with_norms(
+                    F.col(vec_col), F.col("__qvec"),
+                    F.col("__vn"), F.col("__qn"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("ivf_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("ivf_rank") <= k)
+        .orderBy("query_id", "ivf_rank")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     n_centroids: int = 16,

@@ -1,0 +1,71 @@
+"""Sequence packing: determinism, no-split invariant, budget accounting,
+and the strict mode. Python reference recomputation on a small corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
+
+BUDGET = 50
+
+
+def _docs(spark, n=200):
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range((i * 7) % 30 + 1)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_packing_matches_python_reference(spark):
+    """Shard → md5 order → cumsum chunking, recomputed independently."""
+    df = _docs(spark, 60)
+    packed = pack_sequences(df, BUDGET, n_shards=4).collect()
+    got = {r.doc_id: (r.shard, r.seq_id, r.seq_offset) for r in packed}
+    toks = {r.doc_id: len(r.text.split()) for r in df.collect()}
+
+    shards = {r.doc_id: r.shard for r in packed}  # trust xxhash64 from Spark
+    by_shard: dict[int, list[int]] = {}
+    for d, s in shards.items():
+        by_shard.setdefault(s, []).append(d)
+    want = {}
+    for s, ids in by_shard.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        cum = 0
+        for i in ids:
+            want[i] = (s, cum // BUDGET, cum % BUDGET)
+            cum += toks[i]
+    assert got == want
+
+
+def test_packing_invariants_and_stats(spark):
+    df = _docs(spark, 200)
+    packed = pack_sequences(df, BUDGET, n_shards=8)
+    rows = packed.collect()
+    assert len(rows) == 200                      # no doc lost or split
+    assert len({r.doc_id for r in rows}) == 200
+    max_doc = max(r.n_tokens for r in rows)
+
+    stats = packing_stats(packed, BUDGET).collect()
+    # every sequence's tokens fit in budget + one straddling doc
+    assert all(s.seq_tokens <= BUDGET + max_doc for s in stats)
+    # offsets stay inside the sequence
+    assert all(0 <= r.seq_offset < BUDGET for r in rows)
+    # deterministic across invocations
+    again = {r.doc_id: (r.shard, r.seq_id, r.seq_offset)
+             for r in pack_sequences(df, BUDGET, n_shards=8).collect()}
+    assert again == {r.doc_id: (r.shard, r.seq_id, r.seq_offset) for r in rows}
+
+
+def test_packing_strict_drops_oversized(spark):
+    rows = [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 99))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_sequences(df, 50, n_shards=2, strict=True)
+    assert [r.doc_id for r in packed.collect()] == [1]
+    loose = pack_sequences(df, 50, n_shards=2, strict=False)
+    st = packing_stats(loose, 50)
+    assert any(s.overflows for s in st.collect())

@@ -132,3 +132,37 @@ def test_build_ivf_index_caches_per_key(spark):
     assert c is not a
     as_map = lambda rows: {r.centroid_id: list(r.cvec) for r in rows}
     assert as_map(a.collect()) == as_map(c.collect())  # same data either way
+
+
+def test_ivf_bucketed_assignments_table(spark, tmp_path):
+    """The 100 TB IVF layout: assignments persisted bucketed by
+    centroid_id. Parity with the inline ivf_topk, and with literal probe
+    ids the lists scan bucket-prunes (SelectedBucketsCount < total) and
+    the executed plan has no Exchange on the corpus side."""
+    df, _ = _vectors(spark, n=60, dims=16)
+    cents = S.train_centroids_lloyd(df, k=4, iters=1)
+    S.build_ivf_assignments_table(df, cents, "ivf_lists_t", buckets=4)
+    queries = df.filter(df.vec_id < 3)
+
+    inline = S.ivf_topk(df, n_queries=3, nprobe=2, k=5, centroids=cents)
+    from_table = S.ivf_topk_from_table(
+        spark, "ivf_lists_t", queries, cents, nprobe=2, k=5
+    )
+    key = lambda rows: {(r.query_id, r.ivf_rank): (r.vec_id, r.cos_sim) for r in rows}
+    assert key(from_table.collect()) == key(inline.collect())
+
+    # literal probe ids -> bucket pruning visible in the executed plan
+    probe_rows = S.ivf_assign(queries, cents, 2, out_id="query_id").collect()
+    probe_ids = sorted({r.centroid_id for r in probe_rows})
+    pruned = S.ivf_topk_from_table(
+        spark, "ivf_lists_t", queries, cents, nprobe=2, k=5,
+        probe_ids=probe_ids,
+    )
+    assert key(pruned.collect()) == key(inline.collect())
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "lists scan did not bucket-prune"
+    assert int(m.group(1)) < int(m.group(2))
