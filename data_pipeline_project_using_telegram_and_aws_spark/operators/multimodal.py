@@ -21,11 +21,14 @@ never pass through the driver; Arrow batch size is governed by
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+# a batch decoder maps (media_id, media) rows to MEDIA_FEATURE_SCHEMA rows
+BatchDecoder = Callable[[pd.DataFrame], pd.DataFrame]
 
 MEDIA_FEATURE_SCHEMA = T.StructType(
     [
@@ -92,21 +95,32 @@ def extract_media_features(
     media_col: str = "media",
     fake: bool = False,
     partitions: int | None = None,
+    decoder: "BatchDecoder | None" = None,
 ) -> DataFrame:
     """Distributed decode/feature-extract via ``mapInPandas``.
 
     Only (id, media) enters the Python worker; heavy bytes never hit the
     driver. ``partitions`` rebalances ahead of the CPU-bound decode stage.
+
+    ``decoder`` is the injection point for a real environment: any
+    callable ``pd.DataFrame[(media_id, media)] -> pd.DataFrame`` matching
+    ``MEDIA_FEATURE_SCHEMA`` (e.g. a PIL/ffmpeg dispatch) plugs in
+    without code change — it is cloudpickled to the executors like any
+    Python UDF. Default: :func:`decode_media_batch` (the stub, which
+    requires ``fake=True`` in this container).
     """
     slim = df.select(
         F.col(id_col).cast("long").alias("media_id"), F.col(media_col).alias("media")
     )
     if partitions:
         slim = slim.repartition(partitions, "media_id")
+    dec = decoder if decoder is not None else (
+        lambda batch: decode_media_batch(batch, fake=fake)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if len(batch):
-                yield decode_media_batch(batch, fake=fake)
+                yield dec(batch)
 
     return slim.mapInPandas(run, MEDIA_FEATURE_SCHEMA)

@@ -54,3 +54,37 @@ def test_nulls_survive_decode(spark):
     )
     out = extract_media_features(df, fake=True).collect()
     assert out[0].n_bytes == 0
+
+
+def test_injectable_decoder_plugs_in_without_code_change(spark):
+    """A real environment swaps the stub for its own batch decoder (PIL /
+    ffmpeg dispatch) via the `decoder` argument — shipped to executors
+    like any UDF, schema contract enforced by mapInPandas."""
+    import pandas as pd
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        MEDIA_FEATURE_SCHEMA,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"defg"))],
+        "media_id long, media binary",
+    )
+
+    def my_decoder(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            {
+                "media_id": mid,
+                "n_bytes": len(bytes(m)),
+                "content_hash": "custom",
+                "width": 1, "height": 2, "n_frames": 3,
+                "feature": [0.5],
+            }
+            for mid, m in zip(batch["media_id"], batch["media"])
+        ]
+        return pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields])
+
+    got = {r.media_id: (r.n_bytes, r.content_hash, r.width)
+           for r in extract_media_features(df, decoder=my_decoder).collect()}
+    assert got == {1: (3, "custom", 1), 2: (4, "custom", 1)}
