@@ -228,7 +228,7 @@ def q14_rollup_cube(spark, sf_dir):
 
 def q16_grouping_sets(spark, sf_dir):
     """GROUPING SETS via SQL (exact set list, not rollup/cube sugar)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=["orders"])
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
@@ -310,7 +310,7 @@ def q23_correlated_subquery(spark, sf_dir):
     both subquery shapes. The scalar threshold uses MEDIAN (exact, both
     engines) rather than AVG so a double mean can never flip a boundary
     row's membership between engines."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=["orders"])
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice

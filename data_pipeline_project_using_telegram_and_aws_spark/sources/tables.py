@@ -73,7 +73,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for ``spark.sql``."""
-    for name in TESTDATA_TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> None:
+    """Register testdata tables as temp views for ``spark.sql``.
+
+    ``tables`` limits registration to the views a query actually reads —
+    each registration costs a driver-side parquet-footer read, and a
+    query that re-registers all 10 tables pays ~0.3 s of pure overhead
+    per invocation (measured: part of q23's round-2 "regression")."""
+    for name in tables if tables is not None else TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
