@@ -62,6 +62,8 @@ def write_bucketed(
     # equals bucket count, which the module docstring sizes in the
     # thousands anyway.
     df = df.repartition(buckets, *[df[k] for k in keys])
+    if mode == "overwrite":
+        _drop_table_and_location(df.sparkSession, table)
     (
         df.write.mode(mode)
         .bucketBy(buckets, keys[0], *keys[1:])
@@ -69,6 +71,22 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Make an overwrite-mode ``saveAsTable`` idempotent across metastore
+    lifetimes: a fresh (per-session Derby) metastore does not know the
+    table, so ``mode("overwrite")`` alone raises LOCATION_ALREADY_EXISTS
+    when a previous session's warehouse directory survives. Drop the
+    catalog entry if present, then remove the orphan location through the
+    Hadoop FS API (works for any filesystem, not just local disk)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.split(".")[-1].lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def cojoined(
