@@ -55,7 +55,10 @@ HEADLINE = [
     "ss5_ivf_topk",
     "tx2_quality_scores",
     "tx6_document_frequency",
+    "tx7_repetition_scores",
     "cu1_corpus_curation",
+    "pk1_sequence_packing",
+    "dc1_decontamination",
 ]
 
 
@@ -80,17 +83,8 @@ def _bucketed_join_pair(spark, sf_dir, timings: dict) -> None:
         "l_orderkey", "l_extendedprice"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    for t in ("bench_li_b", "bench_o_b"):
-        # drop catalog entry AND any orphaned warehouse dir from a previous
-        # process (saveAsTable refuses a stale location it no longer owns)
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        loc = os.path.join(
-            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), t
-        )
-        if os.path.isdir(loc):
-            import shutil
-
-            shutil.rmtree(loc)
+    # stale catalog entries / orphaned warehouse dirs from a previous
+    # process are handled inside write_bucketed (overwrite mode)
     write_bucketed(li, "bench_li_b", 32, "l_orderkey")
     write_bucketed(o, "bench_o_b", 32, "o_orderkey")
 

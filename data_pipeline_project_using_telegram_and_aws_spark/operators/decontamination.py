@@ -1,0 +1,71 @@
+"""Benchmark decontamination: find training documents that share word
+n-grams with a held-out evaluation set (the train/test-overlap audit every
+LLM data pipeline runs before training — contaminated training documents
+inflate eval scores).
+
+Semantics follow the standard n-gram collision report (GPT-3 appendix /
+PaLM-style): a training doc is *contaminated* by an eval doc when the two
+share at least one word n-gram (n≈8-13 for real corpora; callers pick n
+to match their token distribution). The report carries the collision
+count and the contaminated fraction of the eval doc's grams, so the
+downstream policy (drop the training doc, or flag the eval doc) has the
+evidence attached.
+
+Scale design (100 TB train corpus × MB-scale benchmark suite):
+- the train side is shingled once and joined by gram — an inverted-index
+  equi-join, never a cross join (reuses :func:`dedup.shingle_rows`, the
+  codegen'd position-explode shingler);
+- the eval side is tiny by nature (benchmarks are curated sets), so its
+  gram table is **broadcast**: the train corpus never shuffles — the only
+  wide plan node is the final per-pair count aggregation over collision
+  rows, whose cardinality is the contamination itself (near-zero on a
+  clean corpus);
+- gram equality uses the raw gram string; at petabyte scale substitute
+  ``md5(gram)`` on BOTH sides to shrink the broadcast (same join shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import shingle_rows
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(train_doc_id, eval_doc_id, shared_ngrams, eval_ngrams,
+    contamination) — one row per contaminated (train, eval) pair.
+
+    ``contamination`` = shared / eval-doc distinct grams, rounded to 4 dp:
+    1.0 means the eval doc appears verbatim (modulo gram coverage) in the
+    training document.
+    """
+    tg = shingle_rows(train, n, id_col, text_col, distinct=True).select(
+        F.col(id_col).alias("train_doc_id"), "shingle"
+    )
+    eg = shingle_rows(eval_docs, n, id_col, text_col, distinct=True).select(
+        F.col(id_col).alias("eval_doc_id"), "shingle"
+    )
+    eg = eg.withColumn(
+        "eval_ngrams",
+        F.count(F.lit(1)).over(Window.partitionBy("eval_doc_id")),
+    )
+    return (
+        tg.join(F.broadcast(eg), "shingle")
+        .groupBy("train_doc_id", "eval_doc_id", "eval_ngrams")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            "shared_ngrams",
+            "eval_ngrams",
+            F.round(
+                F.col("shared_ngrams") / F.col("eval_ngrams"), 4
+            ).alias("contamination"),
+        )
+    )

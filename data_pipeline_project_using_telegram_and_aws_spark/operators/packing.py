@@ -37,6 +37,16 @@ def default_token_count(text_col: str = "text") -> Column:
     return F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
 
 
+def md5_shard(id_col: str, n_shards: int) -> Column:
+    """Portable md5-derived shard id: first 6 hex digits of md5(id) as an
+    integer, mod ``n_shards``. Weaker mixing than the default xxhash64 but
+    reproducible verbatim in ANSI SQL (DuckDB:
+    ``CAST('0x' || substr(md5(id), 1, 6) AS BIGINT) % n``) — use it when
+    the packing layout itself must be oracle-checkable."""
+    hex6 = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 6)
+    return F.pmod(F.conv(hex6, 16, 10).cast("long"), F.lit(n_shards))
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,
@@ -45,6 +55,7 @@ def pack_sequences(
     text_col: str = "text",
     n_tokens_col: str | None = None,
     strict: bool = False,
+    shard: Column | None = None,
 ) -> DataFrame:
     """Assign every document a (shard, seq_id, seq_offset) packing slot.
 
@@ -53,7 +64,8 @@ def pack_sequences(
     sequence, from the cumsum — so a writer can materialize the packed
     sequence without re-scanning). ``strict=True`` drops documents longer
     than the budget (otherwise an oversized document occupies its
-    sequence alone and overflows it).
+    sequence alone and overflows it). ``shard`` overrides the default
+    xxhash64 shard assignment (e.g. :func:`md5_shard` for SQL parity).
     """
     n_tok = (
         F.col(n_tokens_col) if n_tokens_col else default_token_count(text_col)
@@ -61,9 +73,9 @@ def pack_sequences(
     d = docs.withColumn("n_tokens", n_tok.cast("long"))
     if strict:
         d = d.filter(F.col("n_tokens") <= budget)
-    d = d.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("long")
-    )
+    if shard is None:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    d = d.withColumn("shard", shard.cast("long"))
     w = (
         Window.partitionBy("shard")
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))

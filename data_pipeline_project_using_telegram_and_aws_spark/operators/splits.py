@@ -1,0 +1,77 @@
+"""Deterministic dataset splits: assign every row a stable train/val/test
+(or arbitrary weighted) split from a hash of its id — the reproducible
+alternative to `randomSplit`, whose assignment depends on partitioning
+and reshuffles between runs.
+
+Why not ``randomSplit``: it samples per-partition with a seeded RNG, so
+the same row can land in different splits after a repartition, a scale-up,
+or an engine upgrade — poison for train/eval hygiene. Hashing the id
+makes the split a pure function of the data: stable across runs, engines,
+partition layouts, and incremental arrivals (a new document's split is
+decided the moment it gets an id, without reshuffling old ones).
+
+Scale: one codegen'd projection, no shuffle, no state. The md5-prefix
+fraction is uniform to ~2^-24 over the 6-hex-digit space, plenty below
+any split-ratio tolerance that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SPACE = float(16**6)  # 6 hex digits → uniform fraction in [0, 1)
+
+
+def hash_fraction(id_col: str | Column, salt: str = "") -> Column:
+    """Uniform [0, 1) fraction from md5(salt || id) — the split die roll.
+    ``salt`` yields independent splits from the same ids (e.g. a second
+    held-out set that must not correlate with the first)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex6 = F.substring(
+        F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")), 1, 6
+    )
+    return F.conv(hex6, 16, 10).cast("long") / F.lit(_SPACE)
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Append ``out_col`` labeling each row with a split name, with
+    expected proportions ``weights`` (normalized internally). Assignment
+    is the cumulative-interval lookup on the hash fraction, so a row's
+    split never changes unless its id or the salt does — and narrowing a
+    leading split keeps the survivors a subset of the original split.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = float(sum(weights.values()))
+    frac = hash_fraction(id_col, salt)
+    expr: Column | None = None
+    cumulative = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cumulative += weights[name] / total
+        clause = frac < cumulative
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def split_report(df: DataFrame, out_col: str = "split") -> DataFrame:
+    """Observability: row count and fraction per split (one aggregation;
+    the fraction is computed in-plan from a window total, no driver-side
+    count)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(out_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return counts.select(
+        out_col,
+        "n_rows",
+        F.round(F.col("n_rows") / total, 4).alias("fraction"),
+    ).orderBy(out_col)

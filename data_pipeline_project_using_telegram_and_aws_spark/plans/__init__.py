@@ -18,6 +18,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curation_queries,
         dedup_queries,
         multimodal_queries,
+        pipeline_queries,
         reference_queries,
         similarity_queries,
         starschema_queries,
@@ -30,8 +31,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first, the relational-breadth block last.
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (reference_queries, temporal_queries, dedup_queries,
-                curation_queries, similarity_queries, text_queries,
-                multimodal_queries, starschema_queries):
+                curation_queries, pipeline_queries, similarity_queries,
+                text_queries, multimodal_queries, starschema_queries):
         merged.update(mod.QUERIES)
     return merged
 
@@ -41,6 +42,7 @@ def all_oracles() -> dict[str, str]:
         curation_queries,
         dedup_queries,
         multimodal_queries,
+        pipeline_queries,
         reference_queries,
         similarity_queries,
         starschema_queries,
@@ -50,7 +52,7 @@ def all_oracles() -> dict[str, str]:
 
     merged: dict[str, str] = {}
     for mod in (reference_queries, temporal_queries, dedup_queries,
-                curation_queries, similarity_queries, text_queries,
-                multimodal_queries, starschema_queries):
+                curation_queries, pipeline_queries, similarity_queries,
+                text_queries, multimodal_queries, starschema_queries):
         merged.update(mod.ORACLE)
     return merged

@@ -37,16 +37,24 @@ def tx1_token_stats_by_lang(spark, sf_dir):
 
 def tx2_quality_scores(spark, sf_dir):
     """Per-document quality signals: length, punctuation ratio, stopword
-    ratio, mean token length — the cheap pre-LLM quality gate."""
+    ratio, mean token length, plus the regex (word-char) token count —
+    the cheap pre-LLM quality gate. The regex tokenizer column absorbs
+    former tx5_token_histogram: its histogram is a one-group-by away from
+    this row-level output, so the driver row checks the tokenizer at full
+    per-document granularity instead."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
+    n_retok = F.size(
+        F.filter(F.split(F.col("text"), "[^a-zA-Z0-9]+"), lambda t: t != "")
+    )
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
     n_punct = F.length(F.regexp_replace(F.col("text"), "[^!?.,;:]", ""))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_actual"),
         n_tok.cast("long").alias("n_tokens"),
+        n_retok.cast("long").alias("n_tokens_regex"),
         F.round(n_punct / F.length("text"), 4).alias("punct_ratio"),
         F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
         F.round(
@@ -83,17 +91,53 @@ def tx4_fingerprints(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def tx5_token_histogram(spark, sf_dir):
-    """Regex (word-char) tokenizer → document-length histogram."""
+def tx7_repetition_scores(spark, sf_dir):
+    """Gopher-style intra-document repetition signals: the duplicate
+    trigram fraction (1 − distinct/total trigrams) and the top single
+    token's share of the document — the filters that catch boilerplate
+    and keyword-stuffed documents.
+
+    Scale shape: two exploded aggregations (grams, tokens), each with
+    map-side partial agg, joined back on doc_id — linear in corpus size.
+    Documents shorter than 3 tokens have no trigrams and drop out (the
+    synthetic corpus has none)."""
+    from ..operators.dedup import shingle_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.col("text"), "[^a-zA-Z0-9]+"), lambda t: t != ""
+    g = (
+        shingle_rows(docs, 3, "doc_id", "text", distinct=False)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("shingle").alias("__n_distinct"),
+        )
+    )
+    tm = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("__c").alias("__top_n"),
+            F.sum("__c").cast("long").alias("__n_tokens"),
+        )
     )
     return (
-        docs.select(F.size(toks).cast("long").alias("n_tokens"))
-        .groupBy("n_tokens")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("n_tokens")
+        g.join(tm, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                F.lit(1) - F.col("__n_distinct") / F.col("n_grams"), 4
+            ).alias("dup_trigram_frac"),
+            F.round(F.col("__top_n") / F.col("__n_tokens"), 4).alias(
+                "top_token_ratio"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -129,8 +173,8 @@ QUERIES = {
     "tx2_quality_scores": tx2_quality_scores,
     "tx3_langid_heuristic": tx3_langid_heuristic,
     "tx4_fingerprints": tx4_fingerprints,
-    "tx5_token_histogram": tx5_token_histogram,
     "tx6_document_frequency": tx6_document_frequency,
+    "tx7_repetition_scores": tx7_repetition_scores,
 }
 
 _STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
@@ -160,6 +204,8 @@ ORACLE = {
         SELECT doc_id,
                CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
                CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens_regex,
                ROUND(LENGTH(regexp_replace(text, '[^!?.,;:]', '', 'g'))
                      / LENGTH(text), 4) AS punct_ratio,
                ROUND(len(list_filter(toks, x -> x IN {_STOP_SQL}))
@@ -189,15 +235,40 @@ ORACLE = {
                       1, 12) AS shard_key
         FROM documents ORDER BY doc_id
     """,
-    "tx5_token_histogram": """
-        WITH t AS (
-            SELECT CAST(len(list_filter(
-                       string_split_regex(text, '[^a-zA-Z0-9]+'),
-                       x -> x <> '')) AS BIGINT) AS n_tokens
+    "tx7_repetition_scores": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, l[g] || ' ' || l[g+1] || ' ' || l[g+2] AS gram
+            FROM toks,
+                 UNNEST(generate_series(1, greatest(len(l) - 2, 0))) AS t(g)
+        ),
+        g AS (
+            SELECT doc_id, COUNT(1) AS n_grams,
+                   COUNT(DISTINCT gram) AS n_distinct
+            FROM grams GROUP BY doc_id
+        ),
+        tok AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
             FROM documents
+        ),
+        tc AS (
+            SELECT doc_id, token, COUNT(1) AS c FROM tok GROUP BY doc_id, token
+        ),
+        tm AS (
+            SELECT doc_id, MAX(c) AS top_n,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens
+            FROM tc GROUP BY doc_id
         )
-        SELECT n_tokens, COUNT(1) AS n_docs
-        FROM t GROUP BY n_tokens ORDER BY n_tokens
+        SELECT doc_id, n_grams,
+               ROUND(1 - n_distinct / CAST(n_grams AS DOUBLE), 4)
+                   AS dup_trigram_frac,
+               ROUND(top_n / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio
+        FROM g JOIN tm USING (doc_id)
+        ORDER BY doc_id
     """,
     "tx6_document_frequency": """
         WITH term_doc AS (

@@ -51,16 +51,22 @@ def _nano_timestamp_columns(path: str) -> tuple[str, ...]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet, transparently fixing nanosecond-timestamp columns."""
+    """Read parquet, transparently fixing nanosecond-timestamp columns.
+
+    Also pins the session zone to UTC — for EVERY read, not just the
+    nano-typed ones: the testdata files store timestamps *without*
+    timezone and DuckDB (the oracle) reads them as naive wall-clock,
+    while Spark's TimestampType is an instant whose wall-clock
+    projection (``date_trunc``/``to_date``/``hour``/...) follows the
+    session zone resolved at plan-analysis time. Pinning here makes
+    every query built on these tables session-TZ-invariant. (A
+    micros-typed table once skipped the pin because it lived inside the
+    nano branch, so TZ invariance silently depended on which table a
+    session read first — caught by tests/test_tz_matrix.py.)"""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _nano_timestamp_columns(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The files store timestamps *without* timezone; DuckDB (the oracle)
-        # reads them as naive wall-clock. Spark's TimestampType is an
-        # instant, rendered in the session zone — pin the session to UTC so
-        # wall-clock extraction (to_date/hour/...) agrees with the oracle
-        # regardless of the caller's session zone.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in nano_cols:
         # integer division keeps full int64 precision (a double-based

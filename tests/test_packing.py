@@ -69,3 +69,20 @@ def test_packing_strict_drops_oversized(spark):
     loose = pack_sequences(df, 50, n_shards=2, strict=False)
     st = packing_stats(loose, 50)
     assert any(s.overflows for s in st.collect())
+
+
+def test_md5_shard_matches_python_reference(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        md5_shard,
+    )
+
+    docs = _docs(spark, n=50)
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in docs.select(
+            "doc_id", md5_shard("doc_id", 8).alias("shard")
+        ).collect()
+    }
+    for doc_id, shard in got.items():
+        hex6 = hashlib.md5(str(doc_id).encode()).hexdigest()[:6]
+        assert shard == int(hex6, 16) % 8

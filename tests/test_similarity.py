@@ -166,3 +166,20 @@ def test_ivf_bucketed_assignments_table(spark, tmp_path):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, "lists scan did not bucket-prune"
     assert int(m.group(1)) < int(m.group(2))
+
+
+def test_bucket_histogram_mass_equals_corpus(spark):
+    """ss4's observability view must account for every vector exactly
+    once: the histogram's total mass equals the corpus size (pinned here
+    because ss4 is no longer a driver correctness row)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.similarity_queries import (
+        ss4_bucket_histogram,
+    )
+
+    hist = ss4_bucket_histogram(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n_vectors"] for r in hist)
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    )
+    assert total == corpus
+    assert len(hist) > 1  # vectors actually spread across buckets

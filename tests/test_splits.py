@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+    assign_split,
+    hash_fraction,
+    split_report,
+)
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_fraction_matches_python_reference(spark):
+    rows = (
+        _ids(spark, 50)
+        .select("doc_id", hash_fraction("doc_id").alias("f"))
+        .collect()
+    )
+    for r in rows:
+        hex6 = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:6]
+        assert abs(r["f"] - int(hex6, 16) / 16**6) < 1e-12
+        assert 0.0 <= r["f"] < 1.0
+
+
+def test_split_proportions_and_stability(spark):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_split(_ids(spark), w)
+    report = {r["split"]: r for r in split_report(out).collect()}
+    assert set(report) == {"train", "val", "test"}
+    assert abs(report["train"]["fraction"] - 0.8) < 0.05
+    # pure function of the id: same assignment on a differently
+    # partitioned input (the property randomSplit lacks)
+    again = assign_split(_ids(spark).repartition(13), w)
+    diff = (
+        out.withColumnRenamed("split", "s1")
+        .join(again.withColumnRenamed("split", "s2"), "doc_id")
+        .filter(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_salt_decorrelates(spark):
+    w = {"a": 0.5, "b": 0.5}
+    one = assign_split(_ids(spark), w).withColumnRenamed("split", "s1")
+    two = assign_split(_ids(spark), w, salt="x").withColumnRenamed(
+        "split", "s2"
+    )
+    agree = (
+        one.join(two, "doc_id").filter(F.col("s1") == F.col("s2")).count()
+    )
+    # independent coin flips agree ~50%; identical splits would be 100%
+    assert 800 < agree < 1200
+
+
+def test_no_shuffle_in_plan(spark):
+    out = assign_split(_ids(spark), {"train": 0.9, "holdout": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
