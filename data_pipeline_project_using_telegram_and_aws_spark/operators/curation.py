@@ -66,7 +66,13 @@ def curate_corpus(
     # ---- stage 1: exact dedup (keep lowest id per identical text) -------
     hashed = D.with_text_hash(docs, text_col)
     w = Window.partitionBy("text_hash").orderBy(id_col)
-    ranked = hashed.withColumn("__rn", F.row_number().over(w))
+    # Materialize the ranked scan executor-side: four ledger/survivor
+    # branches re-derive from it, and without the checkpoint each one
+    # re-runs the scan + hash + window (the 100 TB analog is staging the
+    # ranked table to the lake between pipeline stages).
+    ranked = hashed.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     null_flag = F.lit(None).cast("boolean").alias("kept_alive")
     ledgers.append(
         ranked.filter(F.col("__rn") > 1).select(
@@ -109,6 +115,11 @@ def curate_corpus(
             F.col("__kept_dropped").isNull().alias("kept_alive"),
         )
     )
+    # The MinHash-LSH candidate computation above is the pipeline's
+    # heaviest stage and feeds three consumers (this ledger slice, the
+    # quality branch's anti-join, the language branch's anti-join);
+    # checkpointing its small output runs it exactly once.
+    near_drops = near_drops.localCheckpoint(eager=False)
     ledgers.append(near_drops)
     survivors = survivors.join(
         near_drops.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"

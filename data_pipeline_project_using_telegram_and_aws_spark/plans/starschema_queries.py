@@ -350,6 +350,16 @@ def q24_scalar_functions(spark, sf_dir):
             "#",
         ).alias("tag_masked"),
         F.trim(F.lpad("l_returnflag", 5, " ")).alias("flag_trimmed"),
+        F.reverse(F.concat_ws("-", "l_returnflag", "l_linestatus")).alias(
+            "tag_reversed"
+        ),
+        F.repeat("l_returnflag", 2).alias("flag_doubled"),
+        F.split_part(
+            F.concat_ws("-", "l_returnflag", "l_linestatus"), F.lit("-"), F.lit(2)
+        ).alias("tag_part2"),
+        F.translate(
+            F.concat_ws("-", "l_returnflag", "l_linestatus"), "ANF-", "anf_"
+        ).alias("tag_translated"),
         # math family
         F.round(F.abs(-F.col("l_extendedprice")), 2).alias("abs_price"),
         F.ceil("l_discount").cast("long").alias("ceil_disc"),
@@ -358,6 +368,14 @@ def q24_scalar_functions(spark, sf_dir):
         F.round(F.pow(F.col("l_quantity"), F.lit(2)), 2).alias("qty_squared"),
         F.round(F.ln(F.col("l_extendedprice") + 1), 4).alias("ln_price"),
         (F.col("l_partkey") % 7).cast("long").alias("partkey_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(
+            F.greatest(F.col("l_quantity"), F.col("l_extendedprice") / 1000), 2
+        ).alias("greatest_qp"),
+        F.round(
+            F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000), 2
+        ).alias("least_qp"),
         # conditional / null family
         F.when(F.col("l_extendedprice") > 50000, "high")
         .when(F.col("l_extendedprice") > 20000, "mid")
@@ -439,18 +457,25 @@ def q31_approx_count_distinct(spark, sf_dir):
 
 
 def q32_array_functions(spark, sf_dir):
-    """Array construction/explode round trip: tokenize document text,
-    explode, count tokens — the array-function family plus a lateral view."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    return (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "token")
-        .limit(20)
-    )
+    """Array-function panel per document: size, distinct-size, sort +
+    slice, lexicographic max, membership, and position — all row-local
+    codegen'd array expressions (the explode/lateral-view shape this
+    query previously demonstrated stays driver-checked through tx6/tx7).
+    ``array_position`` misses as 0 in Spark vs NULL in DuckDB, so the
+    oracle coalesces to 0."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.concat_ws(",", F.slice(F.array_sort(toks), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.array_max(toks).alias("max_token"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").alias("pos_the"),
+    ).orderBy("doc_id")
 
 
 QUERIES = {
@@ -636,6 +661,13 @@ ORACLE = {
                REGEXP_REPLACE(CONCAT_WS('', l_returnflag, '7', l_linestatus),
                               '[0-9]+', '#', 'g') AS tag_masked,
                TRIM(LPAD(l_returnflag, 5, ' ')) AS flag_trimmed,
+               REVERSE(CONCAT_WS('-', l_returnflag, l_linestatus))
+                   AS tag_reversed,
+               REPEAT(l_returnflag, 2) AS flag_doubled,
+               SPLIT_PART(CONCAT_WS('-', l_returnflag, l_linestatus), '-', 2)
+                   AS tag_part2,
+               TRANSLATE(CONCAT_WS('-', l_returnflag, l_linestatus),
+                         'ANF-', 'anf_') AS tag_translated,
                ROUND(ABS(-l_extendedprice), 2) AS abs_price,
                CAST(CEIL(l_discount) AS BIGINT) AS ceil_disc,
                CAST(FLOOR(l_tax) AS BIGINT) AS floor_tax,
@@ -643,6 +675,12 @@ ORACLE = {
                ROUND(POW(l_quantity, 2), 2) AS qty_squared,
                ROUND(LN(l_extendedprice + 1), 4) AS ln_price,
                CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7,
+               CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
+               ROUND(EXP(l_discount), 6) AS exp_disc,
+               ROUND(GREATEST(l_quantity, l_extendedprice / 1000), 2)
+                   AS greatest_qp,
+               ROUND(LEAST(l_quantity, l_extendedprice / 1000), 2)
+                   AS least_qp,
                CASE WHEN l_extendedprice > 50000 THEN 'high'
                     WHEN l_extendedprice > 20000 THEN 'mid'
                     ELSE 'low' END AS price_band,
@@ -691,14 +729,18 @@ ORACLE = {
         )
     """,
     "q32_array_functions": """
-        SELECT token, COUNT(1) AS cnt
-        FROM (
-            SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
-            FROM documents
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents WHERE doc_id < 20
         )
-        WHERE token <> ''
-        GROUP BY token
-        ORDER BY cnt DESC, token
-        LIMIT 20
+        SELECT doc_id,
+               CAST(len(l) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_tokens,
+               array_to_string(list_sort(l)[1:3], ',') AS first3_sorted,
+               list_aggregate(l, 'max') AS max_token,
+               list_contains(l, 'the') AS has_the,
+               CAST(COALESCE(list_position(l, 'the'), 0) AS BIGINT) AS pos_the
+        FROM t ORDER BY doc_id
     """,
 }

@@ -121,6 +121,20 @@ def q37_percentiles(spark, sf_dir):
             F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
             F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+            # approximate-percentile sketches are engine-specific (Spark
+            # KLL-ish vs DuckDB t-digest), so — like q31's HLL — each
+            # engine checks its OWN estimate against its exact median and
+            # only the deterministic tolerance boolean is hashed
+            F.expr("approx_percentile(l_quantity, 0.5)").alias("__ap50"),
+        )
+        .select(
+            "l_returnflag",
+            "p25",
+            "p50",
+            "p75",
+            (
+                F.abs(F.col("__ap50") - F.col("p50")) <= F.lit(1.0)
+            ).alias("approx_p50_close"),
         )
         .orderBy("l_returnflag")
     )
@@ -224,12 +238,17 @@ ORACLE = {
         ORDER BY cohort
     """,
     "q37_percentiles": """
-        SELECT l_returnflag,
-               ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
-               ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
-               ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
-        FROM lineitem
-        GROUP BY l_returnflag
+        SELECT l_returnflag, p25, p50, p75,
+               ABS(ap50 - p50) <= 1.0 AS approx_p50_close
+        FROM (
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+                   approx_quantile(l_quantity, 0.5) AS ap50
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
         ORDER BY l_returnflag
     """,
     "q38_hash_sample": f"""

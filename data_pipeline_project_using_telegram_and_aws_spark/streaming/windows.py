@@ -125,7 +125,11 @@ def _first_seen(
 def streaming_first_seen_dedup(docs: DataFrame) -> DataFrame:
     """Exact streaming dedup: first document per md5(text) across all
     micro-batches, state kept per hash in the checkpoint. Input needs
-    columns (doc_id, text, ts)."""
+    columns (doc_id, text, ts).
+
+    State grows with the number of DISTINCT hashes forever (NoTimeout) —
+    exact global dedup is inherently unbounded. For the bounded
+    production variant see :func:`streaming_dedup_within_watermark`."""
     hashed = docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
     return hashed.groupBy("text_hash").applyInPandasWithState(
         _first_seen,
@@ -133,4 +137,25 @@ def streaming_first_seen_dedup(docs: DataFrame) -> DataFrame:
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup_within_watermark(
+    docs: DataFrame, watermark: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Bounded-state streaming dedup: suppress re-deliveries of the same
+    content arriving within the watermark horizon, via Spark's
+    ``dropDuplicatesWithinWatermark`` (engine-managed state, evicted once
+    the watermark passes a row's timestamp).
+
+    The 100 TB trade vs :func:`streaming_first_seen_dedup`: state is
+    bounded by (arrival rate × watermark) instead of total distinct
+    corpus size, at the cost of letting a duplicate through if it
+    arrives later than the horizon — exactly the right contract for
+    webhook/at-least-once re-delivery dedup (SURVEY §2.9 ST4), where
+    duplicates cluster within seconds of each other. A batch-side exact
+    dedup (dd1) downstream remains the backstop."""
+    hashed = docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
     )

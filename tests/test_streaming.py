@@ -212,3 +212,53 @@ def test_quarantine_replay_is_idempotent(spark, tmp_path):
     quarantined = spark.read.json(str(tmp_path / "quarantine")).collect()
     assert len(quarantined) == 1
     assert quarantined[0].payload == '{"update_id": 2, "message": {broken'
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """Duplicates inside the watermark horizon are suppressed; a
+    duplicate arriving beyond it is re-emitted (the documented bounded
+    -state trade vs the exact NoTimeout dedup)."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            {"doc_id": 1, "text": "alpha", "ts": "2024-01-01 00:00:00"},
+            {"doc_id": 2, "text": "alpha", "ts": "2024-01-01 00:00:30"},
+            {"doc_id": 3, "text": "beta", "ts": "2024-01-01 00:01:00"},
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(landing)
+    dedup = W.streaming_dedup_within_watermark(stream, "10 minutes")
+    _drain(dedup, out, ckpt)
+    first = spark.read.parquet(out).collect()
+    assert sorted(r.text for r in first) == ["alpha", "beta"]
+
+    # advance the watermark far past alpha's state expiry (watermark
+    # moves at END of a processed batch, so eviction needs one
+    # intervening batch before the re-delivery arrives) ...
+    _write_batch(
+        landing,
+        "b2.json",
+        [{"doc_id": 4, "text": "gamma", "ts": "2024-01-01 12:00:00"}],
+    )
+    stream2 = spark.readStream.schema(EVENTS_SCHEMA).json(landing)
+    _drain(W.streaming_dedup_within_watermark(stream2, "10 minutes"), out, ckpt)
+
+    # ... then the same content re-delivered past the horizon is emitted
+    # again (state was evicted), while its near-in-time duplicate is
+    # still suppressed
+    _write_batch(
+        landing,
+        "b3.json",
+        [
+            {"doc_id": 5, "text": "alpha", "ts": "2024-01-02 00:00:00"},
+            {"doc_id": 6, "text": "alpha", "ts": "2024-01-02 00:00:10"},
+        ],
+    )
+    stream3 = spark.readStream.schema(EVENTS_SCHEMA).json(landing)
+    _drain(W.streaming_dedup_within_watermark(stream3, "10 minutes"), out, ckpt)
+    texts = [r.text for r in spark.read.parquet(out).collect()]
+    assert sorted(texts) == ["alpha", "alpha", "beta", "gamma"]
