@@ -1,0 +1,54 @@
+"""Skew mitigation: salted equi-join for hot keys.
+
+Spark's AQE skew-join (`spark.sql.adaptive.skewJoin.*`, on by default in
+this engine's sessions) splits oversized sort-merge partitions at
+runtime and is the first line of defense. Manual salting remains the
+tool when (a) the hot side feeds a *shuffled hash* join AQE won't split,
+(b) one key alone exceeds executor memory even after AQE's partition
+split, or (c) the join is keyed for downstream bucketing and the salt
+must be part of the layout. The classic recipe:
+
+- big (skewed) side: append ``salt = hash(whole row) % n`` — any per-row
+  value works because the salt only spreads rows of the SAME key across
+  ``n`` reducers;
+- small side: replicate each row once per salt value (``explode`` of a
+  ``sequence``), so every (key, salt) reducer finds its match.
+
+Cost model: the small side's shuffle volume multiplies by ``n_salts``
+while the hot key's reducer shrinks by the same factor — size ``n_salts``
+to the ratio between the hottest key's row count and a comfortable
+per-task row count, not higher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``skewed ⋈ small`` on ``key`` with the hot side salted
+    across ``n_salts`` reducers per key. Result is row-identical to the
+    plain join (salt columns never escape). ``how`` supports inner/left
+    — the replicated build side makes right/full semantics ambiguous, so
+    they are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: replicating "
+            "the small side breaks right/full outer multiplicity"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt.cast("int"))
+    right = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumnRenamed(key, "__rk")
+    joined = left.join(
+        right, (F.col(key) == F.col("__rk")) & (left["__salt"] == right["__salt"]),
+        how,
+    )
+    return joined.drop("__salt").drop("__rk")
