@@ -124,3 +124,75 @@ def extract_media_features(
                 yield dec(batch)
 
     return slim.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def fake_frame_batch(batch: pd.DataFrame, max_frames: int) -> pd.DataFrame:
+    """Deterministic fake frame sampler: frame count follows the same
+    rule as :func:`decode_media_batch` (1 + n_bytes % 8), sampled at a
+    uniform stride so at most ``max_frames`` frames emit per media row;
+    each frame's content stands in as md5(bytes || index)."""
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        n_frames = 1 + len(raw) % 8
+        stride = max(1, -(-n_frames // max_frames))  # ceil division
+        for idx in range(0, n_frames, stride):
+            out.append(
+                {
+                    "media_id": media_id,
+                    "frame_index": idx,
+                    "n_frames": n_frames,
+                    "frame_hash": hashlib.md5(
+                        raw + idx.to_bytes(4, "big")
+                    ).hexdigest(),
+                }
+            )
+    return pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+def sample_frames(
+    df: DataFrame,
+    max_frames: int = 4,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake: bool = False,
+    frame_sampler: "Callable[[pd.DataFrame, int], pd.DataFrame] | None" = None,
+) -> DataFrame:
+    """Frame sampling over video binaries: the 1→N exploding decode shape
+    (vs :func:`extract_media_features`' 1→1), via the same
+    slim-projection ``mapInPandas`` plumbing — one input row yields up to
+    ``max_frames`` frame rows, Arrow-batched, bytes never on the driver.
+
+    ``frame_sampler(batch, max_frames)`` is the real-environment
+    injection point (an ffmpeg/OpenCV stride reader); the default stub
+    requires ``fake=True`` like the feature decoder. Downstream treats
+    the result as any other table — frame-level dedup (dd1 on
+    frame_hash) and per-frame feature extraction compose directly."""
+    if frame_sampler is None:
+        if not fake:
+            raise NotImplementedError(
+                "frame sampling requires ffmpeg/OpenCV, not available in "
+                "this container; pass fake=True for the deterministic stub"
+            )
+        frame_sampler = fake_frame_batch
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield frame_sampler(batch, max_frames)
+
+    return slim.mapInPandas(run, FRAME_SCHEMA)

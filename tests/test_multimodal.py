@@ -88,3 +88,42 @@ def test_injectable_decoder_plugs_in_without_code_change(spark):
     got = {r.media_id: (r.n_bytes, r.content_hash, r.width)
            for r in extract_media_features(df, decoder=my_decoder).collect()}
     assert got == {1: (3, "custom", 1), 2: (4, "custom", 1)}
+
+
+def test_sample_frames_stride_and_determinism(spark):
+    import hashlib
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    # n_frames rule: 1 + len % 8 -> b"xxxxx" has 6 frames, b"x" has 2
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xxxxx")), (2, bytearray(b"x"))],
+        "media_id long, media binary",
+    )
+    rows = sample_frames(df, max_frames=3, fake=True).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    # 6 frames at max 3 -> stride 2 -> indices 0,2,4; 2 frames -> 0,1
+    assert sorted(r.frame_index for r in by_media[1]) == [0, 2, 4]
+    assert sorted(r.frame_index for r in by_media[2]) == [0, 1]
+    assert all(r.n_frames == 6 for r in by_media[1])
+    want = hashlib.md5(b"xxxxx" + (2).to_bytes(4, "big")).hexdigest()
+    got = next(r.frame_hash for r in by_media[1] if r.frame_index == 2)
+    assert got == want
+
+
+def test_sample_frames_requires_fake_or_injected(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, media binary")
+    try:
+        sample_frames(df)
+    except NotImplementedError:
+        pass
+    else:
+        raise AssertionError("stub decoder accepted without fake=True")
