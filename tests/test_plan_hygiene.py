@@ -42,3 +42,30 @@ def test_q8_dim_chain_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     # the fact table must never be on a shuffled sort-merge path here
     assert "SortMergeJoin" not in plan
+
+
+def test_pk1_packing_scan_prunes_to_id_and_text(spark):
+    """Packing derives everything from (doc_id, text): reading lang/
+    source/n_chars for the stats output would be the pruning
+    regression."""
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.pipeline_queries import (
+        pk1_sequence_packing,
+    )
+
+    plan = _plan(pk1_sequence_packing(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_dc1_eval_side_broadcasts(spark):
+    """Decontamination must broadcast the (small) eval gram table — the
+    train corpus never shuffles by gram."""
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.pipeline_queries import (
+        dc1_decontamination,
+    )
+
+    plan = _plan(dc1_decontamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
