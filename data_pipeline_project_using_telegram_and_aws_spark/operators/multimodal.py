@@ -196,3 +196,72 @@ def sample_frames(
                 yield frame_sampler(batch, max_frames)
 
     return slim.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def fake_resize_batch(
+    batch: pd.DataFrame, width: int, height: int
+) -> pd.DataFrame:
+    """Deterministic fake resizer: the 'resized image' is the md5 digest
+    of (bytes || WxH) — stable across runs/engines so the binary output
+    path through Arrow is hash-checkable, without pretending to do
+    pixel work the container cannot do."""
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        payload = hashlib.md5(raw + f"{width}x{height}".encode()).digest()
+        out.append(
+            {
+                "media_id": media_id,
+                "width": width,
+                "height": height,
+                "resized": payload,
+            }
+        )
+    return pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake: bool = False,
+    resizer: "Callable[[pd.DataFrame, int, int], pd.DataFrame] | None" = None,
+) -> DataFrame:
+    """Batch image resize over the slim-projection ``mapInPandas``
+    plumbing: binary in, binary out, bytes never on the driver — the
+    1→1 transform whose output REPLACES the payload (vs
+    :func:`extract_media_features`, whose output rides alongside it).
+
+    ``resizer(batch, width, height)`` injects a real PIL/OpenCV
+    implementation; the stub requires ``fake=True`` like the other
+    decode stages."""
+    if resizer is None:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires PIL/OpenCV, not available in this "
+                "container; pass fake=True for the deterministic stub"
+            )
+        resizer = fake_resize_batch
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield resizer(batch, width, height)
+
+    return slim.mapInPandas(run, RESIZED_SCHEMA)

@@ -127,3 +127,36 @@ def test_sample_frames_requires_fake_or_injected(spark):
         pass
     else:
         raise AssertionError("stub decoder accepted without fake=True")
+
+
+def test_resize_media_deterministic_stub(spark):
+    import hashlib
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgdata")), (2, None)],
+        "media_id long, media binary",
+    )
+    rows = {r.media_id: r for r in resize_media(df, 32, 24, fake=True).collect()}
+    assert rows[1].width == 32 and rows[1].height == 24
+    want = hashlib.md5(b"imgdata" + b"32x24").digest()
+    assert bytes(rows[1].resized) == want
+    # null payload resizes the empty bytes, deterministically
+    assert bytes(rows[2].resized) == hashlib.md5(b"" + b"32x24").digest()
+
+
+def test_resize_media_requires_fake_or_injected(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, media binary")
+    try:
+        resize_media(df, 8, 8)
+    except NotImplementedError:
+        pass
+    else:
+        raise AssertionError("stub resizer accepted without fake=True")
