@@ -57,3 +57,22 @@ def test_shift_robustness_and_overlap_ranking(spark):
     assert pairs[(0, 1)] > 0.8
     # unrelated text shares at most incidental fingerprints
     assert pairs.get((0, 2), 0.0) < 0.2
+
+
+def test_winnowing_guarantee_property():
+    """Schleimer-Wilkerson-Aiken guarantee: documents sharing a substring
+    of length >= k + window - 1 share at least one fingerprint. Checked
+    on the algorithm's reference implementation (Spark parity with it is
+    pinned above), over randomized host/payload strings."""
+    from hypothesis import given, settings, strategies as st
+
+    shared = st.text(alphabet="abcdef ", min_size=K + W - 1, max_size=30)
+    pad = st.text(alphabet="uvwxyz ", min_size=0, max_size=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(shared, pad, pad, pad, pad)
+    def run(sub, a, b, c, d):
+        doc1, doc2 = a + sub + b, c + sub + d
+        assert _py_winnow(doc1) & _py_winnow(doc2)
+
+    run()
