@@ -239,19 +239,9 @@ def minhash_lsh_candidates(
     a row-local ``zip_with`` on the joined pair — no post-hoc signature
     re-join, no recomputation of the md5 work.
     """
-    n_bands = n_salts // rows_per_band
-    sigs = minhash_sig_array(df, n, n_salts, id_col, text_col)
     # bucket string mirrors the exploded formulation (and the SQL oracle):
     # sorted 'lpad(salt):minhash' entries of the band joined with ','
-    buckets = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), b -> "
-        f"md5(array_join(array_sort(transform(sequence(0, {rows_per_band - 1}), "
-        f"r -> concat(lpad(cast(b * {rows_per_band} + r as string), 4, '0'), "
-        f"':', element_at(sig, b * {rows_per_band} + r + 1)))), ',')))"
-    )
-    bands = sigs.select(
-        F.col(id_col), F.col("sig"), F.posexplode(buckets).alias("band", "bucket")
-    )
+    bands = band_rows(df, n, n_salts, rows_per_band, id_col, text_col)
     left = bands.select(
         F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -267,6 +257,93 @@ def minhash_lsh_candidates(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .groupBy("doc_a", "doc_b")  # dedup pairs colliding in >1 band
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def band_rows(
+    df: DataFrame, n: int = 3, n_salts: int = N_SALTS, rows_per_band: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, bucket, sig) exploded band-bucket rows — the LSH
+    index representation. Same bucket rule as
+    :func:`minhash_lsh_candidates` (they must collide identically); the
+    full signature rides along so a probe can estimate Jaccard
+    row-locally without a second signature join."""
+    n_bands = n_salts // rows_per_band
+    sigs = minhash_sig_array(df, n, n_salts, id_col, text_col)
+    buckets = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"md5(array_join(array_sort(transform(sequence(0, {rows_per_band - 1}), "
+        f"r -> concat(lpad(cast(b * {rows_per_band} + r as string), 4, '0'), "
+        f"':', element_at(sig, b * {rows_per_band} + r + 1)))), ',')))"
+    )
+    return sigs.select(
+        F.col(id_col), F.col("sig"), F.posexplode(buckets).alias("band", "bucket")
+    )
+
+
+def build_minhash_index_table(
+    docs: DataFrame, table: str, n: int = 3, n_salts: int = N_SALTS,
+    rows_per_band: int = 2, buckets: int = 16,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> None:
+    """Persist the corpus LSH index as a catalog table BUCKETED on
+    (band, bucket) — the incremental-dedup layout at 100 TB.
+
+    Signatures are computed ONCE at index-build time; every daily batch
+    then probes the table instead of re-shingling the corpus. Hash
+    bucketing on the join key means a probe join reads the index
+    co-located: only the (small) new batch shuffles, the corpus index
+    never moves after the write (pinned: tests/test_dedup.py asserts the
+    probe plan has exactly one Exchange, on the probe side)."""
+    from ..sources.bucketing import write_bucketed
+
+    rows = band_rows(docs, n, n_salts, rows_per_band, id_col, text_col)
+    write_bucketed(rows, table, buckets, ["band", "bucket"])
+
+
+def dedup_against_index(
+    spark, new_docs: DataFrame, table: str, n: int = 3,
+    n_salts: int = N_SALTS, rows_per_band: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup: (new_doc_id, corpus_doc_id, est_jaccard)
+    for every new document colliding with the persisted index in any
+    band. The new batch is shingled/signed fresh (it is small by
+    definition); the corpus side is the bucketed index table, read
+    in place. Downstream policy joins this anti-style to admit only
+    non-duplicates, then appends the admitted docs' band rows to the
+    index — the index grows with the corpus, signatures never recompute.
+    """
+    probe = band_rows(new_docs, n, n_salts, rows_per_band, id_col, text_col)
+    index = spark.table(table)
+    est = (
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x <=> y), v -> v))")
+        / F.lit(float(n_salts))
+    )
+    return (
+        probe.select(
+            F.col(id_col).alias("new_doc_id"),
+            F.col("sig").alias("sig_a"),
+            "band",
+            "bucket",
+        )
+        .join(
+            index.select(
+                F.col(id_col).alias("corpus_doc_id"),
+                F.col("sig").alias("sig_b"),
+                "band",
+                "bucket",
+            ),
+            ["band", "bucket"],
+        )
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .groupBy("new_doc_id", "corpus_doc_id")
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 

@@ -100,3 +100,61 @@ def test_max_df_jaccard_is_over_filtered_sets(spark):
     assert pairs[(1, 2)] == 0.5
     # doc 3 loses all shingles -> appears in no pair
     assert all(3 not in p for p in pairs)
+
+
+def test_incremental_dedup_against_persisted_index(spark):
+    """Index the corpus once, probe with a new batch: the near-dup of an
+    indexed doc is flagged, the novel doc is not, and estimates agree
+    with the batch LSH run over the union."""
+    corpus = _docs(spark).filter(F.col("doc_id") != 5)
+    D.build_minhash_index_table(corpus, "dedup_index_t", buckets=4)
+
+    new = spark.createDataFrame(
+        [(10, BASE), (11, "entirely novel content never indexed before ok")],
+        ["doc_id", "text"],
+    )
+    hits = {
+        (r.new_doc_id, r.corpus_doc_id): r.est_jaccard
+        for r in D.dedup_against_index(spark, new, "dedup_index_t").collect()
+    }
+    assert hits[(10, 1)] == 1.0 and hits[(10, 2)] == 1.0  # exact content
+    assert (10, 3) in hits                                # near dup collides
+    assert not any(n == 11 for n, _ in hits)              # novel doc clean
+
+    # estimate parity with the one-shot batch path over corpus ∪ new
+    batch = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in D.minhash_lsh_candidates(corpus.union(new)).collect()
+    }
+    for (n, c), est in hits.items():
+        assert batch[(min(c, n), max(c, n))] == est
+
+
+def test_incremental_probe_shuffles_only_the_new_batch(spark):
+    """The bucketed index side must not re-shuffle: exactly one Exchange
+    in the probe plan, on the (small) new-batch side."""
+    corpus = _docs(spark).filter(F.col("doc_id") != 5)
+    D.build_minhash_index_table(corpus, "dedup_index_t2", buckets=4)
+    new = spark.createDataFrame([(10, NEAR)], ["doc_id", "text"])
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.bucketing import (
+        exchange_count,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = D.dedup_against_index(spark, new, "dedup_index_t2")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the index is read bucketed, in place
+        assert "Bucketed: true" in plan, plan
+        # exactly 3 exchanges, all on the probe/result path (signature
+        # agg by doc_id, band/bucket partitioning for the join, final
+        # pair agg); an unbucketed index would add a 4th for its side
+        assert exchange_count(probe) == 3, plan
+        # and none of them sits above the index scan: the index subtree
+        # (everything from its Sort to the FileScan) is exchange-free
+        idx_side = plan[plan.rfind("+- Sort [band") :]
+        assert "Exchange" not in idx_side, idx_side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
