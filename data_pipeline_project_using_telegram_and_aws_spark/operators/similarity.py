@@ -654,6 +654,10 @@ def lsh_banded_neardup_pairs(
     bb = banded_buckets(
         vectors, n_planes, rows_per_band, dims, id_col, vec_col
     )
+    # no checkpoint on vb: measured at sf0.1, Spark's ReusedExchange
+    # already shares the (vector, norm, band, bucket) subplan between the
+    # two self-join sides (2.03 s vs 2.06 s checkpointed) — unlike cu1's
+    # ledger union, whose branches shuffle differently and cannot reuse
     vb = (
         vectors.select(id_col, vec_col)
         .withColumn("__n", norm(F.col(vec_col)))
