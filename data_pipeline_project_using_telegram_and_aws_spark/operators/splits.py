@@ -62,6 +62,47 @@ def assign_split(
     return df.withColumn(out_col, out)
 
 
+def weighted_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the data-recipe
+    operator: ``rates[source] = 0.25`` keeps a quarter of that source,
+    ``2.5`` repeats every row twice and keeps half a third time (the
+    oversampling convention pretraining mixtures use, tracked in an
+    ``epoch`` column so the dataloader can interleave repeats).
+
+    Mechanics: integer part → ``explode(sequence(0, n-1))`` repeats;
+    fractional part → hash-fraction acceptance salted per (salt, epoch),
+    so the partial epoch is an unbiased, stable subset and narrowing a
+    rate keeps survivors a subset of the wider rate's. Pure projection +
+    one explode — no shuffle, no RNG, rerun-identical (the property
+    ``sample()`` lacks), safe to compose before :func:`assign_split` and
+    packing."""
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("mixture rates must be >= 0")
+    rate = F.lit(float(default_rate))
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == src, float(r)).otherwise(rate)
+    out = df.withColumn("__rate", rate)
+    # epochs 0..ceil(rate)-1; the last epoch keeps the fractional share
+    n_epochs = F.ceil("__rate").cast("int")
+    out = out.withColumn(
+        "epoch",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_epochs, F.lit(1)) - 1)),
+    )
+    frac_of_epoch = F.least(F.col("__rate") - F.col("epoch"), F.lit(1.0))
+    die = hash_fraction(
+        F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("epoch")),
+        salt,
+    )
+    return out.filter(die < frac_of_epoch).drop("__rate")
+
+
 def split_report(df: DataFrame, out_col: str = "split") -> DataFrame:
     """Observability: row count and fraction per split (one aggregation;
     the fraction is computed in-plan from a window total, no driver-side

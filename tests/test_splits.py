@@ -62,3 +62,60 @@ def test_no_shuffle_in_plan(spark):
     out = assign_split(_ids(spark), {"train": 0.9, "holdout": 0.1})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _sourced(spark, n=3000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+
+
+def test_mixture_proportions(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        weighted_mixture,
+    )
+
+    df = _sourced(spark)  # 1000 rows per source
+    out = weighted_mixture(
+        df, {"src0": 0.5, "src1": 2.5, "src2": 0.0}
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["src0"] - 500) < 80
+    assert abs(counts["src1"] - 2500) < 80
+    assert "src2" not in counts
+    # oversampling: epochs 0 and 1 are complete, epoch 2 is the half
+    epochs = {
+        r["epoch"]: r["n"]
+        for r in out.filter("source = 'src1'")
+        .groupBy("epoch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert epochs[0] == 1000 and epochs[1] == 1000
+    assert abs(epochs[2] - 500) < 80
+
+
+def test_mixture_deterministic_and_nested(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        weighted_mixture,
+    )
+
+    df = _sourced(spark)
+    a = set(
+        r["doc_id"]
+        for r in weighted_mixture(df, {"src0": 0.25}, default_rate=0.0).collect()
+    )
+    b = set(
+        r["doc_id"]
+        for r in weighted_mixture(
+            df.repartition(7), {"src0": 0.5}, default_rate=0.0
+        ).collect()
+    )
+    assert a  # nonempty
+    # narrowing the rate keeps survivors a subset of the wider rate's,
+    # and the assignment is partitioning-independent
+    assert a <= b
