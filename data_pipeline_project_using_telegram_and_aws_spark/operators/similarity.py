@@ -451,6 +451,53 @@ def build_ivf_assignments_table(
     write_bucketed(assigned, table, buckets, "centroid_id")
 
 
+def append_ivf_assignments(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a persisted IVF index: assign ONLY the new
+    batch against the frozen centroids (broadcast scoring, no corpus
+    touch) and append into the bucketed table — Spark's append to a
+    bucketed catalog table keeps the bucket spec, so probe joins stay
+    co-located.
+
+    Two documented trades of append-vs-rebuild: (a) each append adds one
+    file per bucket, so the one-file-per-bucket sort-elision guarantee
+    degrades to plain co-location (compact periodically via a rebuild,
+    exactly like the lake's small-file compaction); (b) centroids are
+    NOT retrained — drift between the frozen codebook and new data shows
+    up as rising residual distance, the standard reindex trigger."""
+    spark = new_vectors.sparkSession
+    assigned = ivf_assign(new_vectors, centroids, 1, id_col, vec_col).join(
+        new_vectors.select(
+            id_col, vec_col, norm(F.col(vec_col)).alias("__vn")
+        ),
+        id_col,
+    )
+    # a bucketed append must re-declare the exact bucket spec of the
+    # target (Spark refuses a mismatched — or missing — spec); read it
+    # from the catalog so callers can't drift from the build-time layout
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    n_buckets = int(desc["Num Buckets"])
+    bucket_cols = [c.strip("` ") for c in desc["Bucket Columns"].strip("[]").split(",")]
+    sort_cols = [c.strip("` ") for c in desc["Sort Columns"].strip("[]").split(",")]
+    (
+        assigned.select(*spark.table(table).columns)
+        .repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("append")
+        .bucketBy(n_buckets, bucket_cols[0], *bucket_cols[1:])
+        .sortBy(sort_cols[0], *sort_cols[1:])
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def ivf_topk_from_table(
     spark: SparkSession,
     table: str,

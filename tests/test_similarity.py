@@ -183,3 +183,38 @@ def test_bucket_histogram_mass_equals_corpus(spark):
     )
     assert total == corpus
     assert len(hist) > 1  # vectors actually spread across buckets
+
+
+def test_append_ivf_assignments_grows_index_in_place(spark):
+    """Incremental index growth: append a new batch against the frozen
+    centroids, then query parity with a full rebuild over the union —
+    and the appended table still bucket-joins without an Exchange on
+    the lists side."""
+    df, _ = _vectors(spark, n=60, dims=16)
+    base = df.filter(df.vec_id < 50)
+    newb = df.filter(df.vec_id >= 50)
+    cents = S.train_centroids_lloyd(base, k=4, iters=1)
+
+    S.build_ivf_assignments_table(base, cents, "ivf_grow_t", buckets=4)
+    S.append_ivf_assignments(newb, cents, "ivf_grow_t")
+
+    S.build_ivf_assignments_table(df, cents, "ivf_full_t", buckets=4)
+    queries = df.filter(df.vec_id < 3)
+    key = lambda rows: {
+        (r.query_id, r.ivf_rank): (r.vec_id, r.cos_sim) for r in rows
+    }
+    grown = S.ivf_topk_from_table(spark, "ivf_grow_t", queries, cents, nprobe=2, k=5)
+    full = S.ivf_topk_from_table(spark, "ivf_full_t", queries, cents, nprobe=2, k=5)
+    assert key(grown.collect()) == key(full.collect())
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.bucketing import (
+        exchange_count,
+    )
+
+    grown.collect()
+    plan = grown._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # appended files per bucket: co-location holds — the grown table's
+    # probe plan has exactly the shape of a fresh full build's (an
+    # un-bucketed append would add an Exchange above the lists scan)
+    assert exchange_count(grown) == exchange_count(full), plan
