@@ -262,3 +262,35 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     _drain(W.streaming_dedup_within_watermark(stream3, "10 minutes"), out, ckpt)
     texts = [r.text for r in spark.read.parquet(out).collect()]
     assert sorted(texts) == ["alpha", "alpha", "beta", "gamma"]
+
+
+def test_pipeline_projections_compose_on_streams(spark, tmp_path):
+    """Pure-projection pipeline operators (PII redaction, split
+    assignment) apply to a stream unchanged — one code path for batch
+    and streaming ingest, no operator rewrite."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.redaction import (
+        redact_pii,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        assign_split,
+    )
+
+    landing = str(tmp_path / "landing")
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            {"doc_id": 1, "text": "mail me at a@b.io now", "ts": "2024-01-01 00:00:00"},
+            {"doc_id": 2, "text": "nothing sensitive here", "ts": "2024-01-01 00:01:00"},
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(landing)
+    piped = assign_split(
+        redact_pii(stream), {"train": 0.9, "holdout": 0.1}
+    )
+    out = str(tmp_path / "out")
+    _drain(piped, out, str(tmp_path / "ckpt"))
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert "[EMAIL]" in rows[1].text_redacted and rows[1].n_email == 1
+    assert rows[2].text_redacted == rows[2].text
+    assert all(r.split in ("train", "holdout") for r in rows.values())
