@@ -466,10 +466,11 @@ def append_ivf_assignments(
 
     Two documented trades of append-vs-rebuild: (a) each append adds one
     file per bucket, so the one-file-per-bucket sort-elision guarantee
-    degrades to plain co-location (compact periodically via a rebuild,
-    exactly like the lake's small-file compaction); (b) centroids are
-    NOT retrained — drift between the frozen codebook and new data shows
-    up as rising residual distance, the standard reindex trigger."""
+    degrades to plain co-location (restore it periodically with
+    ``sources.bucketing.compact_bucketed_table``, exactly like the
+    lake's small-file compaction); (b) centroids are NOT retrained —
+    drift between the frozen codebook and new data shows up as rising
+    residual distance, the standard reindex trigger."""
     spark = new_vectors.sparkSession
     assigned = ivf_assign(new_vectors, centroids, 1, id_col, vec_col).join(
         new_vectors.select(

@@ -89,6 +89,49 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
         fs.delete(path, True)
 
 
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str], list[str]]:
+    """(n_buckets, bucket_cols, sort_cols) read from the catalog — the
+    layout contract appends and compactions must reproduce."""
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    cols = [c.strip("` ") for c in desc["Bucket Columns"].strip("[]").split(",")]
+    sorts = [c.strip("` ") for c in desc["Sort Columns"].strip("[]").split(",")]
+    return int(desc["Num Buckets"]), cols, sorts
+
+
+def compact_bucketed_table(spark: SparkSession, table: str) -> None:
+    """Rewrite a bucketed table back to ONE file per bucket — the
+    maintenance pass after incremental appends (each append adds a file
+    per bucket; co-location survives but per-file sorted runs multiply,
+    and the reader's sort-elision guarantee needs single-file buckets).
+
+    Write-new-then-swap, never read-and-overwrite in place (a lazy scan
+    of a location being overwritten reads its own destruction): the
+    compacted copy lands under a scratch name with the same bucket spec,
+    then two catalog renames swap it in. At 100 TB the same shape holds
+    — the swap is metadata-only; the data rewrite is the price of
+    restoring the layout, paid at compaction cadence, not query time."""
+    n, cols, sorts = bucket_spec(spark, table)
+    scratch, backup = f"{table}__compacting", f"{table}__precompact"
+    # read the FILES, not the table: a catalog read advertises the bucket
+    # spec as its output partitioning, which lets Catalyst elide the
+    # repartition inside write_bucketed while the bucketed scan itself
+    # may be disabled as "unnecessary" — leaving one writer task per
+    # FILE, i.e. exactly the multi-file layout compaction is fixing
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    df = spark.read.parquet(desc["Location"])
+    write_bucketed(df, scratch, n, cols, sorts)
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
+    spark.sql(f"ALTER TABLE {scratch} RENAME TO {table}")
+    _drop_table_and_location(spark, backup)
+
+
 def cojoined(
     spark: SparkSession,
     left_table: str,

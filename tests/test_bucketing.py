@@ -90,3 +90,50 @@ def test_bucketed_join_matches_shuffled_join(
         )
     ).collect()
     assert sorted(map(tuple, bucketed)) == sorted(map(tuple, plain))
+
+
+def test_compact_bucketed_table_restores_one_file_per_bucket(spark):
+    """After incremental appends a bucket holds several files; the
+    compaction pass rewrites to one file per bucket (write-new-then-swap,
+    never read-and-overwrite in place) and preserves rows + bucket spec."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.bucketing import (
+        bucket_spec,
+        compact_bucketed_table,
+        write_bucketed,
+    )
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    extra = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_bucketed(base, "compact_t", 4, "k")
+    n, cols, sorts = bucket_spec(spark, "compact_t")
+    (
+        extra.repartition(n, "k")
+        .write.mode("append")
+        .bucketBy(n, *cols)
+        .sortBy(*sorts)
+        .format("parquet")
+        .saveAsTable("compact_t")
+    )
+
+    def files():
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        return glob.glob(os.path.join(wh, "compact_t", "*.parquet"))
+
+    assert len(files()) == 8  # two files per bucket after the append
+    before = sorted(r.k for r in spark.table("compact_t").collect())
+
+    compact_bucketed_table(spark, "compact_t")
+    assert len(files()) == 4  # one per bucket again
+    assert sorted(r.k for r in spark.table("compact_t").collect()) == before
+    assert bucket_spec(spark, "compact_t") == (n, cols, sorts)
+    assert not spark.catalog.tableExists("compact_t__precompact")
+    assert not spark.catalog.tableExists("compact_t__compacting")
