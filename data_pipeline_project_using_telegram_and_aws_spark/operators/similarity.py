@@ -499,6 +499,47 @@ def append_ivf_assignments(
     )
 
 
+def ivf_residual_stats(
+    spark: SparkSession,
+    table: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-centroid residual audit of a persisted IVF index: list size
+    and mean/max residual (1 − cosine(vector, its centroid)) — the
+    reindex trigger :func:`append_ivf_assignments` documents. Rising
+    residuals mean the frozen codebook has drifted from the data; a fat
+    max on one list means a hot, impure bucket.
+
+    One pass over the lists table joined to the broadcast centroids;
+    norms already ride in the table (``__vn``), so per row only the dot
+    fold runs. Residuals are rounded (4 dp) for run determinism."""
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", "cvec", norm(F.col("cvec")).alias("__cn")
+        )
+    )
+    lists = spark.table(table)
+    res = F.round(
+        1
+        - cosine_with_norms(
+            F.col(vec_col), F.col("cvec"), F.col("__vn"), F.col("__cn")
+        ),
+        4,
+    )
+    return (
+        lists.join(c, "centroid_id")
+        .select("centroid_id", res.alias("__r"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("list_size"),
+            F.round(F.avg("__r"), 4).alias("mean_residual"),
+            F.max("__r").alias("max_residual"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 def ivf_topk_from_table(
     spark: SparkSession,
     table: str,

@@ -218,3 +218,18 @@ def test_append_ivf_assignments_grows_index_in_place(spark):
     # probe plan has exactly the shape of a fresh full build's (an
     # un-bucketed append would add an Exchange above the lists scan)
     assert exchange_count(grown) == exchange_count(full), plan
+
+
+def test_ivf_residual_stats_account_for_every_vector(spark):
+    df, vecs = _vectors(spark, n=60, dims=16)
+    cents = S.train_centroids_lloyd(df, k=4, iters=1)
+    S.build_ivf_assignments_table(df, cents, "ivf_resid_t", buckets=4)
+    stats = S.ivf_residual_stats(spark, "ivf_resid_t", cents).collect()
+    # _vectors(n=60) plants one extra near-copy row -> 61 vectors total
+    assert sum(r.list_size for r in stats) == 61
+    for r in stats:
+        # cosine residual lives in [0, 2]; mean <= max by construction
+        assert 0.0 <= r.mean_residual <= r.max_residual <= 2.0
+    # a vector far from every centroid should push its list's max up:
+    # residuals are not degenerate zeros (random vectors, real spread)
+    assert max(r.max_residual for r in stats) > 0.1
