@@ -38,14 +38,21 @@ def run_daily_etl(
     flat = flatten_updates(raw).withColumn(
         "context_date", F.lit(str(context_date)).cast("date")
     )
-    # the write must not re-run the read twice (count + write), so cache the
-    # (small, one-day) flattened slice; at scale swap the count for write
-    # metrics from the listener if the extra action matters
-    flat = flat.cache()
-    try:
-        n = flat.count()
-        if n:
-            lake.write_enriched(flat, files_per_partition=files_per_partition)
-    finally:
-        flat.unpersist()
-    return n
+    # ONE action: write, then report the row count from the written
+    # partition's parquet FOOTERS — a metadata-only read, no second scan
+    # and no cache (the previous cache+count shape cost an extra action
+    # per day-partition job). An empty day writes no files and counts 0.
+    lake.write_enriched(flat, files_per_partition=files_per_partition)
+    return _partition_row_count(f"{lake.enriched_path}/context_date={context_date}")
+
+
+def _partition_row_count(partition_dir: str) -> int:
+    """Row count of one written day-partition from parquet footer
+    metadata (pyarrow, no data pages touched)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(partition_dir, "*.parquet"))
+    return sum(pq.read_metadata(f).num_rows for f in files)
