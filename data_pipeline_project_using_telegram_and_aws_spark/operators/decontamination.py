@@ -16,10 +16,14 @@ Scale design (100 TB train corpus × MB-scale benchmark suite):
   equi-join, never a cross join (reuses :func:`dedup.shingle_rows`, the
   codegen'd position-explode shingler);
 - the eval side is tiny by nature (benchmarks are curated sets), so its
-  gram table is **broadcast**: the train corpus never shuffles — the only
-  wide plan node is the final per-pair count aggregation over collision
-  rows, whose cardinality is the contamination itself (near-zero on a
-  clean corpus);
+  gram table is **broadcast**: the train corpus NEVER shuffles. Train
+  grams are deliberately NOT pre-deduplicated (that dropDuplicates
+  would shuffle every gram in the corpus); instead the per-occurrence
+  gram rows hit the broadcast join first — whose selectivity is the
+  contamination rate, near zero on a clean corpus — and only the
+  surviving collision rows are deduplicated and aggregated. Distinct
+  after the join equals distinct before it, at a shuffle bounded by
+  collisions instead of corpus size;
 - gram equality uses the raw gram string; at petabyte scale substitute
   ``md5(gram)`` on BOTH sides to shrink the broadcast (same join shape).
 """
@@ -45,7 +49,7 @@ def contamination_report(
     1.0 means the eval doc appears verbatim (modulo gram coverage) in the
     training document.
     """
-    tg = shingle_rows(train, n, id_col, text_col, distinct=True).select(
+    tg = shingle_rows(train, n, id_col, text_col, distinct=False).select(
         F.col(id_col).alias("train_doc_id"), "shingle"
     )
     eg = shingle_rows(eval_docs, n, id_col, text_col, distinct=True).select(
@@ -57,6 +61,8 @@ def contamination_report(
     )
     return (
         tg.join(F.broadcast(eg), "shingle")
+        # dedup AFTER the near-empty join, not before it (module note)
+        .dropDuplicates(["train_doc_id", "eval_doc_id", "shingle"])
         .groupBy("train_doc_id", "eval_doc_id", "eval_ngrams")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .select(
