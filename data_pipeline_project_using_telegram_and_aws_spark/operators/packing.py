@@ -96,6 +96,41 @@ def pack_sequences(
     )
 
 
+def materialize_sequences(
+    packed: DataFrame,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Collapse packing slots into the training sequences themselves:
+    one row per (shard, seq_id) with the member documents' text joined
+    in slot order — the artifact a dataloader actually reads.
+
+    Plan: one aggregation keyed by (shard, seq_id) collecting
+    (seq_offset, text) structs, sorted row-locally by offset (struct
+    sort — no second shuffle), then joined with the separator. The
+    groupBy rides the same shard partitioning the packing window
+    created, so materialization adds one partial-agg'd shuffle of the
+    already-packed rows and nothing else."""
+    member = F.struct(F.col("seq_offset"), F.col(text_col).alias("t"))
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.array_sort(F.collect_list(member)).alias("__members"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "n_docs",
+            "seq_tokens",
+            F.array_join(
+                F.transform(F.col("__members"), lambda m: m["t"]), sep
+            ).alias("seq_text"),
+        )
+    )
+
+
 def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Fill-ratio observability per (shard, seq_id): token count, doc
     count, fill vs budget, and whether the sequence overflows (possible

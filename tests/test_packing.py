@@ -86,3 +86,27 @@ def test_md5_shard_matches_python_reference(spark):
     for doc_id, shard in got.items():
         hex6 = hashlib.md5(str(doc_id).encode()).hexdigest()[:6]
         assert shard == int(hex6, 16) % 8
+
+
+def test_materialize_sequences_orders_members_by_offset(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, n=60)
+    packed = pack_sequences(docs, budget=40, n_shards=2)
+    seqs = materialize_sequences(packed).collect()
+    by_slot = {}
+    for r in packed.collect():
+        by_slot.setdefault((r["shard"], r["seq_id"]), []).append(
+            (r["seq_offset"], r["text"], r["n_tokens"])
+        )
+    assert len(seqs) == len(by_slot)
+    for s in seqs:
+        members = sorted(by_slot[(s["shard"], s["seq_id"])])
+        assert s["seq_text"] == " ".join(t for _, t, _ in members)
+        assert s["n_docs"] == len(members)
+        assert s["seq_tokens"] == sum(n for _, _, n in members)
+        # joined text re-tokenizes to exactly seq_tokens whitespace tokens
+        assert len(s["seq_text"].split()) == s["seq_tokens"]
