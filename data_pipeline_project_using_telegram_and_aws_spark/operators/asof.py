@@ -221,6 +221,67 @@ def binned_range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+) -> DataFrame:
+    """Batch interval×interval overlap join (the two-sided generalization
+    of :func:`binned_range_join`): every (left, right) pair whose
+    ``[start, end]`` intervals intersect, found through a fixed-width bin
+    equi-join — never a nested-loop over the raw inequality pair.
+
+    Both sides explode to the bins their interval covers; candidate
+    pairs meet in shared bins and the exact overlap predicate filters
+    residuals. A pair spanning several shared bins would duplicate, so
+    each pair is emitted only by its **owner bin** — the bin containing
+    ``greatest(left_start, right_start)``, which any overlapping pair
+    shares by construction. Dedup costs a row-local comparison instead
+    of a distinct shuffle. Size ``bin_width`` near the typical interval
+    length: explosion factor ≈ interval/bin + 1 per side, bin occupancy
+    bounds the per-bin quadratic work (same dial as the LSH bands).
+    Column names must be side-unique (validated) so the joined row can
+    carry both intervals."""
+    overlap_cols = set(left.columns) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(
+            f"column names must be side-unique, both sides have: "
+            f"{sorted(overlap_cols)} — rename before the join"
+        )
+
+    def bins(df, lo, hi):
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bin_width).cast("long"),
+                    F.floor(F.col(hi) / bin_width).cast("long"),
+                )
+            ),
+        )
+
+    lb = bins(left, left_start, left_end)
+    rb = bins(right, right_start, right_end).withColumnRenamed(
+        "__bin", "__rbin"
+    )
+    owner_bin = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / bin_width
+    ).cast("long")
+    return (
+        lb.join(rb, lb["__bin"] == rb["__rbin"])
+        .filter(
+            (F.col(right_start) <= F.col(left_end))
+            & (F.col(left_start) <= F.col(right_end))
+            & (F.col("__bin") == owner_bin)
+        )
+        .drop("__bin", "__rbin")
+    )
+
+
 def time_bucket(ts: Column, seconds: int) -> Column:
     """Fixed-width tumbling time bucket (hypertable-style): the bucket's
     start timestamp. Epoch-floor arithmetic, identical to DuckDB/Timescale

@@ -191,3 +191,53 @@ def test_asof_bucketed_keeps_null_left_ts_rows(spark):
     want = {(1, 7), (2, None), (3, None)}
     assert {(r.id, r.v) for r in plain.collect()} == want
     assert {(r.id, r.v) for r in bucketed.collect()} == want
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Binned interval×interval overlap equals the cross-join reference,
+    with no duplicate pairs even when a pair shares several bins."""
+    import random
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(3)
+    lrows = []
+    for i in range(80):
+        s = rng.uniform(0, 1000)
+        lrows.append((i, s, s + rng.uniform(1, 120)))
+    rrows = []
+    for j in range(60):
+        s = rng.uniform(0, 1000)
+        rrows.append((j, s, s + rng.uniform(1, 120)))
+    left = spark.createDataFrame(lrows, "l_id long, l_s double, l_e double")
+    right = spark.createDataFrame(rrows, "r_id long, r_s double, r_e double")
+
+    got = [
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "l_s", "l_e", "r_s", "r_e", bin_width=50.0
+        ).collect()
+    ]
+    expected = {
+        (i, j)
+        for i, ls, le in lrows
+        for j, rs, re_ in rrows
+        if rs <= le and ls <= re_
+    }
+    assert len(got) == len(set(got))  # owner-bin dedup: no duplicates
+    assert set(got) == expected
+    assert expected  # non-trivial case
+
+
+def test_interval_overlap_join_rejects_colliding_names(spark):
+    import pytest as _pytest
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame([(1, 0.0, 1.0)], "id long, s double, e double")
+    with _pytest.raises(ValueError):
+        interval_overlap_join(df, df, "s", "e", "s", "e", 10.0)
