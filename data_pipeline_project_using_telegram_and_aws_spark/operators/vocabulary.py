@@ -1,0 +1,87 @@
+"""Corpus vocabulary and token-id encoding: the last text-side step
+before a trainer — build a frequency-ranked vocab over the corpus, then
+encode each document as an ``array<int>`` of token ids (OOV → 0).
+
+This is a *word*-level codec (the honest version buildable from corpus
+statistics alone); a learned subword merge table (BPE) is a training
+artifact, not a corpus statistic — plug one in by substituting the
+``vocab`` table, the encode plan is identical.
+
+Scale shape:
+- vocab build: one exploded aggregation (df counts, partial-agg'd) plus
+  a rank window over the vocab itself (vocab-sized, not corpus-sized);
+- encode: tokens explode with positions, broadcast-join the vocab
+  (vocabularies are ~10⁵-10⁶ rows — megabytes), then one groupBy(doc)
+  re-assembles ids in position order via row-local struct sort. The
+  corpus shuffles once, keyed by doc id, carrying ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+OOV_ID = 0  # reserved: tokens outside the vocab
+
+
+def build_vocab(
+    docs: DataFrame,
+    vocab_size: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, token_id, df) — the top ``vocab_size`` tokens by document
+    frequency (ties broken lexicographically, so the vocab is a pure
+    function of the corpus), ids dense from 1 (0 is reserved for OOV)."""
+    term_doc = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
+    dfreq = term_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.desc("df"), "token")
+    return (
+        dfreq.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= vocab_size)
+        .select("token", "token_id", "df")
+    )
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, token_ids: array<long>, n_tokens, n_oov) — each document
+    as position-ordered token ids with OOV mapped to ``OOV_ID``."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("__pos", "token"),
+    )
+    mapped = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("token_id"), F.lit(OOV_ID)).alias("__tid"),
+    )
+    member = F.struct(F.col("__pos"), F.col("__tid"))
+    return (
+        mapped.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(member)).alias("__m"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__m"), lambda m: m["__tid"]).alias("token_ids"),
+            F.size("__m").cast("long").alias("n_tokens"),
+            F.size(
+                F.filter(F.col("__m"), lambda m: m["__tid"] == OOV_ID)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.vocabulary import (
+    build_vocab,
+    encode_documents,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "rare unicorn words"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_vocab_ranked_by_df_then_token(spark):
+    vocab = {r.token: (r.token_id, r.df) for r in build_vocab(_docs(spark)).collect()}
+    # df: the=2, sat=2, everything else 1; ties break lexicographically
+    assert vocab["sat"][1] == 2 and vocab["the"][1] == 2
+    assert vocab["sat"][0] == 1 and vocab["the"][0] == 2  # 'sat' < 'the'
+    assert all(tid >= 1 for tid, _ in vocab.values())  # 0 reserved for OOV
+    ids = [tid for tid, _ in vocab.values()]
+    assert sorted(ids) == list(range(1, len(vocab) + 1))  # dense
+
+
+def test_encode_orders_positions_and_counts_oov(spark):
+    docs = _docs(spark)
+    vocab = build_vocab(docs, vocab_size=4)  # keeps sat,the + 2 more
+    vmap = {r.token: r.token_id for r in vocab.collect()}
+    enc = {r.doc_id: r for r in encode_documents(docs, vocab).collect()}
+    for doc_id, text in [(1, "the cat sat on the mat"), (2, "the dog sat")]:
+        want = [vmap.get(t, 0) for t in text.split()]
+        assert list(enc[doc_id].token_ids) == want
+        assert enc[doc_id].n_tokens == len(want)
+        assert enc[doc_id].n_oov == sum(1 for i in want if i == 0)
+    # fully-OOV doc still encodes, as zeros
+    assert enc[3].n_oov >= 1 and len(enc[3].token_ids) == 3
+
+
+def test_vocab_is_deterministic_function_of_corpus(spark):
+    a = {(r.token, r.token_id) for r in build_vocab(_docs(spark)).collect()}
+    b = {
+        (r.token, r.token_id)
+        for r in build_vocab(_docs(spark).repartition(5)).collect()
+    }
+    assert a == b
