@@ -48,3 +48,29 @@ def test_vocab_is_deterministic_function_of_corpus(spark):
         for r in build_vocab(_docs(spark).repartition(5)).collect()
     }
     assert a == b
+
+
+def test_encode_then_pack_composes(spark):
+    """The full trainer-prep chain: encode to ids, pack by the EXACT id
+    count (n_tokens_col), every document placed exactly once."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i % 15 + 1))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    enc = encode_documents(docs, build_vocab(docs))
+    packed = pack_sequences(
+        enc, budget=24, n_shards=4, text_col=None, n_tokens_col="n_tokens"
+    )
+    assert packed.count() == 50  # nothing lost, nothing duplicated
+    stats = packing_stats(packed, 24).collect()
+    assert sum(r.seq_tokens for r in stats) == sum(
+        r.n_tokens for r in enc.collect()
+    )
+    # a sequence overflows only via one straddling document
+    for r in stats:
+        assert r.seq_tokens <= 24 + 15
