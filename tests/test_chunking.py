@@ -64,3 +64,31 @@ def test_doc_shorter_than_overlap_yields_one_chunk(spark):
     rows = chunk_documents(df, chunk_tokens=10, overlap=3).collect()
     assert len(rows) == 1
     assert rows[0].chunk_index == 0 and rows[0].n_tokens == 2
+
+
+def test_chunking_reconstruction_property_batch(spark):
+    """Randomized reconstruction invariant over one batched run: for any
+    doc, dropping each later chunk's first `overlap` tokens and
+    concatenating reproduces the original token stream exactly."""
+    import random
+
+    rng = random.Random(17)
+    docs = [
+        (i, " ".join(f"x{rng.randrange(50)}" for _ in range(rng.randrange(1, 60))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ck, ov = 12, 5
+    rows = chunk_documents(df, chunk_tokens=ck, overlap=ov).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_index)
+        rebuilt = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            rebuilt += c.chunk_text.split()[ov:]
+        assert rebuilt == text.split(), doc_id
+        # chunk sizes: all full except possibly the last
+        for c in chunks[:-1]:
+            assert c.n_tokens == ck
