@@ -56,7 +56,16 @@ def encode_documents(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, token_ids: array<long>, n_tokens, n_oov) — each document
-    as position-ordered token ids with OOV mapped to ``OOV_ID``."""
+    as position-ordered token ids with OOV mapped to ``OOV_ID``.
+
+    Row contract: exactly one output row per input document, INCLUDING
+    documents whose text yields zero tokens (empty/whitespace-only) —
+    those come back with an empty ``token_ids`` and ``n_tokens = 0``
+    rather than silently vanishing (posexplode emits no rows for them,
+    so the aggregate alone would drop them and break any downstream
+    "every document placed exactly once" packing invariant). The
+    restore is a left join from the input ids, keyed the same as the
+    groupBy — one id-only exchange."""
     toks = docs.select(
         F.col(id_col),
         F.posexplode(
@@ -71,7 +80,7 @@ def encode_documents(
         F.coalesce(F.col("token_id"), F.lit(OOV_ID)).alias("__tid"),
     )
     member = F.struct(F.col("__pos"), F.col("__tid"))
-    return (
+    encoded = (
         mapped.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(member)).alias("__m"))
         .select(
@@ -84,4 +93,12 @@ def encode_documents(
             .cast("long")
             .alias("n_oov"),
         )
+    )
+    return docs.select(id_col).join(encoded, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("token_ids", F.array().cast("array<long>")).alias(
+            "token_ids"
+        ),
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
     )

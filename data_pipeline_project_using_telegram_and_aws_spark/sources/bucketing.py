@@ -79,11 +79,40 @@ def _drop_table_and_location(spark: SparkSession, table: str) -> None:
     table, so ``mode("overwrite")`` alone raises LOCATION_ALREADY_EXISTS
     when a previous session's warehouse directory survives. Drop the
     catalog entry if present, then remove the orphan location through the
-    Hadoop FS API (works for any filesystem, not just local disk)."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    Hadoop FS API (works for any filesystem, not just local disk).
+
+    The delete target is resolved from the CATALOG while the table still
+    exists (``DESCRIBE FORMATTED`` Location), never guessed — a guess of
+    ``<warehouse>/<name>`` recursively deletes the wrong directory for a
+    qualified name (``db.t`` lives at ``<warehouse>/db.db/t`` while plain
+    ``t`` of the default db owns ``<warehouse>/t``) and for any table
+    created with a custom LOCATION. Only when the catalog has no entry
+    (the orphan-directory case this helper exists for) is the path
+    derived from the warehouse layout, db-qualified; three-part names
+    are refused rather than mis-derived."""
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.split(".")[-1].lower())
+    location = None
+    if spark.catalog.tableExists(table):
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        }
+        location = desc.get("Location")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if location is not None:
+        path = jvm.org.apache.hadoop.fs.Path(location)
+    else:
+        parts = table.lower().split(".")
+        if len(parts) > 2:
+            raise ValueError(
+                f"cannot derive a warehouse path for 3-part name {table!r};"
+                " drop its location manually or use db.table"
+            )
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        db = parts[0] if len(parts) == 2 else "default"
+        name = parts[-1]
+        rel = name if db == "default" else f"{db}.db/{name}"
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
@@ -112,7 +141,16 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> None:
     compacted copy lands under a scratch name with the same bucket spec,
     then two catalog renames swap it in. At 100 TB the same shape holds
     — the swap is metadata-only; the data rewrite is the price of
-    restoring the layout, paid at compaction cadence, not query time."""
+    restoring the layout, paid at compaction cadence, not query time.
+
+    The two-rename swap is NOT atomic: between the renames the original
+    name does not resolve, so run compaction in a maintenance window (a
+    concurrent reader in that gap fails with TABLE_NOT_FOUND and should
+    retry). A failure of the second rename rolls the backup rename back,
+    so the table is always queryable under its original name after this
+    function exits — the only non-recoverable window is a hard crash
+    between the two renames, after which the data survives intact under
+    ``<table>__precompact`` and needs one manual ``ALTER TABLE RENAME``."""
     n, cols, sorts = bucket_spec(spark, table)
     scratch, backup = f"{table}__compacting", f"{table}__precompact"
     # read the FILES, not the table: a catalog read advertises the bucket
@@ -128,7 +166,11 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> None:
     write_bucketed(df, scratch, n, cols, sorts)
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
-    spark.sql(f"ALTER TABLE {scratch} RENAME TO {table}")
+    try:
+        spark.sql(f"ALTER TABLE {scratch} RENAME TO {table}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
+        raise
     _drop_table_and_location(spark, backup)
 
 

@@ -137,3 +137,22 @@ def test_compact_bucketed_table_restores_one_file_per_bucket(spark):
     assert bucket_spec(spark, "compact_t") == (n, cols, sorts)
     assert not spark.catalog.tableExists("compact_t__precompact")
     assert not spark.catalog.tableExists("compact_t__compacting")
+
+
+def test_overwrite_of_qualified_table_spares_default_db_twin(spark):
+    """An overwrite-mode write of ``db.t`` must resolve the old location
+    from the catalog, not guess ``<warehouse>/t`` — the guess is the
+    LIVE data directory of a default-db table that happens to share the
+    short name."""
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_bucketed(df, "twin_tbl", 4, "k")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    try:
+        write_bucketed(df, "bktdb.twin_tbl", 4, "k")
+        write_bucketed(df, "bktdb.twin_tbl", 4, "k")  # overwrite again
+        assert spark.table("twin_tbl").count() == 10  # default-db twin intact
+        assert spark.table("bktdb.twin_tbl").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktdb.twin_tbl")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
+        spark.sql("DROP TABLE IF EXISTS twin_tbl")

@@ -185,3 +185,24 @@ def test_persistent_catalog_table_survives_sessions(spark, lake):
         assert [(r.context_date, r.n) for r in rows] == [(lake.today(), 4)]
     finally:
         spark.sql("DROP TABLE IF EXISTS telegram_ext")
+
+
+def test_etl_empty_rerun_reports_zero_and_clears_stale_partition(spark, tmp_path):
+    """Re-running a day whose raw input vanished must not report the
+    PREVIOUS run's rows as this run's output (dynamic partition
+    overwrite touches nothing for an empty input, so the old files would
+    otherwise survive and be footer-counted as fresh)."""
+    import shutil
+
+    lk = TelegramLake(str(tmp_path), chat_id=CHAT_ID)
+    today = lk.today()
+    part = f"{lk.raw_path}/context_date={today}"
+    os.makedirs(part)
+    with open(os.path.join(part, "b.json"), "w") as f:
+        for u in UPDATES[:2]:
+            f.write(json.dumps(u) + "\n")
+    assert run_daily_etl(spark, lk, context_date=today) == 2
+
+    shutil.rmtree(part)
+    assert run_daily_etl(spark, lk, context_date=today) == 0
+    assert glob.glob(f"{lk.enriched_path}/context_date={today}") == []

@@ -74,3 +74,19 @@ def test_encode_then_pack_composes(spark):
     # a sequence overflows only via one straddling document
     for r in stats:
         assert r.seq_tokens <= 24 + 15
+
+
+def test_encode_keeps_zero_token_documents(spark):
+    """Row contract: one output row per input document, even when the
+    text tokenizes to nothing (the posexplode-drops-the-doc hazard —
+    downstream packing assumes every doc is placed exactly once)."""
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, ""), (3, "   "), (4, None)],
+        ["doc_id", "text"],
+    )
+    enc = {r.doc_id: r for r in encode_documents(docs, build_vocab(docs)).collect()}
+    assert set(enc) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert list(enc[d].token_ids) == []
+        assert enc[d].n_tokens == 0 and enc[d].n_oov == 0
+    assert enc[1].n_tokens == 2

@@ -1,13 +1,13 @@
 """Physical-plan audit across the whole query registry.
 
 For every registered query, build the DataFrame at the given sf_dir and
-tabulate plan-hygiene metrics from the executed plan: exchange count
-(shuffles), broadcast count, parquet scans, whole-stage-codegen spans,
-and Python-worker stages (ArrowEval/MapInPandas — should be ~0 outside
-the deliberate decode paths; whole-stage-codegen markers are not
-surfaced through AQE-wrapped plan strings, so they are not tabulated). Writes a markdown table to stdout (or
-PLAN_AUDIT.md with --write) so plan regressions show up as diffs, not
-as bench-time surprises.
+tabulate five plan-hygiene metrics from the executed plan: exchanges
+(shuffles), broadcasts, parquet scans, Python-worker stages
+(ArrowEval/MapInPandas — should be ~0 outside the deliberate decode
+paths), and sorts. Whole-stage-codegen spans are NOT tabulated: AQE-
+wrapped plan strings do not surface the codegen markers. Writes a
+markdown table to stdout (or PLAN_AUDIT.md with --write) so plan
+regressions show up as diffs, not as bench-time surprises.
 
 Usage:
     python tools/plan_report.py [sf_dir] [--write]
