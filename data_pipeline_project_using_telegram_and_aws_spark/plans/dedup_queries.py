@@ -69,9 +69,22 @@ def dd4_minhash_lsh_candidates(spark, sf_dir):
 
 
 def dd5_simhash_fingerprints(spark, sf_dir):
-    """16-bit SimHash fingerprint per document (md5-bit voting)."""
+    """16-bit SimHash fingerprint per document (md5-bit voting), plus the
+    whole-document content fingerprint (md5 over whitespace-normalized
+    lowercase text) and its 12-hex shard prefix — the exact-dedup /
+    content-addressing key that was row tx4 through round 3 (registry
+    consolidation: one row now hash-checks both fingerprint families;
+    ``tx4_fingerprints`` in text_queries stays callable and
+    pytest-covered)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash16(docs).orderBy("doc_id")
+    normalized = F.lower(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    fp = F.md5(normalized.cast("binary"))
+    fps = docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 12).alias("shard_key"),
+    )
+    return D.simhash16(docs).join(fps, "doc_id").orderBy("doc_id")
 
 
 def dd6_embedding_cosine_neardup(spark, sf_dir):
@@ -245,11 +258,19 @@ ORACLE = {
             FROM hashed, UNNEST(generate_series(0, 15)) AS b(bit)
             GROUP BY doc_id, bit
         )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN v >= 0 THEN POW(2, bit) ELSE 0 END) AS BIGINT)
-                   AS simhash
-        FROM votes
-        GROUP BY doc_id
-        ORDER BY doc_id
+        SELECT v.doc_id,
+               CAST(SUM(CASE WHEN v.v >= 0 THEN POW(2, v.bit) ELSE 0 END)
+                    AS BIGINT) AS simhash,
+               ANY_VALUE(f.fingerprint) AS fingerprint,
+               ANY_VALUE(substr(f.fingerprint, 1, 12)) AS shard_key
+        FROM votes v
+        JOIN (
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fingerprint
+            FROM documents
+        ) f ON v.doc_id = f.doc_id
+        GROUP BY v.doc_id
+        ORDER BY v.doc_id
     """,
 }

@@ -38,28 +38,55 @@ def mm2_decode_features(spark, sf_dir):
     The real decode (PIL/ffmpeg) is the stubbed non-SQL stage, but the
     deterministic fake decoder is intentionally md5-derived so even the
     Arrow/mapInPandas plumbing is oracle-checked end-to-end — the SQL
-    twin reparses the md5 hex digits the Python worker hashes."""
+    twin reparses the md5 hex digits the Python worker hashes.
+
+    Also carries the JVM-side metadata surface that was row mm1 through
+    round 3 (registry consolidation): ``media_type`` plus two booleans
+    asserting the JVM metadata path (attach_media_metadata: length +
+    md5, no Python) agrees byte-for-byte with the Python decoder's
+    n_bytes and content_hash. The oracle pins the booleans TRUE — the
+    q31/q37 pattern: the engine checks its own cross-path consistency
+    and only the deterministic boolean is hashed, so any JVM-vs-Python
+    divergence turns the row red. ``mm1_binary_metadata`` stays callable
+    and pytest-covered."""
     media = _media_df(spark, sf_dir)
+    meta = attach_media_metadata(media).select(
+        "media_id",
+        "media_type",
+        F.col("media_n_bytes").alias("__jvm_bytes"),
+        F.col("media_hash").alias("__jvm_hash"),
+    )
     feats = extract_media_features(media, fake=True, partitions=8)
-    return feats.select(
-        "media_id", "n_bytes", "content_hash", "width", "height", "n_frames"
-    ).orderBy("media_id")
+    return (
+        feats.join(meta, "media_id")
+        .select(
+            "media_id",
+            "media_type",
+            "n_bytes",
+            "content_hash",
+            (F.col("__jvm_bytes") == F.col("n_bytes")).alias(
+                "jvm_python_bytes_agree"
+            ),
+            (F.col("__jvm_hash") == F.col("content_hash")).alias(
+                "jvm_python_hash_agree"
+            ),
+            "width",
+            "height",
+            "n_frames",
+        )
+        .orderBy("media_id")
+    )
 
 
 QUERIES = {
-    "mm1_binary_metadata": mm1_binary_metadata,
+    # mm1_binary_metadata left the 50-row registry in round 4: its JVM
+    # metadata surface is hash-checked inside mm2 (media_type + the two
+    # cross-path agreement booleans); still callable and pinned by
+    # tests/test_registry_consolidation.py.
     "mm2_decode_features": mm2_decode_features,
 }
 
 ORACLE = {
-    "mm1_binary_metadata": """
-        SELECT doc_id AS media_id,
-               'text/plain' AS media_type,
-               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-               md5(text) AS content_hash
-        FROM documents
-        ORDER BY media_id
-    """,
     # hex-pair -> byte value, mirroring digest[i] in the Python decoder
     "mm2_decode_features": """
         WITH h AS (
@@ -79,8 +106,11 @@ ORACLE = {
             FROM h
         )
         SELECT media_id,
+               'text/plain' AS media_type,
                CAST(nb AS BIGINT) AS n_bytes,
                hex AS content_hash,
+               TRUE AS jvm_python_bytes_agree,
+               TRUE AS jvm_python_hash_agree,
                CAST(16 + byte0 % 64 AS INTEGER) AS width,
                CAST(16 + byte1 % 64 AS INTEGER) AS height,
                CAST(1 + nb % 8 AS INTEGER) AS n_frames

@@ -1,12 +1,15 @@
-"""Training-data pipeline queries: sequence packing (pk1) and benchmark
-decontamination (dc1) over ``documents`` — north-star ops a pretraining
-pipeline runs after curation (cu1) and before the dataloader.
+"""Training-data pipeline queries over ``documents`` — north-star ops a
+pretraining pipeline runs after curation (cu1) and before the dataloader:
+sequence packing (pk1) and its materialized sequences (pk2), benchmark
+decontamination (dc1), vocabulary build + token-id encoding (vc1), and
+deterministic mixture sampling + splits (sp1).
 
-Both are oracle-checked end to end. Packing's shard assignment uses the
+All are oracle-checked end to end. Packing's shard assignment uses the
 md5-derived portable shard (:func:`operators.packing.md5_shard`) instead
 of the default xxhash64 precisely so the *layout itself* — shard, dense
 sequence ids, per-sequence fill — is reproducible in ANSI SQL, not just
-row counts.
+row counts; the split/mixture dice are md5-fraction-based for the same
+reason (operators/splits.py).
 """
 
 from __future__ import annotations
@@ -14,13 +17,25 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.decontamination import contamination_report
-from ..operators.packing import md5_shard, pack_sequences, packing_stats
+from ..operators.packing import (
+    materialize_sequences,
+    md5_shard,
+    pack_sequences,
+    packing_stats,
+)
+from ..operators.splits import assign_split, weighted_mixture
+from ..operators.vocabulary import build_vocab, encode_documents
 from ..sources.tables import load_table
 
 PK_BUDGET = 256   # tokens per packed sequence (docs average ~50 tokens)
 PK_SHARDS = 8
 DC_NGRAM = 4      # collision gram size tuned to the synthetic vocabulary
 DC_EVAL_MOD = 29  # doc_id % 29 == 0 -> held-out "benchmark" split
+VC_VOCAB = 16     # < the corpus's 31 distinct tokens, so OOV is exercised
+# split weights 6/1/1 → cumulative thresholds 0.75, 0.875: exact dyadic
+# doubles, so the Spark literal and the SQL literal are the same number
+SP_WEIGHTS = {"train": 6.0, "val": 1.0, "test": 1.0}
+SP_RATES = {"src0": 2.5, "src1": 0.5}  # oversample src0, downsample src1
 
 
 def pk1_sequence_packing(spark, sf_dir):
@@ -50,9 +65,63 @@ def dc1_decontamination(spark, sf_dir):
     )
 
 
+def pk2_materialized_sequences(spark, sf_dir):
+    """The packed sequences themselves: one row per (shard, seq_id) with
+    the member documents' text joined in slot order — the dataloader
+    artifact (operators/packing.py materialize_sequences), its layout
+    oracle-checked verbatim including the concatenated text."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs,
+        budget=PK_BUDGET,
+        n_shards=PK_SHARDS,
+        shard=md5_shard("doc_id", PK_SHARDS),
+    )
+    return materialize_sequences(packed).orderBy("shard", "seq_id")
+
+
+def vc1_vocab_encode(spark, sf_dir):
+    """Corpus vocabulary (df-ranked, ``VC_VOCAB`` entries) + per-document
+    token-id encoding (operators/vocabulary.py). ``token_ids`` is emitted
+    as a comma-joined string so the row set is pure ints + strings for
+    hashing; empty documents keep their row with an empty encoding (the
+    round-4 row contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=VC_VOCAB)
+    enc = encode_documents(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform("token_ids", lambda t: t.cast("string")), ","
+        ).alias("ids_csv"),
+        "n_tokens",
+        "n_oov",
+    ).orderBy("doc_id")
+
+
+def sp1_split_mixture(spark, sf_dir):
+    """Deterministic data recipe (operators/splits.py): per-source
+    mixture sampling (oversample src0 ×2.5 with epoch tracking,
+    downsample src1 ×0.5) followed by hash-stable train/val/test
+    assignment — every surviving (doc, epoch) row with its split label,
+    reproducible verbatim in SQL because both dice are md5 fractions."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mixture(docs, SP_RATES, source_col="source")
+    out = assign_split(mixed, SP_WEIGHTS)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        "split",
+    ).orderBy("doc_id", "epoch")
+
+
 QUERIES = {
     "pk1_sequence_packing": pk1_sequence_packing,
     "dc1_decontamination": dc1_decontamination,
+    "pk2_materialized_sequences": pk2_materialized_sequences,
+    "vc1_vocab_encode": vc1_vocab_encode,
+    "sp1_split_mixture": sp1_split_mixture,
 }
 
 ORACLE = {
@@ -111,5 +180,113 @@ ORACLE = {
         FROM tg JOIN eg USING (gram)
         GROUP BY train_doc_id, eval_doc_id, eval_ngrams
         ORDER BY contamination DESC, train_doc_id, eval_doc_id
+    """,
+    # within a (shard, seq_id) group, ORDER BY cum_before equals ORDER BY
+    # seq_offset; ties (zero-token docs) break on text, mirroring the
+    # Spark side's (seq_offset, text) struct sort
+    "pk2_materialized_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        AS BIGINT) % {PK_SHARDS} AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS ord_key
+            FROM documents
+        ),
+        c AS (
+            SELECT shard, text, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY ord_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(FLOOR(cum_before / {PK_BUDGET}) AS BIGINT) AS seq_id,
+               COUNT(1) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+               string_agg(text, ' ' ORDER BY cum_before, text) AS seq_text
+        FROM c
+        GROUP BY shard, FLOOR(cum_before / {PK_BUDGET})
+        ORDER BY shard, seq_id
+    """,
+    "vc1_vocab_encode": f"""
+        WITH toks0 AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, l[g] AS token, g AS pos
+            FROM toks0, UNNEST(generate_series(1, len(l))) AS t(g)
+        ),
+        dfreq AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY token
+        ),
+        vocab AS (
+            SELECT token, token_id FROM (
+                SELECT token,
+                       ROW_NUMBER() OVER (ORDER BY df DESC, token)
+                           AS token_id
+                FROM dfreq
+            ) WHERE token_id <= {VC_VOCAB}
+        ),
+        enc AS (
+            SELECT t.doc_id,
+                   string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ','
+                              ORDER BY t.pos) AS ids_csv,
+                   COUNT(1) AS n_tokens,
+                   SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+                       AS n_oov
+            FROM toks t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(e.ids_csv, '') AS ids_csv,
+               CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(e.n_oov, 0) AS BIGINT) AS n_oov
+        FROM documents d LEFT JOIN enc e USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # both dice are 6-hex md5 fractions over 16^6, the literal twin of
+    # operators/splits.py hash_fraction; split thresholds 0.75/0.875 are
+    # exact dyadic doubles (module constant comment)
+    "sp1_split_mixture": """
+        WITH rated AS (
+            SELECT doc_id, source,
+                   CAST(CASE source WHEN 'src0' THEN 2.5
+                                    WHEN 'src1' THEN 0.5
+                                    ELSE 1.0 END AS DOUBLE) AS rate
+            FROM documents
+        ),
+        epochs AS (
+            SELECT doc_id, source, rate, CAST(e AS BIGINT) AS epoch
+            FROM rated,
+                 UNNEST(generate_series(
+                     0, CAST(greatest(ceil(rate), 1) AS BIGINT) - 1
+                 )) AS t(e)
+        ),
+        kept AS (
+            SELECT doc_id, source, epoch
+            FROM epochs
+            WHERE CAST(('0x' || substr(md5('mixture'
+                           || CAST(doc_id AS VARCHAR) || '#'
+                           || CAST(epoch AS VARCHAR)), 1, 6)) AS BIGINT)
+                      / 16777216.0
+                  < least(rate - epoch, 1.0)
+        )
+        SELECT doc_id, source, epoch,
+               CASE WHEN f < 0.75 THEN 'train'
+                    WHEN f < 0.875 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, source, epoch,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        AS BIGINT) / 16777216.0 AS f
+            FROM kept
+        )
+        ORDER BY doc_id, epoch
     """,
 }

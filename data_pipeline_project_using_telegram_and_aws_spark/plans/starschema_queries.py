@@ -181,7 +181,13 @@ def q12_distinct_and_counts(spark, sf_dir):
 
 
 def q13_set_operations(spark, sf_dir):
-    """UNION (distinct) ∪ INTERSECT ∪ EXCEPT over nation keys."""
+    """UNION (distinct) ∪ INTERSECT ∪ EXCEPT over nation keys, each row
+    annotated with global COUNT(DISTINCT) cardinalities attached via a
+    broadcast scalar cross join — the machinery that was row q12 through
+    round 3 (registry consolidation: q12's DISTINCT projection is the
+    same distinct operator the union branch runs, and its countDistinct
+    + broadcast-scalar shape now rides along here;
+    ``q12_distinct_and_counts`` stays callable and pytest-covered)."""
     cust_nations = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("long").alias("nationkey")
     )
@@ -198,7 +204,19 @@ def q13_set_operations(spark, sf_dir):
     except_ = cust_nations.subtract(supp_nations).withColumn(
         "src", F.lit("except")
     )
-    return union.union(intersect).union(except_).orderBy("src", "nationkey")
+    counts = cust_nations.agg(
+        F.countDistinct("nationkey").alias("distinct_cust_nations")
+    ).crossJoin(
+        supp_nations.agg(
+            F.countDistinct("nationkey").alias("distinct_supp_nations")
+        )
+    )
+    return (
+        union.union(intersect)
+        .union(except_)
+        .crossJoin(F.broadcast(counts))
+        .orderBy("src", "nationkey")
+    )
 
 
 def q14_rollup_cube(spark, sf_dir):
@@ -484,7 +502,10 @@ QUERIES = {
     "q8_join_multiway_revenue_by_nation": q8_join_multiway_revenue_by_nation,
     "q9_semi_anti_join": q9_semi_anti_join,
     "q11_outer_join_null_handling": q11_outer_join_null_handling,
-    "q12_distinct_and_counts": q12_distinct_and_counts,
+    # q12_distinct_and_counts left the 50-row registry in round 4: its
+    # DISTINCT projection + countDistinct + broadcast-scalar machinery is
+    # hash-checked inside q13 (see q13's docstring); still callable and
+    # pinned by tests/test_registry_consolidation.py.
     "q13_set_operations": q13_set_operations,
     "q14_rollup_cube": q14_rollup_cube,
     "q16_grouping_sets": q16_grouping_sets,
@@ -563,21 +584,19 @@ ORACLE = {
         ) ON c_custkey = o_custkey
         ORDER BY c_custkey
     """,
-    "q12_distinct_and_counts": """
-        SELECT l_returnflag, l_linestatus,
-               (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS distinct_suppkeys,
-               (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS distinct_partkeys
-        FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
-        ORDER BY l_returnflag, l_linestatus
-    """,
     "q13_set_operations": """
         WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
              s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
-        SELECT nationkey, 'union' AS src FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
-        UNION ALL
-        SELECT nationkey, 'intersect' AS src FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
-        UNION ALL
-        SELECT nationkey, 'except' AS src FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        SELECT nationkey, src,
+               (SELECT COUNT(DISTINCT nationkey) FROM c) AS distinct_cust_nations,
+               (SELECT COUNT(DISTINCT nationkey) FROM s) AS distinct_supp_nations
+        FROM (
+            SELECT nationkey, 'union' AS src FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+            UNION ALL
+            SELECT nationkey, 'intersect' AS src FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+            UNION ALL
+            SELECT nationkey, 'except' AS src FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        )
         ORDER BY src, nationkey
     """,
     "q14_rollup_cube": f"""

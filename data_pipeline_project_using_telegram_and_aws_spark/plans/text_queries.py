@@ -172,7 +172,10 @@ QUERIES = {
     "tx1_token_stats_by_lang": tx1_token_stats_by_lang,
     "tx2_quality_scores": tx2_quality_scores,
     "tx3_langid_heuristic": tx3_langid_heuristic,
-    "tx4_fingerprints": tx4_fingerprints,
+    # tx4_fingerprints left the 50-row registry in round 4: its whole-doc
+    # md5 fingerprint + shard key are hash-checked as columns of dd5
+    # (dedup_queries); still callable and pinned by
+    # tests/test_registry_consolidation.py.
     "tx6_document_frequency": tx6_document_frequency,
     "tx7_repetition_scores": tx7_repetition_scores,
 }
@@ -226,14 +229,6 @@ ORACLE = {
         SELECT lang, predicted_lang, COUNT(1) AS n_docs
         FROM t GROUP BY lang, predicted_lang
         ORDER BY lang, predicted_lang
-    """,
-    "tx4_fingerprints": """
-        SELECT doc_id,
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                   AS fingerprint,
-               substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
-                      1, 12) AS shard_key
-        FROM documents ORDER BY doc_id
     """,
     "tx7_repetition_scores": """
         WITH toks AS (
