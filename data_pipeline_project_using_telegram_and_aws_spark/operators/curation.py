@@ -49,6 +49,9 @@ def curate_corpus(
     max_punct_ratio: float = 0.3,
     keep_langs: list[str] | None = None,
     lang_col: str = "lang",
+    near_dup_strategy: str = "minhash",
+    winnow_k: int = 8,
+    winnow_window: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
@@ -60,6 +63,24 @@ def curate_corpus(
     keeper referenced in the reason (the pair's lower id) itself survived
     the near-dup stage — under drop-all-doc_b semantics it may not have
     (see module docstring); NULL on every other stage.
+
+    ``near_dup_strategy`` picks the stage-2 candidate generator:
+
+    - ``"minhash"`` (default): word-``ngram`` MinHash-LSH candidates
+      scored by estimated Jaccard (:mod:`dedup`) — token-set similarity,
+      robust to reordering.
+    - ``"winnow"``: character k-gram winnowing fingerprints joined on
+      the inverted fingerprint index (:mod:`winnowing`), scored by
+      containment overlap — substring similarity, catches near-verbatim
+      spans whole-token shingles dilute (and the guarantee runs the
+      other way: any shared substring of ``winnow_k + winnow_window - 1``
+      chars yields a shared fingerprint). ``jaccard_threshold`` gates
+      the overlap score in this mode.
+
+    Both generators feed the identical drop-every-doc_b + ledger
+    machinery, so swapping strategies changes candidate *generation*
+    only, never drop semantics; the same scale shape holds (inverted
+    index equi-join, never all-pairs).
     """
     ledgers: list[DataFrame] = []
 
@@ -86,12 +107,40 @@ def curate_corpus(
     )
     survivors = ranked.filter(F.col("__rn") == 1).drop("__rn", "text_hash")
 
-    # ---- stage 2: near-dup dedup (MinHash-LSH, drop higher id) ----------
-    cand = D.minhash_lsh_candidates(
-        survivors, n=ngram, id_col=id_col, text_col=text_col
-    ).filter(F.col("est_jaccard") >= jaccard_threshold)
+    # ---- stage 2: near-dup dedup (candidates per strategy, drop higher
+    # id) -----------------------------------------------------------------
+    if near_dup_strategy == "minhash":
+        cand = (
+            D.minhash_lsh_candidates(
+                survivors, n=ngram, id_col=id_col, text_col=text_col
+            )
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("doc_a", "doc_b", F.col("est_jaccard").alias("__score"))
+        )
+        reason_prefix = "minhash est_jaccard="
+    elif near_dup_strategy == "winnow":
+        from .winnowing import fingerprint_overlap, winnow_fingerprints
+
+        fps = winnow_fingerprints(
+            survivors,
+            k=winnow_k,
+            window=winnow_window,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        cand = (
+            fingerprint_overlap(fps, id_col=id_col)
+            .filter(F.col("overlap") >= jaccard_threshold)
+            .select("doc_a", "doc_b", F.col("overlap").alias("__score"))
+        )
+        reason_prefix = "winnow overlap="
+    else:
+        raise ValueError(
+            f"unknown near_dup_strategy {near_dup_strategy!r}; "
+            "expected 'minhash' or 'winnow'"
+        )
     near_base = cand.groupBy(F.col("doc_b").alias("doc_id")).agg(
-        F.min("doc_a").alias("__kept"), F.max("est_jaccard").alias("__j")
+        F.min("doc_a").alias("__kept"), F.max("__score").alias("__j")
     )
     # kept_alive: did the referenced keeper itself survive this stage?
     # (drop-all-doc_b can remove it via another pair — the audit trail
@@ -105,7 +154,7 @@ def curate_corpus(
             "doc_id",
             F.lit("near_dedup").alias("stage"),
             F.concat(
-                F.lit("minhash est_jaccard="),
+                F.lit(reason_prefix),
                 # fixed 4-dp decimal rendering — double→string formatting
                 # differs across engines, DECIMAL(6,4) strings don't
                 F.col("__j").cast("decimal(6,4)").cast("string"),

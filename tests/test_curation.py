@@ -74,3 +74,41 @@ def test_near_dedup_kept_alive_flag(spark):
             assert near[3] is False    # doc 2 was itself dropped
         else:
             assert near[3] is True
+
+
+def test_winnow_strategy_parity_with_lsh_on_overlap_corpus(spark):
+    """near_dup_strategy='winnow' plugs the winnowing fingerprint-overlap
+    candidate generator into the same drop-every-doc_b + ledger
+    machinery: on the overlap corpus (doc 3 near-verbatim of doc 1) both
+    strategies drop the same documents at the same stages, and the
+    winnow ledger row carries its own score vocabulary."""
+    docs = _docs(spark)
+    kept_m, ledger_m = curate_corpus(
+        docs, jaccard_threshold=0.5, min_tokens=5, keep_langs=["en"]
+    )
+    kept_w, ledger_w = curate_corpus(
+        docs,
+        jaccard_threshold=0.5,
+        min_tokens=5,
+        keep_langs=["en"],
+        near_dup_strategy="winnow",
+    )
+    assert sorted(r.doc_id for r in kept_w.collect()) == sorted(
+        r.doc_id for r in kept_m.collect()
+    )
+    stages_m = {r.doc_id: r.stage for r in ledger_m.collect()}
+    stages_w = {r.doc_id: r.stage for r in ledger_w.collect()}
+    assert stages_w == stages_m
+    near_w = {r.doc_id: r.reason for r in ledger_w.collect()
+              if r.stage == "near_dedup"}
+    assert near_w and all(
+        reason.startswith("winnow overlap=") and "vs doc" in reason
+        for reason in near_w.values()
+    )
+
+
+def test_unknown_near_dup_strategy_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="near_dup_strategy"):
+        curate_corpus(_docs(spark), near_dup_strategy="simhash")
