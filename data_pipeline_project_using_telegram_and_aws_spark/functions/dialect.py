@@ -30,8 +30,15 @@ from .datetime_shims import translate_mysql_datetime_pattern
 
 _DATE_FORMAT_RE = re.compile(r"date_format\s*\(([^,]+),\s*'([^']*)'\s*\)", re.IGNORECASE)
 _EXTRACT_RE = re.compile(r"extract\s*\(\s*(\w+)\s+from\s+([^)]+)\)", re.IGNORECASE)
+# the AVG argument may itself contain one level of calls — the reference's
+# own text is CAST(AVG(length(text)) AS INT) (ipynb:896), so the argument
+# pattern must cross nested parens ([^)]* stops at the first close-paren
+# and silently leaves the cast untranslated: Spark then truncates where
+# Presto rounds — caught by tests/test_sql_parity.py, invisible to golden
+# corpora whose averages are whole numbers)
 _CAST_AVG_INT_RE = re.compile(
-    r"cast\s*\(\s*(avg\s*\([^)]*\))\s+as\s+int(eger)?\s*\)", re.IGNORECASE
+    r"cast\s*\(\s*(avg\s*\((?:[^()]|\([^()]*\))*\))\s+as\s+int(eger)?\s*\)",
+    re.IGNORECASE,
 )
 
 
