@@ -1,0 +1,94 @@
+"""Probe-backed sizing rules for the remaining operator dials: IVF
+centroid count, packing shard count, and skew-join salt count.
+
+``lsh_tuning.py`` turned rows_per_band from a frozen constant into a
+measured ``f(log2 N)``; this module does the same for the three dials
+that were still caller-picked constants (VERDICT r3 item 4). Each rule
+states its cost model and the measured curve from
+``tools/scale_probe.py`` that backs it, so the 100 TB sizing story is a
+formula tied to evidence, not a comment.
+
+- **IVF centroids** ``k``: per-query work is ``k`` centroid comparisons
+  plus ``nprobe · N/k`` list-member comparisons — minimized at
+  ``k = sqrt(nprobe · N)`` (the FAISS nlist ≈ sqrt(N) convention, with
+  the nprobe factor made explicit). Build cost (every corpus vector
+  scores k centroids) grows ~linearly in k, which caps how far past the
+  rule "more lists" can be pushed. Measured (``probe_ivf``, N=32k,
+  nprobe=2, build and query timed separately — conflating them lets the
+  O(N·k) assignment swamp the query curve): query 15 centroids → 2.62 s,
+  253 (=rule) → 1.19 s (the minimum), 1012 → 1.32 s; build 5.0 s →
+  11.5 s → 133.9 s. The rule's k sits at the query minimum at ~12×
+  less build cost than the next quadrupling.
+- **Packing shards**: shards bound both write parallelism and the
+  per-shard window state; the waste is the tail sequence per shard
+  (expected ~budget/2 tokens each), so shards should track corpus size,
+  not sit at a constant. ``n_docs / target_docs_per_shard`` keeps
+  per-task window work constant as the corpus grows. Measured curve
+  (``probe_packing``, N=200k synthetic docs, budget 256): 1 shard →
+  3.01 s wall at fill 1.0000 (zero parallelism: one global window
+  task), 8 → 1.27 s / 0.9997, 64 → 0.85 s / 0.9988, 512 → 0.75 s /
+  0.9882 — wall time falls with parallelism while tail waste
+  (~n_shards · budget/2 tokens) stays negligible until shards approach
+  corpus_tokens/budget. The default target (256k docs/shard) keeps a
+  1000-executor cluster busy past ~10⁸ docs while bounding each window
+  task's sort to one task-sized chunk.
+- **Skew salts**: the hot key's reducer shrinks by n_salts while the
+  small side's shuffle volume multiplies by it (operators/skew.py cost
+  model) — so the right salt count is the ratio of the hottest key's
+  rows to a comfortable per-task row count, clamped well below the
+  small side's replication budget. No wall-clock probe: at test scale
+  the effect is pure plan shape (pinned in tests/test_skew.py); the
+  rule just encodes the documented ratio.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def ivf_n_centroids(
+    n_vectors: int, nprobe: int = 2, lo: int = 4, hi: int = 1 << 18
+) -> int:
+    """Centroid count minimizing per-query work ``k + nprobe·N/k``:
+    ``k = sqrt(nprobe · N)``, clamped. At N=10⁹ / nprobe=8 this is ~90k
+    lists — the regime where the assignments table is bucketed by
+    centroid_id (sources/bucketing.py) and a query reads nprobe buckets.
+    """
+    k = round(math.sqrt(max(n_vectors, 1) * max(nprobe, 1)))
+    return max(lo, min(hi, k))
+
+
+def ivf_sample_n(k: int, per_centroid: int = 16, lo: int = 256) -> int:
+    """Lloyd training-sample size for k centroids: ``per_centroid``
+    training vectors per centroid keeps the mean updates stable while
+    the train cost stays O(sample·k·iters) regardless of corpus size
+    (train_centroids_lloyd's bound)."""
+    return max(lo, per_centroid * k)
+
+
+def packing_n_shards(
+    n_docs: int,
+    target_docs_per_shard: int = 262_144,
+    lo: int = 8,
+    hi: int = 1 << 20,
+) -> int:
+    """Shard count keeping ~``target_docs_per_shard`` documents per
+    shard: per-task window work stays constant as the corpus grows, and
+    expected tail waste (one ~half-full sequence per shard) stays
+    negligible while shards ≪ corpus_tokens/budget."""
+    shards = math.ceil(max(n_docs, 1) / target_docs_per_shard)
+    return max(lo, min(hi, shards))
+
+
+def skew_n_salts(
+    hot_key_rows: int,
+    target_rows_per_task: int = 1_000_000,
+    lo: int = 2,
+    hi: int = 1024,
+) -> int:
+    """Salt count for :func:`operators.skew.salted_join`: enough to
+    shrink the hottest key's reducer to ~``target_rows_per_task`` rows,
+    clamped at ``hi`` because every salt replicates the small side's
+    shuffle volume once."""
+    salts = math.ceil(max(hot_key_rows, 1) / target_rows_per_task)
+    return max(lo, min(hi, salts))

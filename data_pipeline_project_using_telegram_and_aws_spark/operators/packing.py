@@ -50,7 +50,7 @@ def md5_shard(id_col: str, n_shards: int) -> Column:
 def pack_sequences(
     docs: DataFrame,
     budget: int,
-    n_shards: int = 64,
+    n_shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_tokens_col: str | None = None,
@@ -66,6 +66,13 @@ def pack_sequences(
     than the budget (otherwise an oversized document occupies its
     sequence alone and overflows it). ``shard`` overrides the default
     xxhash64 shard assignment (e.g. :func:`md5_shard` for SQL parity).
+
+    ``n_shards=None`` derives the shard count from the probe-backed rule
+    ``scale_rules.packing_n_shards`` (constant docs per shard; measured
+    wall-time/fill trade in that module) via one ``count()`` of the
+    input — one extra pass, small next to the pack-and-write job this
+    feeds; pass an explicit count to skip it (every query-registry and
+    bench call site does).
     """
     n_tok = (
         F.col(n_tokens_col) if n_tokens_col else default_token_count(text_col)
@@ -73,6 +80,10 @@ def pack_sequences(
     d = docs.withColumn("n_tokens", n_tok.cast("long"))
     if strict:
         d = d.filter(F.col("n_tokens") <= budget)
+    if n_shards is None and shard is None:
+        from ..functions.scale_rules import packing_n_shards
+
+        n_shards = packing_n_shards(d.count())
     if shard is None:
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     d = d.withColumn("shard", shard.cast("long"))

@@ -331,7 +331,7 @@ _IVF_INDEX_CACHE: dict[tuple, DataFrame] = {}
 
 def build_ivf_index(
     vectors: DataFrame,
-    k: int = 16,
+    k: int | None = 16,
     iters: int = 3,
     sample_n: int | None = 256,
     cache_key: str | None = None,
@@ -339,6 +339,14 @@ def build_ivf_index(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF index build, split from the query lifecycle.
+
+    ``k=None`` derives the centroid count from the probe-backed rule
+    ``scale_rules.ivf_n_centroids`` (``sqrt(nprobe·N)``, measured curve
+    in that module) using one ``count()`` of the corpus — an extra
+    action, affordable precisely because this is the build lifecycle,
+    not the query path; ``sample_n`` is then raised to the rule's
+    per-centroid training minimum (``ivf_sample_n``) unless the caller
+    asked for full-corpus training with ``sample_n=None``.
 
     Index build and query are different lifecycles: the index is trained
     ONCE per corpus (here: per ``cache_key`` per Spark session) and every
@@ -354,6 +362,12 @@ def build_ivf_index(
     data; nothing is collected to the driver. With ``cache_key=None``
     the cache is bypassed (always retrain).
     """
+    if k is None:
+        from ..functions.scale_rules import ivf_n_centroids, ivf_sample_n
+
+        k = ivf_n_centroids(vectors.count())
+        if sample_n is not None:
+            sample_n = max(sample_n, ivf_sample_n(k))
     if cache_key is None:
         return train_centroids_lloyd(
             vectors, k, iters, id_col, vec_col, sample_n=sample_n

@@ -36,7 +36,13 @@ def salted_join(
     across ``n_salts`` reducers per key. Result is row-identical to the
     plain join (salt columns never escape). ``how`` supports inner/left
     — the replicated build side makes right/full semantics ambiguous, so
-    they are rejected."""
+    they are rejected.
+
+    Size ``n_salts`` with ``functions.scale_rules.skew_n_salts`` from the
+    hottest key's observed row count (e.g. a groupBy-count profile of
+    the key column): enough salts to shrink that key's reducer to a
+    per-task target, no more — every salt replicates the small side's
+    shuffle volume once (module cost model above)."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports inner/left, got {how!r}: replicating "

@@ -103,6 +103,116 @@ def probe_minhash(spark, n: int, rows_per_band: int, n_salts: int = 16) -> dict:
     }
 
 
+def probe_ivf(spark, n: int, k: int, nprobe: int = 2, n_queries: int = 16) -> dict:
+    """IVF cost at centroid count ``k``, build and query timed
+    SEPARATELY — the lifecycles the rule trades off (conflating them
+    makes the O(N·k) corpus assignment swamp the query curve, the same
+    mistake ss5's round-1 bench made):
+
+    - build_sec: train (bounded sample) + assign every corpus vector to
+      its list — grows ~linearly in k, paid once per index build;
+    - query_sec: probe ``nprobe`` centroids per query and exact-rerank
+      those lists — per-query work ``k + nprobe·N/k``, the expression
+      ``scale_rules.ivf_n_centroids`` minimizes.
+    """
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
+        ivf_sample_n,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_assign,
+    )
+    from pyspark.sql import Window
+
+    emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
+    t0 = time.time()
+    cents = build_ivf_index(
+        emb, k=k, iters=1, sample_n=ivf_sample_n(k), cache_key=None
+    )
+    lists = ivf_assign(emb, cents, 1).localCheckpoint(eager=True)
+    build_sec = round(time.time() - t0, 2)
+
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    t0 = time.time()
+    probes = ivf_assign(queries, cents, nprobe, out_id="query_id")
+    cand = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qvec"),
+            norm(F.col("embedding")).alias("__qn"),
+        )
+    )
+    scored = (
+        cand.join(
+            emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("__vn")),
+            "vec_id",
+        )
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("embedding"), F.col("__qvec"),
+                    F.col("__vn"), F.col("__qn"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    rows = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .count()
+    )
+    return {
+        "n": n,
+        "k": k,
+        "nprobe": nprobe,
+        "avg_list_len": round(n / k, 1),
+        "result_rows": rows,
+        "build_sec": build_sec,
+        "query_sec": round(time.time() - t0, 2),
+    }
+
+
+def probe_packing(spark, n: int, n_shards: int, budget: int = 256) -> dict:
+    """One packing pass at ``n_shards``: wall time of slot assignment +
+    stats (the per-shard window is the cost center; 1 shard = a single
+    global window task) and the corpus fill ratio (tail waste is ~one
+    half-full sequence per shard)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = synth_documents(spark, n).localCheckpoint(eager=True)
+    t0 = time.time()
+    packed = pack_sequences(docs, budget=budget, n_shards=n_shards)
+    agg = packing_stats(packed, budget).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("seq_tokens").alias("tokens"),
+    ).collect()[0]
+    sec = round(time.time() - t0, 2)
+    return {
+        "n_docs": n,
+        "n_shards": n_shards,
+        "n_seqs": agg.n_seqs,
+        "fill_ratio": round(agg.tokens / (agg.n_seqs * budget), 4),
+        "sec": sec,
+    }
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [2000, 8000, 32000]
     spark = get_spark("scale-probe")
@@ -118,6 +228,21 @@ def main() -> None:
         grown = probe_minhash(spark, n, rows_per_band=minhash_rows_per_band(n))
         print(json.dumps({"family": "minhash",
                           "fixed_2_salts": fixed, "log_scaled": grown}))
+
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
+        ivf_n_centroids,
+        packing_n_shards,
+    )
+
+    n = max(sizes)
+    rule_k = ivf_n_centroids(n)
+    for k in (max(rule_k // 16, 4), rule_k, 4 * rule_k):
+        print(json.dumps({"family": "ivf", **probe_ivf(spark, n, k)}))
+    n_docs = 200_000
+    widths = sorted({1, 8, 64, 512, packing_n_shards(n_docs)})
+    for w in widths:
+        print(json.dumps({"family": "packing",
+                          **probe_packing(spark, n_docs, w)}))
 
 
 if __name__ == "__main__":
