@@ -1,0 +1,87 @@
+"""Connected components over candidate-pair edges — the exact transitive
+closure for near-dup clusters.
+
+``curation.py``'s default near-dup semantics are single-pass
+drop-every-doc_b: no iteration, but NOT a transitive closure — a chain
+2~5, 3~5 (canonical pairs (2,5) and (3,5)) drops only 5, keeping 3 even
+though it is transitively similar to the kept 2. This module computes the
+true closure: every document labeled with the minimum id reachable
+through the candidate graph, so a cluster keeps exactly its lowest id.
+
+Algorithm: iterative min-label propagation (the hash-min variant of
+MapReduce connected components). Each round every node takes the min of
+its own label and its neighbors' labels; a fixpoint is reached after
+~graph-diameter rounds. Near-dup clusters are shallow in practice
+(duplicates of a common source form star/clique shapes, diameter ≤ ~3),
+so the loop usually converges in 2-3 rounds; ``max_iters`` bounds the
+pathological chain. Each round is one join + one groupBy on node id —
+both shuffles keyed by node, no all-pairs anywhere — and the label frame
+is ``localCheckpoint``-ed per round to keep the plan flat (the iterative
+lineage would otherwise double per round). Convergence is detected with
+one tiny count aggregate per round.
+
+At 100 TB the same shape holds: the edge list (LSH candidates over
+threshold) is orders of magnitude smaller than the corpus, rounds are
+bounded by cluster diameter (not corpus size), and the classic
+large-star/small-star optimization (log N rounds on adversarial graphs)
+slots into the same loop if ever needed — a documented dial, not a
+rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id reachable through the undirected
+    edge set. Raises if ``max_iters`` rounds do not reach the fixpoint
+    (an unconverged labeling silently merges nothing — better loud)."""
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nmin", "component")
+                ).alias("component"),
+                (F.coalesce("__nmin", "component") < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.agg(
+            F.sum(F.col("__changed").cast("int")).alias("n")
+        ).collect()[0].n
+        labels = updated.drop("__changed")
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "graph diameter exceeds the bound; raise max_iters or switch to "
+        "large-star/small-star"
+    )

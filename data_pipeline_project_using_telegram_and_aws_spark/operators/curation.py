@@ -52,6 +52,7 @@ def curate_corpus(
     near_dup_strategy: str = "minhash",
     winnow_k: int = 8,
     winnow_window: int = 4,
+    near_dup_closure: str = "drop_all",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
@@ -77,10 +78,24 @@ def curate_corpus(
       chars yields a shared fingerprint). ``jaccard_threshold`` gates
       the overlap score in this mode.
 
-    Both generators feed the identical drop-every-doc_b + ledger
-    machinery, so swapping strategies changes candidate *generation*
-    only, never drop semantics; the same scale shape holds (inverted
-    index equi-join, never all-pairs).
+    Both generators feed the identical drop + ledger machinery, so
+    swapping strategies changes candidate *generation* only, never drop
+    semantics; the same scale shape holds (inverted index equi-join,
+    never all-pairs).
+
+    ``near_dup_closure`` picks the drop semantics applied to the
+    candidate pairs:
+
+    - ``"drop_all"`` (default): single-pass drop-every-doc_b (module
+      docstring) — no iteration, but not a transitive closure: a chain
+      2~5, 3~5 drops only 5, keeping 3 though it is transitively
+      similar to the kept 2.
+    - ``"components"``: exact transitive closure via
+      :func:`components.connected_components` — each candidate cluster
+      keeps exactly its lowest id; costs ~cluster-diameter iterative
+      rounds over the (candidate-sized, not corpus-sized) edge list.
+      Ledger reasons cite the cluster representative and ``kept_alive``
+      is always TRUE (the representative survives by construction).
     """
     ledgers: list[DataFrame] = []
 
@@ -139,31 +154,52 @@ def curate_corpus(
             f"unknown near_dup_strategy {near_dup_strategy!r}; "
             "expected 'minhash' or 'winnow'"
         )
-    near_base = cand.groupBy(F.col("doc_b").alias("doc_id")).agg(
-        F.min("doc_a").alias("__kept"), F.max("__score").alias("__j")
-    )
-    # kept_alive: did the referenced keeper itself survive this stage?
-    # (drop-all-doc_b can remove it via another pair — the audit trail
-    # must say so instead of pointing at a ghost)
-    dropped_ids = near_base.select(
-        F.col("doc_id").alias("__kept"), F.lit(True).alias("__kept_dropped")
-    )
-    near_drops = (
-        near_base.join(dropped_ids, "__kept", "left")
-        .select(
-            "doc_id",
+    if near_dup_closure == "components":
+        from .components import connected_components
+
+        comp = connected_components(cand.select("doc_a", "doc_b"))
+        near_drops = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id"),
             F.lit("near_dedup").alias("stage"),
             F.concat(
-                F.lit(reason_prefix),
-                # fixed 4-dp decimal rendering — double→string formatting
-                # differs across engines, DECIMAL(6,4) strings don't
-                F.col("__j").cast("decimal(6,4)").cast("string"),
-                F.lit(" vs doc "),
-                F.col("__kept").cast("string"),
+                F.lit(f"{near_dup_strategy} component vs doc "),
+                F.col("component").cast("string"),
             ).alias("reason"),
-            F.col("__kept_dropped").isNull().alias("kept_alive"),
+            # the representative is the cluster min: never a doc_b of any
+            # pair, so it survives the stage by construction
+            F.lit(True).alias("kept_alive"),
         )
-    )
+    elif near_dup_closure == "drop_all":
+        near_base = cand.groupBy(F.col("doc_b").alias("doc_id")).agg(
+            F.min("doc_a").alias("__kept"), F.max("__score").alias("__j")
+        )
+        # kept_alive: did the referenced keeper itself survive this stage?
+        # (drop-all-doc_b can remove it via another pair — the audit trail
+        # must say so instead of pointing at a ghost)
+        dropped_ids = near_base.select(
+            F.col("doc_id").alias("__kept"), F.lit(True).alias("__kept_dropped")
+        )
+        near_drops = (
+            near_base.join(dropped_ids, "__kept", "left")
+            .select(
+                "doc_id",
+                F.lit("near_dedup").alias("stage"),
+                F.concat(
+                    F.lit(reason_prefix),
+                    # fixed 4-dp decimal rendering — double→string formatting
+                    # differs across engines, DECIMAL(6,4) strings don't
+                    F.col("__j").cast("decimal(6,4)").cast("string"),
+                    F.lit(" vs doc "),
+                    F.col("__kept").cast("string"),
+                ).alias("reason"),
+                F.col("__kept_dropped").isNull().alias("kept_alive"),
+            )
+        )
+    else:
+        raise ValueError(
+            f"unknown near_dup_closure {near_dup_closure!r}; "
+            "expected 'drop_all' or 'components'"
+        )
     # The MinHash-LSH candidate computation above is the pipeline's
     # heaviest stage and feeds three consumers (this ledger slice, the
     # quality branch's anti-join, the language branch's anti-join);

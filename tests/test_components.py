@@ -1,0 +1,87 @@
+"""Connected components (operators/components.py) and the exact-closure
+near-dup mode it gives curation."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.components import (
+    connected_components,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.operators.curation import (
+    curate_corpus,
+)
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    return {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+
+
+def test_components_basic_clusters(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_components_long_chain_converges(spark):
+    # a 12-node path needs ~diameter rounds — well inside max_iters
+    got = _cc(spark, [(i, i + 1) for i in range(12)])
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_components_star_through_high_id_hub(spark):
+    # 2~5 and 3~5: the min (2) reaches 3 only THROUGH the larger hub 5 —
+    # the case single-pass drop-all-doc_b cannot close
+    got = _cc(spark, [(2, 5), (3, 5)])
+    assert got == {2: 2, 3: 2, 5: 2}
+
+
+def test_components_unconverged_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)],
+                                  ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iters=2)
+
+
+def test_curation_components_closure_drops_transitive_cluster(spark):
+    """Docs 2 and 3 are both near-dups of 5 but not of each other (the
+    hub shape: 5 concatenates 2's and 3's disjoint halves): drop_all
+    keeps {2, 3}, the components closure keeps only the cluster
+    representative 2."""
+    half_a = " ".join(f"alpha{i}" for i in range(12))
+    half_b = " ".join(f"delta{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (2, half_a, "en"),
+            (3, half_b, "en"),
+            (5, half_a + " " + half_b, "en"),
+            (9, "completely unrelated content about query engines and "
+                "distributed joins", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    kw = dict(jaccard_threshold=0.4, min_tokens=1)
+    kept_d, _ = curate_corpus(docs, **kw)
+    kept_c, ledger_c = curate_corpus(docs, near_dup_closure="components", **kw)
+    assert sorted(r.doc_id for r in kept_d.collect()) == [2, 3, 9]
+    assert sorted(r.doc_id for r in kept_c.collect()) == [2, 9]
+    near = {r.doc_id: r for r in ledger_c.collect() if r.stage == "near_dedup"}
+    assert set(near) == {3, 5}
+    assert all(
+        r.kept_alive and r.reason == "minhash component vs doc 2"
+        for r in near.values()
+    )
+
+
+def test_unknown_closure_rejected(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "en")], ["doc_id", "text", "lang"]
+    )
+    with pytest.raises(ValueError, match="near_dup_closure"):
+        curate_corpus(docs, near_dup_closure="greedy")
