@@ -53,6 +53,8 @@ def curate_corpus(
     winnow_k: int = 8,
     winnow_window: int = 4,
     near_dup_closure: str = "drop_all",
+    max_bits_per_token: float | None = None,
+    lm_ref: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
@@ -82,6 +84,14 @@ def curate_corpus(
     swapping strategies changes candidate *generation* only, never drop
     semantics; the same scale shape holds (inverted index equi-join,
     never all-pairs).
+
+    ``max_bits_per_token`` (optional) inserts an LM-perplexity gate
+    between the quality and language stages: survivors scoring above the
+    bound under :func:`lm_score.unigram_cross_entropy` (against
+    ``lm_ref``, or themselves when ``lm_ref`` is None) are dropped with
+    stage ``lm_quality`` and the 4-dp score in the reason. Zero-token
+    documents have no score and pass through (the too_short gate is the
+    stage that owns them).
 
     ``near_dup_closure`` picks the drop semantics applied to the
     candidate pairs:
@@ -230,6 +240,41 @@ def curate_corpus(
         )
     )
     survivors = flagged.filter(F.col("__reason").isNull()).drop("__reason")
+
+    # ---- stage 3.5: optional LM-perplexity gate -------------------------
+    # CCNet-style: drop documents whose unigram cross-entropy under the
+    # reference corpus (``lm_ref``; default: the stage's own survivors,
+    # i.e. self-perplexity) exceeds ``max_bits_per_token`` — catches
+    # off-domain and garbled text the row-local quality heuristics pass.
+    if max_bits_per_token is not None:
+        from .lm_score import unigram_cross_entropy
+
+        scores = unigram_cross_entropy(
+            survivors,
+            ref_docs=lm_ref,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(
+            F.col(id_col),
+            F.col("bits_per_token").alias("__bpt"),
+        )
+        gated = survivors.join(scores, id_col, "left")
+        bad_lm = F.col("__bpt") > max_bits_per_token
+        ledgers.append(
+            gated.filter(bad_lm).select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("lm_quality").alias("stage"),
+                F.concat(
+                    F.lit("bits_per_token="),
+                    # fixed 4-dp decimal rendering, as the near-dup reason
+                    F.col("__bpt").cast("decimal(8,4)").cast("string"),
+                ).alias("reason"),
+                null_flag,
+            )
+        )
+        survivors = gated.filter(~bad_lm | F.col("__bpt").isNull()).drop(
+            "__bpt"
+        )
 
     # ---- stage 4: optional language allow-list --------------------------
     if keep_langs is not None:

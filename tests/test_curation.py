@@ -112,3 +112,36 @@ def test_unknown_near_dup_strategy_rejected(spark):
 
     with pytest.raises(ValueError, match="near_dup_strategy"):
         curate_corpus(_docs(spark), near_dup_strategy="simhash")
+
+
+def test_lm_quality_gate_drops_offdomain_docs(spark):
+    """The optional perplexity gate: an off-domain doc scores far above
+    the in-domain corpus under the reference model and is dropped at the
+    lm_quality stage with its 4-dp score in the reason; stage order is
+    preserved (a too-short doc never reaches the LM stage)."""
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog", "en")
+         for i in range(100, 120)],
+        ["doc_id", "text", "lang"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog", "en"),
+            (2, "zxqv wkrp mblt qqzz vvkk nnpp", "en"),   # fully OOV
+            (3, "shorty", "en"),                          # quality: too_short
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    kept, ledger = curate_corpus(
+        docs,
+        jaccard_threshold=0.99,
+        min_tokens=5,
+        max_bits_per_token=6.0,
+        lm_ref=ref,
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1]
+    entries = {r.doc_id: (r.stage, r.reason) for r in ledger.collect()}
+    assert entries[3] == ("quality", "too_short")
+    assert entries[2][0] == "lm_quality"
+    assert entries[2][1].startswith("bits_per_token=")
+    assert float(entries[2][1].split("=")[1]) > 6.0
