@@ -1,0 +1,117 @@
+"""Per-source streaming token quotas (streaming/quota.py): budget
+enforcement, cross-micro-batch state carry, and the unlimited default.
+The transformWithState twin is exercised only where its protobuf
+dependency exists (absent in this container — module docstring)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.quota import (
+    OUTPUT_SCHEMA,
+    TokenQuotaProcessor,
+    apply_token_quota,
+)
+
+SCHEMA = "source STRING, doc_id BIGINT, n_tokens BIGINT"
+
+
+def _write_batch(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(spark, landing, out_dir, ckpt, budgets, default=-1):
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    gated = apply_token_quota(stream, budgets, default_budget=default)
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+
+
+def test_quota_admits_until_budget_and_carries_state(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # batch 1: s1 uses 8 of its 10-token budget; s2 is unlimited
+    _write_batch(landing, "b1.json", [
+        {"source": "s1", "doc_id": 1, "n_tokens": 8},
+        {"source": "s2", "doc_id": 2, "n_tokens": 500},
+    ])
+    got = _run(spark, landing, out, ckpt, {"s1": 10})
+    assert got[1].admitted and got[1].budget_used == 8
+    assert got[2].admitted and got[2].budget_used == 500
+
+    # batch 2: s1 has 2 tokens left -> the 5-token doc is dropped whole,
+    # the later 2-token doc still fits (documents never split)
+    _write_batch(landing, "b2.json", [
+        {"source": "s1", "doc_id": 3, "n_tokens": 5},
+        {"source": "s1", "doc_id": 4, "n_tokens": 2},
+        {"source": "s2", "doc_id": 5, "n_tokens": 999},
+    ])
+    got = _run(spark, landing, out, ckpt, {"s1": 10})
+    assert not got[3].admitted and got[3].budget_used == 8
+    assert got[4].admitted and got[4].budget_used == 10
+    assert got[5].admitted   # default budget unlimited
+
+
+def test_quota_zero_budget_drops_everything(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_batch(landing, "b1.json", [
+        {"source": "s1", "doc_id": i, "n_tokens": 3} for i in range(5)
+    ])
+    got = _run(
+        spark, landing, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        {"s1": 0},
+    )
+    assert len(got) == 5
+    assert all(not r.admitted and r.budget_used == 0 for r in got.values())
+
+
+def test_tws_twin_where_protobuf_exists(spark, tmp_path):
+    pytest.importorskip("google.protobuf")
+    assert TokenQuotaProcessor is not None
+    landing = str(tmp_path / "landing")
+    _write_batch(landing, "b1.json", [
+        {"source": "s1", "doc_id": 1, "n_tokens": 8},
+        {"source": "s1", "doc_id": 2, "n_tokens": 8},
+    ])
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(SCHEMA).json(landing)
+        gated = stream.groupBy("source").transformWithStateInPandas(
+            statefulProcessor=TokenQuotaProcessor({"s1": 10}),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.doc_id: r for r in
+               spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert got[1].admitted != got[2].admitted  # exactly one fits
+    finally:
+        spark.conf.unset(key)
