@@ -59,6 +59,10 @@ HEADLINE = [
     "cu1_corpus_curation",
     "pk1_sequence_packing",
     "dc1_decontamination",
+    # round-4 registry additions (new rows — compare per-query vs r3)
+    "pk2_materialized_sequences",
+    "vc1_vocab_encode",
+    "sp1_split_mixture",
 ]
 
 
