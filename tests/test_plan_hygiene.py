@@ -69,3 +69,47 @@ def test_dc1_eval_side_broadcasts(spark):
     plan = _plan(dc1_decontamination(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vc1_encode_join_broadcasts_vocab(spark):
+    """The vocab→token-id mapping must reach the corpus as a broadcast
+    (vocabularies are megabytes); a shuffled join keyed by token would
+    reshuffle the whole exploded corpus at 100 TB."""
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.pipeline_queries import (
+        vc1_vocab_encode,
+    )
+
+    plan = _plan(vc1_vocab_encode(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sp1_mixture_and_split_are_projection_only(spark):
+    """Mixture sampling + split assignment are pure projections (hash
+    dice, explode, CASE): the only Exchange allowed in the plan is the
+    final presentation orderBy's range partitioning — any hash Exchange
+    means a shuffle crept into the recipe path."""
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.pipeline_queries import (
+        sp1_split_mixture,
+    )
+
+    plan = _plan(sp1_split_mixture(spark, SF_DIR))
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0]
+
+
+def test_pk2_materialize_reuses_shard_partitioning(spark):
+    """Materialization groups by (shard, seq_id); the plan may shuffle on
+    the shard hash and range-sort for presentation, but the documents
+    table itself must still be read with only (doc_id, text)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.pipeline_queries import (
+        pk2_materialized_sequences,
+    )
+
+    plan = _plan(pk2_materialized_sequences(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
