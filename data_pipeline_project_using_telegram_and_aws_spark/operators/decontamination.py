@@ -52,13 +52,26 @@ def contamination_report(
     tg = shingle_rows(train, n, id_col, text_col, distinct=False).select(
         F.col(id_col).alias("train_doc_id"), "shingle"
     )
+    eg = _eval_grams(eval_docs, n, id_col, text_col)
+    return _collide(tg, eg)
+
+
+def _eval_grams(
+    eval_docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(eval_doc_id, shingle, eval_ngrams): the held-out suite's distinct
+    grams with per-doc totals attached — the broadcast side of every
+    contamination join."""
     eg = shingle_rows(eval_docs, n, id_col, text_col, distinct=True).select(
         F.col(id_col).alias("eval_doc_id"), "shingle"
     )
-    eg = eg.withColumn(
+    return eg.withColumn(
         "eval_ngrams",
         F.count(F.lit(1)).over(Window.partitionBy("eval_doc_id")),
     )
+
+
+def _collide(tg: DataFrame, eg: DataFrame) -> DataFrame:
     return (
         tg.join(F.broadcast(eg), "shingle")
         # dedup AFTER the near-empty join, not before it (module note)
@@ -75,3 +88,43 @@ def contamination_report(
             ).alias("contamination"),
         )
     )
+
+
+def build_eval_gram_table(
+    eval_docs: DataFrame,
+    table: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the held-out suite's gram table — the incremental
+    decontamination layout, symmetric to ``dedup.build_minhash_index_table``
+    but with the roles reversed: there the CORPUS is the persisted side
+    (huge, bucketed, never moves) and the daily batch probes it; here the
+    EVAL SUITE is the persisted side (curated, MB-scale, changes only on
+    suite versioning) and every daily training batch probes it by
+    broadcast. Grams are computed once per suite version instead of once
+    per daily batch — and a plain unbucketed table is deliberate: the
+    probe reads it whole into a broadcast, so co-location buys nothing."""
+    _eval_grams(eval_docs, n, id_col, text_col).write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(table)
+
+
+def contamination_against_table(
+    spark,
+    train_batch: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Daily-batch contamination report against a persisted eval gram
+    table (``build_eval_gram_table``): identical output contract to
+    :func:`contamination_report`, with the eval side read from the
+    catalog instead of re-shingled. The train batch never shuffles —
+    same broadcast-join shape, pinned by parity test."""
+    tg = shingle_rows(train_batch, n, id_col, text_col, distinct=False).select(
+        F.col(id_col).alias("train_doc_id"), "shingle"
+    )
+    return _collide(tg, spark.table(table))
