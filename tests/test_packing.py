@@ -110,3 +110,51 @@ def test_materialize_sequences_orders_members_by_offset(spark):
         assert s["seq_tokens"] == sum(n for _, _, n in members)
         # joined text re-tokenizes to exactly seq_tokens whitespace tokens
         assert len(s["seq_text"].split()) == s["seq_tokens"]
+
+
+def test_packing_layout_properties(spark):
+    """Property suite over randomized corpora: the packed layout is a
+    contiguous, non-overlapping tiling — for every shard, walking rows
+    in (seq_id, seq_offset) order gives absolute token positions
+    (seq_id·budget + seq_offset) that advance by exactly the previous
+    document's tokens with no gaps or overlaps, every input document is
+    placed exactly once, and strict mode drops exactly the docs longer
+    than the budget. Independent of the md5 ordering itself, so it pins
+    the algebra, not a mirror implementation."""
+    from hypothesis import given, settings, strategies as st
+
+    budget = 16
+    corpora = st.lists(
+        st.integers(min_value=0, max_value=24),  # includes 0 and > budget
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpora)
+    def run(token_counts):
+        rows = [(i, int(n)) for i, n in enumerate(token_counts)]
+        docs = spark.createDataFrame(rows, ["doc_id", "nt"])
+        packed = pack_sequences(
+            docs, budget=budget, n_shards=3, n_tokens_col="nt"
+        ).collect()
+        assert sorted(r.doc_id for r in packed) == [r[0] for r in rows]
+        by_shard = {}
+        for r in packed:
+            by_shard.setdefault(r.shard, []).append(r)
+        for members in by_shard.values():
+            members.sort(key=lambda r: (r.seq_id, r.seq_offset))
+            pos = 0
+            for r in members:
+                assert r.seq_id * budget + r.seq_offset == pos
+                assert r.seq_id == pos // budget  # starts where cum floors
+                pos += r.n_tokens
+
+        strict = pack_sequences(
+            docs, budget=budget, n_shards=3, n_tokens_col="nt", strict=True
+        ).collect()
+        assert sorted(r.doc_id for r in strict) == sorted(
+            i for i, n in rows if n <= budget
+        )
+
+    run()
