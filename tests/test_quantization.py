@@ -60,3 +60,41 @@ def test_error_stats_show_cosine_preserved(spark):
     # int8 over unit-range vectors: tiny element error, cosine ~1
     assert stats.max_abs_err < 0.01
     assert stats.worst_cosine > 0.999
+
+
+def test_quantized_ann_recall_against_exact(spark, sf_dir):
+    """The 4x payload cut must not cost search quality: brute-force
+    top-5 over int8-reconstructed embeddings recovers >= 90% of the
+    exact float top-5 on the testdata corpus (random vectors are the
+    hard case for recall — real clustered embeddings separate further).
+    Composes quantize_embeddings -> dequantize -> brute_force_topk."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.quantization import (
+        dequantize,
+        quantize_embeddings,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    recon = quantize_embeddings(emb).select(
+        "vec_id", dequantize("qvec", "q_min", "q_scale").alias("embedding")
+    )
+    rq = recon.filter(F.col("vec_id") < 8)
+
+    def topk(corpus, qs):
+        rows = brute_force_topk(corpus, qs, k=5).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    exact = topk(emb, queries)
+    quant = topk(recon, rq)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, (hits, total)
