@@ -1,0 +1,84 @@
+"""BM25 retrieval (operators/retrieval.py): hand-computed scores, ranking
+behavior, the stats index, and the broadcast plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval import (
+    B,
+    K1,
+    bm25_scores,
+    corpus_term_stats,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark query engine"),
+            (2, "spark spark shuffle"),
+            (3, "unrelated words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(10, "spark engine")], ["query_id", "query_text"]
+    )
+
+
+def _bm25(tf, dl, df, n_docs, avgdl):
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def test_bm25_matches_hand_computation(spark):
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(_corpus(spark), _queries(spark), top=None).collect()
+    }
+    # corpus: N=3, avgdl=3; df(spark)=2, df(engine)=1
+    want1 = _bm25(1, 3, 2, 3, 3.0) + _bm25(1, 3, 1, 3, 3.0)
+    want2 = _bm25(2, 3, 2, 3, 3.0)
+    assert got[1] == pytest.approx(round(want1, 4))
+    assert got[2] == pytest.approx(round(want2, 4))
+    assert 3 not in got  # no shared term, no row
+
+
+def test_bm25_ranks_term_coverage_over_repetition(spark):
+    # doc 1 matches both query terms; doc 2 repeats one term — tf
+    # saturation (k1) must rank coverage first
+    rows = bm25_scores(_corpus(spark), _queries(spark), top=2).collect()
+    assert [(r.doc_id, r.rank) for r in rows] == [(1, 1), (2, 2)]
+
+
+def test_corpus_term_stats_index(spark):
+    stats = {
+        (r.doc_id, r.term): r for r in corpus_term_stats(_corpus(spark)).collect()
+    }
+    r = stats[(2, "spark")]
+    assert r.tf == 2 and r.dl == 3 and r.df == 2
+    assert r.n_docs == 3 and r.avgdl == pytest.approx(3.0)
+    assert len({k[0] for k in stats}) == 3
+
+
+def test_query_side_broadcasts(spark):
+    df = bm25_scores(_corpus(spark), _queries(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_query_terms_deduplicated(spark):
+    # "spark spark" as a query must score like "spark" (bag-of-words set)
+    q1 = spark.createDataFrame([(10, "spark")], ["query_id", "query_text"])
+    q2 = spark.createDataFrame([(10, "spark spark")], ["query_id", "query_text"])
+    corpus = _corpus(spark)
+    a = {r.doc_id: r.bm25 for r in bm25_scores(corpus, q1, top=None).collect()}
+    b = {r.doc_id: r.bm25 for r in bm25_scores(corpus, q2, top=None).collect()}
+    assert a == b
