@@ -115,3 +115,46 @@ def test_tws_twin_where_protobuf_exists(spark, tmp_path):
         assert got[1].admitted != got[2].admitted  # exactly one fits
     finally:
         spark.conf.unset(key)
+
+
+def test_quota_composes_with_split_assignment_on_stream(spark, tmp_path):
+    """The streaming recipe chain: quota gate -> admitted filter ->
+    deterministic split assignment, all inside one streaming query
+    (assign_split is a pure projection, so it composes on streams
+    unchanged — and the split a doc gets on the stream equals the split
+    the same id gets in batch, the property the hash die exists for)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        assign_split,
+    )
+
+    landing = str(tmp_path / "landing")
+    _write_batch(landing, "b1.json", [
+        {"source": "s1", "doc_id": i, "n_tokens": 2} for i in range(20)
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(landing)
+    gated = apply_token_quota(stream, {"s1": 30})   # 15 of 20 docs fit
+    recipe = assign_split(
+        gated.filter("admitted"), {"train": 6.0, "val": 1.0, "test": 1.0}
+    )
+    q = (
+        recipe.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 15 and {r.split for r in rows} <= {"train", "val", "test"}
+    # stream-assigned splits equal batch-assigned splits for the same ids
+    batch = spark.createDataFrame(
+        [(r.doc_id,) for r in rows], ["doc_id"]
+    )
+    want = {
+        r.doc_id: r.split
+        for r in assign_split(
+            batch, {"train": 6.0, "val": 1.0, "test": 1.0}
+        ).collect()
+    }
+    assert {r.doc_id: r.split for r in rows} == want
