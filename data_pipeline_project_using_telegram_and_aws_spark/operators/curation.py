@@ -1,8 +1,9 @@
 """Corpus curation: the end-to-end cleaning pipeline a training-data user
 runs over a raw document corpus, composed from this engine's operators —
 
-    exact dedup  →  MinHash-LSH near-dup dedup  →  quality gate  →
-    (optional) language filter
+    exact dedup  →  near-dup dedup (MinHash-LSH or winnowing candidates;
+    single-pass or connected-components closure)  →  quality gate  →
+    (optional) LM-perplexity gate  →  (optional) language filter
 
 Each stage both filters the surviving set and appends to a *drop ledger*
 (doc_id, stage, reason[, evidence]) so every removal is auditable — at
