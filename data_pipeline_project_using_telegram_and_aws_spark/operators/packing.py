@@ -50,7 +50,7 @@ def md5_shard(id_col: str, n_shards: int) -> Column:
 def pack_sequences(
     docs: DataFrame,
     budget: int,
-    n_shards: int | None = None,
+    n_shards: int | str = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_tokens_col: str | None = None,
@@ -67,12 +67,16 @@ def pack_sequences(
     sequence alone and overflows it). ``shard`` overrides the default
     xxhash64 shard assignment (e.g. :func:`md5_shard` for SQL parity).
 
-    ``n_shards=None`` derives the shard count from the probe-backed rule
-    ``scale_rules.packing_n_shards`` (constant docs per shard; measured
-    wall-time/fill trade in that module) via one ``count()`` of the
-    input — one extra pass, small next to the pack-and-write job this
-    feeds; pass an explicit count to skip it (every query-registry and
-    bench call site does).
+    ``n_shards`` defaults to a FIXED 64 — the default-arg layout is part
+    of persisted artifacts' contract, so it must not drift with corpus
+    size (round-4 briefly derived it by default; round-5 ADVICE reverted
+    that: a default-arg caller would silently get a different shard
+    layout than previously persisted sequences, plus an extra full pass).
+    Pass ``n_shards="auto"`` to opt into deriving it from the
+    probe-backed rule ``scale_rules.packing_n_shards`` (constant docs
+    per shard; measured wall-time/fill trade in that module) via one
+    ``count()`` of the input — do this for fresh corpora, never for
+    re-packing against an existing layout.
     """
     n_tok = (
         F.col(n_tokens_col) if n_tokens_col else default_token_count(text_col)
@@ -80,10 +84,20 @@ def pack_sequences(
     d = docs.withColumn("n_tokens", n_tok.cast("long"))
     if strict:
         d = d.filter(F.col("n_tokens") <= budget)
-    if n_shards is None and shard is None:
+    if n_shards == "auto":
+        if shard is not None:
+            raise ValueError(
+                "pack_sequences: n_shards='auto' is meaningless with an "
+                "explicit shard column"
+            )
         from ..functions.scale_rules import packing_n_shards
 
         n_shards = packing_n_shards(d.count())
+    elif not isinstance(n_shards, int):
+        raise ValueError(
+            f"pack_sequences: n_shards must be an int or 'auto', got "
+            f"{n_shards!r}"
+        )
     if shard is None:
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     d = d.withColumn("shard", shard.cast("long"))

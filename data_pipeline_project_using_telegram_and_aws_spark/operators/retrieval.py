@@ -12,15 +12,25 @@ Scoring (Okapi BM25, the textbook form):
     idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
 
 Scale shape (100 TB corpus × a small query set):
-- document statistics (per-term tf, per-doc length, corpus df/avgdl) are
-  one exploded aggregation — computed once, reusable across query sets
-  (persist ``corpus_term_stats`` for the daily-batch shape);
-- queries are tiny by nature, so their term set joins the per-term
-  postings BROADCAST: the corpus never shuffles by term; the only
-  corpus-sized shuffle is the final (query, doc) score aggregation,
-  whose input is bounded by postings of the query terms (near-zero
-  selectivity on a real vocabulary), not by corpus size — the same
-  "join first, aggregate the survivors" shape as decontamination;
+- the query term set is the ONLY broadcast: corpus postings are
+  restricted to query terms by that broadcast join, and every later
+  statistic (df via a count window over the restricted postings, the
+  score aggregation) is bounded by the surviving postings, not by the
+  corpus vocabulary — nothing vocabulary- or corpus-sized is ever
+  broadcast (the one-row n/avgdl aggregate rides a broadcast cross
+  join, as everywhere else in this package);
+- per-document length ``dl`` is carried INLINE through the explode
+  (``size(tokens)`` stamped on each term row before aggregation), so
+  there is no corpus-sized doc-length join at all;
+- the inline path makes two linear passes (postings build + the
+  one-row n/avgdl scan) and shuffles only query-term postings; the
+  df count window lands each query term's postings on one partition —
+  fine for content-bearing terms, but a stopword-laden query set
+  concentrates hot postings, so the serving path for repeated or
+  adversarial query sets is :func:`corpus_term_stats` persisted once
+  (AQE-splittable join, df/dl/avgdl precomputed per row) and scored
+  via ``stats=``: at query time that is one broadcast join + one
+  bounded aggregation, zero corpus-wide shuffles;
 - everything is JVM-side expression work; no Python.
 """
 
@@ -33,11 +43,36 @@ B = 0.75
 
 
 def _term_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl, term): one row per token occurrence, with the document's
+    whitespace-token count stamped inline — dl never needs joining back."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     return docs.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-        ).alias("term"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+
+
+def _tf_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, dl) — per-(doc, term) frequency with doc length."""
+    return (
+        _term_rows(docs, id_col, text_col)
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _corpus_constants(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One row (n_docs, avgdl) over documents with ≥1 token — the same
+    population the postings aggregation sees (zero-token docs have no
+    term rows and never score)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return (
+        docs.select(F.size(toks).alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avgdl"))
     )
 
 
@@ -47,56 +82,63 @@ def corpus_term_stats(
     """(doc_id, term, tf, dl, df, avgdl, n_docs) — the BM25 index rows:
     per-(doc, term) frequency with doc length, term document frequency,
     and the corpus constants attached (one-row aggregate broadcast by a
-    cross join). The df attachment is the one term-keyed shuffle, paid
-    at index-build time; persist the output (bucketed by term for a
-    serving layout) to amortize across query sets."""
-    tf = (
-        _term_rows(docs, id_col, text_col)
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    cross join). The df attachment is the one term-keyed shuffle —
+    groupBy+join rather than a count window so AQE can split the hot
+    stopword terms — paid at index-build time; persist the output
+    (bucketed by term for a serving layout) to amortize across query
+    sets, then score with ``bm25_scores(..., stats=...)``."""
+    tf = _tf_rows(docs, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = _corpus_constants(docs, id_col, text_col)
     return (
-        tf.join(dl, id_col)
-        .join(dfreq, "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
         .select(id_col, "term", "tf", "dl", "df", "avgdl", "n_docs")
     )
 
 
 def bm25_scores(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     top: int | None = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, bm25) — BM25 score for every (query, corpus
     doc) pair sharing at least one term, top-``top`` per query (None =
     all pairs). Query terms are deduplicated (standard bag-of-words
-    query form) and broadcast; corpus statistics come from
-    :func:`corpus_term_stats`'s aggregation shape inlined here."""
-    tf = (
-        _term_rows(docs, id_col, text_col)
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    n_avg = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    query form) and broadcast — the only non-scalar broadcast in the
+    plan.
 
+    ``stats``: a :func:`corpus_term_stats` DataFrame (typically read
+    back from its persisted/bucketed layout) — the serving path; when
+    given, ``docs`` is unused and scoring is one broadcast join + one
+    bounded aggregation. When None, the index statistics are derived
+    inline, restricted to query-term survivors BEFORE any broadcast or
+    window, so df/dl never materialize at vocabulary/corpus size."""
     qterms = (
         _term_rows(queries, query_id_col, query_text_col)
+        .select(query_id_col, "term")
         .dropDuplicates([query_id_col, "term"])
     )
+    if stats is None:
+        # restrict postings to query terms first (broadcast of the tiny
+        # deduplicated term set), THEN derive df over the survivors: the
+        # count window touches only query-term postings, never the
+        # full vocabulary, and nothing derived is re-broadcast.
+        qset = qterms.select("term").dropDuplicates(["term"])
+        tf_q = _tf_rows(docs, id_col, text_col).join(
+            F.broadcast(qset), "term"
+        )
+        rel = tf_q.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        ).crossJoin(F.broadcast(_corpus_constants(docs, id_col, text_col)))
+    else:
+        rel = stats
+
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -109,10 +151,7 @@ def bm25_scores(
         )
     )
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(n_avg))
+        rel.join(F.broadcast(qterms), "term")
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.decontamination import contamination_report
+from ..operators.lm_score import unigram_cross_entropy
+from ..operators.retrieval import bm25_scores
 from ..operators.packing import (
     materialize_sequences,
     md5_shard,
@@ -36,6 +38,15 @@ VC_VOCAB = 16     # < the corpus's 31 distinct tokens, so OOV is exercised
 # doubles, so the Spark literal and the SQL literal are the same number
 SP_WEIGHTS = {"train": 6.0, "val": 1.0, "test": 1.0}
 SP_RATES = {"src0": 2.5, "src1": 0.5}  # oversample src0, downsample src1
+# fixed literal query set for the BM25 driver row — terms drawn from the
+# synthetic corpus vocabulary so every query matches documents; the same
+# literals appear in the oracle's VALUES list
+RT_QUERIES = [
+    (1, "spark join shuffle"),
+    (2, "hash table scan"),
+    (3, "stream window batch"),
+]
+RT_TOP = 10
 
 
 def pk1_sequence_packing(spark, sf_dir):
@@ -116,12 +127,36 @@ def sp1_split_mixture(spark, sf_dir):
     ).orderBy("doc_id", "epoch")
 
 
+def lm1_unigram_quality(spark, sf_dir):
+    """Unigram-LM quality scores (operators/lm_score.py): per-document
+    self-perplexity — bits per token under the corpus's own add-0.5
+    smoothed unigram distribution, rounded to 4dp like tx2's ratios.
+    Zero-token documents keep their row with NULL bits_per_token (the
+    encode_documents row contract); self-scoring means no OOV hits, so
+    the oracle needs no OOV branch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_cross_entropy(docs).orderBy("doc_id")
+
+
+def rt1_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (operators/retrieval.py) for the fixed
+    ``RT_QUERIES`` literal query set over the document corpus — the
+    inline scoring path whose plan is pinned broadcast-only by
+    tests/test_retrieval.py. Ranking ties break on doc_id over the
+    4dp-rounded score on BOTH sides, so rank order is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(RT_QUERIES, ["query_id", "query_text"])
+    return bm25_scores(docs, qdf, top=RT_TOP)
+
+
 QUERIES = {
     "pk1_sequence_packing": pk1_sequence_packing,
     "dc1_decontamination": dc1_decontamination,
     "pk2_materialized_sequences": pk2_materialized_sequences,
     "vc1_vocab_encode": vc1_vocab_encode,
     "sp1_split_mixture": sp1_split_mixture,
+    "lm1_unigram_quality": lm1_unigram_quality,
+    "rt1_bm25_topk": rt1_bm25_topk,
 }
 
 ORACLE = {
@@ -288,5 +323,102 @@ ORACLE = {
             FROM kept
         )
         ORDER BY doc_id, epoch
+    """,
+    # add-0.5 smoothed self-perplexity: p(t) = (n_t + 0.5)/(total + 0.5(V+1));
+    # self-scoring ⇒ every token is in-vocab, so no OOV branch needed
+    "lm1_unigram_quality": """
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, COUNT(1) AS n FROM toks GROUP BY token
+        ),
+        consts AS (
+            SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                   COUNT(1) AS v
+            FROM counts
+        ),
+        model AS (
+            SELECT token,
+                   LOG2((n + 0.5) / (total + 0.5 * (v + 1))) AS logp
+            FROM counts, consts
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   COUNT(1) AS n_tokens,
+                   ROUND(-AVG(m.logp), 4) AS bits_per_token
+            FROM toks t JOIN model m USING (token)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               s.bits_per_token
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # Okapi BM25 with k1=1.2, b=0.75 (operators/retrieval.py constants);
+    # dl carried inline with the explode exactly like the Spark side,
+    # n_docs/avgdl over docs with ≥1 token, ranking on the 4dp-rounded
+    # score with doc_id tiebreak
+    "rt1_bm25_topk": f"""
+        WITH queries(query_id, query_text) AS (
+            VALUES {", ".join(f"({i}, '{t}')" for i, t in RT_QUERIES)}
+        ),
+        qterms AS (
+            SELECT DISTINCT query_id,
+                   UNNEST(list_filter(string_split(query_text, ' '),
+                                      x -> x <> '')) AS term
+            FROM queries
+        ),
+        trows AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS dl,
+                   UNNEST(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, dl, COUNT(1) AS tf
+            FROM trows GROUP BY doc_id, term, dl
+        ),
+        consts AS (
+            SELECT COUNT(1) AS n_docs, AVG(dl) AS avgdl
+            FROM (
+                SELECT len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS dl
+                FROM documents
+            ) WHERE dl > 0
+        ),
+        dfreq AS (
+            SELECT term, COUNT(1) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT q.query_id, t.doc_id,
+                   ROUND(SUM(
+                       LN(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * t.tf * (1.2 + 1.0)
+                       / (t.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * t.dl / c.avgdl))
+                   ), 4) AS bm25
+            FROM tf t
+            JOIN qterms q USING (term)
+            JOIN dfreq f USING (term), consts c
+            GROUP BY q.query_id, t.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT query_id, doc_id, bm25,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+                   ) AS rank
+            FROM scored
+        )
+        WHERE rank <= {RT_TOP}
+        ORDER BY query_id, rank
     """,
 }

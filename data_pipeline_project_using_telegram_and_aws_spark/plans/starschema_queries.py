@@ -514,7 +514,12 @@ QUERIES = {
     "q21_topk": q21_topk,
     "q23_correlated_subquery": q23_correlated_subquery,
     "q24_scalar_functions": q24_scalar_functions,
-    "q25_date_functions": q25_date_functions,
+    # q25_date_functions left the 50-row registry in round 5 (funding
+    # lm1/rt1): its date surface is hash-checked elsewhere — EXTRACT
+    # hour/dow/week via q4, date_trunc buckets via q35, timestamp
+    # comparisons via q33 — and its datediff+HAVING combination is
+    # pinned against a directly computed expectation in
+    # tests/test_registry_consolidation.py. Still callable.
     "q29_json_functions": q29_json_functions,
     "q31_approx_count_distinct": q31_approx_count_distinct,
     "q32_array_functions": q32_array_functions,
@@ -707,25 +712,6 @@ ORACLE = {
         FROM lineitem
         WHERE l_orderkey % 100 = 0
         ORDER BY l_orderkey, linenumber
-    """,
-    "q25_date_functions": """
-        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-               CAST(year(o_orderdate) AS BIGINT) AS order_year,
-               CAST(month(o_orderdate) AS BIGINT) AS order_monthnum,
-               CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
-               COUNT(1) AS n_lineitems,
-               ROUND(CAST(SUM(ship_delay_days) AS DOUBLE)
-                     / COUNT(ship_delay_days), 4) AS avg_ship_delay
-        FROM (
-            SELECT o_orderdate,
-                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
-                                  CAST(l_shipdate AS DATE)) AS BIGINT)
-                       AS ship_delay_days
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        )
-        GROUP BY 1, 2, 3, 4
-        HAVING COUNT(1) >= 100
-        ORDER BY order_month
     """,
     "q29_json_functions": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

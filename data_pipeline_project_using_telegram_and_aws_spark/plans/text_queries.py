@@ -171,11 +171,14 @@ def tx6_document_frequency(spark, sf_dir):
 QUERIES = {
     "tx1_token_stats_by_lang": tx1_token_stats_by_lang,
     "tx2_quality_scores": tx2_quality_scores,
-    "tx3_langid_heuristic": tx3_langid_heuristic,
     # tx4_fingerprints left the 50-row registry in round 4: its whole-doc
     # md5 fingerprint + shard key are hash-checked as columns of dd5
     # (dedup_queries); still callable and pinned by
     # tests/test_registry_consolidation.py.
+    # tx3_langid_heuristic left in round 5 (funding lm1/rt1): it is a
+    # 10-row confusion-matrix view over tx1's exact token machinery —
+    # the marker-filter expression it adds is pinned against a directly
+    # computed confusion matrix in tests/test_registry_consolidation.py.
     "tx6_document_frequency": tx6_document_frequency,
     "tx7_repetition_scores": tx7_repetition_scores,
 }
@@ -216,19 +219,6 @@ ORACLE = {
                ROUND((LENGTH(text) - len(toks) + 1) / len(toks), 4)
                    AS mean_token_len
         FROM t ORDER BY doc_id
-    """,
-    "tx3_langid_heuristic": f"""
-        WITH t AS (
-            SELECT lang,
-                   CASE WHEN len(list_filter(
-                            list_filter(string_split(text, ' '), x -> x <> ''),
-                            x -> x IN {_EN_SQL})) > 0
-                        THEN 'en' ELSE 'unk' END AS predicted_lang
-            FROM documents
-        )
-        SELECT lang, predicted_lang, COUNT(1) AS n_docs
-        FROM t GROUP BY lang, predicted_lang
-        ORDER BY lang, predicted_lang
     """,
     "tx7_repetition_scores": """
         WITH toks AS (

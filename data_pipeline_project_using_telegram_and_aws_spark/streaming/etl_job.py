@@ -15,8 +15,11 @@ reference's duplicate-on-rerun behavior).
 from __future__ import annotations
 
 import datetime as dt
+import logging
 
 from pyspark.sql import SparkSession, functions as F
+
+_log = logging.getLogger(__name__)
 
 from ..operators.flatten import flatten_updates
 from ..sources.lake import TelegramLake
@@ -27,10 +30,19 @@ def run_daily_etl(
     lake: TelegramLake,
     context_date: dt.date | str | None = None,
     files_per_partition: int = 1,
+    overwrite_on_empty: bool = False,
 ) -> int:
     """Process one day (default: D-1 on the pipeline's UTC-3 clock, the
     reference's cadence — ipynb:562) from the raw zone into the enriched
-    zone. Returns the number of rows written."""
+    zone. Returns the number of rows written.
+
+    ``overwrite_on_empty``: when the incoming batch flattens to zero
+    rows AND a previously-written partition exists for the day, the
+    default is to KEEP the existing data (a transient empty/failed
+    upstream export must not silently destroy a good load) and log the
+    divergence loudly; pass True to make the empty re-run mirror the
+    input by deleting the target partition (the strict-idempotency
+    mode). Either way the returned count is honestly 0."""
     if context_date is None:
         context_date = lake.today() - dt.timedelta(days=1)
 
@@ -43,11 +55,26 @@ def run_daily_etl(
     # incoming data: a re-run whose input flattened to zero rows writes
     # nothing, the previous run's files survive, and a footer count would
     # report the stale number as this run's output. Probe emptiness first
-    # (a limit-1 job, negligible next to the write) and make the empty
-    # re-run genuinely idempotent: the target partition is removed so the
-    # output mirrors the input, and the reported count is honestly 0.
+    # (a limit-1 job, negligible next to the write) and report honestly 0;
+    # whether the stale partition is also deleted is the caller's call
+    # (overwrite_on_empty) — never a silent default.
     if flat.isEmpty():
-        _delete_path(spark, partition_dir)
+        existing = _partition_row_count(spark, partition_dir)
+        if existing > 0:
+            if overwrite_on_empty:
+                _log.warning(
+                    "run_daily_etl: empty input for %s; deleting the "
+                    "existing %d-row partition (overwrite_on_empty=True)",
+                    context_date, existing,
+                )
+                _delete_path(spark, partition_dir)
+            else:
+                _log.warning(
+                    "run_daily_etl: empty input for %s but the target "
+                    "partition holds %d rows from a previous load; "
+                    "keeping it (pass overwrite_on_empty=True to delete)",
+                    context_date, existing,
+                )
         return 0
     # ONE full-scan action: write, then report the row count from the
     # written partition's parquet FOOTERS — a metadata-only read, no

@@ -187,11 +187,15 @@ def test_persistent_catalog_table_survives_sessions(spark, lake):
         spark.sql("DROP TABLE IF EXISTS telegram_ext")
 
 
-def test_etl_empty_rerun_reports_zero_and_clears_stale_partition(spark, tmp_path):
+def test_etl_empty_rerun_reports_zero_and_keeps_good_data_by_default(
+    spark, tmp_path, caplog
+):
     """Re-running a day whose raw input vanished must not report the
-    PREVIOUS run's rows as this run's output (dynamic partition
-    overwrite touches nothing for an empty input, so the old files would
-    otherwise survive and be footer-counted as fresh)."""
+    PREVIOUS run's rows as this run's output — but a transient empty
+    upstream export must not silently destroy a good load either
+    (round-5 ADVICE): the default keeps the existing partition and
+    warns loudly; deletion is the opt-in strict-idempotency mode."""
+    import logging
     import shutil
 
     lk = TelegramLake(str(tmp_path), chat_id=CHAT_ID)
@@ -204,5 +208,32 @@ def test_etl_empty_rerun_reports_zero_and_clears_stale_partition(spark, tmp_path
     assert run_daily_etl(spark, lk, context_date=today) == 2
 
     shutil.rmtree(part)
-    assert run_daily_etl(spark, lk, context_date=today) == 0
+    with caplog.at_level(logging.WARNING):
+        assert run_daily_etl(spark, lk, context_date=today) == 0
+    # the good 2-row partition survives, and the divergence is loud
+    assert glob.glob(f"{lk.enriched_path}/context_date={today}") != []
+    assert any("keeping it" in r.message for r in caplog.records)
+
+
+def test_etl_empty_rerun_clears_stale_partition_when_opted_in(spark, tmp_path):
+    """overwrite_on_empty=True restores strict input-mirroring: the
+    empty re-run deletes the target partition (dynamic partition
+    overwrite alone would leave the old files to be footer-counted as
+    fresh output)."""
+    import shutil
+
+    lk = TelegramLake(str(tmp_path), chat_id=CHAT_ID)
+    today = lk.today()
+    part = f"{lk.raw_path}/context_date={today}"
+    os.makedirs(part)
+    with open(os.path.join(part, "b.json"), "w") as f:
+        for u in UPDATES[:2]:
+            f.write(json.dumps(u) + "\n")
+    assert run_daily_etl(spark, lk, context_date=today) == 2
+
+    shutil.rmtree(part)
+    assert (
+        run_daily_etl(spark, lk, context_date=today, overwrite_on_empty=True)
+        == 0
+    )
     assert glob.glob(f"{lk.enriched_path}/context_date={today}") == []

@@ -158,3 +158,25 @@ def test_packing_layout_properties(spark):
         )
 
     run()
+
+
+def test_default_shard_count_is_fixed_64(spark):
+    """The default-arg layout is a persisted-artifact contract: it must
+    equal an explicit n_shards=64 call and never drift with corpus size
+    (derivation is the opt-in n_shards='auto' path — round-5 ADVICE)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(200)], ["doc_id", "text"]
+    )
+    default = {
+        r.doc_id: (r.shard, r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, BUDGET).collect()
+    }
+    explicit = {
+        r.doc_id: (r.shard, r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, BUDGET, n_shards=64).collect()
+    }
+    assert default == explicit and len(default) == 200
+    with _pytest.raises(ValueError, match="auto"):
+        pack_sequences(df, BUDGET, n_shards="bogus")

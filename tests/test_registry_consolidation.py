@@ -1,11 +1,12 @@
-"""Round-4 registry consolidation pins.
+"""Registry consolidation pins (rounds 4-5).
 
 The driver verifies exactly the first 50 registered queries, so funding
-driver rows for vc1/pk2/sp1 required retiring three rows whose checks
-are strictly subsumed elsewhere (the same documented move as r3's
-dd3/ss4/tx5 merges). These tests keep the retired rows' machinery
-covered and pin the subsumption itself:
+new driver rows requires retiring rows whose checks are strictly
+subsumed elsewhere (the documented move since r3's dd3/ss4/tx5 merges).
+These tests keep the retired rows' machinery covered and pin the
+subsumption itself:
 
+Round 4 (vc1/pk2/sp1 funded):
 - tx4_fingerprints -> its fingerprint/shard_key columns are now part of
   dd5's hash-checked output; parity asserted here.
 - q12_distinct_and_counts -> its DISTINCT projection + countDistinct +
@@ -13,9 +14,19 @@ covered and pin the subsumption itself:
   against directly computed distinct counts.
 - mm1_binary_metadata -> its JVM metadata surface is mm2's media_type +
   cross-path agreement booleans; parity asserted here.
+
+Round 5 (lm1/rt1 funded):
+- tx3_langid_heuristic -> a 10-row confusion-matrix view over tx1's
+  exact token machinery; its marker-filter expression is pinned against
+  a directly computed confusion matrix here.
+- q25_date_functions -> EXTRACT hour/dow/week ride in q4, date_trunc
+  buckets in q35, timestamp comparisons in q33; its datediff + HAVING
+  combination is pinned against a Python-recomputed expectation here.
 """
 
 from __future__ import annotations
+
+import datetime as _dt
 
 from data_pipeline_project_using_telegram_and_aws_spark.plans.dedup_queries import (
     dd5_simhash_fingerprints,
@@ -72,3 +83,87 @@ def test_mm1_metadata_subsumed_by_mm2(spark, sf_dir):
 def test_mm2_cross_path_booleans_are_true(spark, sf_dir):
     rows = mm2_decode_features(spark, sf_dir).collect()
     assert all(r.jvm_python_bytes_agree and r.jvm_python_hash_agree for r in rows)
+
+
+def test_tx3_langid_confusion_matrix_still_correct(spark, sf_dir):
+    from collections import Counter
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.text_queries import (
+        _EN_MARKERS,
+        tx3_langid_heuristic,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = Counter(
+        (
+            r.lang,
+            "en"
+            if any(t in _EN_MARKERS for t in r.text.split(" ") if t)
+            else "unk",
+        )
+        for r in docs
+    )
+    got = {
+        (r.lang, r.predicted_lang): r.n_docs
+        for r in tx3_langid_heuristic(spark, sf_dir).collect()
+    }
+    assert got == dict(want) and sum(got.values()) == len(docs)
+
+
+def test_q25_datediff_having_still_correct(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.starschema_queries import (
+        q25_date_functions,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    orders = {
+        r.o_orderkey: r.o_orderdate
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+
+    def _d(v):
+        if isinstance(v, _dt.datetime):  # datetime IS a date subclass
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        return _dt.date.fromisoformat(str(v)[:10])
+
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for r in li:
+        od = _d(orders[r.l_orderkey])
+        delay = (_d(r.l_shipdate) - od).days
+        groups[(od.replace(day=1), od.year, od.month, (od.month - 1) // 3 + 1)].append(
+            delay
+        )
+    want = {
+        k: (len(v), round(sum(v) / len(v), 4))
+        for k, v in groups.items()
+        if len(v) >= 100  # the HAVING filter
+    }
+    got = {
+        (
+            r.order_month,
+            r.order_year,
+            r.order_monthnum,
+            r.order_quarter,
+        ): (r.n_lineitems, r.avg_ship_delay)
+        for r in q25_date_functions(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_registry_is_exactly_50_rows_with_r5_swaps(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.plans import all_oracles, all_queries
+
+    qs, os_ = all_queries(), all_oracles()
+    assert len(qs) == 50 and set(os_) == set(qs)
+    for name in ("lm1_unigram_quality", "rt1_bm25_topk"):
+        assert name in qs
+    for name in ("tx3_langid_heuristic", "q25_date_functions"):
+        assert name not in qs

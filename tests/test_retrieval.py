@@ -68,10 +68,60 @@ def test_corpus_term_stats_index(spark):
     assert len({k[0] for k in stats}) == 3
 
 
-def test_query_side_broadcasts(spark):
-    df = bm25_scores(_corpus(spark), _queries(spark))
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_inline_scoring_plan_has_no_corpus_sized_join(spark):
+    """The r4 verdict's scale defect: the inline path used to broadcast
+    the FULL-vocabulary df table and equi-join corpus-sized dl. Pinned
+    fixed: with auto-broadcast disabled, every join in the scoring plan
+    is an explicit broadcast of query-derived (bounded) or one-row
+    relations — a SortMergeJoin appearing here means something
+    corpus/vocabulary-sized is being joined again."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bm25_scores(_corpus(spark), _queries(spark)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # qset restriction + qterms scoring join + the one-row constants
+    # cross join — anything beyond these three is a new unbounded
+    # broadcast sneaking in (the vocabulary-df regression)
+    assert plan.count("BroadcastExchange") == 3
+
+
+def test_stats_serving_path_is_one_broadcast_join(spark, tmp_path):
+    """Persisted-index serving shape: scan + ONE broadcast join (the
+    query terms) + bounded aggregation; nothing else joins at all."""
+    corpus_term_stats(_corpus(spark)).write.parquet(str(tmp_path / "stats"))
+    stats = spark.read.parquet(str(tmp_path / "stats"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bm25_scores(None, _queries(spark), stats=stats))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_stats_path_matches_inline_scores(spark):
+    corpus, queries = _corpus(spark), _queries(spark)
+    inline = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_scores(corpus, queries, top=None).collect()
+    }
+    served = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_scores(
+            None, queries, top=None, stats=corpus_term_stats(corpus)
+        ).collect()
+    }
+    assert inline == served and len(inline) > 0
 
 
 def test_query_terms_deduplicated(spark):

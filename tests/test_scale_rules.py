@@ -46,7 +46,9 @@ def test_pack_sequences_derives_shards_from_rule(spark):
     docs = spark.createDataFrame(
         [(i, "a b c") for i in range(100)], ["doc_id", "text"]
     )
-    packed = pack_sequences(docs, budget=12)           # n_shards=None
+    # derivation is opt-in since round 5 (the default stays a fixed 64 so
+    # default-arg callers keep the layout their persisted artifacts used)
+    packed = pack_sequences(docs, budget=12, n_shards="auto")
     shards = {r.shard for r in packed.select("shard").distinct().collect()}
     # rule's lo clamp at this corpus size
     assert shards <= set(range(8)) and len(shards) > 1

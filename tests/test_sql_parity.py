@@ -115,3 +115,32 @@ def test_hour_weekday_weeknum_matches_builder(spark, sf_dir, telegram_view):
     got = norm(_translated(spark, "hour_weekday_weeknum"))
     want = norm(q4_hour_weekday_weeknum(spark, sf_dir))
     assert got == want
+
+
+def test_cast_avg_int_rewrites_any_nesting_depth():
+    # the r4 regex handled exactly one paren level; the balanced scanner
+    # must rewrite deeper arguments identically (round-5 ADVICE)
+    for arg in ("length(text)", "abs(length(text))",
+                "abs(greatest(length(a), length(b)))"):
+        got = presto_to_spark_sql(f"SELECT CAST(AVG({arg}) AS INT) FROM t")
+        assert got == f"SELECT CAST(ROUND(AVG({arg})) AS INT) FROM t"
+
+
+def test_cast_avg_other_types_pass_through():
+    # no round-vs-truncate divergence for non-int targets
+    for sql in (
+        "SELECT CAST(AVG(length(text)) AS DOUBLE) FROM t",
+        "SELECT CAST(AVG(x) AS DECIMAL(10,2)) FROM t",
+    ):
+        assert presto_to_spark_sql(sql) == sql
+
+
+def test_cast_avg_unparseable_raises_instead_of_mistranslating():
+    # dropped paren inside the argument: the walker closes on the cast's
+    # paren instead and the tail no longer parses — must raise, not pass
+    with pytest.raises(ValueError, match="tail"):
+        presto_to_spark_sql("SELECT CAST(AVG(length(text) AS INT) FROM t")
+    with pytest.raises(ValueError, match="unbalanced"):
+        presto_to_spark_sql("SELECT CAST(AVG(length(text) AS INT FROM t")
+    with pytest.raises(ValueError, match="tail"):
+        presto_to_spark_sql("SELECT CAST(AVG(x) AS ) FROM t")
