@@ -80,6 +80,22 @@ def packing_n_shards(
     return max(lo, min(hi, shards))
 
 
+def blocked_pairs_max_block_rows(
+    target_pairs_per_block: int = 50_000_000,
+) -> int:
+    """Guard bound for :func:`operators.similarity.blocked_neardup_pairs`
+    (the documented O(block²) baseline): a block of B rows self-joins
+    into B(B-1)/2 pairs that land in ONE task (the equi-join on the
+    block key co-locates the whole block), so per-task pair work is
+    bounded by capping B at ``sqrt(2 · target_pairs_per_block)``. The
+    default 5·10⁷ pairs is roughly one task-minute of vectorized cosine
+    work — the guard fires far below anything that could OOM an executor
+    or stall a stage for hours, which is exactly the failure mode of
+    running the baseline on a production-sized block instead of the
+    banded-LSH path (``lsh_banded_neardup_pairs``)."""
+    return int(math.sqrt(2 * target_pairs_per_block))
+
+
 def skew_n_salts(
     hot_key_rows: int,
     target_rows_per_task: int = 1_000_000,

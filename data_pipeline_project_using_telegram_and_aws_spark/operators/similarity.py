@@ -231,6 +231,80 @@ def brute_force_topk(
     )
 
 
+def blocked_neardup_pairs(
+    vectors: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """All cosine-scored pairs WITHIN each block — the documented
+    O(block²) near-dup baseline (ss2's path): correct, simple, and the
+    reference point the banded-LSH path (:func:`lsh_banded_neardup_pairs`)
+    is measured against. NOT the scale path: a block of B rows expands
+    to B(B-1)/2 pairs co-located in one task.
+
+    ``max_block_rows`` (default: the cost-model bound
+    ``scale_rules.blocked_pairs_max_block_rows`` ≈ 10⁴ rows ≈ 5·10⁷
+    pairs/block) is enforced IN-PLAN with ``assert_true`` over a
+    per-block count window, so oversized blocks fail loudly at execution
+    time on any caller path — before the pair expansion runs, instead of
+    OOMing an executor hours into a 100 TB job. Raise it explicitly only
+    with the cost model in hand."""
+    if max_block_rows is None:
+        from ..functions.scale_rules import blocked_pairs_max_block_rows
+
+        max_block_rows = blocked_pairs_max_block_rows()
+    guarded = (
+        vectors.select(block_col, id_col, vec_col)
+        .withColumn(
+            "__bn", F.count(F.lit(1)).over(Window.partitionBy(block_col))
+        )
+        # filter-on-assert keeps the guard un-prunable: assert_true
+        # yields NULL for every passing row (isNull keeps all), raises
+        # on the first oversized block
+        .filter(
+            F.assert_true(
+                F.col("__bn") <= F.lit(max_block_rows),
+                F.concat_ws(
+                    " ",
+                    F.lit("blocked_neardup_pairs: block"),
+                    F.col(block_col).cast("string"),
+                    F.lit("has"),
+                    F.col("__bn").cast("string"),
+                    F.lit(
+                        f"rows > max_block_rows={max_block_rows}; the "
+                        "O(block^2) baseline is capped by the "
+                        "scale_rules.blocked_pairs_max_block_rows cost "
+                        "model - use lsh_banded_neardup_pairs at scale"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("__bn")
+    )
+    a = guarded.select(
+        F.col(block_col),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = guarded.select(
+        F.col(block_col),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        a.join(b, block_col)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            block_col,
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        )
+    )
+
+
 def train_centroids_lloyd(
     vectors: DataFrame,
     k: int = 16,

@@ -40,28 +40,18 @@ def ss2_label_blocked_neardup(spark, sf_dir):
     blocking on a pre-existing coarse key, NOT the recommended near-dup
     path at scale; use the banded LSH path (ss3 /
     ``lsh_banded_neardup_pairs``), which bounds in-bucket work by
-    geometry instead of trusting the label distribution."""
+    geometry instead of trusting the label distribution. Since round 5
+    the quadratic expansion is guarded in-plan: blocks beyond the
+    ``scale_rules.blocked_pairs_max_block_rows`` cost bound fail loudly
+    (tests/test_similarity.py) instead of running to an OOM."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("__va"),
-        "label",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("__vb"),
-        "label",
-    )
+    pairs = S.blocked_neardup_pairs(emb, block_col="label")
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
+        pairs.select(
             F.col("label").cast("long").alias("label"),
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias(
-                "cos_sim"
-            ),
+            "cos_sim",
         )
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(20)

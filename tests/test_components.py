@@ -85,3 +85,59 @@ def test_unknown_closure_rejected(spark):
     )
     with pytest.raises(ValueError, match="near_dup_closure"):
         curate_corpus(docs, near_dup_closure="greedy")
+
+
+# ---- randomized closure property (r4 verdict item 6) ----------------------
+# The fixture graphs above are hand-shaped (hub/chain/clique); this pins
+# the closure on arbitrary graphs against an independent union-find, and
+# pins partition-count invariance (a distributed-correctness bug — e.g.
+# per-partition instead of global min propagation — would pass on 1
+# partition and fail on 7).
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    return {
+        n: min(members) for members in roots.values() for n in members
+    }
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_components_match_union_find_on_random_graphs(spark, edges):
+    want = _union_find_labels(edges)
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    for n_parts in (1, 7):
+        got = {
+            r.node: r.component
+            for r in connected_components(df.repartition(n_parts)).collect()
+        }
+        assert got == want, (n_parts, edges)

@@ -158,3 +158,44 @@ def test_quota_composes_with_split_assignment_on_stream(spark, tmp_path):
         ).collect()
     }
     assert {r.doc_id: r.split for r in rows} == want
+
+
+def test_quota_checkpoint_recovery_resumes_without_readmitting(
+    spark, tmp_path
+):
+    """r4 verdict item 5: stop the query and restart from the SAME
+    checkpoint — admission must resume from the persisted per-source
+    state, not re-admit. Three phases on one checkpoint: (1) consume 8
+    of a 10-token budget; (2) restart with NO new input — the already-
+    processed file must not be reprocessed (exactly-once file source)
+    and the ledger must not move; (3) restart with new input — the
+    5-token doc no longer fits (proving `used=8` survived the restart,
+    not reset to 0), the 2-token doc does, and the per-source
+    budget_used sequence is monotone across the whole run."""
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    _write_batch(landing, "b1.json", [
+        {"source": "s1", "doc_id": 1, "n_tokens": 8},
+    ])
+    got1 = _run(spark, landing, out, ckpt, {"s1": 10})
+    assert got1[1].admitted and got1[1].budget_used == 8
+
+    # phase 2: restart, zero new input — output must be unchanged
+    got2 = _run(spark, landing, out, ckpt, {"s1": 10})
+    assert len(got2) == 1 and got2[1].budget_used == 8
+
+    # phase 3: restart with new input — a fresh state would wrongly
+    # admit the 5-token doc (5 <= 10); recovered state (used=8) must
+    # drop it whole and admit only the 2-token doc
+    _write_batch(landing, "b2.json", [
+        {"source": "s1", "doc_id": 3, "n_tokens": 5},
+        {"source": "s1", "doc_id": 4, "n_tokens": 2},
+    ])
+    got3 = _run(spark, landing, out, ckpt, {"s1": 10})
+    assert not got3[3].admitted and got3[3].budget_used == 8
+    assert got3[4].admitted and got3[4].budget_used == 10
+    ledger = [got3[i].budget_used for i in (1, 3, 4)]
+    assert ledger == sorted(ledger)  # monotone across restarts
+    # the recovered state lives in the checkpoint's state store
+    assert os.path.isdir(os.path.join(ckpt, "state"))
