@@ -63,6 +63,9 @@ HEADLINE = [
     "pk2_materialized_sequences",
     "vc1_vocab_encode",
     "sp1_split_mixture",
+    # round-5 registry additions (new rows — compare per-query vs r4)
+    "lm1_unigram_quality",
+    "rt1_bm25_topk",
 ]
 
 
