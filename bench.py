@@ -66,6 +66,7 @@ HEADLINE = [
     # round-5 registry additions (new rows — compare per-query vs r4)
     "lm1_unigram_quality",
     "rt1_bm25_topk",
+    "cc1_neardup_components",
 ]
 
 

@@ -116,12 +116,46 @@ def dd6_embedding_cosine_neardup(spark, sf_dir):
     )
 
 
+def cc1_neardup_components(spark, sf_dir):
+    """Exact transitive closure over the MinHash-LSH candidate graph:
+    every document that appears in a candidate pair with
+    ``est_jaccard >= 0.5`` is labeled with the minimum doc_id reachable
+    through the pair graph (``operators/components.py`` hash-min label
+    propagation) plus its cluster size. This is the closure that
+    single-pass drop-every-doc_b dedup misses on chains (2~5, 3~5 keeps
+    3 even though it is transitively a duplicate of kept 2); the oracle
+    reproduces it with a recursive CTE over the identical candidate SQL.
+
+    Scale shape: the edge list is LSH-candidate-sized (orders of
+    magnitude below the corpus), rounds are bounded by cluster diameter
+    (near-dup clusters are star/clique shaped, diameter <= ~3), and each
+    round is one node-keyed join + groupBy — never all-pairs."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_candidates(
+        docs, n=3, rows_per_band=DD4_ROWS_PER_BAND
+    ).filter(F.col("est_jaccard") >= 0.5)
+    labels = connected_components(edges, "doc_a", "doc_b")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"), "component", "component_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_topk": dd2_ngram_jaccard_topk,
     "dd4_minhash_lsh_candidates": dd4_minhash_lsh_candidates,
     "dd5_simhash_fingerprints": dd5_simhash_fingerprints,
     "dd6_embedding_cosine_neardup": dd6_embedding_cosine_neardup,
+    "cc1_neardup_components": cc1_neardup_components,
 }
 
 # Shared SQL fragments (DuckDB): word 3-gram distinct shingles per doc.
@@ -241,6 +275,62 @@ ORACLE = {
                   CAST(ea.embedding AS DOUBLE[]),
                   CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
         ORDER BY cos_sim DESC, doc_keep, doc_drop
+    """,
+    # Identical signature/band/candidate pipeline as dd4 (so cc1 also
+    # re-verifies the signature matrix), then the exact closure as a
+    # recursive CTE: reach(node, r) = all nodes reachable from node,
+    # label = MIN(r) — the same fixpoint the Spark hash-min loop computes.
+    "cc1_neardup_components": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sigs AS (
+            SELECT doc_id, salt,
+                   MIN(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minhash
+            FROM shingle_rows, UNNEST(generate_series(0, 15)) AS s(salt)
+            GROUP BY doc_id, salt
+        ),
+        bands AS (
+            SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+                   md5(string_agg(lpad(CAST(salt AS VARCHAR), 4, '0')
+                                  || ':' || minhash, ','
+                                  ORDER BY lpad(CAST(salt AS VARCHAR), 4, '0')
+                                           || ':' || minhash)) AS bucket
+            FROM sigs
+            GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a, doc_b
+            FROM cand
+            JOIN sigs sa ON sa.doc_id = doc_a
+            JOIN sigs sb ON sb.doc_id = doc_b AND sb.salt = sa.salt
+            GROUP BY doc_a, doc_b
+            HAVING ROUND(SUM(CASE WHEN sa.minhash = sb.minhash
+                                  THEN 1 ELSE 0 END) / 16.0, 4) >= 0.5
+        ),
+        sym AS (
+            SELECT doc_a AS s, doc_b AS t FROM edges
+            UNION
+            SELECT doc_b, doc_a FROM edges
+        ),
+        reach AS (
+            SELECT DISTINCT s AS node, s AS r FROM sym
+            UNION
+            SELECT rr.node, sym.t FROM reach rr JOIN sym ON sym.s = rr.r
+        )
+        , labels AS (
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        )
+        SELECT l.node AS doc_id, l.component, s.component_size
+        FROM labels l
+        JOIN (
+            SELECT component, COUNT(1) AS component_size
+            FROM labels GROUP BY component
+        ) s USING (component)
+        ORDER BY doc_id
     """,
     "dd5_simhash_fingerprints": """
         WITH tokens AS (

@@ -113,3 +113,13 @@ def test_pk2_materialize_reuses_shard_partitioning(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"doc_id", "text"}
+
+
+def test_q21_topk_is_take_ordered_not_global_sort(spark):
+    """q21 left the driver registry in round 5 (slot funds cc1), but its
+    physical claim — ORDER BY ... LIMIT compiles to TakeOrderedAndProject,
+    never a full global sort — stays pinned here."""
+    plan = _plan(sq.q21_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # no range-partitioned global sort for a top-k
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")

@@ -167,3 +167,28 @@ def test_registry_is_exactly_50_rows_with_r5_swaps(spark):
         assert name in qs
     for name in ("tx3_langid_heuristic", "q25_date_functions"):
         assert name not in qs
+
+
+def test_q21_topk_still_correct(spark, sf_dir):
+    """Round 5: q21's slot funds cc1_neardup_components. Its top-k result
+    is re-derived here directly from the orders table (composite
+    tie-break included); the TakeOrderedAndProject physical claim lives
+    in test_plan_hygiene.py."""
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.starschema_queries import (
+        q21_topk,
+    )
+
+    got = [
+        (r.o_orderkey, r.o_totalprice)
+        for r in q21_topk(spark, sf_dir).collect()
+    ]
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    want = [
+        (r.o_orderkey, r.o_totalprice)
+        for r in sorted(orders, key=lambda r: (-r.o_totalprice, r.o_orderkey))[:10]
+    ]
+    assert got == want and len(got) == 10
