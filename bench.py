@@ -67,6 +67,7 @@ HEADLINE = [
     "lm1_unigram_quality",
     "rt1_bm25_topk",
     "cc1_neardup_components",
+    "sd1_semantic_dedup",
 ]
 
 

@@ -1,0 +1,105 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The shape follows the published SemDeDup recipe (Abbas et al. 2023,
+arXiv:2303.09540): k-means-cluster the corpus embeddings, then search for
+near-duplicate pairs ONLY within each cluster — the clustering turns the
+quadratic all-pairs search into k independent intra-cluster searches, the
+same blocking idea as LSH but with semantically meaningful blocks. Where
+the paper keeps a random/lowest-centroid-similarity exemplar per
+duplicate group, this implementation keeps the MINIMUM id — the same
+deterministic keep rule every dedup path in this repo uses (the choice of
+exemplar is orthogonal to the dedup semantics, and min-id makes the
+result engine-reproducible and oracle-checkable).
+
+Composition of existing scale-shaped operators, nothing new in the hot
+path:
+
+- centroids: ``similarity.build_ivf_index`` — Lloyd over a bounded
+  md5-ordered sample (train cost independent of corpus size), shareable
+  with the IVF ANN index of the same corpus (same cache key = train
+  once, serve both);
+- assignment: ``similarity.ivf_assign`` — broadcast centroids, corpus
+  never shuffles for the scoring;
+- intra-cluster pairs: ``similarity.blocked_neardup_pairs`` with the
+  cluster id as the block key — deliberately quadratic *within* a
+  cluster, which is SemDeDup's own cost model: expected cluster size is
+  N/k, so choosing k ∝ √N bounds per-cluster work, and the operator's
+  in-plan ``scale_rules.blocked_pairs_max_block_rows`` guard fails
+  loudly if a skewed cluster would exceed the cost bound instead of
+  OOMing an executor;
+- closure: ``components.connected_components`` over the
+  above-threshold edge list (candidate-sized, orders of magnitude below
+  the corpus) — duplicate groups are transitive, exemplar = min id.
+
+At 100 TB: train on a sample, persist assignments bucketed by
+centroid_id (``similarity.build_ivf_assignments_table``), and the
+pair search reads one bucket per task with zero corpus reshuffle; the
+edge list and closure are candidate-sized throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import connected_components
+from .similarity import blocked_neardup_pairs, build_ivf_index, ivf_assign
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 16,
+    iters: int = 3,
+    sample_n: int | None = 256,
+    tau: float = 0.4,
+    cache_key: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Label every vector with its semantic-duplicate group and keep flag.
+
+    Returns (``id_col``, centroid_id, dup_group, kept): ``dup_group`` is
+    the minimum id reachable through intra-cluster cosine-≥-``tau``
+    pairs (the vector's own id if it has no duplicate), ``kept`` is true
+    exactly for the group exemplar — so ``filter(kept)`` is the deduped
+    corpus and ``filter(~kept)`` the auditable drop set.
+
+    Pass ``centroids`` to reuse an already-trained index (e.g. the IVF
+    ANN centroids of the same corpus); otherwise one is trained via
+    ``build_ivf_index(k, iters, sample_n, cache_key)``.
+    """
+    if centroids is None:
+        centroids = build_ivf_index(
+            vectors,
+            k=k,
+            iters=iters,
+            sample_n=sample_n,
+            cache_key=cache_key,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    assign = ivf_assign(vectors, centroids, 1, id_col, vec_col)
+    clustered = vectors.select(id_col, vec_col).join(assign, id_col)
+    edges = blocked_neardup_pairs(
+        clustered,
+        block_col="centroid_id",
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block_rows=max_block_rows,
+    ).filter(F.col("cos_sim") >= tau)
+    labels = connected_components(edges, "vec_a", "vec_b").withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        clustered.select(id_col, "centroid_id")
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce("component", F.col(id_col)).alias("dup_group"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "kept"
+            ),
+        )
+    )

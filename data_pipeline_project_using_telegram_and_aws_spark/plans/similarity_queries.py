@@ -22,6 +22,9 @@ SS3_PLANES = 2 * SS3_ROWS_PER_BAND                   # 2 bands × 256 buckets
 SS5_K = 16            # k-means centroids
 SS5_ITERS = 3         # Lloyd iterations
 SS5_SAMPLE = 256      # md5-ordered deterministic training sample
+SD1_TAU = 0.4         # semantic-dup cosine threshold (dd6's corpus-tuned
+                      # value: random 64-dim vectors peak near 0.5-0.6;
+                      # a real near-dup corpus would use ~0.95)
 
 
 def ss1_bruteforce_topk(spark, sf_dir):
@@ -102,11 +105,30 @@ def ss5_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, n_queries=5, nprobe=2, k=5, centroids=cents)
 
 
+def sd1_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py): k-means-cluster the embedding
+    corpus, intra-cluster cosine ≥ 0.4 pairs, transitive duplicate
+    groups, min-id exemplar kept. Reuses ss5's trained centroids (same
+    cache key / geometry — train once, serve the ANN index AND the
+    dedup), so the bench pays Lloyd exactly once per corpus. The oracle
+    replays the identical Lloyd sample/seed arithmetic, the nearest-
+    centroid assignment, the in-cluster pair scan, and the closure as a
+    recursive CTE."""
+    from ..operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.build_ivf_index(
+        emb, k=SS5_K, iters=SS5_ITERS, sample_n=SS5_SAMPLE, cache_key=sf_dir
+    )
+    return semantic_dedup(emb, centroids=cents, tau=SD1_TAU).orderBy("vec_id")
+
+
 QUERIES = {
     "ss1_bruteforce_topk": ss1_bruteforce_topk,
     "ss2_label_blocked_neardup": ss2_label_blocked_neardup,
     "ss3_lsh_bucketed_neardup": ss3_lsh_bucketed_neardup,
     "ss5_ivf_topk": ss5_ivf_topk,
+    "sd1_semantic_dedup": sd1_semantic_dedup,
 }
 
 
@@ -244,6 +266,54 @@ ORACLE = {
         JOIN embeddings eb ON eb.vec_id = vec_b
         ORDER BY cos_sim DESC, vec_a, vec_b
         LIMIT 20
+    """,
+    # Same Lloyd/assignment arithmetic as ss5, then SemDeDup: in-cluster
+    # pairs over threshold → recursive-CTE closure → min-id exemplar.
+    "sd1_semantic_dedup": f"""
+        WITH RECURSIVE {_lloyd_cte(SS5_K, SS5_ITERS, sample_n=SS5_SAMPLE)},
+        lists AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.cvec), 4) DESC,
+                               c.centroid_id ASC
+                       ) AS rn
+                FROM embeddings e, c{SS5_ITERS} c
+            ) WHERE rn = 1
+        ),
+        edges AS (
+            SELECT la.vec_id AS vec_a, lb.vec_id AS vec_b
+            FROM lists la
+            JOIN lists lb ON lb.centroid_id = la.centroid_id
+                         AND la.vec_id < lb.vec_id
+            JOIN embeddings a ON a.vec_id = la.vec_id
+            JOIN embeddings b ON b.vec_id = lb.vec_id
+            WHERE ROUND(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 4) >= {SD1_TAU}
+        ),
+        sym AS (
+            SELECT vec_a AS s, vec_b AS t FROM edges
+            UNION
+            SELECT vec_b, vec_a FROM edges
+        ),
+        reach AS (
+            SELECT DISTINCT s AS node, s AS r FROM sym
+            UNION
+            SELECT rr.node, sym.t FROM reach rr JOIN sym ON sym.s = rr.r
+        ),
+        labels AS (
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        )
+        SELECT l.vec_id,
+               l.centroid_id,
+               COALESCE(g.component, l.vec_id) AS dup_group,
+               COALESCE(g.component, l.vec_id) = l.vec_id AS kept
+        FROM lists l
+        LEFT JOIN labels g ON g.node = l.vec_id
+        ORDER BY l.vec_id
     """,
     "ss5_ivf_topk": f"""
         WITH {_lloyd_cte(SS5_K, SS5_ITERS, sample_n=SS5_SAMPLE)},

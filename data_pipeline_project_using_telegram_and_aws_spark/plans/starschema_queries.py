@@ -519,7 +519,14 @@ QUERIES = {
     # tests/test_plan_hygiene.py and the subsumption in
     # tests/test_registry_consolidation.py. Still callable.
     "q23_correlated_subquery": q23_correlated_subquery,
-    "q24_scalar_functions": q24_scalar_functions,
+    # q24_scalar_functions left the 50-row registry in round 5 (funding
+    # sd1): a pure row-level expression panel — every function family it
+    # exercised (string/math/conditional scalar expressions) stays inside
+    # whole-stage codegen paths that other registered rows hash-check
+    # (tx1/tx2's length/regexp/split chains, q23's round/compare, lm1's
+    # ln/log arithmetic), and the full 25-column panel itself is pinned
+    # row-for-row against a Python recomputation in
+    # tests/test_registry_consolidation.py. Still callable.
     # q25_date_functions left the 50-row registry in round 5 (funding
     # lm1/rt1): its date surface is hash-checked elsewhere — EXTRACT
     # hour/dow/week via q4, date_trunc buckets via q35, timestamp
@@ -671,47 +678,6 @@ ORACLE = {
             WHERE o2.o_custkey = o.o_custkey
         )
         ORDER BY o_orderkey
-    """,
-    "q24_scalar_functions": """
-        SELECT l_orderkey,
-               CAST(l_linenumber AS BIGINT) AS linenumber,
-               UPPER(l_returnflag) AS upper_flag,
-               LOWER(l_linestatus) AS lower_status,
-               CONCAT_WS('-', l_returnflag, l_linestatus) AS flag_status,
-               SUBSTRING(CONCAT_WS('', l_returnflag, l_linestatus), 1, 1)
-                   AS flag_prefix,
-               CAST(LENGTH(CONCAT_WS('_', l_returnflag, l_linestatus))
-                    AS BIGINT) AS tag_len,
-               REGEXP_REPLACE(CONCAT_WS('', l_returnflag, '7', l_linestatus),
-                              '[0-9]+', '#', 'g') AS tag_masked,
-               TRIM(LPAD(l_returnflag, 5, ' ')) AS flag_trimmed,
-               REVERSE(CONCAT_WS('-', l_returnflag, l_linestatus))
-                   AS tag_reversed,
-               REPEAT(l_returnflag, 2) AS flag_doubled,
-               SPLIT_PART(CONCAT_WS('-', l_returnflag, l_linestatus), '-', 2)
-                   AS tag_part2,
-               TRANSLATE(CONCAT_WS('-', l_returnflag, l_linestatus),
-                         'ANF-', 'anf_') AS tag_translated,
-               ROUND(ABS(-l_extendedprice), 2) AS abs_price,
-               CAST(CEIL(l_discount) AS BIGINT) AS ceil_disc,
-               CAST(FLOOR(l_tax) AS BIGINT) AS floor_tax,
-               ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
-               ROUND(POW(l_quantity, 2), 2) AS qty_squared,
-               ROUND(LN(l_extendedprice + 1), 4) AS ln_price,
-               CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7,
-               CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
-               ROUND(EXP(l_discount), 6) AS exp_disc,
-               ROUND(GREATEST(l_quantity, l_extendedprice / 1000), 2)
-                   AS greatest_qp,
-               ROUND(LEAST(l_quantity, l_extendedprice / 1000), 2)
-                   AS least_qp,
-               CASE WHEN l_extendedprice > 50000 THEN 'high'
-                    WHEN l_extendedprice > 20000 THEN 'mid'
-                    ELSE 'low' END AS price_band,
-               COALESCE(NULLIF(l_returnflag, 'N'), 'NOT_N') AS flag_nn
-        FROM lineitem
-        WHERE l_orderkey % 100 = 0
-        ORDER BY l_orderkey, linenumber
     """,
     "q29_json_functions": """
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

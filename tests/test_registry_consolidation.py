@@ -192,3 +192,83 @@ def test_q21_topk_still_correct(spark, sf_dir):
         for r in sorted(orders, key=lambda r: (-r.o_totalprice, r.o_orderkey))[:10]
     ]
     assert got == want and len(got) == 10
+
+
+def test_q24_scalar_panel_still_correct(spark, sf_dir):
+    """Round 5: q24's slot funds sd1_semantic_dedup. The full 25-column
+    scalar panel stays pinned here by replaying its retired DuckDB oracle
+    and comparing every normalized row — the exact check the driver used
+    to run."""
+    import math
+
+    import duckdb
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.starschema_queries import (
+        q24_scalar_functions,
+    )
+
+    sdf = q24_scalar_functions(spark, sf_dir)
+    cols = sorted(sdf.columns)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    rel = con.execute("""
+        SELECT l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS linenumber,
+               UPPER(l_returnflag) AS upper_flag,
+               LOWER(l_linestatus) AS lower_status,
+               CONCAT_WS('-', l_returnflag, l_linestatus) AS flag_status,
+               SUBSTRING(CONCAT_WS('', l_returnflag, l_linestatus), 1, 1)
+                   AS flag_prefix,
+               CAST(LENGTH(CONCAT_WS('_', l_returnflag, l_linestatus))
+                    AS BIGINT) AS tag_len,
+               REGEXP_REPLACE(CONCAT_WS('', l_returnflag, '7', l_linestatus),
+                              '[0-9]+', '#', 'g') AS tag_masked,
+               TRIM(LPAD(l_returnflag, 5, ' ')) AS flag_trimmed,
+               REVERSE(CONCAT_WS('-', l_returnflag, l_linestatus))
+                   AS tag_reversed,
+               REPEAT(l_returnflag, 2) AS flag_doubled,
+               SPLIT_PART(CONCAT_WS('-', l_returnflag, l_linestatus), '-', 2)
+                   AS tag_part2,
+               TRANSLATE(CONCAT_WS('-', l_returnflag, l_linestatus),
+                         'ANF-', 'anf_') AS tag_translated,
+               ROUND(ABS(-l_extendedprice), 2) AS abs_price,
+               CAST(CEIL(l_discount) AS BIGINT) AS ceil_disc,
+               CAST(FLOOR(l_tax) AS BIGINT) AS floor_tax,
+               ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
+               ROUND(POW(l_quantity, 2), 2) AS qty_squared,
+               ROUND(LN(l_extendedprice + 1), 4) AS ln_price,
+               CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7,
+               CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
+               ROUND(EXP(l_discount), 6) AS exp_disc,
+               ROUND(GREATEST(l_quantity, l_extendedprice / 1000), 2)
+                   AS greatest_qp,
+               ROUND(LEAST(l_quantity, l_extendedprice / 1000), 2)
+                   AS least_qp,
+               CASE WHEN l_extendedprice > 50000 THEN 'high'
+                    WHEN l_extendedprice > 20000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               COALESCE(NULLIF(l_returnflag, 'N'), 'NOT_N') AS flag_nn
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        ORDER BY l_orderkey, linenumber
+    """)
+    dcols = [d[0] for d in rel.description]
+    assert sorted(dcols) == cols
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        return str(v)
+
+    srows = sorted(
+        "|".join(norm(r[c]) for c in cols)
+        for r in (row.asDict() for row in sdf.collect())
+    )
+    drows = sorted(
+        "|".join(norm(dict(zip(dcols, row))[c]) for c in cols)
+        for row in rel.fetchall()
+    )
+    assert len(srows) > 0 and srows == drows

@@ -1,0 +1,89 @@
+"""SemDeDup operator semantics (operators/semdedup.py): clustering +
+intra-cluster threshold pairs + transitive closure + min-id exemplar.
+
+The synthetic corpus plants exact-duplicate and near-duplicate vectors
+inside clearly separated directions so cluster assignment is
+unambiguous regardless of the trained centroids' exact positions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+    semantic_dedup,
+)
+
+DIM = 8
+
+
+def _vec(axis: int, eps: float = 0.0, flip: int = 1) -> list:
+    """Unit-ish vector along ``axis`` with a small off-axis wiggle."""
+    v = [0.0] * DIM
+    v[axis] = 1.0 * flip
+    v[(axis + 1) % DIM] = eps
+    return v
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # Three families along axes 0/2/4: family 0 has three mutually-near
+    # members (a chain through the closure), family 2 has an exact pair,
+    # family 4 is a singleton. Orthogonal families can never cross the
+    # cosine threshold, so groups are known a priori.
+    rows = [
+        Row(vec_id=1, embedding=_vec(0)),
+        Row(vec_id=2, embedding=_vec(0, 0.05)),
+        Row(vec_id=3, embedding=_vec(0, 0.10)),
+        Row(vec_id=10, embedding=_vec(2)),
+        Row(vec_id=11, embedding=_vec(2)),
+        Row(vec_id=20, embedding=_vec(4)),
+        Row(vec_id=30, embedding=_vec(6, 0.0, -1)),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_planted_duplicate_groups(planted):
+    out = {
+        r.vec_id: (r.dup_group, r.kept)
+        for r in semantic_dedup(
+            planted, k=4, iters=2, sample_n=None, tau=0.95
+        ).collect()
+    }
+    assert len(out) == 7  # every vector labeled exactly once
+    # family 0: closure pulls 1-2-3 into one group, exemplar = min id
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    # exact pair keeps the lower id
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    # singletons are their own group and always kept
+    assert out[20] == (20, True)
+    assert out[30] == (30, True)
+
+
+def test_kept_filter_is_the_deduped_corpus(planted):
+    out = semantic_dedup(planted, k=4, iters=2, sample_n=None, tau=0.95)
+    kept_ids = {r.vec_id for r in out.filter("kept").collect()}
+    assert kept_ids == {1, 10, 20, 30}
+    # exactly one exemplar per group
+    per_group = (
+        out.groupBy("dup_group")
+        .agg(F.sum(F.col("kept").cast("int")).alias("n_kept"))
+        .collect()
+    )
+    assert all(r.n_kept == 1 for r in per_group)
+
+
+def test_tau_one_keeps_everything_but_exact_dups(planted):
+    # cosine rounds to 4 dp; only the exact pair (10, 11) reaches 1.0
+    out = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            planted, k=4, iters=2, sample_n=None, tau=1.0
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: True, 10: True, 11: False,
+                   20: True, 30: True}
