@@ -97,3 +97,131 @@ def unigram_cross_entropy(
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         F.col("bits_per_token"),
     )
+
+
+def _bigrams(arr):
+    """Adjacent (t1, t2) structs, extracted ROW-LOCALLY: positions 2..n
+    over the token array via transform/element_at — no posexplode
+    self-join, so bigram extraction costs zero shuffles. Guarded for
+    size<2 (F.sequence(2, 1) would count DOWN, not produce empty)."""
+    return F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(arr)),
+            lambda i: F.struct(
+                F.element_at(arr, i - 1).alias("t1"),
+                F.element_at(arr, i).alias("t2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
+
+
+def bigram_interpolated_cross_entropy(
+    docs: DataFrame,
+    ref_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(doc_id, n_tokens, bits_per_token) under an interpolated bigram
+    model of ``ref_docs`` (default self) — one rung up the CCNet/KenLM
+    ladder from :func:`unigram_cross_entropy`:
+
+        p(t_i | t_{i-1}) = lam · p_bi + (1 - lam) · p_uni
+        p_bi = (c(t_{i-1}, t_i) + alpha) / (c(t_{i-1}·) + alpha·(V + 1))
+        p_uni = (c(t_i) + alpha) / (total + alpha·(V + 1))
+
+    with the document's first token scored by the unigram model alone
+    (no left context) and V the reference vocabulary size. The
+    interpolation (Jelinek-Mercer) is what makes the bigram usable:
+    unseen bigrams fall back to corpus-frequency mass instead of the
+    bare smoothing floor.
+
+    Scale shape: bigram extraction is row-local (``_bigrams``); the
+    model is two exploded aggregations over the reference (map-side
+    partial agg). The bigram table is NOT broadcast — distinct bigrams
+    grow ~linearly with corpus size (10⁸⁺ rows at 100 TB, far beyond
+    broadcast), so scoring equi-joins shuffle keyed by (t1, t2)/t1 and
+    AQE picks broadcast only when the model side actually fits. The
+    unigram side reuses :func:`unigram_model`'s broadcastable shape.
+    Zero-token docs keep their row with NULL bits (the shared row
+    contract)."""
+    ref = ref_docs if ref_docs is not None else docs
+    toks = _tokens(text_col)
+
+    uni_counts = (
+        ref.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__nu"))
+    )
+    # one row: (V, total) — attached everywhere via broadcast cross join
+    vocab_stats = uni_counts.agg(
+        F.count(F.lit(1)).cast("double").alias("__V"),
+        F.sum("__nu").cast("double").alias("__total"),
+    )
+    bi_ref = ref.select(F.explode(_bigrams(toks)).alias("bg")).select(
+        "bg.t1", "bg.t2"
+    )
+    c12 = bi_ref.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("__n12"))
+    c1 = c12.groupBy("t1").agg(F.sum("__n12").alias("__n1"))
+
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    first = base.filter(F.size("__toks") >= 1).select(
+        id_col, F.element_at("__toks", 1).alias("token")
+    )
+    first_scored = (
+        first.join(F.broadcast(uni_counts), "token", "left")
+        .crossJoin(F.broadcast(vocab_stats))
+        .select(
+            id_col,
+            F.log2(
+                (F.coalesce("__nu", F.lit(0)) + F.lit(alpha))
+                / (F.col("__total") + F.lit(alpha) * (F.col("__V") + 1.0))
+            ).alias("__logp"),
+        )
+    )
+    bi = base.select(
+        F.col(id_col), F.explode(_bigrams(F.col("__toks"))).alias("bg")
+    ).select(id_col, "bg.t1", "bg.t2")
+    # model joins: keyed by (t1,t2) and t1 — deliberately NO broadcast
+    # hint (see docstring); the unigram lookup keys on t2
+    bi_scored = (
+        bi.join(c12, ["t1", "t2"], "left")
+        .join(c1, "t1", "left")
+        .join(
+            uni_counts.withColumnRenamed("token", "t2"), "t2", "left"
+        )
+        .crossJoin(F.broadcast(vocab_stats))
+        .select(
+            id_col,
+            F.log2(
+                F.lit(lam)
+                * (
+                    (F.coalesce("__n12", F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.coalesce("__n1", F.lit(0))
+                        + F.lit(alpha) * (F.col("__V") + 1.0)
+                    )
+                )
+                + F.lit(1.0 - lam)
+                * (
+                    (F.coalesce("__nu", F.lit(0)) + F.lit(alpha))
+                    / (F.col("__total") + F.lit(alpha) * (F.col("__V") + 1.0))
+                )
+            ).alias("__logp"),
+        )
+    )
+    scored = (
+        first_scored.unionByName(bi_scored)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("__logp"), 4).alias("bits_per_token"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.col("bits_per_token"),
+    )

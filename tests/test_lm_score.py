@@ -73,3 +73,77 @@ def test_partitioning_invariant(spark):
     a = sorted(map(tuple, unigram_cross_entropy(docs).collect()))
     b = sorted(map(tuple, unigram_cross_entropy(docs.repartition(7)).collect()))
     assert a == b
+
+
+def _hand_bigram_bits(ref_texts, doc_tokens, alpha=0.5, lam=0.7):
+    """Independent Python recomputation of the interpolated bigram score."""
+    from collections import Counter
+
+    uni = Counter()
+    bi = Counter()
+    for t in ref_texts:
+        toks = [x for x in t.split(" ") if x]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    V = len(uni)
+    total = sum(uni.values())
+    c1 = Counter()
+    for (a, _), n in bi.items():
+        c1[a] += n
+
+    def p_uni(t):
+        return (uni.get(t, 0) + alpha) / (total + alpha * (V + 1))
+
+    def p_bi(a, b):
+        return (bi.get((a, b), 0) + alpha) / (c1.get(a, 0) + alpha * (V + 1))
+
+    logs = [math.log2(p_uni(doc_tokens[0]))]
+    for a, b in zip(doc_tokens, doc_tokens[1:]):
+        logs.append(math.log2(lam * p_bi(a, b) + (1 - lam) * p_uni(b)))
+    return round(-sum(logs) / len(logs), 4)
+
+
+def test_bigram_matches_hand_computation(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.lm_score import (
+        bigram_interpolated_cross_entropy,
+    )
+
+    ref_texts = ["a b a b c", "b a b", "c a"]
+    ref = spark.createDataFrame(
+        list(enumerate(ref_texts)), ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b a b a"), (3, "z z"), (4, ""), (5, "a")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_per_token)
+        for r in bigram_interpolated_cross_entropy(docs, ref_docs=ref).collect()
+    }
+    assert got[1] == (3, _hand_bigram_bits(ref_texts, ["a", "b", "c"]))
+    assert got[2] == (4, _hand_bigram_bits(ref_texts, ["b", "a", "b", "a"]))
+    assert got[3] == (2, _hand_bigram_bits(ref_texts, ["z", "z"]))
+    # zero-token row kept with NULL bits; single token = unigram only
+    assert got[4] == (0, None)
+    assert got[5] == (1, _hand_bigram_bits(ref_texts, ["a"]))
+
+
+def test_bigram_beats_unigram_on_ordered_text(spark):
+    """The bigram model must reward in-domain ORDER: a document whose
+    tokens are reference-frequent but scrambled scores worse than the
+    same tokens in reference order."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.lm_score import (
+        bigram_interpolated_cross_entropy,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "fox the brown quick")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.bits_per_token
+           for r in bigram_interpolated_cross_entropy(docs, ref_docs=ref).collect()}
+    assert got[1] < got[2]
