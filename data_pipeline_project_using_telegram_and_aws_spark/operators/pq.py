@@ -1,0 +1,240 @@
+"""Product quantization (PQ) for the ANN path — the learned-codebook
+compression that ``quantization.py``'s docstring defers to: split each
+embedding into ``m`` subspaces, k-means each subspace independently
+(Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+Search"), and store one small code per subspace. At 64 dims, m=8,
+k_sub=16 a float32 vector becomes 8 codes — the memory cut that lets a
+100 TB corpus's index live in RAM-adjacent storage, at a recall cost
+the tests measure rather than assume.
+
+Everything reuses the deterministic Lloyd machinery
+(``similarity.train_centroids_lloyd``: md5-ordered sample and seeds,
+4 dp cosine assignment, exact scaled-long means), run once per
+subspace on row-locally sliced sub-vectors — so codebook training is
+m bounded-sample k-means fits, independent of corpus size.
+
+Scoring is asymmetric-distance (ADC) over L2-NORMALIZED vectors, so
+summed sub-space inner products equal cosine: the query builds an
+(m × k_sub)-entry distance table per query (tiny, broadcast), the
+corpus codes explode to (vec_id, subspace, code) and join the table,
+and a per-(query, vec) sum + top-k window ranks candidates. The
+corpus-side shuffle carries m ints per vector instead of the full
+float vector — the point of PQ. Exact rerank of the PQ top-k' (via
+``similarity.brute_force_topk`` on the surviving ids) is the standard
+two-stage recall repair and composes directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import train_centroids_lloyd
+
+
+def _normalized(vec_col):
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(n == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / n)
+    )
+
+
+def _subvector(vec_col, subspace: int, sub_dims: int):
+    return F.slice(vec_col, subspace * sub_dims + 1, sub_dims)
+
+
+def train_pq_codebook(
+    vectors: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+    sample_n: int | None = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """(subspace, centroid_id, cvec) — one Lloyd fit per subspace over
+    normalized sub-vectors. ``centroid_id`` (the seed vector's id) IS
+    the code value; codes are compact enough at any k_sub that a dense
+    re-numbering would buy nothing."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub_dims = dims // m
+    normalized = vectors.select(
+        id_col, _normalized(vec_col).alias("__nv")
+    ).localCheckpoint(eager=False)
+    parts = []
+    for s in range(m):
+        sub = normalized.select(
+            id_col, _subvector(F.col("__nv"), s, sub_dims).alias("__sv")
+        )
+        cents = train_centroids_lloyd(
+            sub, k=k_sub, iters=iters, id_col=id_col, vec_col="__sv",
+            sample_n=sample_n,
+        )
+        parts.append(cents.select(F.lit(s).alias("subspace"), "centroid_id", "cvec"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint(eager=True)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """(id, codes: array<long>) — per subspace, the nearest codebook
+    centroid of the normalized sub-vector (max inner product, 4 dp
+    rounded, centroid id tie-break — same determinism contract as
+    ``ivf_assign``). Codebook broadcasts; the corpus never shuffles to
+    encode, and the output row is m longs instead of ``dims`` floats."""
+    m = codebook.select(F.max("subspace")).first()[0] + 1
+    sub_dims = dims // m
+    subs = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: _subvector(
+                    _normalized(vec_col), s.cast("int"), sub_dims
+                ),
+            )
+        ).alias("subspace", "__sv"),
+    )
+    scored = subs.join(F.broadcast(codebook), "subspace").select(
+        id_col,
+        "subspace",
+        "centroid_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("__sv"), F.col("cvec"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("__ip"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.desc("__ip"), F.asc("centroid_id")
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "subspace", F.col("centroid_id").alias("__code"))
+    )
+    member = F.struct(F.col("subspace"), F.col("__code"))
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(member)).alias("__m"))
+        .select(
+            F.col(id_col),
+            F.transform("__m", lambda x: x["__code"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """(query_id, vec_id, approx_cos, pq_rank) — ADC top-k: per query a
+    broadcastable (m × k_sub) inner-product table against the codebook,
+    the code table joins it per subspace and sums — the corpus-side
+    plan touches only the m-int codes, never the float vectors."""
+    m = codebook.select(F.max("subspace")).first()[0] + 1
+    sub_dims = dims // m
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: _subvector(
+                    _normalized(vec_col), s.cast("int"), sub_dims
+                ),
+            )
+        ).alias("subspace", "__qv"),
+    )
+    table = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("centroid_id").alias("__code"),
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("cvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__part"),
+    )
+    exploded = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("subspace", "__code")
+    )
+    scored = (
+        exploded.join(
+            F.broadcast(table), ["subspace", "__code"]
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__part"), 4).alias("approx_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("pq_rank", F.row_number().over(w))
+        .filter(F.col("pq_rank") <= k)
+        .orderBy("query_id", "pq_rank")
+    )
+
+
+def pq_shortlist_rerank(
+    vectors: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Two-stage ANN (the standard PQ recall repair): ADC over the
+    compressed codes produces a ``shortlist`` per query, then ONLY the
+    surviving ids fetch their full vectors for an exact cosine rerank —
+    (query_id, vec_id, cos_sim, neighbor_rank). The full-vector read is
+    shortlist-sized (a semi-join against the corpus), so the scan-
+    everything cost PQ exists to avoid never comes back; recall equals
+    the shortlist's hit rate, measured per-corpus in
+    tests/test_pq.py (random vectors are PQ's worst case — structured
+    real embeddings cluster and quantize far better)."""
+    from ..functions.vectors import cosine
+
+    short = pq_topk(
+        codes, codebook, queries, k=shortlist, id_col=id_col,
+        vec_col=vec_col, dims=dims,
+    ).select("query_id", id_col)
+    cand = vectors.join(short, id_col).select(
+        "query_id", F.col(id_col), F.col(vec_col).alias("__cv")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    scored = cand.join(q, "query_id").select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(w))
+        .filter(F.col("neighbor_rank") <= k)
+        .orderBy("query_id", "neighbor_rank")
+    )
