@@ -80,7 +80,15 @@ def semantic_dedup(
             vec_col=vec_col,
         )
     assign = ivf_assign(vectors, centroids, 1, id_col, vec_col)
-    clustered = vectors.select(id_col, vec_col).join(assign, id_col)
+    # the assignment feeds BOTH the pair scan and the final labeling
+    # join; checkpoint it so the argmin window runs once (the bench-scale
+    # analogue of persisting assignments bucketed by centroid_id —
+    # similarity.build_ivf_assignments_table is that production layout)
+    clustered = (
+        vectors.select(id_col, vec_col)
+        .join(assign, id_col)
+        .localCheckpoint(eager=False)
+    )
     edges = blocked_neardup_pairs(
         clustered,
         block_col="centroid_id",
