@@ -130,8 +130,18 @@ def bm25_scores(
         # count window touches only query-term postings, never the
         # full vocabulary, and nothing derived is re-broadcast.
         qset = qterms.select("term").dropDuplicates(["term"])
-        tf_q = _tf_rows(docs, id_col, text_col).join(
-            F.broadcast(qset), "term"
+        # the broadcast restriction sits BELOW the tf aggregation: the
+        # per-occurrence term rows hash-join the tiny query-term set
+        # before any shuffle, so the (doc, term) aggregation — the only
+        # corpus-sized shuffle candidate in this path — receives
+        # query-term occurrences only (measured ~2x on rt1: the full
+        # corpus tf build was aggregating every term then discarding
+        # all but the query's)
+        tf_q = (
+            _term_rows(docs, id_col, text_col)
+            .join(F.broadcast(qset), "term")
+            .groupBy(id_col, "term", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
         )
         rel = tf_q.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
