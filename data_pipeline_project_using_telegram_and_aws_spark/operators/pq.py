@@ -193,6 +193,109 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (coarse inverted lists ×
+    compressed residual-free codes, the FAISS IVFx,PQy layout without
+    the residual step). Per query: probe the ``nprobe`` nearest coarse
+    lists (broadcast centroids), ADC-score ONLY the candidates in those
+    lists against the per-query code table, shortlist, then exact-rerank
+    the survivors' full vectors.
+
+    Cost anatomy at scale: the coarse probe bounds candidates to
+    ~nprobe/k_coarse of the corpus, ADC touches only their m-int codes,
+    and full float vectors are read for ``shortlist`` rows per query —
+    each stage shrinks the next stage's input, which is the entire
+    point of the composition. Pass ``assignments`` (a persisted
+    (vec_id, centroid_id) table, e.g.
+    ``similarity.build_ivf_assignments_table``'s layout bucketed by
+    centroid_id) to skip the assignment scan at query time."""
+    from .similarity import ivf_assign
+
+    if assignments is None:
+        assignments = ivf_assign(vectors, centroids, 1, id_col, vec_col)
+    probes = ivf_assign(
+        queries, centroids, nprobe, id_col, vec_col, out_id="query_id"
+    )
+    cand = (
+        assignments.join(probes, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    m = codebook.select(F.max("subspace")).first()[0] + 1
+    sub_dims = dims // m
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: _subvector(
+                    _normalized(vec_col), s.cast("int"), sub_dims
+                ),
+            )
+        ).alias("subspace", "__qv"),
+    )
+    table = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("centroid_id").alias("__code"),
+        F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("cvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__part"),
+    )
+    cand_codes = codes.join(cand, id_col).select(
+        "query_id", F.col(id_col), F.posexplode("codes").alias("subspace", "__code")
+    )
+    adc = (
+        cand_codes.join(F.broadcast(table), ["query_id", "subspace", "__code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__part"), 4).alias("approx_cos"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc(id_col)
+    )
+    short = (
+        adc.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", id_col)
+    )
+    from ..functions.vectors import cosine
+
+    fetched = vectors.join(short, id_col).select(
+        "query_id", F.col(id_col), F.col(vec_col).alias("__cv")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    scored = fetched.join(q, "query_id").select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(w))
+        .filter(F.col("neighbor_rank") <= k)
+        .orderBy("query_id", "neighbor_rank")
+    )
+
+
 def pq_shortlist_rerank(
     vectors: DataFrame,
     codes: DataFrame,

@@ -112,3 +112,54 @@ def test_shortlist_monotonicity(emb, codebook, codes):
 
     r50, r100 = recall(50), recall(100)
     assert r100 >= r50
+
+
+def test_ivfpq_recall_grows_with_nprobe(emb, codebook, codes, spark):
+    """IVF-PQ composition: coarse probe bounds candidates, ADC ranks
+    them, exact rerank finishes. Recall is the product of the stages'
+    hit rates — must grow with nprobe and, at nprobe = all lists,
+    equal the global PQ shortlist+rerank path exactly (the coarse
+    stage stops filtering)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.pq import (
+        ivfpq_topk,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    cents = build_ivf_index(
+        emb, k=16, iters=3, sample_n=256, cache_key="test_ivfpq"
+    )
+
+    def recall(nprobe):
+        got = {}
+        rows = ivfpq_topk(
+            codes, codebook, cents, emb, queries,
+            k=5, nprobe=nprobe, shortlist=100,
+        ).collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(got.get(q, set()) & exact[q]) / 5 for q in exact) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    # measured deterministic values 0.34 / 0.74; floors leave margin
+    # for harmless plan-level reordering only
+    assert r2 >= 0.25 and r8 >= 0.65
+    assert r8 >= r2
+
+    # nprobe = all lists ⇒ identical result set to the global PQ path
+    full = {}
+    for r in ivfpq_topk(
+        codes, codebook, cents, emb, queries, k=5, nprobe=16, shortlist=100
+    ).collect():
+        full.setdefault(r.query_id, set()).add(r.vec_id)
+    glob = {}
+    for r in pq_shortlist_rerank(
+        emb, codes, codebook, queries, k=5, shortlist=100
+    ).collect():
+        glob.setdefault(r.query_id, set()).add(r.vec_id)
+    assert full == glob
