@@ -141,3 +141,52 @@ def test_components_match_union_find_on_random_graphs(spark, edges):
             for r in connected_components(df.repartition(n_parts)).collect()
         }
         assert got == want, (n_parts, edges)
+
+
+def _cc_star(spark, pairs):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    return {
+        r.node: r.component
+        for r in connected_components_star(edges).collect()
+    }
+
+
+def test_star_variant_basic_clusters(spark):
+    got = _cc_star(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_star_variant_handles_long_chain_in_few_rounds(spark):
+    """The O(log n) contraction is the point of this variant: a 40-node
+    path (diameter 40) must converge well inside max_iters=30 — hash-min
+    would need ~40 rounds here."""
+    got = _cc_star(spark, [(i, i + 1) for i in range(40)])
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_star_variant_matches_hash_min_on_random_graphs(spark):
+    """Equivalence with the hash-min loop (itself property-tested against
+    union-find) on random graphs, including high-id hubs and multiple
+    components."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n = rng.randint(8, 28)
+        ids = rng.sample(range(1000), n)
+        pairs = [
+            (rng.choice(ids), rng.choice(ids))
+            for _ in range(rng.randint(4, 2 * n))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        assert _cc_star(spark, pairs) == _cc(spark, pairs), pairs
