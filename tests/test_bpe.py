@@ -113,3 +113,29 @@ def test_early_stop_on_min_pair_freq(spark):
     unless words share structure; all-distinct chars → empty table."""
     docs = spark.createDataFrame([(0, "ab cd ef")], ["doc_id", "text"])
     assert train_bpe(docs, n_merges=10, min_pair_freq=2) == []
+
+
+def test_roundtrip_property_on_random_words(spark):
+    """Property: for ANY corpus and ANY word (trained-on or unseen),
+    concatenating the BPE pieces reproduces word + END_OF_WORD, and no
+    piece is empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(word, min_size=2, max_size=12), st.lists(word, min_size=1, max_size=4))
+    def check(corpus_words, probe_words):
+        docs = spark.createDataFrame(
+            [(0, " ".join(corpus_words))], ["doc_id", "text"]
+        )
+        merges = train_bpe(docs, n_merges=6, min_pair_freq=2)
+        probes = spark.createDataFrame(
+            [(w,) for w in set(probe_words)], ["word"]
+        )
+        for r in bpe_segment_words(probes, merges).collect():
+            assert "".join(r.pieces) == r.word + END_OF_WORD
+            assert all(p for p in r.pieces)
+
+    check()
