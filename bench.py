@@ -68,6 +68,7 @@ HEADLINE = [
     "rt1_bm25_topk",
     "cc1_neardup_components",
     "sd1_semantic_dedup",
+    "lm2_bigram_quality",
 ]
 
 

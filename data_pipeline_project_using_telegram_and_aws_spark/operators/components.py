@@ -107,7 +107,11 @@ def connected_components_star(
     O(diameter) rounds hurt. Per round the work is two node-keyed
     groupBy/join passes over the (candidate-sized) edge list; the same
     scale story as the hash-min loop, with more fixed cost per round and
-    fewer rounds.
+    fewer rounds. Measured on cc1's real candidate graph (sf0.1, 256
+    edges, diameter ≤ ~4): hash-min ~1.0-1.8 s vs star ~2.1-2.5 s — the
+    shallow near-dup graphs this repo's rows produce are hash-min
+    territory; reach for this variant when the graph can chain (e.g.
+    transitively-linked crawl snapshots).
 
     large-star(u): every strictly-larger neighbor of u re-attaches to
     min(Γ(u) ∪ u);

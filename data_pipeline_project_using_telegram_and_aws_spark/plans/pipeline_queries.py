@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.decontamination import contamination_report
-from ..operators.lm_score import unigram_cross_entropy
+from ..operators.lm_score import (
+    bigram_interpolated_cross_entropy,
+    unigram_cross_entropy,
+)
 from ..operators.retrieval import bm25_scores
 from ..operators.packing import (
     materialize_sequences,
@@ -138,6 +141,27 @@ def lm1_unigram_quality(spark, sf_dir):
     return unigram_cross_entropy(docs).orderBy("doc_id")
 
 
+LM2_ALPHA = 0.5
+LM2_LAM = 0.7
+
+
+def lm2_bigram_quality(spark, sf_dir):
+    """Interpolated bigram LM quality scores (operators/lm_score.py):
+    per-document bits/token under the corpus's own Jelinek-Mercer
+    bigram/unigram interpolation — one rung up the CCNet/KenLM ladder
+    from lm1, sensitive to token ORDER (a scrambled in-domain document
+    scores worse than the same tokens in corpus order). First token
+    scores on the unigram alone; zero-token documents keep their row
+    with NULL bits (the shared row contract). The oracle reproduces the
+    exact double literals (1-lam in binary is 0.30000000000000004, not
+    0.3 — interpolated from Python so both engines compute the same
+    floating-point expression)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_interpolated_cross_entropy(
+        docs, alpha=LM2_ALPHA, lam=LM2_LAM
+    ).orderBy("doc_id")
+
+
 def rt1_bm25_topk(spark, sf_dir):
     """BM25 top-10 retrieval (operators/retrieval.py) for the fixed
     ``RT_QUERIES`` literal query set over the document corpus — the
@@ -156,6 +180,7 @@ QUERIES = {
     "vc1_vocab_encode": vc1_vocab_encode,
     "sp1_split_mixture": sp1_split_mixture,
     "lm1_unigram_quality": lm1_unigram_quality,
+    "lm2_bigram_quality": lm2_bigram_quality,
     "rt1_bm25_topk": rt1_bm25_topk,
 }
 
@@ -352,6 +377,82 @@ ORACLE = {
                    ROUND(-AVG(m.logp), 4) AS bits_per_token
             FROM toks t JOIN model m USING (token)
             GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               s.bits_per_token
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # Jelinek-Mercer interpolated bigram self-perplexity; the double
+    # literals for lam / (1-lam) / alpha come from Python repr so both
+    # engines evaluate the identical floating-point expression (1-0.7 is
+    # 0.30000000000000004 in binary, not 0.3). First token scores on the
+    # unigram; bigrams via positional list indexing, the dd2 idiom.
+    "lm2_bigram_quality": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+        ),
+        uni AS (
+            SELECT token, COUNT(1) AS cu FROM (
+                SELECT UNNEST(l) AS token FROM toks
+            ) GROUP BY token
+        ),
+        consts AS (
+            SELECT CAST(SUM(cu) AS DOUBLE) AS total,
+                   CAST(COUNT(1) AS DOUBLE) AS v
+            FROM uni
+        ),
+        bi AS (
+            SELECT l[g] AS t1, l[g + 1] AS t2, COUNT(1) AS c12
+            FROM toks,
+                 UNNEST(generate_series(1, greatest(len(l) - 1, 0))) AS s(g)
+            GROUP BY 1, 2
+        ),
+        pfx AS (
+            SELECT t1, SUM(c12) AS c1 FROM bi GROUP BY t1
+        ),
+        first_scored AS (
+            SELECT f.doc_id,
+                   LOG2((COALESCE(u.cu, 0) + {LM2_ALPHA!r})
+                        / (c.total + {LM2_ALPHA!r} * (c.v + 1.0))) AS logp
+            FROM (
+                SELECT doc_id, l[1] AS token FROM toks WHERE len(l) >= 1
+            ) f
+            LEFT JOIN uni u USING (token)
+            CROSS JOIN consts c
+        ),
+        bi_scored AS (
+            SELECT db.doc_id,
+                   LOG2({LM2_LAM!r}
+                        * ((COALESCE(b.c12, 0) + {LM2_ALPHA!r})
+                           / (COALESCE(p.c1, 0)
+                              + {LM2_ALPHA!r} * (c.v + 1.0)))
+                        + {1.0 - LM2_LAM!r}
+                        * ((COALESCE(u.cu, 0) + {LM2_ALPHA!r})
+                           / (c.total + {LM2_ALPHA!r} * (c.v + 1.0)))) AS logp
+            FROM (
+                SELECT doc_id, l[g] AS t1, l[g + 1] AS t2
+                FROM toks,
+                     UNNEST(generate_series(1, greatest(len(l) - 1, 0)))
+                         AS s(g)
+            ) db
+            LEFT JOIN bi b USING (t1, t2)
+            LEFT JOIN pfx p USING (t1)
+            LEFT JOIN uni u ON u.token = db.t2
+            CROSS JOIN consts c
+        ),
+        scored AS (
+            SELECT doc_id, COUNT(1) AS n_tokens,
+                   ROUND(-AVG(logp), 4) AS bits_per_token
+            FROM (
+                SELECT * FROM first_scored
+                UNION ALL
+                SELECT * FROM bi_scored
+            )
+            GROUP BY doc_id
         )
         SELECT d.doc_id,
                CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,

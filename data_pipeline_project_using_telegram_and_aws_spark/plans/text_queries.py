@@ -179,7 +179,13 @@ QUERIES = {
     # 10-row confusion-matrix view over tx1's exact token machinery —
     # the marker-filter expression it adds is pinned against a directly
     # computed confusion matrix in tests/test_registry_consolidation.py.
-    "tx6_document_frequency": tx6_document_frequency,
+    # tx6_document_frequency left the 50-row registry in round 5
+    # (funding lm2): its df computation is build_vocab's df stage
+    # verbatim (same explode-distinct-groupBy), which vc1 hash-checks
+    # end-to-end — token ids ARE the df ranking, so a df error flips
+    # vc1's hash; the idf expression it adds on top is pinned against a
+    # directly computed expectation in
+    # tests/test_registry_consolidation.py. Still callable.
     "tx7_repetition_scores": tx7_repetition_scores,
 }
 
@@ -254,18 +260,5 @@ ORACLE = {
                ROUND(top_n / CAST(n_tokens AS DOUBLE), 4) AS top_token_ratio
         FROM g JOIN tm USING (doc_id)
         ORDER BY doc_id
-    """,
-    "tx6_document_frequency": """
-        WITH term_doc AS (
-            SELECT DISTINCT doc_id, UNNEST(
-                list_filter(string_split(text, ' '), x -> x <> '')) AS term
-            FROM documents
-        ),
-        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
-        SELECT term, COUNT(1) AS df,
-               ROUND(LN((SELECT n_docs FROM n) / COUNT(1)), 6) AS idf
-        FROM term_doc
-        GROUP BY term
-        ORDER BY df DESC, term
     """,
 }

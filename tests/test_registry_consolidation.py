@@ -272,3 +272,30 @@ def test_q24_scalar_panel_still_correct(spark, sf_dir):
         for row in rel.fetchall()
     )
     assert len(srows) > 0 and srows == drows
+
+
+def test_tx6_df_idf_still_correct(spark, sf_dir):
+    """Round 5: tx6's slot funds lm2_bigram_quality. Its df stage is
+    build_vocab's df verbatim (hash-checked through vc1's token-id
+    ranking); the df/idf table itself is re-derived here directly from
+    the documents."""
+    import math
+    from collections import Counter
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.text_queries import (
+        tx6_document_frequency,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    df = Counter()
+    for r in docs:
+        df.update(set(t for t in r.text.split(" ") if t))
+    n_docs = len(docs)
+    got = {
+        r.term: (r.df, r.idf)
+        for r in tx6_document_frequency(spark, sf_dir).collect()
+    }
+    assert len(got) == len(df) > 0
+    for term, n in df.items():
+        want_idf = round(math.log(n_docs / n), 6)
+        assert got[term] == (n, want_idf), term
