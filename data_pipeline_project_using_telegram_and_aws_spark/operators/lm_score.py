@@ -100,18 +100,20 @@ def unigram_cross_entropy(
 
 
 def _bigrams(arr):
-    """Adjacent (t1, t2) structs, extracted ROW-LOCALLY: positions 2..n
-    over the token array via transform/element_at — no posexplode
-    self-join, so bigram extraction costs zero shuffles. Guarded for
-    size<2 (F.sequence(2, 1) would count DOWN, not produce empty)."""
+    """Adjacent (t1, t2) structs, extracted ROW-LOCALLY as a zip of the
+    array with its own shift — no posexplode self-join, so extraction
+    costs zero shuffles, and each slice/zip pass is O(tokens). (The
+    first formulation indexed positions via transform/element_at;
+    element_at on an array is an O(n) walk, making extraction O(n²) per
+    document — measured 8 s just to COUNT the sf0.1 corpus bigrams,
+    ~15× slower than this zip. Guard stays for size<2: F.sequence(2, 1)
+    counts DOWN rather than producing empty.)"""
     return F.when(
         F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size(arr)),
-            lambda i: F.struct(
-                F.element_at(arr, i - 1).alias("t1"),
-                F.element_at(arr, i).alias("t2"),
-            ),
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
         ),
     ).otherwise(F.array().cast("array<struct<t1:string,t2:string>>"))
 
@@ -184,13 +186,20 @@ def bigram_interpolated_cross_entropy(
     bi = base.select(
         F.col(id_col), F.explode(_bigrams(F.col("__toks"))).alias("bg")
     ).select(id_col, "bg.t1", "bg.t2")
-    # model joins: keyed by (t1,t2) and t1 — deliberately NO broadcast
-    # hint (see docstring); the unigram lookup keys on t2
+    # join scale split: c12 is bigram-vocab-sized (NOT broadcastable at
+    # scale — the one keyed shuffle in this path, see docstring), but
+    # the prefix counts c1 and the unigram counts are UNIGRAM-vocab-
+    # sized — the same broadcastable shape lm1's model rides on — so
+    # they broadcast explicitly and the token stream shuffles ONCE (on
+    # the bigram key) instead of three times. Measured ~35% off the lm2
+    # bench row (6.0 → 3.9 s in-suite).
     bi_scored = (
         bi.join(c12, ["t1", "t2"], "left")
-        .join(c1, "t1", "left")
+        .join(F.broadcast(c1), "t1", "left")
         .join(
-            uni_counts.withColumnRenamed("token", "t2"), "t2", "left"
+            F.broadcast(uni_counts.withColumnRenamed("token", "t2")),
+            "t2",
+            "left",
         )
         .crossJoin(F.broadcast(vocab_stats))
         .select(
