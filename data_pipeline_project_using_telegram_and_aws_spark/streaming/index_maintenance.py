@@ -20,8 +20,14 @@ Query side: ``similarity.ivf_topk_from_table`` works unchanged — the
 extra ``ingest_batch`` column rides along and the centroid_id bucket
 spec still serves the shuffle-free probe join. The per-batch
 one-file-per-bucket guarantee degrades with batch count exactly like
-any append layout; compact on the usual schedule
-(``sources.bucketing.compact_bucketed_table``).
+any append layout; compact on the usual schedule with
+``sources.bucketing.compact_bucketed_table`` — which collapses the
+batch partitions into a plain column, so compaction is ONLY safe in a
+maintenance window: stream stopped, checkpoint committed past every
+compacted batch (a batch id that could still re-deliver would no
+longer find its partition to overwrite and would duplicate on append;
+the composition and its constraint are pinned in
+tests/test_index_maintenance.py).
 
 Centroids are FROZEN at stream start (broadcast into every batch's
 assignment) — the streaming question is only "where do new vectors

@@ -118,3 +118,39 @@ def test_maintained_table_serves_queries(spark, centroids, tmp_path):
         (r.query_id, r.vec_id, r.cos_sim, r.ivf_rank) for r in want
     )
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_compaction_composes_with_maintained_index(spark, centroids, tmp_path):
+    """After upserts, compact_bucketed_table restores the single-file-
+    per-bucket layout (the ingest_batch partitions collapse into a plain
+    column — correct ONLY in a maintenance window with the stream
+    stopped and its checkpoint committed past every compacted batch,
+    since a replayed batch id can no longer find its partition to
+    overwrite); query results are unchanged."""
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.bucketing import (
+        compact_bucketed_table,
+    )
+
+    table = "ivf_maint_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    upsert_index_batch(_vectors(spark, range(12)), 0, table, centroids, buckets=4)
+    upsert_index_batch(_vectors(spark, range(12, 24)), 1, table, centroids, buckets=4)
+    queries = _vectors(spark, range(3))
+    before = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.ivf_rank)
+        for r in ivf_topk_from_table(
+            spark, table, queries, centroids, nprobe=1, k=3
+        ).collect()
+    )
+    compact_bucketed_table(spark, table)
+    after = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.ivf_rank)
+        for r in ivf_topk_from_table(
+            spark, table, queries, centroids, nprobe=1, k=3
+        ).collect()
+    )
+    assert before == after and len(after) > 0
+    # ingest_batch survives as a plain column; rows intact
+    assert spark.table(table).count() == 24
+    assert "ingest_batch" in spark.table(table).columns
+    spark.sql(f"DROP TABLE {table}")
