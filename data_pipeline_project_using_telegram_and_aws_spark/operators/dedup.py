@@ -378,3 +378,79 @@ def simhash16(
         F.lit(0),
     )
     return sums.select(F.col(id_col), bits.cast("long").alias("simhash"))
+
+
+def span_exact_dedup(
+    docs: DataFrame,
+    span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup (the FineWeb/Dolma line-dedup shape at
+    span granularity): split each document into fixed non-overlapping
+    ``span_tokens``-token spans, keep only each span's FIRST global
+    occurrence (ordered by (doc_id, span position) — deterministic), and
+    reassemble the survivors in position order. Boilerplate repeated
+    across documents (headers, footers, license blocks) disappears from
+    every copy but the first, while document-level dedup would have kept
+    all of them (the docs differ overall).
+
+    Output: one row per input document — (id, text, n_spans,
+    n_dropped_spans); a document whose every span was seen before comes
+    back with empty text rather than vanishing (the shared row
+    contract).
+
+    Scale shape: span extraction is row-local (slice over the token
+    array); first-occurrence selection is ONE hash-keyed window (the
+    same shuffle an exact-dedup groupBy pays, but on span hashes —
+    ~tokens/span_tokens rows per doc); reassembly is one doc-keyed
+    aggregation. No all-pairs anywhere; a hot boilerplate span lands on
+    one partition only for its (tiny) first-occurrence rank, not for
+    the payload — the window carries (hash, doc_id, pos), not text."""
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_spans_expr = F.ceil(F.size(arr) / F.lit(span_tokens)).cast("int")
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_spans_expr, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        arr, (i - 1) * span_tokens + 1, span_tokens
+                    ),
+                ),
+            )
+        ).alias("__pos", "__span"),
+    ).filter(F.col("__span") != "")
+    w = Window.partitionBy(F.md5(F.col("__span").cast("binary"))).orderBy(
+        id_col, "__pos"
+    )
+    ranked = spans.withColumn("__rank", F.row_number().over(w))
+    member = F.struct(F.col("__pos"), F.col("__span"))
+    rebuilt = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("__rank") == 1, member))
+            ).alias("__kept"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__rank") > 1).cast("long")).alias("n_dropped_spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda m: m["__span"]), " "
+            ).alias(text_col),
+            F.col("n_spans").cast("long"),
+            "n_dropped_spans",
+        )
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("n_dropped_spans", F.lit(0).cast("long")).alias(
+            "n_dropped_spans"
+        ),
+    )

@@ -158,3 +158,73 @@ def test_incremental_probe_shuffles_only_the_new_batch(spark):
         assert "Exchange" not in idx_side, idx_side
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_span_dedup_drops_cross_doc_boilerplate(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
+        span_exact_dedup,
+    )
+
+    boiler = "all rights reserved contact us at example"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one body text here now"),
+            (2, boiler + " second document content words go here"),
+            (3, "entirely fresh text with no shared spans at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in span_exact_dedup(docs, span_tokens=7).collect()
+    }
+    # doc 1 (first occurrence) keeps the boilerplate span; doc 2 loses it
+    assert out[1].text.startswith(boiler) and out[1].n_dropped_spans == 0
+    assert not out[2].text.startswith("all rights")
+    assert out[2].n_dropped_spans == 1
+    assert out[3].n_dropped_spans == 0
+
+
+def test_span_dedup_row_contract_and_idempotence(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
+        span_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),   # first span duplicates doc 1's
+            (3, ""),              # zero-token doc keeps its row
+            (4, "d e f"),         # entire doc already seen → empty text
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_spans, r.n_dropped_spans)
+        for r in span_exact_dedup(docs, span_tokens=3).collect()
+    }
+    assert out == {
+        1: ("a b c d e f", 2, 0),
+        2: ("x y z", 2, 1),
+        3: ("", 0, 0),
+        4: ("", 1, 1),
+    }
+    # idempotence: a second pass over the survivors drops nothing
+    first = span_exact_dedup(docs, span_tokens=3).select("doc_id", "text")
+    again = {
+        r.doc_id: r.n_dropped_spans
+        for r in span_exact_dedup(first, span_tokens=3).collect()
+    }
+    assert all(v == 0 for v in again.values())
+
+
+def test_span_dedup_preserves_span_order(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
+        span_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))], ["doc_id", "text"]
+    )
+    out = span_exact_dedup(docs, span_tokens=4).collect()[0]
+    assert out.text == " ".join(f"t{i}" for i in range(12))
