@@ -1,0 +1,138 @@
+"""Semantic scale lint across the whole query registry.
+
+PLAN_AUDIT.md counts plan nodes; this tool JUDGES them. For every
+registered query it builds the executed plan and flags the three
+patterns that are fine at bench scale but lethal at 100 TB unless the
+operand is provably bounded:
+
+- ``cartesian``: a ``CartesianProduct`` node — a non-broadcast cross
+  join; corpus × anything is never acceptable.
+- ``global_window`` / ``global_ordered_window``: a window with NO
+  partition spec — every row lands on ONE task (the ordered variant
+  additionally funnels them through one sort: the global-rank shape).
+  Legitimate only when the window input is provably bounded
+  (vocab-sized statistics, one-row constants), never on a corpus-sized
+  frame.
+- ``extra_global_sort``: more than one global (range-partitioned)
+  sort in a plan. Every registered query carries exactly one
+  presentation ``ORDER BY`` (the driver's comparator is
+  order-insensitive; a scale consumer drops it) — a SECOND global sort
+  means an interior total ordering crept into the algorithm itself.
+
+Each finding must either appear in ``ALLOWLIST`` below with a reason
+that argues the operand is bounded, or the lint fails. Run:
+
+    python tools/scale_lint.py [sf_dir] [--write]
+
+``--write`` emits SCALE_LINT.md (the findings + their justifications)
+so a new unbounded pattern shows up as a diff AND a nonzero exit.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from data_pipeline_project_using_telegram_and_aws_spark.session import get_spark
+
+# finding -> reason the operand is bounded. Keys are (query, kind).
+ALLOWLIST: dict[tuple[str, str], str] = {
+    # vocab-sized statistic windows: input is the distinct-token table
+    # (~1e5-1e6 rows at any corpus size), the documented broadcastable
+    # shape of the LM/vocab modules — not a corpus-sized frame.
+    ("vc1_vocab_encode", "global_ordered_window"):
+        "the df-rank window (row_number over df DESC) runs over the "
+        "vocab table — distinct tokens, bounded independently of corpus "
+        "rows; vocabulary.py documents exactly this bound",
+    ("lm1_unigram_quality", "global_window"):
+        "total/V attachment windows run over the unigram count table "
+        "(vocab-sized)",
+    ("lm2_bigram_quality", "global_window"):
+        "unigram-side total/V windows (vocab-sized); the bigram table "
+        "joins by key, no global window touches it",
+    # q19's running sum is partitioned by user_id; its presentation sort
+    # plus the windows' local sorts are counted correctly — nothing to
+    # allow. (Kept as a comment so reviewers know it was checked.)
+}
+
+
+def lint_plan(plan: str) -> list[str]:
+    finds = []
+    if "CartesianProduct" in plan:
+        finds.append("cartesian")
+    # a window spec's partition columns print bare; order columns print
+    # with a direction. So: spec opening straight at the frame = no
+    # partition and no order; spec whose FIRST argument carries
+    # ASC/DESC = ordered but UNPARTITIONED — the global-rank shape that
+    # funnels every row through one sorting task.
+    for mspec in re.finditer(r"windowspecdefinition\(", plan):
+        head = plan[mspec.end(): mspec.end() + 200]
+        if head.startswith("specifiedwindowframe"):
+            if "global_window" not in finds:
+                finds.append("global_window")
+        else:
+            first_arg = re.split(r"[,()]", head, 1)[0]
+            if (" ASC" in first_arg or " DESC" in first_arg) and (
+                "global_ordered_window" not in finds
+            ):
+                finds.append("global_ordered_window")
+    n_global_sorts = len(re.findall(r"\bSort \[[^\]]*\], true,", plan))
+    if n_global_sorts > 1:
+        finds.append("extra_global_sort")
+    return finds
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    write = "--write" in sys.argv
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("scale-lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+
+    rows, violations = [], []
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for kind in lint_plan(plan):
+            reason = ALLOWLIST.get((name, kind))
+            rows.append((name, kind, reason or "UNJUSTIFIED"))
+            if reason is None:
+                violations.append((name, kind))
+
+    lines = [
+        "# Scale lint",
+        "",
+        f"sf_dir: `{sf_dir}` — flags cartesian products, unpartitioned "
+        "windows, and interior global sorts across all "
+        f"{len(entry.queries())} registered queries; every finding needs "
+        "a bounded-operand justification in tools/scale_lint.py.",
+        "",
+        "| query | finding | justification |",
+        "|---|---|---|",
+    ]
+    for name, kind, reason in sorted(rows):
+        lines.append(f"| {name} | {kind} | {reason} |")
+    if not rows:
+        lines.append("| _none_ | — | — |")
+    report = "\n".join(lines) + "\n"
+    if write:
+        with open("/root/repo/SCALE_LINT.md", "w") as f:
+            f.write(report)
+        print("wrote /root/repo/SCALE_LINT.md")
+    else:
+        print(report)
+
+    if violations:
+        print(f"FAIL: {len(violations)} unjustified findings: {violations}")
+        return 1
+    print(f"ok: {len(rows)} findings, all justified")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
