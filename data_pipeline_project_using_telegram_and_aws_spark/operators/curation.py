@@ -56,6 +56,8 @@ def curate_corpus(
     near_dup_closure: str = "drop_all",
     max_bits_per_token: float | None = None,
     lm_ref: DataFrame | None = None,
+    max_dup_trigram_frac: float | None = None,
+    max_top_token_share: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
@@ -93,6 +95,14 @@ def curate_corpus(
     stage ``lm_quality`` and the 4-dp score in the reason. Zero-token
     documents have no score and pass through (the too_short gate is the
     stage that owns them).
+
+    ``max_dup_trigram_frac`` / ``max_top_token_share`` (optional) add a
+    Gopher-style repetition gate after the LM stage: survivors whose
+    duplicate-trigram fraction or top-token share exceeds the bound drop
+    with stage ``repetition`` and the 4-dp signal in the reason —
+    boilerplate and keyword-stuffed documents the row-local heuristics
+    pass. Documents with <3 tokens have no trigram signal and pass
+    (``too_short`` owns them).
 
     ``near_dup_closure`` picks the drop semantics applied to the
     candidate pairs:
@@ -275,6 +285,73 @@ def curate_corpus(
         )
         survivors = gated.filter(~bad_lm | F.col("__bpt").isNull()).drop(
             "__bpt"
+        )
+
+    # ---- stage 3.6: optional repetition gate ----------------------------
+    # Gopher-style intra-document repetition: duplicate-trigram fraction
+    # (1 − distinct/total trigrams) and the top token's share — the
+    # boilerplate / keyword-stuffing filters the row-local heuristics
+    # pass. Same machinery as the tx7 observability panel, gating here.
+    # Documents with <3 tokens have no trigrams and pass (too_short owns
+    # them); both aggregations are exploded partial-agg'd shapes, linear
+    # in the corpus.
+    if max_dup_trigram_frac is not None or max_top_token_share is not None:
+        from .dedup import shingle_rows
+
+        g = (
+            shingle_rows(survivors, 3, id_col, text_col, distinct=False)
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("__ng"),
+                F.countDistinct("shingle").alias("__nd"),
+            )
+        )
+        tm = (
+            survivors.select(
+                F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
+            )
+            .groupBy(id_col, "__t")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(id_col)
+            .agg(
+                F.max("__c").alias("__top"),
+                F.sum("__c").alias("__nt"),
+            )
+        )
+        sig = g.join(tm, id_col, "full").select(
+            F.col(id_col),
+            (1.0 - F.col("__nd") / F.col("__ng")).alias("__dupfrac"),
+            (F.col("__top") / F.col("__nt")).alias("__topshare"),
+        )
+        gated = survivors.join(sig, id_col, "left")
+        rep_reason = F.lit(None).cast("string")
+        if max_dup_trigram_frac is not None:
+            rep_reason = F.when(
+                F.col("__dupfrac") > max_dup_trigram_frac,
+                F.concat(
+                    F.lit("dup_trigram_frac="),
+                    F.col("__dupfrac").cast("decimal(6,4)").cast("string"),
+                ),
+            ).otherwise(rep_reason)
+        if max_top_token_share is not None:
+            rep_reason = F.when(
+                F.col("__topshare") > max_top_token_share,
+                F.concat(
+                    F.lit("top_token_share="),
+                    F.col("__topshare").cast("decimal(6,4)").cast("string"),
+                ),
+            ).otherwise(rep_reason)
+        gated = gated.withColumn("__rep", rep_reason)
+        ledgers.append(
+            gated.filter(F.col("__rep").isNotNull()).select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("repetition").alias("stage"),
+                F.col("__rep").alias("reason"),
+                null_flag,
+            )
+        )
+        survivors = gated.filter(F.col("__rep").isNull()).drop(
+            "__rep", "__dupfrac", "__topshare"
         )
 
     # ---- stage 4: optional language allow-list --------------------------

@@ -145,3 +145,58 @@ def test_lm_quality_gate_drops_offdomain_docs(spark):
     assert entries[2][0] == "lm_quality"
     assert entries[2][1].startswith("bits_per_token=")
     assert float(entries[2][1].split("=")[1]) > 6.0
+
+
+def test_repetition_gate_drops_stuffed_docs(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    normal = " ".join(f"w{i} x{i} y{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, normal, "en"),
+            # one token dominates: top-token share well over the bound
+            # (vocab disjoint from doc 1 so near-dedup can't claim it)
+            (2, "spam " * 12 + " ".join(f"q{i} r{i}" for i in range(6)), "en"),
+            # a repeated 6-token phrase: duplicate-trigram fraction high
+            # but every token's share stays ~1/6 (below the 0.3 bound),
+            # so the trigram signal is the one that fires
+            (3, "m1 m2 m3 m4 m5 m6 " * 6, "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    kept, ledger = curate_corpus(
+        docs,
+        min_tokens=3,
+        max_dup_trigram_frac=0.5,
+        max_top_token_share=0.3,
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    by_stage = {
+        r.doc_id: (r.stage, r.reason) for r in ledger.collect()
+    }
+    assert 1 in kept_ids
+    assert by_stage[2][0] == "repetition"
+    assert by_stage[2][1].startswith("top_token_share=")
+    assert by_stage[3][0] == "repetition"
+    assert by_stage[3][1].startswith("dup_trigram_frac=")
+    # conservation still holds with the new stage
+    assert kept_ids | set(by_stage) == {1, 2, 3}
+    assert not (kept_ids & set(by_stage))
+
+
+def test_repetition_gate_passes_short_docs(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee", "en")], ["doc_id", "text", "lang"]
+    )
+    kept, ledger = curate_corpus(
+        docs, min_tokens=3, max_dup_trigram_frac=0.01,
+        max_top_token_share=0.9,
+    )
+    # all-distinct trigrams: dup fraction 0, passes even a tight bound
+    assert kept.count() == 1 and ledger.count() == 0
