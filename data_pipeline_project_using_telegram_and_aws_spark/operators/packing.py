@@ -171,3 +171,49 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
         )
         .withColumn("overflows", F.col("seq_tokens") > budget)
     )
+
+
+def export_training_shards(
+    sequences: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write materialized sequences as the dataloader handoff artifact:
+    one directory per packing shard (``shard=N/`` partitions, each
+    written by its own task — writer parallelism = shard count, the
+    same dial :func:`pack_sequences` already sized) plus a one-row-per-
+    shard MANIFEST returned to the caller and written next to the data
+    (``_manifest`` subdirectory, JSON lines).
+
+    The manifest carries what a training launcher actually schedules
+    on: per-shard sequence/document/token counts and the global totals
+    (as a ``total`` row with shard = -1) — so the loader can size
+    epochs and balance readers without opening a single data file.
+    Sequence order inside a shard is ``seq_id`` (the deterministic
+    packing order); the parquet sort-within-partition makes re-reads
+    reproduce it."""
+    seqs = sequences.select(
+        "shard", "seq_id", "n_docs", "seq_tokens", "seq_text"
+    )
+    (
+        seqs.repartition("shard")
+        .sortWithinPartitions("seq_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+    per_shard = seqs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("n_tokens"),
+    )
+    total = per_shard.agg(
+        F.lit(-1).cast("long").alias("shard"),
+        F.sum("n_sequences").alias("n_sequences"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    manifest = per_shard.unionByName(total).orderBy("shard")
+    manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_manifest")
+    return manifest

@@ -180,3 +180,38 @@ def test_default_shard_count_is_fixed_64(spark):
     assert default == explicit and len(default) == 200
     with _pytest.raises(ValueError, match="auto"):
         pack_sequences(df, BUDGET, n_shards="bogus")
+
+
+def test_export_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        export_training_shards,
+        materialize_sequences,
+        md5_shard,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    packed = pack_sequences(
+        docs, budget=512, n_shards=4, shard=md5_shard("doc_id", 4)
+    )
+    seqs = materialize_sequences(packed)
+    out = str(tmp_path / "shards")
+    manifest = {r.shard: r for r in export_training_shards(seqs, out).collect()}
+
+    # one partition dir per shard, readable back in seq order
+    back = spark.read.parquet(out)
+    assert sorted(
+        (r.shard, r.seq_id) for r in back.select("shard", "seq_id").collect()
+    ) == sorted((r.shard, r.seq_id) for r in seqs.select("shard", "seq_id").collect())
+
+    # manifest totals agree with the data
+    want_seqs = seqs.count()
+    want_tokens = sum(r.seq_tokens for r in seqs.select("seq_tokens").collect())
+    assert manifest[-1].n_sequences == want_seqs
+    assert manifest[-1].n_tokens == want_tokens
+    assert sum(m.n_sequences for s, m in manifest.items() if s >= 0) == want_seqs
+    # manifest is also persisted next to the data
+    mback = spark.read.json(f"{out}/_manifest")
+    assert mback.count() == len(manifest)
