@@ -69,6 +69,7 @@ HEADLINE = [
     "cc1_neardup_components",
     "sd1_semantic_dedup",
     "lm2_bigram_quality",
+    "dd7_span_dedup",
 ]
 
 

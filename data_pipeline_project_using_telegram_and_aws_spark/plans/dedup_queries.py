@@ -149,6 +149,18 @@ def cc1_neardup_components(spark, sf_dir):
     )
 
 
+def dd7_span_dedup(spark, sf_dir):
+    """Sub-document span-level exact dedup (operators/dedup.py
+    span_exact_dedup, the FineWeb/Dolma line-dedup shape): 16-token
+    spans, each kept only at its first global occurrence ordered by
+    (doc_id, position), documents reassembled in span order — empty
+    text (never a missing row) when every span was seen before. The
+    oracle replays span slicing, the md5-keyed first-occurrence window
+    with the identical tie-break, and the ordered reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_exact_dedup(docs, span_tokens=16).orderBy("doc_id")
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_topk": dd2_ngram_jaccard_topk,
@@ -156,6 +168,7 @@ QUERIES = {
     "dd5_simhash_fingerprints": dd5_simhash_fingerprints,
     "dd6_embedding_cosine_neardup": dd6_embedding_cosine_neardup,
     "cc1_neardup_components": cc1_neardup_components,
+    "dd7_span_dedup": dd7_span_dedup,
 }
 
 # Shared SQL fragments (DuckDB): word 3-gram distinct shingles per doc.
@@ -331,6 +344,52 @@ ORACLE = {
             FROM labels GROUP BY component
         ) s USING (component)
         ORDER BY doc_id
+    """,
+    # span slicing via list_slice (1-based inclusive = Spark's
+    # slice(start, len) on the same boundaries), first occurrence by
+    # ROW_NUMBER over md5(span) with the identical (doc_id, pos)
+    # tie-break, reassembly by pos-ordered string_agg
+    "dd7_span_dedup": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, g AS pos,
+                   array_to_string(
+                       list_slice(l, (g - 1) * 16 + 1,
+                                  least(g * 16, len(l))), ' ') AS span
+            FROM toks,
+                 UNNEST(generate_series(
+                     1,
+                     greatest(CAST(ceil(len(l) / 16.0) AS BIGINT), 1)
+                 )) AS s(g)
+            WHERE len(l) > 0
+        ),
+        ranked AS (
+            SELECT doc_id, pos, span,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(span) ORDER BY doc_id, pos
+                   ) AS rnk
+            FROM spans WHERE span <> ''
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   COALESCE(string_agg(span, ' ' ORDER BY pos)
+                            FILTER (WHERE rnk = 1), '') AS text,
+                   COUNT(1) AS n_spans,
+                   SUM(CASE WHEN rnk > 1 THEN 1 ELSE 0 END)
+                       AS n_dropped_spans
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(r.text, '') AS text,
+               CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(r.n_dropped_spans, 0) AS BIGINT)
+                   AS n_dropped_spans
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY d.doc_id
     """,
     "dd5_simhash_fingerprints": """
         WITH tokens AS (

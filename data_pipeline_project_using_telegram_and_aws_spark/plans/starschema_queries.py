@@ -507,7 +507,12 @@ QUERIES = {
     # hash-checked inside q13 (see q13's docstring); still callable and
     # pinned by tests/test_registry_consolidation.py.
     "q13_set_operations": q13_set_operations,
-    "q14_rollup_cube": q14_rollup_cube,
+    # q14_rollup_cube left the 50-row registry in round 5 (funding
+    # dd7): ROLLUP/CUBE are sugar over the same Expand + grouping-id
+    # machinery q16's explicit GROUPING SETS hash-checks; q14's full
+    # rollup∪cube result (incl. the cube-only stratum and the exact
+    # fixed-point sums) stays pinned against its retired oracle in
+    # tests/test_registry_consolidation.py. Still callable.
     "q16_grouping_sets": q16_grouping_sets,
     "q18_window_rank": q18_window_rank,
     "q19_window_running_sum": q19_window_running_sum,
@@ -616,26 +621,6 @@ ORACLE = {
             SELECT nationkey, 'except' AS src FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
         )
         ORDER BY src, nationkey
-    """,
-    "q14_rollup_cube": f"""
-        SELECT * FROM (
-            SELECT o_orderstatus, o_orderpriority,
-                   COUNT(1) AS order_count,
-                   {sql_sum('o_totalprice')} AS total_price,
-                   'rollup' AS src
-            FROM orders
-            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-            UNION ALL
-            SELECT o_orderstatus, o_orderpriority,
-                   COUNT(1) AS order_count,
-                   {sql_sum('o_totalprice')} AS total_price,
-                   'cube' AS src
-            FROM orders
-            GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        )
-        ORDER BY src,
-                 o_orderstatus ASC NULLS FIRST,
-                 o_orderpriority ASC NULLS FIRST
     """,
     "q16_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority, COUNT(1) AS order_count

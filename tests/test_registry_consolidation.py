@@ -299,3 +299,66 @@ def test_tx6_df_idf_still_correct(spark, sf_dir):
     for term, n in df.items():
         want_idf = round(math.log(n_docs / n), 6)
         assert got[term] == (n, want_idf), term
+
+
+def test_q14_rollup_cube_still_correct(spark, sf_dir):
+    """Round 5: q14's slot funds dd7_span_dedup. ROLLUP/CUBE are sugar
+    over the Expand + grouping-id machinery q16's GROUPING SETS
+    hash-checks; the full rollup∪cube result (cube-only stratum and
+    exact fixed-point sums included) stays pinned here by replaying the
+    retired DuckDB oracle row-for-row."""
+    import math
+
+    import duckdb
+
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.exact import (
+        sql_sum,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.starschema_queries import (
+        q14_rollup_cube,
+    )
+
+    sdf = q14_rollup_cube(spark, sf_dir)
+    cols = sorted(sdf.columns)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    rel = con.execute(f"""
+        SELECT * FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(1) AS order_count,
+                   {sql_sum('o_totalprice')} AS total_price,
+                   'rollup' AS src
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(1) AS order_count,
+                   {sql_sum('o_totalprice')} AS total_price,
+                   'cube' AS src
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        )
+        ORDER BY src,
+                 o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+    """)
+    dcols = [d[0] for d in rel.description]
+    assert sorted(dcols) == cols
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else repr(v)
+        return str(v)
+
+    srows = sorted(
+        "|".join(norm(r[c]) for c in cols)
+        for r in (row.asDict() for row in sdf.collect())
+    )
+    drows = sorted(
+        "|".join(norm(dict(zip(dcols, row))[c]) for c in cols)
+        for row in rel.fetchall()
+    )
+    assert len(srows) > 0 and srows == drows
