@@ -39,7 +39,7 @@ edge list and closure are candidate-sized throughout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .components import connected_components
 from .similarity import blocked_neardup_pairs, build_ivf_index, ivf_assign
@@ -111,3 +111,107 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def incremental_semantic_dedup(
+    new_vectors: DataFrame,
+    keepers: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-batch SemDeDup: admit only the semantically-new part of a
+    batch against an existing exemplar set — the embedding-side twin of
+    ``dedup.dedup_against_index`` (MinHash) and the same roles: the new
+    batch is small by definition and computes fresh; the corpus-side
+    ``keepers`` frame (the exemplars already admitted, typically read
+    from a table bucketed by centroid_id —
+    ``streaming/index_maintenance.py`` maintains exactly that layout)
+    is probed in place and NEVER re-scored against itself.
+
+    Returns ``(admitted, dropped)``: ``admitted`` rows are the batch
+    members with no keeper within cosine ``tau`` in their cluster —
+    append them to the keeper set to grow the corpus; ``dropped`` rows
+    carry the nearest blocking keeper id and the cosine for the audit
+    ledger.
+
+    Two scale properties worth naming: (1) the probe joins only
+    cluster-mates — the batch shuffles once keyed by centroid_id and
+    meets keeper rows of the same cluster, so work is
+    |batch| × cluster-occupancy, never |batch| × |corpus|; (2) WITHIN
+    the batch, duplicates of each other (not of any keeper) are also
+    resolved — by the same intra-cluster closure the full
+    :func:`semantic_dedup` uses, restricted to batch rows that survived
+    the keeper probe — so admitting a batch twice in a row admits
+    nothing the second time."""
+    assign_new = ivf_assign(new_vectors, centroids, 1, id_col, vec_col)
+    batch = (
+        new_vectors.select(id_col, vec_col)
+        .join(assign_new, id_col)
+        .localCheckpoint(eager=False)
+    )
+    k = keepers.select(
+        F.col(id_col).alias("__keeper_id"),
+        F.col(vec_col).alias("__kvec"),
+        "centroid_id",
+    )
+    from ..functions.vectors import cosine
+
+    probed = (
+        batch.join(k, "centroid_id", "left")
+        .select(
+            id_col,
+            "centroid_id",
+            vec_col,
+            "__keeper_id",
+            F.when(
+                F.col("__keeper_id").isNotNull(),
+                F.round(cosine(F.col(vec_col), F.col("__kvec")), 4),
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc_nulls_last("__cos"), F.asc_nulls_last("__keeper_id")
+    )
+    nearest = (
+        probed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    blocked = nearest.filter(F.col("__cos") >= tau)
+    dropped_vs_keepers = blocked.select(
+        id_col,
+        "centroid_id",
+        F.col("__keeper_id").alias("blocking_keeper"),
+        F.col("__cos").alias("cos_sim"),
+    )
+    survivors = batch.join(
+        blocked.select(id_col), id_col, "left_anti"
+    )
+    # intra-batch closure among the survivors: keep min-id exemplars
+    intra = semantic_dedup(
+        survivors.select(id_col, vec_col),
+        centroids=centroids,
+        tau=tau,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    admitted = survivors.join(
+        intra.filter(F.col("kept")).select(id_col), id_col
+    )
+    dropped_intra = (
+        survivors.join(
+            intra.filter(~F.col("kept")).select(
+                id_col, F.col("dup_group").alias("blocking_keeper")
+            ),
+            id_col,
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            "blocking_keeper",
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    )
+    return admitted, dropped_vs_keepers.unionByName(dropped_intra)

@@ -87,3 +87,72 @@ def test_tau_one_keeps_everything_but_exact_dups(planted):
     }
     assert out == {1: True, 2: True, 3: True, 10: True, 11: False,
                    20: True, 30: True}
+
+
+@pytest.fixture(scope="module")
+def axis_centroids(spark):
+    rows = [
+        Row(centroid_id=0, cvec=[1.0] + [0.0] * (DIM - 1)),
+        Row(centroid_id=1, cvec=[0.0, 0.0, 1.0] + [0.0] * (DIM - 3)),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_incremental_blocks_against_keepers_and_within_batch(
+    spark, axis_centroids
+):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+        incremental_semantic_dedup,
+    )
+
+    keepers = spark.createDataFrame(
+        [Row(vec_id=1, embedding=_vec(0), centroid_id=0)]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=_vec(0, 0.05)),  # near keeper 1
+            Row(vec_id=20, embedding=_vec(2)),        # new direction
+            Row(vec_id=21, embedding=_vec(2, 0.05)),  # intra-batch dup of 20
+        ]
+    )
+    admitted, dropped = incremental_semantic_dedup(
+        batch, keepers, axis_centroids, tau=0.95
+    )
+    assert {r.vec_id for r in admitted.collect()} == {20}
+    d = {r.vec_id: (r.blocking_keeper, r.cos_sim) for r in dropped.collect()}
+    assert set(d) == {10, 21}
+    assert d[10][0] == 1 and d[10][1] is not None and d[10][1] >= 0.95
+    # intra-batch drop cites the batch exemplar; no keeper cosine
+    assert d[21] == (20, None)
+
+
+def test_incremental_is_idempotent_across_readmission(spark, axis_centroids):
+    """Admit a batch, append the admitted rows to the keepers, re-admit
+    the SAME batch: the second pass admits nothing."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+        incremental_semantic_dedup,
+    )
+
+    keepers = spark.createDataFrame(
+        [Row(vec_id=1, embedding=_vec(0), centroid_id=0)]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=20, embedding=_vec(2)),
+            Row(vec_id=30, embedding=_vec(2, 0.4)),  # distinct enough
+        ]
+    )
+    admitted, _ = incremental_semantic_dedup(
+        batch, keepers, axis_centroids, tau=0.98
+    )
+    grown = keepers.unionByName(
+        admitted.select(
+            "vec_id", "embedding",
+            F.col("centroid_id"),
+        )
+    )
+    again, dropped2 = incremental_semantic_dedup(
+        batch, grown, axis_centroids, tau=0.98
+    )
+    assert again.count() == 0
+    assert dropped2.count() == batch.count()
