@@ -161,8 +161,21 @@ class TelegramLake:
         for name in self._registered:
             self.read_enriched(spark).createOrReplaceTempView(name)
 
-    def read_enriched(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.enriched_path)
+    def read_enriched(
+        self, spark: SparkSession, merge_schema: bool = False
+    ) -> DataFrame:
+        """Read the enriched zone. ``merge_schema=True`` unions the
+        footer schemas across partitions — the day the pipeline grows a
+        column, partitions written before it lack the field, and the
+        default single-footer read would either miss the new column or
+        fail depending on which file Spark samples; merged reads return
+        the union schema with NULLs for pre-evolution days (pinned in
+        tests/test_etl_pipeline.py). Costs one footer read per file, so
+        keep it off for schema-stable zones and on during migrations."""
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.enriched_path)
 
     def register_table(self, spark: SparkSession, name: str = "telegram") -> None:
         """Catalog layer (SURVEY §2.1 S9): expose the enriched zone as the

@@ -237,3 +237,36 @@ def test_etl_empty_rerun_clears_stale_partition_when_opted_in(spark, tmp_path):
         == 0
     )
     assert glob.glob(f"{lk.enriched_path}/context_date={today}") == []
+
+
+def test_enriched_schema_evolution_reads_union_with_merge(spark, tmp_path):
+    """The day the pipeline grows a column, earlier partitions lack the
+    field; merge_schema=True returns the union schema with NULLs for
+    pre-evolution days while the default read stays cheap for
+    schema-stable zones."""
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.lake import (
+        TelegramLake,
+    )
+
+    lk = TelegramLake(str(tmp_path))
+    old = spark.createDataFrame(
+        [(1, "hi", "2024-01-01")], ["message_id", "text", "context_date"]
+    ).withColumn("context_date", F.to_date("context_date"))
+    new = spark.createDataFrame(
+        [(2, "yo", "reply", "2024-01-02")],
+        ["message_id", "text", "reply_kind", "context_date"],
+    ).withColumn("context_date", F.to_date("context_date"))
+    (
+        old.write.mode("overwrite").partitionBy("context_date")
+        .parquet(lk.enriched_path)
+    )
+    (
+        new.write.mode("append").partitionBy("context_date")
+        .parquet(lk.enriched_path)
+    )
+
+    merged = lk.read_enriched(spark, merge_schema=True)
+    assert "reply_kind" in merged.columns
+    rows = {r.message_id: r for r in merged.collect()}
+    assert rows[1].reply_kind is None and rows[2].reply_kind == "reply"
+    assert len(rows) == 2
