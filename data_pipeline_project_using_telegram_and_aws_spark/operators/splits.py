@@ -116,3 +116,35 @@ def split_report(df: DataFrame, out_col: str = "split") -> DataFrame:
         "n_rows",
         F.round(F.col("n_rows") / total, 4).alias("fraction"),
     ).orderBy(out_col)
+
+
+def deterministic_take_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``n`` rows per group (fewer when the group is smaller) —
+    the fixed-count complement of :func:`weighted_mixture`'s rates, used
+    for eval-set and few-shot-pool construction where "about 2%" is not
+    a contract but "exactly 500 per source" is. Selection is the md5
+    order of (salt, id): add rows to a group and the previously-selected
+    subset only ever changes where new ids hash earlier — no reshuffle
+    of the whole sample on every corpus append (the rank is stable in
+    distribution, unlike timestamp- or ingestion-order heads).
+
+    One shuffle, keyed by the group; the window ranks md5(salt|id) and
+    keeps ranks ≤ n. Skewed groups cost their own size in rank work,
+    nothing corpus-wide."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

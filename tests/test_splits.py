@@ -119,3 +119,49 @@ def test_mixture_deterministic_and_nested(spark):
     # narrowing the rate keeps survivors a subset of the wider rate's,
     # and the assignment is partitioning-independent
     assert a <= b
+
+
+def test_take_per_group_exact_counts_and_stability(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        deterministic_take_per_group,
+    )
+
+    rows = [(i, f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    took = deterministic_take_per_group(df, "source", 5)
+    per = {}
+    for r in took.collect():
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 5 for v in per.values()) and len(per) == 3
+
+    # deterministic: same input, same selection
+    again = deterministic_take_per_group(df, "source", 5)
+    per2 = {}
+    for r in again.collect():
+        per2.setdefault(r.source, set()).add(r.doc_id)
+    assert per == per2
+
+    # short groups return whole group, never pad
+    small = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "source"])
+    assert deterministic_take_per_group(small, "source", 5).count() == 2
+
+
+def test_take_per_group_append_stability(spark):
+    """Appending rows only swaps selections where a new id hashes
+    earlier — the kept set from the smaller corpus is NOT reshuffled
+    wholesale."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        deterministic_take_per_group,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "s") for i in range(40)], ["doc_id", "source"]
+    )
+    bigger = spark.createDataFrame(
+        [(i, "s") for i in range(50)], ["doc_id", "source"]
+    )
+    a = {r.doc_id for r in deterministic_take_per_group(base, "source", 10).collect()}
+    b = {r.doc_id for r in deterministic_take_per_group(bigger, "source", 10).collect()}
+    # the overlap is exactly the old picks that still rank <= 10
+    assert len(a) == len(b) == 10
+    assert len(a & b) >= 5  # md5 order: most survive a 25% append
