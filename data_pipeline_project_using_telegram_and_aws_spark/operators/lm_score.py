@@ -234,3 +234,112 @@ def bigram_interpolated_cross_entropy(
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         F.col("bits_per_token"),
     )
+
+
+def kneser_ney_cross_entropy(
+    docs: DataFrame,
+    ref_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_tokens, bits_per_token) under an interpolated
+    Kneser-Ney bigram of ``ref_docs`` (default self) — the top rung of
+    this module's ladder and the smoothing KenLM actually ships:
+
+        p(t2|t1) = max(c12 − d, 0)/c1 + (d · N1+(t1,·)/c1) · p_cont(t2)
+        p_cont(t2) = (N1+(·,t2) + α) / (B + α·(V + 1))
+
+    where N1+(t1,·) / N1+(·,t2) are the CONTINUATION type counts (how
+    many distinct bigrams the token starts / ends — "how many contexts
+    has this word followed", the insight that demotes 'Francisco'-style
+    tokens frequent only in one context), B the distinct-bigram count,
+    and d the absolute discount. An unseen prefix backs off wholly to
+    p_cont; the first token scores on the add-α unigram as in the other
+    scorers; the continuation distribution itself is add-α smoothed so
+    unseen tokens stay finite (KenLM's <unk> role). Zero-token docs keep
+    their row with NULL bits.
+
+    Scale split mirrors :func:`bigram_interpolated_cross_entropy`: the
+    bigram count table joins by key (never broadcast — it grows with the
+    corpus); prefix totals, forward/backward continuation counts (all
+    unigram-vocab-sized) and the one-row (B, V) aggregate broadcast.
+    Every count is an exploded partial-agg'd aggregation; no Python."""
+    ref = ref_docs if ref_docs is not None else docs
+    toks = _tokens(text_col)
+
+    uni_counts = (
+        ref.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__nu"))
+    )
+    bi_ref = ref.select(F.explode(_bigrams(toks)).alias("bg")).select(
+        "bg.t1", "bg.t2"
+    )
+    c12 = bi_ref.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("__n12"))
+    # per prefix: total count AND distinct continuation types
+    c1 = c12.groupBy("t1").agg(
+        F.sum("__n12").alias("__n1"),
+        F.count(F.lit(1)).alias("__fwd_types"),
+    )
+    cont = c12.groupBy("t2").agg(F.count(F.lit(1)).alias("__bwd_types"))
+    consts = c12.agg(
+        F.count(F.lit(1)).cast("double").alias("__B"),
+    ).crossJoin(
+        uni_counts.agg(
+            F.count(F.lit(1)).cast("double").alias("__V"),
+            F.sum("__nu").cast("double").alias("__total"),
+        )
+    )
+
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    first_scored = (
+        base.filter(F.size("__toks") >= 1)
+        .select(id_col, F.element_at("__toks", 1).alias("token"))
+        .join(F.broadcast(uni_counts), "token", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            id_col,
+            F.log2(
+                (F.coalesce("__nu", F.lit(0)) + F.lit(alpha))
+                / (F.col("__total") + F.lit(alpha) * (F.col("__V") + 1.0))
+            ).alias("__logp"),
+        )
+    )
+    bi = base.select(
+        F.col(id_col), F.explode(_bigrams(F.col("__toks"))).alias("bg")
+    ).select(id_col, "bg.t1", "bg.t2")
+    p_cont = (
+        (F.coalesce("__bwd_types", F.lit(0)) + F.lit(alpha))
+        / (F.col("__B") + F.lit(alpha) * (F.col("__V") + 1.0))
+    )
+    seen_prefix = F.col("__n1").isNotNull() & (F.col("__n1") > 0)
+    p_kn = F.when(
+        seen_prefix,
+        F.greatest(
+            F.coalesce("__n12", F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("__n1")
+        + (F.lit(discount) * F.col("__fwd_types") / F.col("__n1")) * p_cont,
+    ).otherwise(p_cont)
+    bi_scored = (
+        bi.join(c12, ["t1", "t2"], "left")
+        .join(F.broadcast(c1), "t1", "left")
+        .join(F.broadcast(cont), "t2", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(id_col, F.log2(p_kn).alias("__logp"))
+    )
+    scored = (
+        first_scored.unionByName(bi_scored)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg("__logp"), 4).alias("bits_per_token"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.col("bits_per_token"),
+    )

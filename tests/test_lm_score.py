@@ -147,3 +147,86 @@ def test_bigram_beats_unigram_on_ordered_text(spark):
     got = {r.doc_id: r.bits_per_token
            for r in bigram_interpolated_cross_entropy(docs, ref_docs=ref).collect()}
     assert got[1] < got[2]
+
+
+def _hand_kn_bits(ref_texts, doc_tokens, d=0.75, alpha=0.5):
+    """Independent Python recomputation of interpolated Kneser-Ney."""
+    from collections import Counter, defaultdict
+
+    uni = Counter()
+    bi = Counter()
+    for t in ref_texts:
+        toks = [x for x in t.split(" ") if x]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    V = len(uni)
+    B = len(bi)
+    total = sum(uni.values())
+    c1 = Counter()
+    fwd = defaultdict(set)
+    bwd = defaultdict(set)
+    for (a, b), n in bi.items():
+        c1[a] += n
+        fwd[a].add(b)
+        bwd[b].add(a)
+
+    def p_cont(t):
+        return (len(bwd.get(t, ())) + alpha) / (B + alpha * (V + 1))
+
+    def p_kn(a, b):
+        n1 = c1.get(a, 0)
+        if n1 == 0:
+            return p_cont(b)
+        return (max(bi.get((a, b), 0) - d, 0) / n1
+                + d * len(fwd[a]) / n1 * p_cont(b))
+
+    logs = [math.log2((uni.get(doc_tokens[0], 0) + alpha)
+                      / (total + alpha * (V + 1)))]
+    for a, b in zip(doc_tokens, doc_tokens[1:]):
+        logs.append(math.log2(p_kn(a, b)))
+    return round(-sum(logs) / len(logs), 4)
+
+
+def test_kneser_ney_matches_hand_computation(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.lm_score import (
+        kneser_ney_cross_entropy,
+    )
+
+    ref_texts = ["a b a b c", "b a b", "c a", "d c a b"]
+    ref = spark.createDataFrame(list(enumerate(ref_texts)), ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d c a b a"), (3, "z q"), (4, ""), (5, "b")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_per_token)
+        for r in kneser_ney_cross_entropy(docs, ref_docs=ref).collect()
+    }
+    assert got[1] == (3, _hand_kn_bits(ref_texts, ["a", "b", "c"]))
+    assert got[2] == (5, _hand_kn_bits(ref_texts, ["d", "c", "a", "b", "a"]))
+    # fully OOV: unseen prefix backs off to smoothed continuation
+    assert got[3] == (2, _hand_kn_bits(ref_texts, ["z", "q"]))
+    assert got[4] == (0, None)
+    assert got[5] == (1, _hand_kn_bits(ref_texts, ["b"]))
+
+
+def test_kneser_ney_demotes_single_context_tokens(spark):
+    """The KN property: a token frequent ONLY after one fixed context
+    ('francisco' after 'san') gets low continuation probability in a
+    novel context, while an equally-frequent token seen after many
+    contexts scores better there."""
+    ref_rows = [(i, "san francisco") for i in range(10)]
+    ref_rows += [(100 + i, f"ctx{i} door") for i in range(10)]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "new francisco"), (2, "new door")], ["doc_id", "text"]
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.lm_score import (
+        kneser_ney_cross_entropy,
+    )
+
+    got = {r.doc_id: r.bits_per_token
+           for r in kneser_ney_cross_entropy(docs, ref_docs=ref).collect()}
+    # both bigrams are unseen; 'door' continues 10 distinct contexts,
+    # 'francisco' only one — door must score strictly better
+    assert got[2] < got[1]
