@@ -38,11 +38,35 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable through the undirected
     edge set. Raises if ``max_iters`` rounds do not reach the fixpoint
-    (an unconverged labeling silently merges nothing — better loud)."""
+    (an unconverged labeling silently merges nothing — better loud).
+
+    Below ``driver_max_edges`` (default: the measured
+    ``scale_rules.cc_driver_max_edges`` crossover, ~5·10⁵) the closure
+    runs as a DRIVER-side union-find over one collect of the edge list:
+    near-dup candidate graphs are orders of magnitude smaller than the
+    corpus, and a sub-megabyte fixpoint pays cluster-round scheduling
+    for nothing — the same judgment that broadcasts a small dimension
+    table instead of shuffling for it (measured: the driver pass costs
+    ~3 µs/edge; a single hash-min round costs ~0.3-0.5 s of scheduling
+    before any work happens). Pass ``driver_max_edges=0`` to force the
+    iterative path (the tests exercise both and pin their equivalence).
+    """
+    if driver_max_edges is None:
+        from ..functions.scale_rules import cc_driver_max_edges
+
+        driver_max_edges = cc_driver_max_edges()
+    if driver_max_edges > 0:
+        # checkpoint BEFORE the dispatch count: the candidate-edge
+        # lineage (LSH signatures, pair scans) is the expensive part,
+        # and the count would otherwise recompute it for the collect
+        edges = edges.localCheckpoint(eager=False)
+        if edges.count() <= driver_max_edges:
+            return _driver_union_find(edges, a_col, b_col)
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(
@@ -89,6 +113,46 @@ def connected_components(
         "graph diameter exceeds the bound; raise max_iters or switch to "
         "connected_components_star"
     )
+
+
+def _driver_union_find(
+    edges: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Path-halving union-find over a collected candidate-sized edge
+    list; labels = min id per component (exactly the iterative loop's
+    contract). One collect in, one parallelize out — no cluster rounds."""
+    collected = edges.select(a_col, b_col).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent.get(root, root)
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    nodes = set()
+    for r in collected:
+        a, b = r[0], r[1]
+        nodes.add(a)
+        nodes.add(b)
+        if a == b:
+            continue  # self-loop-only nodes still label themselves
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for x in nodes:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    rows = [(x, comp_min[find(x)]) for x in sorted(nodes)]
+    spark = edges.sparkSession
+    schema = edges.select(
+        edges[a_col].alias("node"), edges[a_col].alias("component")
+    ).schema
+    return spark.createDataFrame(rows, schema)
 
 
 def connected_components_star(

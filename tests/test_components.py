@@ -14,10 +14,19 @@ from data_pipeline_project_using_telegram_and_aws_spark.operators.curation impor
 
 
 def _cc(spark, pairs):
+    """Runs BOTH closure paths (driver union-find shortcut and the
+    iterative hash-min loop) and asserts they agree before returning —
+    every fixture doubles as an equivalence check."""
     edges = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
-    return {
+    fast = {
         r.node: r.component for r in connected_components(edges).collect()
     }
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    return fast
 
 
 def test_components_basic_clusters(spark):
@@ -46,7 +55,8 @@ def test_components_unconverged_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(8)],
                                   ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iters=2)
+        # force the iterative loop: the driver shortcut has no rounds
+        connected_components(edges, max_iters=2, driver_max_edges=0)
 
 
 def test_curation_components_closure_drops_transitive_cluster(spark):
