@@ -173,10 +173,61 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def shuffle_epoch_order(
+    sequences: DataFrame,
+    seed: int,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch reshuffle of packed training sequences:
+    appends ``epoch_shard`` and ``epoch_pos`` — a seeded pseudo-random
+    permutation of the whole corpus, different per seed, identical
+    across reruns and input partition layouts.
+
+    Why an operator: packing fixes ONE order (md5(id) within shard);
+    training wants a fresh global order every epoch without touching
+    document bytes. Hashing (seed, shard, seq_id) gives each epoch an
+    independent permutation that is a pure function of the data + seed
+    — reproducible resume mid-epoch, no RNG state to checkpoint, and
+    computable on the id columns alone.
+
+    Scale shape: NO global sort. ``epoch_shard`` is a hash (one keyed
+    shuffle); ``epoch_pos`` is a per-epoch-shard window over ~N/shards
+    rows — the same bounded-operand pattern :func:`pack_sequences`
+    uses. A dataloader reads shard directories in epoch_pos order
+    (``export_training_shards`` with ``order_col='epoch_pos'`` writes
+    exactly that layout); cross-shard order is the reader's shard
+    interleave, which the hash already randomized.
+
+    ``n_shards`` defaults to the input's shard count (so each epoch
+    re-deals the same deck across the same number of readers)."""
+    if n_shards is None:
+        n_shards = sequences.select(
+            F.countDistinct("shard").alias("n")
+        ).collect()[0]["n"]
+        if n_shards == 0:
+            raise ValueError("shuffle_epoch_order: empty input")
+    key = F.xxhash64(F.lit(seed), F.col("shard"), F.col("seq_id"))
+    out = sequences.withColumn(
+        "epoch_shard", F.pmod(key, F.lit(n_shards)).cast("long")
+    )
+    w = Window.partitionBy("epoch_shard").orderBy(
+        # Total order: hash first (the randomness), then the unique
+        # (shard, seq_id) pair so ties cannot make epoch_pos ambiguous.
+        F.xxhash64(F.lit(seed + 1), F.col("shard"), F.col("seq_id")),
+        F.col("shard"),
+        F.col("seq_id"),
+    )
+    return out.withColumn(
+        "epoch_pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
 def export_training_shards(
     sequences: DataFrame,
     path: str,
     fmt: str = "parquet",
+    shard_col: str = "shard",
+    order_col: str = "seq_id",
 ) -> DataFrame:
     """Write materialized sequences as the dataloader handoff artifact:
     one directory per packing shard (``shard=N/`` partitions, each
@@ -189,21 +240,23 @@ def export_training_shards(
     on: per-shard sequence/document/token counts and the global totals
     (as a ``total`` row with shard = -1) — so the loader can size
     epochs and balance readers without opening a single data file.
-    Sequence order inside a shard is ``seq_id`` (the deterministic
-    packing order); the parquet sort-within-partition makes re-reads
+    Sequence order inside a shard is ``order_col`` (default ``seq_id``,
+    the deterministic packing order; pass ``shard_col='epoch_shard'``,
+    ``order_col='epoch_pos'`` to export a :func:`shuffle_epoch_order`
+    layout instead); the parquet sort-within-partition makes re-reads
     reproduce it."""
     seqs = sequences.select(
-        "shard", "seq_id", "n_docs", "seq_tokens", "seq_text"
+        shard_col, order_col, "n_docs", "seq_tokens", "seq_text"
     )
     (
-        seqs.repartition("shard")
-        .sortWithinPartitions("seq_id")
+        seqs.repartition(shard_col)
+        .sortWithinPartitions(order_col)
         .write.mode("overwrite")
-        .partitionBy("shard")
+        .partitionBy(shard_col)
         .format(fmt)
         .save(path)
     )
-    per_shard = seqs.groupBy("shard").agg(
+    per_shard = seqs.groupBy(F.col(shard_col).alias("shard")).agg(
         F.count(F.lit(1)).alias("n_sequences"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("seq_tokens").alias("n_tokens"),

@@ -215,3 +215,89 @@ def test_export_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
     # manifest is also persisted next to the data
     mback = spark.read.json(f"{out}/_manifest")
     assert mback.count() == len(manifest)
+
+
+def test_shuffle_epoch_order_is_a_permutation(spark):
+    """Every (shard, seq_id) appears exactly once with a dense
+    epoch_pos per epoch_shard — a permutation, nothing lost or doubled."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        materialize_sequences,
+        shuffle_epoch_order,
+    )
+
+    seqs = materialize_sequences(pack_sequences(_docs(spark), BUDGET, n_shards=4))
+    ep = shuffle_epoch_order(seqs, seed=7).collect()
+    assert sorted((r.shard, r.seq_id) for r in ep) == sorted(
+        (r.shard, r.seq_id)
+        for r in seqs.select("shard", "seq_id").collect()
+    )
+    by_es: dict[int, list[int]] = {}
+    for r in ep:
+        by_es.setdefault(r.epoch_shard, []).append(r.epoch_pos)
+    assert set(by_es) <= set(range(4))
+    for positions in by_es.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_shuffle_epoch_order_deterministic_and_layout_invariant(spark):
+    """Same seed → identical assignment, regardless of the input's
+    partition layout; different seed → a different order (the whole
+    point of an epoch)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        materialize_sequences,
+        shuffle_epoch_order,
+    )
+
+    seqs = materialize_sequences(pack_sequences(_docs(spark), BUDGET, n_shards=4))
+
+    def key(df):
+        return sorted(
+            (r.shard, r.seq_id, r.epoch_shard, r.epoch_pos)
+            for r in df.select(
+                "shard", "seq_id", "epoch_shard", "epoch_pos"
+            ).collect()
+        )
+
+    a = key(shuffle_epoch_order(seqs, seed=3))
+    b = key(shuffle_epoch_order(seqs.repartition(13), seed=3))
+    assert a == b
+    other = key(shuffle_epoch_order(seqs, seed=4))
+    assert a != other
+    # and the epoch order differs from the packing order itself
+    packing_order = sorted(
+        (r.shard, r.seq_id, r.shard, r.seq_id)
+        for r in seqs.select("shard", "seq_id").collect()
+    )
+    assert a != packing_order
+
+
+def test_shuffle_epoch_order_exports_through_training_shards(spark, tmp_path):
+    """The epoch layout round-trips through export_training_shards:
+    one directory per epoch_shard, rows readable back in epoch_pos
+    order, manifest totals unchanged from the packing export."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        export_training_shards,
+        materialize_sequences,
+        shuffle_epoch_order,
+    )
+
+    seqs = materialize_sequences(pack_sequences(_docs(spark), BUDGET, n_shards=4))
+    ep = shuffle_epoch_order(seqs, seed=11, n_shards=3)
+    out = str(tmp_path / "epoch0")
+    manifest = {
+        r.shard: r
+        for r in export_training_shards(
+            ep, out, shard_col="epoch_shard", order_col="epoch_pos"
+        ).collect()
+    }
+    back = spark.read.parquet(out)
+    assert back.count() == seqs.count()
+    assert manifest[-1].n_sequences == seqs.count()
+    assert manifest[-1].n_tokens == sum(
+        r.seq_tokens for r in seqs.select("seq_tokens").collect()
+    )
+    assert set(back.select("epoch_shard").distinct().toPandas()["epoch_shard"]) <= {
+        0,
+        1,
+        2,
+    }
