@@ -148,3 +148,49 @@ def deterministic_take_per_group(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    score_col: str,
+    tau: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "temperature",
+    max_score: float | None = None,
+) -> DataFrame:
+    """Quality-weighted sampling: keep each row with probability
+    ``(score / max_score) ** tau`` — the soft alternative to a hard
+    classifier threshold (keep-probability rises smoothly with quality,
+    so borderline documents are downweighted rather than cliffed, the
+    way quality-classifier corpora are actually sampled at scale).
+
+    ``tau`` is the sharpness dial: 0 keeps everything (weights flatten
+    to 1), 1 samples proportional to score, large tau approaches the
+    hard top-score filter. Scores must be non-negative; rows with NULL
+    score are dropped (they have no evidence of quality — filter first
+    if they should survive).
+
+    ``max_score``: the normalizer. Pass it when the score has a known
+    scale (e.g. a classifier probability → 1.0 — making the plan a pure
+    projection); None derives the corpus max in-plan via a scalar
+    aggregation that broadcasts back as a literal-sized cross join, the
+    same one-row-constants shape ``retrieval._corpus_constants`` uses.
+
+    Acceptance reuses :func:`hash_fraction` on (salt, id): rerun- and
+    layout-stable, and monotone in tau — raising tau only ever drops
+    MORE rows (survivors at tau₂ > tau₁ are a subset of tau₁'s, pinned
+    in tests), so tightening a recipe never resurrects documents."""
+    if tau < 0:
+        raise ValueError("temperature_sample: tau must be >= 0")
+    d = df.filter(F.col(score_col).isNotNull())
+    if max_score is not None:
+        norm = F.lit(float(max_score))
+        d = d.withColumn("__mx", norm)
+    else:
+        mx = d.agg(F.max(F.col(score_col)).alias("__mx"))
+        d = d.crossJoin(F.broadcast(mx))
+    keep_p = F.pow(
+        F.least(F.col(score_col) / F.col("__mx"), F.lit(1.0)), F.lit(tau)
+    )
+    die = hash_fraction(id_col, salt)
+    return d.filter(die < keep_p).drop("__mx")

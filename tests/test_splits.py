@@ -165,3 +165,60 @@ def test_take_per_group_append_stability(spark):
     # the overlap is exactly the old picks that still rank <= 10
     assert len(a) == len(b) == 10
     assert len(a & b) >= 5  # md5 order: most survive a 25% append
+
+
+class TestTemperatureSample:
+    def _docs(self, spark, n=4000):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            # half the corpus at full quality, half at 0.25
+            F.when(F.col("id") % 2 == 0, 1.0).otherwise(0.25).alias("q"),
+        )
+
+    def test_proportions_and_tau_zero(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            temperature_sample,
+        )
+
+        df = self._docs(spark)
+        kept = temperature_sample(df, "q", tau=1.0, max_score=1.0)
+        by_q = {
+            r["q"]: r["n"]
+            for r in kept.groupBy("q").count().withColumnRenamed("count", "n").collect()
+        }
+        assert by_q[1.0] == 2000              # p=1 keeps everything
+        assert abs(by_q.get(0.25, 0) - 500) < 80  # p=0.25 of 2000
+        assert temperature_sample(df, "q", tau=0.0, max_score=1.0).count() == 4000
+
+    def test_monotone_in_tau_and_deterministic(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            temperature_sample,
+        )
+
+        df = self._docs(spark)
+        ids = lambda d: {r["doc_id"] for r in d.select("doc_id").collect()}
+        t1 = ids(temperature_sample(df, "q", tau=1.0, max_score=1.0))
+        t2 = ids(temperature_sample(df, "q", tau=2.0, max_score=1.0))
+        t1b = ids(
+            temperature_sample(df.repartition(13), "q", tau=1.0, max_score=1.0)
+        )
+        assert t2 <= t1          # sharper tau only drops more
+        assert t1 == t1b         # layout-stable
+        with __import__("pytest").raises(ValueError):
+            temperature_sample(df, "q", tau=-1.0)
+
+    def test_derived_max_and_null_scores(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            temperature_sample,
+        )
+
+        df = self._docs(spark).withColumn(
+            "q", F.when(F.col("doc_id") < 100, None).otherwise(F.col("q") * 8.0)
+        )
+        kept = temperature_sample(df, "q", tau=1.0)  # max derived = 8.0
+        assert kept.filter("doc_id < 100").count() == 0      # NULLs dropped
+        assert kept.filter("q = 8.0").count() == 1950        # p=1 survivors
