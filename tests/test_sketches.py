@@ -174,3 +174,34 @@ def test_overlap_plan_touches_no_raw_data(spark, docs, tmp_path):
     assert "documents.parquet" not in plan
     # The only scan is the ledger file: sketch-typed read schema.
     assert "sketch:binary" in plan
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.sets(st.integers(min_value=0, max_value=2000), max_size=400),
+    st.sets(st.integers(min_value=0, max_value=2000), max_size=400),
+)
+def test_theta_algebra_matches_exact_sets_on_random_inputs(spark, a, b):
+    """Property: on random id sets small enough for exact-mode sketches
+    (≪ k entries), every theta estimate equals the true set arithmetic
+    — intersection, both differences, union, Jaccard, novelty."""
+    rows = [(i, "a") for i in a] + [(i, "b") for i in b]
+    if not a or not b:
+        return  # an absent snapshot has no ledger row to compare
+    df = spark.createDataFrame(rows, "id long, snap string")
+    rep = theta_overlap(
+        theta_ledger(df, "id", by=["snap"]), "snap", "a", "b"
+    ).collect()[0]
+    assert rep["est_a"] == len(a)
+    assert rep["est_b"] == len(b)
+    assert rep["est_union"] == len(a | b)
+    assert rep["est_intersection"] == len(a & b)
+    assert rep["est_a_only"] == len(a - b)
+    assert rep["est_b_only"] == len(b - a)
+    assert abs(rep["jaccard_est"] - len(a & b) / len(a | b)) < 1e-9
+    assert abs(rep["novelty_b"] - len(b - a) / len(b)) < 1e-9
