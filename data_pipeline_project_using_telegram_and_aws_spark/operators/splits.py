@@ -194,3 +194,57 @@ def temperature_sample(
     )
     die = hash_fraction(id_col, salt)
     return d.filter(die < keep_p).drop("__mx")
+
+
+def take_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    token_budget: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "token-budget",
+) -> DataFrame:
+    """At most ``token_budget`` tokens per group — the BATCH twin of the
+    streaming per-source quota (`streaming/quota.py`), for recipes
+    specified as absolute token masses ("at most 10 M tokens of src1")
+    rather than rates or document counts.
+
+    Semantics: the longest md5(salt|id)-ordered prefix of each group
+    whose cumulative token count fits the budget. This differs from the
+    streaming gate at the boundary by design: the stream admits in
+    arrival order and skips individually-oversized documents (arrival
+    order IS its semantic); the batch rule cuts once at the first
+    crossing, which keeps the result a pure function of (data, salt) —
+    rerun- and layout-stable, and monotone in the budget (a bigger
+    budget only ever ADDS documents, pinned in tests).
+
+    One shuffle keyed by the group; the running sum is a per-group
+    window — skewed groups cost their own size, nothing corpus-wide.
+    Zero-token documents inside the prefix are admitted even at budget
+    0 (they cost nothing)."""
+    if token_budget < 0:
+        raise ValueError("take_tokens_per_group: token_budget must be >= 0")
+    from .packing import default_token_count
+
+    from pyspark.sql import Window
+
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col else default_token_count(text_col)
+    )
+    d = df.withColumn("__nt", n_tok.cast("long"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(
+            F.md5(
+                F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+            ),
+            F.col(id_col),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("__cum", F.sum("__nt").over(w))
+        .filter(F.col("__cum") <= token_budget)
+        .drop("__cum", "__nt")
+    )

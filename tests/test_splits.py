@@ -222,3 +222,83 @@ class TestTemperatureSample:
         kept = temperature_sample(df, "q", tau=1.0)  # max derived = 8.0
         assert kept.filter("doc_id < 100").count() == 0      # NULLs dropped
         assert kept.filter("q = 8.0").count() == 1950        # p=1 survivors
+
+
+class TestTakeTokensPerGroup:
+    def _docs(self, spark):
+        rows = [
+            (i, "s" + str(i % 3), " ".join("w" for _ in range(5 + i % 7)))
+            for i in range(300)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    def test_matches_python_prefix_rule(self, spark):
+        import hashlib
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            take_tokens_per_group,
+        )
+
+        df = self._docs(spark)
+        budget = 200
+        got = {
+            r["doc_id"]
+            for r in take_tokens_per_group(df, "source", budget).collect()
+        }
+        want = set()
+        rows = df.collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, members in by_src.items():
+            members.sort(
+                key=lambda r: (
+                    hashlib.md5(
+                        f"token-budget|{r['doc_id']}".encode()
+                    ).hexdigest(),
+                    r["doc_id"],
+                )
+            )
+            cum = 0
+            for r in members:
+                cum += len(r["text"].split())
+                if cum <= budget:
+                    want.add(r["doc_id"])
+                else:
+                    break
+        assert got == want
+
+    def test_monotone_in_budget_and_layout_stable(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            take_tokens_per_group,
+        )
+
+        df = self._docs(spark)
+        ids = lambda d: {r["doc_id"] for r in d.select("doc_id").collect()}
+        small = ids(take_tokens_per_group(df, "source", 150))
+        big = ids(take_tokens_per_group(df, "source", 400))
+        small2 = ids(take_tokens_per_group(df.repartition(11), "source", 150))
+        assert small <= big
+        assert small == small2
+        # a budget beyond the group mass keeps everything
+        assert len(ids(take_tokens_per_group(df, "source", 10**9))) == 300
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            take_tokens_per_group(df, "source", -1)
+
+    def test_budget_is_per_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            take_tokens_per_group,
+        )
+
+        df = self._docs(spark)
+        kept = take_tokens_per_group(df, "source", 100)
+        per = kept.withColumn(
+            "nt", F.size(F.split("text", " "))
+        ).groupBy("source").agg(F.sum("nt").alias("t")).collect()
+        assert len(per) == 3
+        for r in per:
+            assert r["t"] <= 100
