@@ -73,3 +73,55 @@ def redaction_summary(redacted: DataFrame) -> DataFrame:
             .alias(f"docs_{cat}")
         )
     return redacted.agg(*aggs)
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    secret: str,
+    length: int = 16,
+    suffix: str = "_pseudo",
+) -> DataFrame:
+    """Replace identifier columns with keyed deterministic surrogates:
+    ``sha2(secret || value)`` truncated to ``length`` hex chars — the
+    privacy step for identifiers that must stay JOINABLE (user ids,
+    session keys) where redaction's token replacement would destroy
+    referential integrity. The same (secret, value) always maps to the
+    same surrogate, across tables and runs, so joins and group-bys keep
+    working on the pseudonymized columns; without the secret the mapping
+    is not reversible by rainbow-tabling the (often tiny) id space.
+
+    Appends ``<col><suffix>`` per input column and DROPS the original —
+    the point is that the raw identifier leaves the dataset. NULLs stay
+    NULL (absence is not an identity). Pure codegen projection: sha2 +
+    substring, no shuffle, no Python.
+
+    Surrogate collisions: 16 hex chars = 64 bits ⇒ birthday bound ~50%
+    at ~5·10⁹ distinct values; raise ``length`` (up to 64) for id spaces
+    beyond that."""
+    if not cols:
+        raise ValueError("pseudonymize: cols must name at least one column")
+    if not secret:
+        raise ValueError(
+            "pseudonymize: an empty secret makes surrogates dictionary-"
+            "attackable; pass a real key"
+        )
+    if not 8 <= length <= 64:
+        raise ValueError("pseudonymize: length must be in [8, 64]")
+    out = df
+    for c in cols:
+        surrogate = F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(secret), F.lit("|"), F.col(c).cast("string")
+                ).cast("binary"),
+                256,
+            ),
+            1,
+            length,
+        )
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(c).isNull(), F.lit(None)).otherwise(surrogate),
+        ).drop(c)
+    return out

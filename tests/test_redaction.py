@@ -55,3 +55,68 @@ def test_redacted_corpus_is_pii_free(spark):
     assert residual["total_email"] == 0
     assert residual["total_ssn"] == 0
     assert residual["total_ipv4"] == 0
+
+
+class TestPseudonymize:
+    def test_deterministic_and_referentially_intact(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.redaction import (
+            pseudonymize,
+        )
+
+        users = spark.createDataFrame(
+            [(1, "alice"), (2, "bob"), (None, "carol")], ["user_id", "name"]
+        )
+        events = spark.createDataFrame(
+            [(1, "click"), (1, "view"), (2, "click")], ["user_id", "event"]
+        )
+        pu = pseudonymize(users, ["user_id"], secret="k1")
+        pe = pseudonymize(events, ["user_id"], secret="k1")
+        # raw column gone, surrogate present
+        assert "user_id" not in pu.columns and "user_id_pseudo" in pu.columns
+        # the join still works and reproduces the original cardinalities
+        joined = pe.join(pu, "user_id_pseudo")
+        assert joined.count() == 3
+        # same secret => same surrogate across runs; different secret differs
+        a = {r["name"]: r["user_id_pseudo"] for r in pu.collect()}
+        b = {
+            r["name"]: r["user_id_pseudo"]
+            for r in pseudonymize(users, ["user_id"], secret="k1").collect()
+        }
+        c = {
+            r["name"]: r["user_id_pseudo"]
+            for r in pseudonymize(users, ["user_id"], secret="k2").collect()
+        }
+        assert a == b
+        assert a["alice"] != c["alice"]
+        # NULL stays NULL; non-nulls are distinct hex of the asked length
+        assert a["carol"] is None
+        assert a["alice"] != a["bob"] and len(a["alice"]) == 16
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.redaction import (
+            pseudonymize,
+        )
+
+        df = spark.createDataFrame([(1,)], ["x"])
+        with _pytest.raises(ValueError):
+            pseudonymize(df, [], "k")
+        with _pytest.raises(ValueError):
+            pseudonymize(df, ["x"], "")
+        with _pytest.raises(ValueError):
+            pseudonymize(df, ["x"], "k", length=4)
+
+    def test_projection_only_plan(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.redaction import (
+            pseudonymize,
+        )
+
+        df = spark.createDataFrame([(1, "a")], ["user_id", "v"])
+        plan = (
+            pseudonymize(df, ["user_id"], "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
