@@ -151,3 +151,78 @@ def test_full_chain_is_deterministic(corpus, eval_suite):
         for r in packed_b.collect()
     )
     assert pa == pb
+
+
+def test_round5_ops_compose(corpus):
+    """The round-5 additions run as one chain downstream of curation:
+    quality-temperature sampling → per-lang token budgets → unigram
+    encode → pack → epoch shuffle, with an HLL ledger audit at the end.
+    Pins the contracts BETWEEN them: survivor subsets, per-group budget
+    holds, every budgeted doc encoded exactly once, the epoch shuffle
+    is a permutation of the packed sequences, and the sketch audit
+    agrees with the exact count."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        shuffle_epoch_order,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.sketches import (
+        hll_ledger,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        take_tokens_per_group,
+        temperature_sample,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.unigram_tokenizer import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    scored = corpus.withColumn(
+        "score", F.when(F.col("lang") == "en", 1.0).otherwise(0.5)
+    )
+    sampled = temperature_sample(scored, "score", tau=1.0, max_score=1.0)
+    # p=1 rows all survive; the sampled set is a subset of the input
+    assert sampled.filter("lang = 'en'").count() == scored.filter(
+        "lang = 'en'"
+    ).count()
+    assert sampled.count() < scored.count()
+
+    budgeted = take_tokens_per_group(sampled, "lang", 4000).cache()
+    per_lang = (
+        budgeted.withColumn("nt", F.size(F.split("text", " ")))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("t"))
+        .collect()
+    )
+    assert all(r["t"] <= 4000 for r in per_lang)
+
+    pieces = train_unigram(
+        budgeted.limit(30), vocab_size=120, max_piece_len=4
+    )
+    encoded = unigram_encode(budgeted, pieces, max_piece_len=4)
+    b_ids = sorted(r.doc_id for r in budgeted.select("doc_id").collect())
+    e_ids = sorted(r.doc_id for r in encoded.select("doc_id").collect())
+    assert b_ids == e_ids  # exactly once, none lost
+
+    packed = pack_sequences(
+        budgeted.select("doc_id", "text"), budget=256, n_shards=4
+    )
+    seqs = materialize_sequences(packed, text_col="text")
+    ep = shuffle_epoch_order(seqs, seed=5)
+    assert sorted(
+        (r.shard, r.seq_id) for r in ep.select("shard", "seq_id").collect()
+    ) == sorted(
+        (r.shard, r.seq_id) for r in seqs.select("shard", "seq_id").collect()
+    )
+
+    audit = hll_ledger(budgeted, "doc_id", by=["lang"]).collect()
+    exact = {
+        r["lang"]: r["n"]
+        for r in budgeted.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    for r in audit:
+        assert abs(r["distinct_est"] - exact[r["lang"]]) <= max(
+            3, 0.05 * exact[r["lang"]]
+        )
+    budgeted.unpersist()
