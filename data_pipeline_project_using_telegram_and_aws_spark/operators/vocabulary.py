@@ -102,3 +102,55 @@ def encode_documents(
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
     )
+
+
+def oov_report(
+    batch: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    token_col: str = "token",
+) -> DataFrame:
+    """One-row vocabulary-drift report for an incoming batch against a
+    persisted vocabulary: total token occurrences, OOV occurrences,
+    distinct OOV types, and the OOV rate — the daily-ingest health
+    metric that says when the tokenizer artifact has aged out from
+    under the corpus (new language, new domain, log format change).
+
+    Plan: explode the batch once, left-anti-ish mark via a broadcast
+    join against the vocab's token column (vocab is vocab-sized by
+    definition — the same broadcast stance as ``encode_documents``),
+    then one aggregation. The batch shuffles zero times; nothing is
+    corpus-sized on the driver."""
+    toks = batch.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    marked = toks.join(
+        F.broadcast(
+            vocab.select(F.col(token_col).alias("token")).distinct()
+            .withColumn("__known", F.lit(True))
+        ),
+        "token",
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        F.count_distinct(
+            F.when(F.col("__known").isNull(), F.col("token"))
+        ).alias("n_oov_types"),
+    ).select(
+        "n_tokens",
+        "n_oov",
+        "n_oov_types",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("oov_rate"),
+    )

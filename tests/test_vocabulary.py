@@ -90,3 +90,36 @@ def test_encode_keeps_zero_token_documents(spark):
         assert list(enc[d].token_ids) == []
         assert enc[d].n_tokens == 0 and enc[d].n_oov == 0
     assert enc[1].n_tokens == 2
+
+
+def test_oov_report(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.vocabulary import (
+        build_vocab,
+        oov_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = build_vocab(docs)
+    # the training corpus itself: zero OOV
+    clean = oov_report(docs, vocab).collect()[0]
+    assert clean["n_oov"] == 0 and clean["oov_rate"] == 0.0
+    assert clean["n_tokens"] > 0
+
+    # a drifted batch: half known tokens, half novel
+    batch = spark.createDataFrame(
+        [(0, "data stream zzzznovel1 zzzznovel2")], ["doc_id", "text"]
+    )
+    known = {r["token"] for r in vocab.select("token").collect()}
+    assert {"data", "stream"} <= known
+    rep = oov_report(batch, vocab).collect()[0]
+    assert rep["n_tokens"] == 4
+    assert rep["n_oov"] == 2 and rep["n_oov_types"] == 2
+    assert rep["oov_rate"] == 0.5
+
+    # empty batch: a zero row, not a crash
+    empty = oov_report(
+        spark.createDataFrame([(0, "")], ["doc_id", "text"]), vocab
+    ).collect()[0]
+    assert empty["n_tokens"] == 0 and empty["oov_rate"] == 0.0
