@@ -8,8 +8,14 @@ date); inside a partition, a sort clusters ONE column — filters on any
 other column still read every file. Interleaving the bits of k columns
 into one sort key makes files cover small k-dimensional rectangles, so
 parquet min/max stats skip files for predicates on ANY of the z-ordered
-columns (each at somewhat reduced, but still large, effectiveness —
-the measured trade is in ``tests/test_zorder.py``).
+columns — each at somewhat reduced, but still large, effectiveness.
+Measured on the sf0.1 ``events`` table (100k rows, 32 files, 10% band
+predicates): z-order on (ts, user_id) reads 20/32 files on the ts band
+and 10/32 on the user_id band, where a plain ts sort reads 4/32 and
+32/32 — the single-sorted layout wins its own column and LOSES the
+other entirely; the z-curve serves both. Synthetic independent-uniform
+dimensions (``tests/test_zorder.py``) show the same shape at ≤8/16 per
+dimension.
 
 Mechanics, all JVM-side codegen (no UDF, no shuffle beyond the final
 range partitioning):
@@ -46,13 +52,14 @@ def zorder_key(
     if bits * len(cols) > 62:
         raise ValueError("zorder_key: bits * len(cols) must fit a long")
     k = len(cols)
+    dtypes = dict(df.dtypes)
     stats = df.agg(
         *[
             c
             for col in cols
             for c in (
-                F.min(_as_numeric(col)).alias(f"__min_{col}"),
-                F.max(_as_numeric(col)).alias(f"__max_{col}"),
+                F.min(_as_numeric(col, dtypes[col])).alias(f"__min_{col}"),
+                F.max(_as_numeric(col, dtypes[col])).alias(f"__max_{col}"),
             )
         ]
     )
@@ -60,7 +67,7 @@ def zorder_key(
     n_buckets = (1 << bits) - 1
     z: Column = F.lit(0).cast("long")
     for j, col in enumerate(cols):
-        v = _as_numeric(col)
+        v = _as_numeric(col, dtypes[col])
         lo, hi = F.col(f"__min_{col}"), F.col(f"__max_{col}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
         bucket = F.coalesce(
@@ -79,18 +86,21 @@ def zorder_key(
     )
 
 
-def _as_numeric(col: str) -> Column:
+def _as_numeric(col: str, dtype: str) -> Column:
+    """Type-aware map to one double-valued arithmetic path: numerics
+    cast directly; timestamps (both TZ flavors) and dates go through
+    epoch seconds/days; strings bucket on a stable hash, which clusters
+    equal values but not ranges (equality-only pruning, documented)."""
     c = F.col(col)
-    # numerics (and numeric-looking strings) pass through; timestamps
-    # cast to epoch seconds; remaining strings fall back to a stable
-    # hash, which clusters equal values but not ranges (equality-only
-    # pruning, documented). One double-typed arithmetic path for the
-    # bucketing expression.
-    return F.coalesce(
-        c.cast("double"),
-        (F.xxhash64(c.cast("string")).bitwiseAND(F.lit((1 << 62) - 1)))
-        .cast("double"),
-    )
+    if dtype.startswith("timestamp"):  # timestamp + timestamp_ntz
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    if dtype == "date":
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if dtype == "string":
+        return (
+            F.xxhash64(c).bitwiseAND(F.lit((1 << 62) - 1)).cast("double")
+        )
+    return c.cast("double")
 
 
 def write_zordered(
