@@ -33,3 +33,34 @@ def compact_by_partition(
         .repartition(F.col(partition_col), F.col("__salt"))
         .drop("__salt")
     )
+
+
+def compact_zordered(
+    df: DataFrame,
+    partition_col: str,
+    zorder_cols: list[str],
+    n_tasks: int,
+    bits: int = 12,
+) -> DataFrame:
+    """Compaction that also CLUSTERS: rows are range-partitioned on
+    (partition, z-curve of ``zorder_cols``) and sorted within tasks, so
+    a ``partitionBy(partition_col)`` write produces, inside every day
+    partition, files covering compact multi-dimensional rectangles —
+    the S7 rewrite and the OPTIMIZE-ZORDER layout in one shuffle
+    (`sources/zorder.py` has the measured pruning trade).
+
+    ``n_tasks`` sizes output files corpus-wide (bytes / target file
+    size); a range boundary can straddle two days, in which case that
+    task writes one file into each — correct layout, at most one extra
+    file per boundary. Rows-in = rows-out; only order and file
+    placement change."""
+    from ..sources.zorder import zorder_key
+
+    keyed = zorder_key(df, zorder_cols, bits)
+    return (
+        keyed.repartitionByRange(
+            n_tasks, F.col(partition_col), F.col("__z")
+        )
+        .sortWithinPartitions(partition_col, "__z")
+        .drop("__z")
+    )
