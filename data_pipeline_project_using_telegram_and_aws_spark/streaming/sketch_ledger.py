@@ -96,3 +96,51 @@ def ledger_distinct_so_far(
     groups (or one total row). Operand size = ledger rows, i.e. batches
     × groups — never the ingested data."""
     return merge_hll_ledger(spark.read.parquet(ledger_path), by=by)
+
+
+def compact_ledger(
+    spark: SparkSession,
+    ledger_path: str,
+    through_batch: int,
+    by: list[str] | None = None,
+) -> None:
+    """Fold every ledger row with ``ingest_batch <= through_batch``
+    into ONE baseline row per group (stored as ``ingest_batch = -1``),
+    leaving newer batch partitions untouched — the ledger's lifecycle
+    op for high-cardinality groups (per-user/per-domain ledgers where
+    batches × groups eventually dwarfs groups).
+
+    Union idempotence makes the ESTIMATE insensitive to when this runs,
+    but the replay contract changes exactly the way
+    `index_maintenance`'s table compaction documents: a batch id that
+    was folded into the baseline no longer owns a partition, so an
+    at-least-once re-delivery of it would DOUBLE-COUNT ``n_rows`` (the
+    estimate still wouldn't move). Compact only in a maintenance
+    window — stream stopped, checkpoint committed past
+    ``through_batch`` — and the contract stays exact."""
+    ledger = spark.read.parquet(ledger_path)
+    old = ledger.filter(F.col("ingest_batch") <= through_batch)
+    if not old.limit(1).count():
+        return
+    # materialize BEFORE writing: the baseline derives from the same
+    # path the write mutates, so cut the lineage (group-sized operand)
+    baseline = (
+        merge_hll_ledger(old, by=by)
+        .withColumn("ingest_batch", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # land the new baseline first (overwrites any previous baseline in
+    # one shot), then drop the folded batch partitions
+    (
+        baseline.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(ledger_path)
+    )
+    import shutil
+    from pathlib import Path
+
+    for d in Path(ledger_path).glob("ingest_batch=*"):
+        suffix = d.name.split("=", 1)[1]
+        if suffix != "-1" and int(suffix) <= through_batch:
+            shutil.rmtree(d)

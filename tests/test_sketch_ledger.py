@@ -127,3 +127,39 @@ def test_stream_ledger_matches_batch_ledger(spark, tmp_path):
     assert set(streamed) == set(exact)
     for s, n in exact.items():
         assert abs(streamed[s] - n) <= max(3, 0.05 * n)
+
+
+def test_compact_ledger_folds_old_batches(spark, tmp_path):
+    """Compaction: batches ≤ watermark fold into one ingest_batch=-1
+    baseline per group; newer partitions untouched; merged totals and
+    n_rows unchanged; compacting twice is a no-op."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.sketch_ledger import (
+        compact_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    append_sketch_batch(_day(spark, range(100), "web"), 0, path, "doc_id", by=["source"])
+    append_sketch_batch(_day(spark, range(50, 150), "wiki"), 1, path, "doc_id", by=["source"])
+    append_sketch_batch(_day(spark, range(140, 180), "web"), 2, path, "doc_id", by=["source"])
+    before = {
+        r["source"]: (r["distinct_est"], r["n_rows"])
+        for r in ledger_distinct_so_far(spark, path, by=["source"]).collect()
+    }
+
+    compact_ledger(spark, path, through_batch=1, by=["source"])
+    ledger = spark.read.parquet(path)
+    batches = {r["ingest_batch"] for r in ledger.select("ingest_batch").distinct().collect()}
+    assert batches == {-1, 2}
+    # the baseline carries one row per group seen in batches 0-1
+    assert ledger.filter("ingest_batch = -1").count() == 2
+    after = {
+        r["source"]: (r["distinct_est"], r["n_rows"])
+        for r in ledger_distinct_so_far(spark, path, by=["source"]).collect()
+    }
+    assert after == before
+
+    compact_ledger(spark, path, through_batch=1, by=["source"])  # no-op
+    assert {
+        r["ingest_batch"]
+        for r in spark.read.parquet(path).select("ingest_batch").distinct().collect()
+    } == {-1, 2}
