@@ -225,3 +225,21 @@ def bpe_encode(
         .cast("long")
         .alias("n_pieces"),
     )
+
+
+def save_merges(merges: list[tuple[str, str]], spark, path: str) -> None:
+    """Persist the merge table as rank-ordered parquet — the tokenizer
+    artifact in a form any engine can read back."""
+    spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_merges`; rank order restored explicitly
+    (never trust file order)."""
+    return [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]

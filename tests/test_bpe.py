@@ -139,3 +139,29 @@ def test_roundtrip_property_on_random_words(spark):
             assert all(p for p in r.pieces)
 
     check()
+
+
+def test_merge_table_round_trip(spark, tmp_path):
+    """save/load preserves the ranked merge list exactly, and the
+    reloaded tokenizer encodes identically."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.bpe import (
+        bpe_encode,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer newest")],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe(docs, n_merges=6, min_pair_freq=1)
+    path = str(tmp_path / "merges")
+    save_merges(merges, spark, path)
+    assert load_merges(spark, path) == merges
+    a = {r["doc_id"]: r["pieces"] for r in bpe_encode(docs, merges).collect()}
+    b = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(docs, load_merges(spark, path)).collect()
+    }
+    assert a == b
