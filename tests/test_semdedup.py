@@ -156,3 +156,102 @@ def test_incremental_is_idempotent_across_readmission(spark, axis_centroids):
     )
     assert again.count() == 0
     assert dropped2.count() == batch.count()
+
+
+class TestKnnJoin:
+    def test_knn_matches_bruteforce_within_clusters(self, spark, sf_dir):
+        """On the testdata embeddings, every returned neighbor list is
+        (a) correctly ranked by cosine, (b) exactly the per-cluster
+        brute-force top-k at nprobe=1 — recomputed independently in
+        numpy."""
+        import numpy as np
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+            knn_join,
+        )
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_assign,
+        )
+
+        vecs = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .limit(300)
+            .cache()
+        )
+        cents = build_ivf_index(vecs, k=4, iters=2, sample_n=64)
+        got = knn_join(vecs, knn=3, centroids=cents).collect()
+
+        assign = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(vecs, cents, 1).collect()
+        }
+        emb = {r["vec_id"]: np.array(r["embedding"]) for r in vecs.collect()}
+
+        def cos(a, b):
+            return float(
+                np.dot(emb[a], emb[b])
+                / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+            )
+
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["vec_id"], []).append(r)
+        for src, rows in by_src.items():
+            rows.sort(key=lambda r: r["nn_rank"])
+            assert len(rows) <= 3
+            # ranking is by cosine desc with id tiebreak
+            sims = [r["cos_sim"] for r in rows]
+            assert sims == sorted(sims, reverse=True)
+            # independent brute force within the cluster; compare the
+            # achieved cosines (float32-vs-float64 can flip exact ids
+            # on near-ties), ids only when the margin is clear
+            mates = [
+                v for v, c in assign.items()
+                if c == assign[src] and v != src
+            ]
+            want = sorted(
+                mates, key=lambda v: (-cos(src, v), v)
+            )[:3]
+            got_cos = [round(r["cos_sim"], 4) for r in rows]
+            want_cos = [round(cos(src, v), 4) for v in want]
+            assert got_cos == want_cos
+            for r, v in zip(rows, want):
+                if abs(cos(src, r["neighbor_id"]) - cos(src, v)) > 1e-4:
+                    raise AssertionError((src, r["neighbor_id"], v))
+        vecs.unpersist()
+
+    def test_nprobe_widens_candidates(self, spark, sf_dir):
+        """nprobe=2 can only ADD neighbors relative to nprobe=1
+        (candidate superset), and the self pair never appears."""
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+            knn_join,
+        )
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        vecs = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .limit(200)
+            .cache()
+        )
+        cents = build_ivf_index(vecs, k=4, iters=2, sample_n=64)
+        one = knn_join(vecs, knn=5, centroids=cents, nprobe=1)
+        two = knn_join(vecs, knn=5, centroids=cents, nprobe=2)
+        # no self neighbors anywhere
+        assert one.filter("vec_id = neighbor_id").count() == 0
+        # for every source, nprobe=2's top-1 cosine >= nprobe=1's
+        # (a wider candidate set can only improve the best neighbor)
+        import pyspark.sql.functions as F
+
+        best1 = one.filter("nn_rank = 1").select(
+            "vec_id", F.col("cos_sim").alias("c1")
+        )
+        best2 = two.filter("nn_rank = 1").select(
+            "vec_id", F.col("cos_sim").alias("c2")
+        )
+        joined = best1.join(best2, "vec_id").collect()
+        assert joined
+        assert all(r["c2"] >= r["c1"] - 1e-9 for r in joined)
+        vecs.unpersist()
