@@ -248,3 +248,42 @@ def take_tokens_per_group(
         .filter(F.col("__cum") <= token_budget)
         .drop("__cum", "__nt")
     )
+
+
+def weighted_take_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "weighted-take",
+) -> DataFrame:
+    """EXACTLY ``n`` rows per group, sampled without replacement with
+    probability proportional to ``weight_col`` — the principled
+    weighted counterpart of :func:`deterministic_take_per_group`
+    (which is the uniform case), via the Efraimidis-Spirakis exponential
+    sort: rank on ``-ln(u) / w`` with ``u`` the stable hash die, keep
+    the ``n`` smallest per group. With hash-stable ``u`` the whole
+    sample is a pure function of (data, salt): rerun- and layout-stable,
+    and append-stable in the same sense as the uniform taker (a new row
+    displaces at most one old one).
+
+    Rows with NULL, zero, or negative weight are excluded (they have no
+    sampling mass; zero-weight rows surviving "proportional" sampling
+    would be a contradiction). One group-keyed window, nothing else."""
+    if n <= 0:
+        raise ValueError("weighted_take_per_group: n must be > 0")
+    from pyspark.sql import Window
+
+    d = df.filter(F.col(weight_col) > 0)
+    u = hash_fraction(id_col, salt)
+    # u in [0,1): flip to (0,1] so ln() is defined at every row
+    key = -F.log(F.lit(1.0) - u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

@@ -111,3 +111,48 @@ def hashed_tfidf_vectors(
             F.coalesce("embedding", zeros).alias("embedding"),
         )
     )
+
+
+def pool_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Mean-pool vectors per group — chunk embeddings → document
+    embedding (the composition partner of `operators/chunking.py`:
+    embed chunks, pool back to the document). One partial-agg'd
+    aggregation: ``zip_with`` element sums + a count, divided and
+    optionally re-normalized JVM-side. The collected list is
+    group-sized (chunks per document — tens, by chunking's overlap
+    math), never corpus-sized. Assumes equal dimensions (the
+    producer's contract); empty groups can't occur (no rows, no
+    group)."""
+    summed = df.groupBy(group_col).agg(
+        F.aggregate(
+            F.collect_list(vec_col),
+            F.expr("cast(array() as array<double>)"),
+            lambda acc, v: F.when(
+                F.size(acc) == 0, v.cast("array<double>")
+            ).otherwise(
+                F.zip_with(acc, v, lambda a, b: a + b)
+            ),
+        ).alias("__sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean = F.transform("__sum", lambda x: x / F.col("__n"))
+    out = summed.select(F.col(group_col), mean.alias("__v"))
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        out = out.select(
+            F.col(group_col),
+            F.when(nrm > 0, F.transform("__v", lambda x: x / nrm))
+            .otherwise(F.col("__v"))
+            .alias("__v"),
+        )
+    return out.select(
+        F.col(group_col),
+        F.col("__v").cast("array<float>").alias(vec_col),
+    )

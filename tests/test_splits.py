@@ -302,3 +302,47 @@ class TestTakeTokensPerGroup:
         assert len(per) == 3
         for r in per:
             assert r["t"] <= 100
+
+
+class TestWeightedTakePerGroup:
+    def test_exact_count_proportionality_and_stability(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            weighted_take_per_group,
+        )
+
+        # one group, 3000 rows: weight 9 vs 1 → heavy ids ~9x likelier
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("g").alias("grp"),
+            F.when(F.col("id") % 2 == 0, 9.0).otherwise(1.0).alias("w"),
+        )
+        kept = weighted_take_per_group(df, "grp", 300, "w")
+        rows = kept.collect()
+        assert len(rows) == 300
+        heavy = sum(1 for r in rows if r["doc_id"] % 2 == 0)
+        # E[heavy] ≈ 267 under without-replacement ES sampling
+        assert heavy > 230
+        # deterministic across layouts
+        again = weighted_take_per_group(df.repartition(17), "grp", 300, "w")
+        assert {r["doc_id"] for r in rows} == {
+            r["doc_id"] for r in again.collect()
+        }
+
+    def test_zero_and_null_weights_excluded(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            weighted_take_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "g", 1.0), (2, "g", 0.0), (3, "g", None), (4, "g", -1.0)],
+            ["doc_id", "grp", "w"],
+        )
+        kept = weighted_take_per_group(df, "grp", 10, "w")
+        assert {r["doc_id"] for r in kept.collect()} == {1}
+        with _pytest.raises(ValueError):
+            weighted_take_per_group(df, "grp", 0, "w")

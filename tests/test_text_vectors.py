@@ -103,3 +103,31 @@ def test_composes_with_knn_join(spark, docs):
     nn = knn_join(emb.filter("vec_id != 3"), knn=1, k=1, sample_n=8)
     top = {r["vec_id"]: r["neighbor_id"] for r in nn.collect()}
     assert top[0] == 1 and top[1] == 0  # the near-duplicates find each other
+
+
+def test_pool_vectors_mean_and_norm(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.text_vectors import (
+        pool_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, [0.0, 1.0]),
+            (1, [2.0, 0.0]),
+        ],
+        ["doc_id", "embedding"],
+    )
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in pool_vectors(df, "doc_id").collect()
+    }
+    # doc 0: mean (0.5, 0.5) → normalized (√2/2, √2/2)
+    assert abs(got[0][0] - 0.7071067) < 1e-5
+    assert abs(got[0][1] - 0.7071067) < 1e-5
+    assert got[1] == [1.0, 0.0]
+    raw = {
+        r["doc_id"]: list(r["embedding"])
+        for r in pool_vectors(df, "doc_id", normalize=False).collect()
+    }
+    assert raw[0] == [0.5, 0.5] and raw[1] == [2.0, 0.0]
