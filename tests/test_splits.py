@@ -346,3 +346,101 @@ class TestWeightedTakePerGroup:
         assert {r["doc_id"] for r in kept.collect()} == {1}
         with _pytest.raises(ValueError):
             weighted_take_per_group(df, "grp", 0, "w")
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id
+            st.sampled_from(["a", "b"]),                 # group
+            st.integers(min_value=0, max_value=30),      # n_tokens-ish
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=200),
+)
+def test_token_budget_properties_on_random_inputs(spark, rows, budget):
+    """Properties on random corpora: (1) per-group token mass ≤ budget;
+    (2) budget monotonicity (bigger budget ⊇ smaller); (3) the kept set
+    is a hash-order PREFIX per group (no cherry-picking)."""
+    import hashlib
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        take_tokens_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, " ".join("w" for _ in range(t))) for i, g, t in rows],
+        ["doc_id", "source", "text"],
+    )
+    kept = take_tokens_per_group(df, "source", budget)
+    kept_rows = kept.collect()
+    mass = {}
+    for r in kept_rows:
+        mass[r["source"]] = mass.get(r["source"], 0) + len(
+            r["text"].split()
+        )
+    assert all(v <= budget for v in mass.values())
+    bigger = {
+        r["doc_id"]
+        for r in take_tokens_per_group(df, "source", budget + 40).collect()
+    }
+    kept_ids = {r["doc_id"] for r in kept_rows}
+    assert kept_ids <= bigger
+    # prefix property per group in md5(salt|id) order
+    by_group: dict[str, list[int]] = {}
+    for i, g, _ in rows:
+        by_group.setdefault(g, []).append(i)
+    for g, ids in by_group.items():
+        ids.sort(
+            key=lambda i: (
+                hashlib.md5(f"token-budget|{i}".encode()).hexdigest(),
+                i,
+            )
+        )
+        in_kept = [i in kept_ids for i in ids]
+        # once False, never True again
+        assert all(
+            not (not a and b) for a, b in zip(in_kept, in_kept[1:])
+        )
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_temperature_monotone_on_random_inputs(spark, rows):
+    """tau-monotonicity on random scores: survivors at tau=2 ⊆ tau=1
+    ⊆ tau=0 (= everything non-null)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "q"])
+    ids = lambda t: {
+        r["doc_id"]
+        for r in temperature_sample(
+            df, "q", tau=t, max_score=1.0
+        ).collect()
+    }
+    t0, t1, t2 = ids(0.0), ids(1.0), ids(2.0)
+    assert t2 <= t1 <= t0
+    assert t0 == {i for i, _ in rows}
