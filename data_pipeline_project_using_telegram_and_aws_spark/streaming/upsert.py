@@ -1,0 +1,136 @@
+"""Streaming keyed upserts into plain parquet — MERGE semantics
+without a lakehouse table format, built from the partition-overwrite
+primitive this repo's other maintainers
+(`index_maintenance`, `sketch_ledger`) already rely on.
+
+The trick that makes it scale: the target table is partitioned by
+``bucket = pmod(xxhash64(key), n_buckets)``. A micro-batch touches only
+the buckets its keys hash into, so the merge reads + rewrites
+``|affected buckets| / n_buckets`` of the table, not all of it —
+at 100 TB with 10⁴ buckets, a batch touching 50 keys rewrites ~50
+bucket partitions (file-sized), never the table. Inside each affected
+bucket, keep-latest (`operators/snapshots.latest_snapshot`) merges the
+existing rows with the batch; dynamic partition overwrite lands the
+result atomically per bucket.
+
+Replay contract: re-delivering a batch re-runs a merge whose winner
+rule (highest ``seq_col``, deterministic tie-break) is IDEMPOTENT —
+the same rows win again and the rewrite is a byte-identical no-op.
+That is a STRONGER replay story than the ledger/index appends (which
+need the batch-id partition trick): upserts are naturally convergent.
+
+Constraints, stated loudly:
+
+- one upsert stream per target (concurrent writers to the same bucket
+  race on read-merge-write; Spark's committers don't serialize
+  cross-job writes to one partition) — fan-in belongs upstream, in the
+  stream union;
+- tombstones are applied, not retained: a delete removes the key from
+  the stored bucket rather than storing a marker. Convergence then
+  relies on the checkpoint's in-order batch replay (a crashed batch
+  re-delivers ITSELF, never an older one), which Structured Streaming
+  guarantees per query. Feeding the same target from ad-hoc batch jobs
+  out of order voids the delete semantics — that path needs retained
+  tombstones with a TTL, the documented extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.snapshots import latest_snapshot
+
+
+def upsert_batch(
+    batch: DataFrame,
+    table_path: str,
+    keys: list[str],
+    seq_col: str,
+    n_buckets: int = 64,
+    delete_col: str | None = None,
+) -> None:
+    """Merge one batch of keyed updates into the bucket-partitioned
+    target. Creates the table on first write."""
+    spark = batch.sparkSession
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    staged = batch.withColumn("__bucket", bucket.cast("long"))
+    import os
+
+    if not os.path.exists(table_path):
+        out = latest_snapshot(staged, keys, seq_col, delete_col)
+        (
+            out.write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(table_path)
+        )
+        return
+    affected = [
+        r["__bucket"]
+        for r in staged.select("__bucket").distinct().collect()
+    ]
+    existing = spark.read.parquet(table_path).filter(
+        F.col("__bucket").isin(affected)
+    )
+    if delete_col is not None and delete_col not in existing.columns:
+        # stored rows are post-tombstone survivors: not deleted
+        existing = existing.withColumn(delete_col, F.lit(False))
+    merged = latest_snapshot(
+        existing.unionByName(staged.select(*existing.columns)),
+        keys,
+        seq_col,
+        delete_col,
+    ).localCheckpoint(eager=True)  # cut lineage: we overwrite our input
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(table_path)
+    )
+    # dynamic overwrite only rewrites partitions PRESENT in the output:
+    # an affected bucket whose merge came back empty (its last keys were
+    # all tombstoned) must be deleted explicitly or stale rows survive
+    import shutil
+    from pathlib import Path
+
+    surviving = {
+        r["__bucket"]
+        for r in merged.select("__bucket").distinct().collect()
+    }
+    for b in set(affected) - surviving:
+        d = Path(table_path) / f"__bucket={b}"
+        if d.exists():
+            shutil.rmtree(d)
+
+
+def start_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table_path: str,
+    keys: list[str],
+    seq_col: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    delete_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source stream of keyed updates → bucket-local merges."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        upsert_batch(
+            batch, table_path, keys, seq_col, n_buckets, delete_col
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_current(spark: SparkSession, table_path: str) -> DataFrame:
+    """The current state (bucket column dropped)."""
+    return spark.read.parquet(table_path).drop("__bucket")

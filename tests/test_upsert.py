@@ -1,0 +1,139 @@
+"""Streaming upsert pins: merge correctness across batches (update,
+insert, delete), bucket locality (untouched buckets' files survive a
+batch verbatim), replay idempotence, and checkpointed resume."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+    read_current,
+    start_upsert_stream,
+    upsert_batch,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("balance", T.DoubleType()),
+        T.StructField("deleted", T.BooleanType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(1, 1, 10.0, False), (2, 1, 20.0, False)]),
+        path, ["user_id"], "seq", n_buckets=8, delete_col="deleted",
+    )
+    upsert_batch(
+        _batch(
+            spark,
+            [
+                (1, 2, 11.0, False),   # update
+                (3, 2, 30.0, False),   # insert
+                (2, 2, None, True),    # delete
+            ],
+        ),
+        path, ["user_id"], "seq", n_buckets=8, delete_col="deleted",
+    )
+    state = {
+        r["user_id"]: r["balance"]
+        for r in read_current(spark, path).collect()
+    }
+    assert state == {1: 11.0, 3: 30.0}
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    """Bucket locality: a batch touching one key leaves every other
+    bucket's files byte-identical (same paths, same mtimes)."""
+    path = str(tmp_path / "t")
+    rows = [(i, 1, float(i), False) for i in range(200)]
+    upsert_batch(
+        _batch(spark, rows), path, ["user_id"], "seq",
+        n_buckets=16, delete_col="deleted",
+    )
+
+    def files():
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/__bucket=*/**.parquet")
+        }
+
+    before = files()
+    upsert_batch(
+        _batch(spark, [(0, 2, 999.0, False)]), path, ["user_id"], "seq",
+        n_buckets=16, delete_col="deleted",
+    )
+    after = files()
+    target_bucket = [
+        r["__bucket"]
+        for r in spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(0).cast("long")), F.lit(16)).alias(
+                "__bucket"
+            )
+        ).collect()
+    ][0]
+    unchanged = {
+        f: t for f, t in before.items()
+        if f"__bucket={target_bucket}/" not in f
+    }
+    for f, t in unchanged.items():
+        assert after.get(f) == t  # same file, same mtime: not rewritten
+    assert read_current(spark, path).filter("user_id = 0").collect()[0][
+        "balance"
+    ] == 999.0
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b0 = _batch(spark, [(1, 1, 10.0, False), (2, 1, 20.0, False)])
+    b1 = _batch(spark, [(1, 2, 11.0, False), (2, 2, None, True)])
+    for b in (b0, b1, b1, b1):  # at-least-once re-delivery of b1
+        upsert_batch(
+            b, path, ["user_id"], "seq", n_buckets=8, delete_col="deleted"
+        )
+    state = {
+        r["user_id"]: r["balance"]
+        for r in read_current(spark, path).collect()
+    }
+    assert state == {1: 11.0}
+
+
+def test_stream_end_to_end_with_resume(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _batch(spark, [(1, 1, 10.0, False), (2, 1, 20.0, False)]).coalesce(
+        1
+    ).write.parquet(str(src / "f0.parquet"))
+    q = start_upsert_stream(
+        spark, str(src) + "/*", SCHEMA, path, ["user_id"], "seq", ckpt,
+        n_buckets=8, delete_col="deleted",
+    )
+    q.awaitTermination(120)
+    assert read_current(spark, path).count() == 2
+
+    _batch(spark, [(2, 2, 25.0, False), (9, 2, 90.0, False)]).coalesce(
+        1
+    ).write.parquet(str(src / "f1.parquet"))
+    q2 = start_upsert_stream(
+        spark, str(src) + "/*", SCHEMA, path, ["user_id"], "seq", ckpt,
+        n_buckets=8, delete_col="deleted",
+    )
+    q2.awaitTermination(120)
+    state = {
+        r["user_id"]: r["balance"]
+        for r in read_current(spark, path).collect()
+    }
+    assert state == {1: 10.0, 2: 25.0, 9: 90.0}
