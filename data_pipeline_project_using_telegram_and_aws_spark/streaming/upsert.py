@@ -134,3 +134,38 @@ def start_upsert_stream(
 def read_current(spark: SparkSession, table_path: str) -> DataFrame:
     """The current state (bucket column dropped)."""
     return spark.read.parquet(table_path).drop("__bucket")
+
+
+def lookup(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    values: list,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Point lookup: current row(s) for one key, reading ONE bucket
+    directory — the read-side payoff of the bucket layout. The bucket
+    id is recomputed from the key (same hash the writer used) and
+    applied as a partition filter, so the scan prunes to
+    1/n_buckets of the table before any IO; the residual key equality
+    prunes row groups inside the bucket via parquet stats."""
+    if len(keys) != len(values):
+        raise ValueError("lookup: one value per key column")
+    table = spark.read.parquet(table_path)
+    dtypes = dict(table.dtypes)
+    # xxhash64 is TYPE-sensitive: hash the literals at the stored
+    # column types or the bucket comes out different from the writer's
+    b = F.pmod(
+        F.xxhash64(
+            *[
+                F.lit(v).cast(dtypes[k])
+                for k, v in zip(keys, values)
+            ]
+        ),
+        F.lit(n_buckets),
+    )
+    bucket = spark.range(1).select(b.alias("b")).collect()[0]["b"]
+    df = table.filter(F.col("__bucket") == int(bucket))
+    for k, v in zip(keys, values):
+        df = df.filter(F.col(k) == v)
+    return df.drop("__bucket")

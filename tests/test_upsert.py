@@ -137,3 +137,22 @@ def test_stream_end_to_end_with_resume(spark, tmp_path):
         for r in read_current(spark, path).collect()
     }
     assert state == {1: 10.0, 2: 25.0, 9: 90.0}
+
+
+def test_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """The read side: a key lookup's plan carries a partition filter on
+    __bucket (1/n of the table scanned) and returns the current row."""
+    path = str(tmp_path / "t")
+    rows = [(i, 1, float(i), False) for i in range(100)]
+    upsert_batch(
+        _batch(spark, rows), path, ["user_id"], "seq",
+        n_buckets=16, delete_col="deleted",
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import lookup
+
+    got = lookup(spark, path, ["user_id"], [42], n_buckets=16)
+    assert [r["balance"] for r in got.collect()] == [42.0]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan  # partition filter present
+    # and the physical scan reports partition pruning, not a full read
+    assert plan.count("PartitionFilters: []") == 0
