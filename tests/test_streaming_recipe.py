@@ -1,0 +1,90 @@
+"""Streaming composition: the ingest chain run as one flow — contract
+gate (good/quarantine split) feeding the sketch ledger over the good
+zone — pinning the contracts BETWEEN streaming stages: conservation
+through the gate, ledger totals counting exactly the admitted rows,
+and both checkpoints resuming independently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.contract_gate import (
+    start_contract_gate_stream,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.sketch_ledger import (
+    ledger_distinct_so_far,
+    start_sketch_ledger_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+RULES = [
+    {"rule": "not_null", "col": "doc_id"},
+    {"rule": "accepted_values", "col": "lang", "values": ["en", "de"]},
+]
+
+
+def test_gate_feeds_ledger(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quar")
+    ledger = str(tmp_path / "ledger")
+
+    rows = (
+        [(i, "en") for i in range(80)]
+        + [(i, "de") for i in range(50, 120)]   # 30 ids overlap with en
+        + [(None, "en"), (900, "xx")]           # violators
+    )
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "f0.parquet")
+    )
+    q = start_contract_gate_stream(
+        spark, str(src) + "/*", SCHEMA, RULES, good, quar,
+        str(tmp_path / "gate_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    q2 = start_sketch_ledger_stream(
+        spark, good + "/*", SCHEMA, ledger, "doc_id", by=["lang"],
+        checkpoint_dir=str(tmp_path / "ledger_ckpt"),
+    )
+    q2.awaitTermination(120)
+
+    # conservation through the gate
+    n_good = spark.read.parquet(good).count()
+    n_quar = spark.read.parquet(quar).count()
+    assert n_good + n_quar == len(rows)
+    assert n_quar == 2
+
+    # the ledger counts exactly the admitted rows, per lang
+    totals = {
+        r["lang"]: (r["distinct_est"], r["n_rows"])
+        for r in ledger_distinct_so_far(spark, ledger, by=["lang"]).collect()
+    }
+    assert totals["en"][1] == 80 and totals["de"][1] == 70
+    assert abs(totals["en"][0] - 80) <= 4
+    assert abs(totals["de"][0] - 70) <= 4
+
+    # a second landing resumes BOTH checkpoints without reprocessing
+    spark.createDataFrame(
+        [(1000, "en"), (None, "de")], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    start_contract_gate_stream(
+        spark, str(src) + "/*", SCHEMA, RULES, good, quar,
+        str(tmp_path / "gate_ckpt"),
+    ).awaitTermination(120)
+    start_sketch_ledger_stream(
+        spark, good + "/*", SCHEMA, ledger, "doc_id", by=["lang"],
+        checkpoint_dir=str(tmp_path / "ledger_ckpt"),
+    ).awaitTermination(120)
+    totals2 = {
+        r["lang"]: r["n_rows"]
+        for r in ledger_distinct_so_far(spark, ledger, by=["lang"]).collect()
+    }
+    assert totals2["en"] == 81 and totals2["de"] == 70
+    assert spark.read.parquet(quar).count() == 3
