@@ -1,0 +1,91 @@
+"""Drift pins: PSI ≈ 0 on identical distributions, symmetric growth
+with shift size, out-of-range mass lands in edge bins (not dropped),
+null accounting, and a recomputation check against pure Python."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+    histogram,
+    psi_report,
+)
+
+
+def _uniform(spark, n, lo, hi, seed):
+    return spark.range(n).select(
+        (
+            lo
+            + (hi - lo)
+            * (F.pmod(F.xxhash64("id", F.lit(seed)), 10_000) / 10_000.0)
+        ).alias("x")
+    )
+
+
+def test_identical_distributions_score_zero(spark):
+    base = _uniform(spark, 4000, 0.0, 1.0, seed=1)
+    rep = psi_report(base, _uniform(spark, 4000, 0.0, 1.0, seed=2), "x")
+    assert rep["psi"] < 0.02
+
+
+def test_shift_grows_psi(spark):
+    base = _uniform(spark, 4000, 0.0, 1.0, seed=1)
+    small = psi_report(base, _uniform(spark, 4000, 0.1, 1.1, seed=3), "x")
+    big = psi_report(base, _uniform(spark, 4000, 0.5, 1.5, seed=4), "x")
+    assert small["psi"] > 0.05
+    assert big["psi"] > small["psi"]
+    assert big["psi"] > 0.25  # the canonical "investigate" band
+
+
+def test_out_of_range_clamps_to_edge_bins(spark):
+    base = _uniform(spark, 2000, 0.0, 1.0, seed=1)
+    h = histogram(_uniform(spark, 1000, 5.0, 6.0, seed=5), "x", 10, 0.0, 1.0)
+    got = {r["bin"]: r["n"] for r in h.collect()}
+    assert got == {9: 1000}  # everything in the top edge bin
+    rep = psi_report(base, _uniform(spark, 2000, 5.0, 6.0, seed=5), "x")
+    assert rep["psi"] > 1.0  # total mass relocation = extreme drift
+
+
+def test_nulls_reported_not_scored(spark):
+    base = _uniform(spark, 1000, 0.0, 1.0, seed=1)
+    cur = _uniform(spark, 1000, 0.0, 1.0, seed=2).withColumn(
+        "x", F.when(F.rand(7) < 0.0, None).otherwise(F.col("x"))
+    )
+    cur = cur.unionByName(
+        cur.sparkSession.createDataFrame([(None,)], "x double")
+    )
+    rep = psi_report(base, cur, "x")
+    assert rep["current_nulls"] == 1 and rep["baseline_nulls"] == 0
+    # two independent 1k-row draws sit inside the canonical stable band
+    assert rep["psi"] < 0.1
+
+
+def test_matches_python_recomputation(spark):
+    base = _uniform(spark, 1500, 0.0, 1.0, seed=1)
+    cur = _uniform(spark, 1500, 0.2, 1.2, seed=2)
+    rep = psi_report(base, cur, "x", bins=10)
+    bx = [r["x"] for r in base.collect()]
+    cx = [r["x"] for r in cur.collect()]
+    lo, hi = min(bx), max(bx)
+    width = (hi - lo) / 10
+
+    def hist(vals):
+        h = [0] * 10
+        for v in vals:
+            h[min(max(int((v - lo) // width), 0), 9)] += 1
+        return h
+
+    hb, hc = hist(bx), hist(cx)
+    tb, tc = sum(hb), sum(hc)
+    want = sum(
+        (b / tb - c / tc) * math.log((b / tb + 1e-6) / (c / tc + 1e-6))
+        for b, c in zip(hb, hc)
+    )
+    assert abs(rep["psi"] - want) < 0.01
+    with pytest.raises(ValueError):
+        psi_report(
+            spark.createDataFrame([(1.0,)], "x double"), cur, "x"
+        )
