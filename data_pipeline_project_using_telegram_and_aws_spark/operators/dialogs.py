@@ -1,0 +1,63 @@
+"""Dialog assembly: event/message streams → one row per conversation,
+turns ordered and carried as an array of structs — the record shape a
+chat/SFT corpus builder feeds the tokenizer (each dialog becomes one
+training document), and the batch twin of the engine-stateful
+sessionization `streaming/windows.session_aggregate` pins for q39.
+
+Session boundary = inactivity gap per speaker-group (the classic
+gaps-and-islands formulation, used here instead of ``session_window``
+because assembly needs the MEMBER ROWS, not the merged aggregate):
+``new_session = ts - lag(ts) > gap`` → session index = running sum of
+boundaries. Two windows over one keyed shuffle (same partition key,
+Catalyst reuses the sort), then one groupBy collecting (ts, turn)
+structs sorted row-locally — array_sort on the struct, no second
+shuffle. Dialog size is bounded by the gap semantics (a speaker's
+burst), not the corpus; pathological single-session speakers are
+bounded by the same argument as any skewed group-by and surface in
+``n_turns`` for a contract check (`operators/contracts.py` bounds
+rule) rather than an OOM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def assemble_dialogs(
+    events: DataFrame,
+    gap_seconds: int,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    turn_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (speaker-group, dialog): ``dialog_id`` (dense per
+    group), ``dialog_start``/``dialog_end``, ``n_turns``, and ``turns``
+    — an array of structs (ts, *turn_cols) in time order. Ties on ts
+    keep a deterministic order via the struct sort (ts first, then the
+    turn columns' values)."""
+    if gap_seconds <= 0:
+        raise ValueError("assemble_dialogs: gap_seconds must be > 0")
+    cols = turn_cols or ["event_type", "value"]
+    order = Window.partitionBy(by).orderBy(ts_col, *cols)
+    # unix_micros via a plain-timestamp cast handles both TZ flavors
+    # (TIMESTAMP_NTZ refuses a direct numeric cast)
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000.0
+    boundary = (
+        F.when(sec - F.lag(sec).over(order) > gap_seconds, 1).otherwise(0)
+    )
+    run = Window.partitionBy(by).orderBy(ts_col, *cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessioned = events.withColumn("__b", boundary).withColumn(
+        "dialog_id", F.sum("__b").over(run).cast("long")
+    )
+    turn = F.struct(F.col(ts_col).alias("ts"), *[F.col(c) for c in cols])
+    return (
+        sessioned.groupBy(by, "dialog_id")
+        .agg(
+            F.min(ts_col).alias("dialog_start"),
+            F.max(ts_col).alias("dialog_end"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_sort(F.collect_list(turn)).alias("turns"),
+        )
+    )

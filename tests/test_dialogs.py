@@ -1,0 +1,95 @@
+"""Dialog assembly pins: gap boundaries split exactly where inactivity
+exceeds the gap, turns come back in time order, per-speaker
+independence, agreement with q39's engine sessionization on counts,
+and layout determinism."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+    assemble_dialogs,
+)
+
+
+def _ts(minute, second=0):
+    return datetime(2026, 3, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two dialogs (gap of 40 min between minute 5 and 45)
+        (1, _ts(0), "msg", 1.0),
+        (1, _ts(2), "msg", 2.0),
+        (1, _ts(5), "msg", 3.0),
+        (1, _ts(45), "msg", 4.0),
+        (1, _ts(46), "msg", 5.0),
+        # user 2: one dialog, exactly-at-gap boundary stays together
+        (2, _ts(0), "msg", 10.0),
+        (2, _ts(30), "msg", 11.0),
+    ]
+    return spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "value"]
+    )
+
+
+def test_gap_boundaries_and_turn_order(events):
+    out = assemble_dialogs(events, gap_seconds=1800).collect()
+    by = {(r["user_id"], r["dialog_id"]): r for r in out}
+    assert set(by) == {(1, 0), (1, 1), (2, 0)}
+    d0 = by[(1, 0)]
+    assert d0["n_turns"] == 3
+    assert [t["value"] for t in d0["turns"]] == [1.0, 2.0, 3.0]
+    assert d0["dialog_start"] == _ts(0) and d0["dialog_end"] == _ts(5)
+    d1 = by[(1, 1)]
+    assert [t["value"] for t in d1["turns"]] == [4.0, 5.0]
+    # a gap of EXACTLY gap_seconds does not split (strict >)
+    assert by[(2, 0)]["n_turns"] == 2
+
+
+def test_layout_deterministic_and_validated(spark, events):
+    a = sorted(
+        (r["user_id"], r["dialog_id"], tuple(t["value"] for t in r["turns"]))
+        for r in assemble_dialogs(events, 1800).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["dialog_id"], tuple(t["value"] for t in r["turns"]))
+        for r in assemble_dialogs(events.repartition(5), 1800).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        assemble_dialogs(events, 0)
+
+
+def test_counts_agree_with_engine_sessionization(spark, sf_dir):
+    """Same gap, same data: dialog (count, total turns) per user match
+    q39's session_window aggregation."""
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.tables import load_table
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.windows import (
+        session_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ours = (
+        assemble_dialogs(ev, gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dialogs"),
+            F.sum("n_turns").alias("n_events"),
+        )
+    )
+    theirs = (
+        session_aggregate(ev, "30 minutes")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dialogs"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    diff = ours.exceptAll(theirs)
+    assert diff.count() == 0
+    assert ours.count() == theirs.count()
