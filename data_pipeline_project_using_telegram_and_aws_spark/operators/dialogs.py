@@ -61,3 +61,27 @@ def assemble_dialogs(
             F.array_sort(F.collect_list(turn)).alias("turns"),
         )
     )
+
+
+def render_dialogs(
+    dialogs: DataFrame,
+    role_col: str = "event_type",
+    text_col: str = "value",
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+) -> DataFrame:
+    """Flatten assembled dialogs into one training-ready text per
+    conversation: ``role: text`` lines in turn order — the chat-template
+    step between :func:`assemble_dialogs` and the tokenizer/packing
+    stages (each rendered dialog is one document; ``n_turns`` rides
+    along for length accounting). Row-local transform + array_join, no
+    shuffle."""
+    line = lambda t: F.concat(
+        t[role_col].cast("string"), F.lit(role_sep), t[text_col].cast("string")
+    )
+    return dialogs.select(
+        "*",
+        F.array_join(
+            F.transform(F.col("turns"), line), turn_sep
+        ).alias("dialog_text"),
+    )

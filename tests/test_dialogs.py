@@ -93,3 +93,28 @@ def test_counts_agree_with_engine_sessionization(spark, sf_dir):
     diff = ours.exceptAll(theirs)
     assert diff.count() == 0
     assert ours.count() == theirs.count()
+
+
+def test_render_dialogs_and_packing_handoff(spark, events):
+    """Rendered text preserves turn order and the role template, and
+    the output packs like any other document table."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        render_dialogs,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    d = render_dialogs(assemble_dialogs(events, 1800))
+    rows = {(r["user_id"], r["dialog_id"]): r for r in d.collect()}
+    assert rows[(1, 0)]["dialog_text"] == (
+        "msg: 1.0\nmsg: 2.0\nmsg: 3.0"
+    )
+    assert rows[(2, 0)]["dialog_text"] == "msg: 10.0\nmsg: 11.0"
+    docs = d.select(
+        F.concat_ws("#", "user_id", "dialog_id").alias("doc_id"),
+        F.col("dialog_text").alias("text"),
+    )
+    packed = pack_sequences(docs, budget=16, n_shards=2)
+    assert packed.count() == 3
+    assert packed.filter("seq_offset >= 16").count() == 0
