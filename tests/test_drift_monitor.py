@@ -1,0 +1,87 @@
+"""Streaming drift monitor: stable batches score inside the stable
+band, a shifted batch crosses the investigate threshold, one report
+row per batch with replay idempotence, and checkpointed resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.drift_monitor import (
+    freeze_baseline,
+    score_batch_psi,
+    start_drift_monitor,
+)
+
+SCHEMA = T.StructType([T.StructField("x", T.DoubleType())])
+
+
+def _uniform(spark, n, lo, hi, seed):
+    return spark.range(n).select(
+        (
+            lo
+            + (hi - lo)
+            * (F.pmod(F.xxhash64("id", F.lit(seed)), 10_000) / 10_000.0)
+        ).alias("x")
+    )
+
+
+def test_stream_scores_batches(spark, tmp_path):
+    base_path = str(tmp_path / "baseline")
+    freeze_baseline(_uniform(spark, 4000, 0.0, 1.0, seed=1), "x", base_path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 0: same distribution; batch 1: hard shift
+    _uniform(spark, 2000, 0.0, 1.0, seed=2).coalesce(1).write.parquet(
+        str(src / "stable.parquet")
+    )
+    q = start_drift_monitor(
+        spark, str(src) + "/*", SCHEMA, "x", base_path, report, ckpt
+    )
+    q.awaitTermination(120)
+    _uniform(spark, 2000, 0.6, 1.6, seed=3).coalesce(1).write.parquet(
+        str(src / "shifted.parquet")
+    )
+    q2 = start_drift_monitor(
+        spark, str(src) + "/*", SCHEMA, "x", base_path, report, ckpt
+    )
+    q2.awaitTermination(120)
+
+    rows = {
+        r["ingest_batch"]: r for r in spark.read.parquet(report).collect()
+    }
+    assert len(rows) == 2
+    assert rows[0]["psi"] < 0.1          # stable band
+    assert rows[1]["psi"] > 0.25         # investigate band
+    assert rows[0]["n_rows"] == 2000
+
+    # restart with nothing new: no report rows added or changed
+    q3 = start_drift_monitor(
+        spark, str(src) + "/*", SCHEMA, "x", base_path, report, ckpt
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(report).count() == 2
+
+
+def test_score_batch_matches_batch_report(spark, tmp_path):
+    """The streaming scorer and operators/drift.psi_report agree on the
+    same (baseline, current) pair within histogram-vs-minmax noise."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import psi_report
+
+    base = _uniform(spark, 3000, 0.0, 1.0, seed=1)
+    cur = _uniform(spark, 3000, 0.2, 1.2, seed=2)
+    base_path = str(tmp_path / "b")
+    freeze_baseline(base, "x", base_path)
+    stream_psi = score_batch_psi(
+        cur, "x", spark.read.parquet(base_path)
+    ).collect()[0]["psi"]
+    batch_psi = psi_report(base, cur, "x")["psi"]
+    assert abs(stream_psi - batch_psi) < 0.05
+    with pytest.raises(ValueError):
+        freeze_baseline(
+            spark.createDataFrame([(1.0,)], "x double"), "x",
+            str(tmp_path / "bad"),
+        )
