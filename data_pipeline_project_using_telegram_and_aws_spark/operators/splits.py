@@ -287,3 +287,40 @@ def weighted_take_per_group(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    q_lo: float = 0.0,
+    q_hi: float = 1.0,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` lies between the corpus's q_lo and
+    q_hi quantiles — the "drop the bottom 10% by LM score" recipe step,
+    with the thresholds derived from the data itself rather than a
+    hand-tuned constant that silently ages as the corpus shifts.
+
+    Thresholds come from ``approx_percentile`` (one aggregation,
+    Greenwald-Khanna sketch — ``relative_error`` is its documented
+    rank-accuracy dial) and join back as a broadcast 1-row literal, so
+    the gate is threshold-derivation + one codegen'd filter; NULL
+    scores drop (no evidence, same stance as temperature_sample).
+    Unlike a hash die, the SAME row can flip across corpus versions if
+    the distribution moves — that's the point (relative standards),
+    and the reason this is not the tool for stable splits."""
+    if not 0.0 <= q_lo < q_hi <= 1.0:
+        raise ValueError("quantile_gate: need 0 <= q_lo < q_hi <= 1")
+    bounds = df.agg(
+        F.percentile_approx(
+            score_col, [float(q_lo), float(q_hi)], int(1 / relative_error)
+        ).alias("b")
+    ).select(
+        F.col("b")[0].alias("__lo"), F.col("b")[1].alias("__hi")
+    )
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col(score_col).between(F.col("__lo"), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

@@ -444,3 +444,41 @@ def test_temperature_monotone_on_random_inputs(spark, rows):
     t0, t1, t2 = ids(0.0), ids(1.0), ids(2.0)
     assert t2 <= t1 <= t0
     assert t0 == {i for i, _ in rows}
+
+
+class TestQuantileGate:
+    def test_tails_dropped_and_bounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            quantile_gate,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("double").alias("s")
+        )
+        kept = quantile_gate(df, "s", 0.1, 0.9).collect()
+        ids = sorted(r["doc_id"] for r in kept)
+        # ~80% survive, from the middle of the distribution
+        assert 780 <= len(ids) <= 820
+        assert ids[0] >= 80 and ids[-1] <= 920
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            quantile_gate(df, "s", 0.9, 0.1)
+
+    def test_nulls_drop_and_degenerate_band(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            quantile_gate,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 10, None).otherwise(1.0).alias("s"),
+        )
+        kept = quantile_gate(df, "s", 0.0, 1.0)
+        # constant distribution: everything non-null survives
+        assert kept.count() == 90
+        assert kept.filter("doc_id < 10").count() == 0
