@@ -85,3 +85,43 @@ def render_dialogs(
             F.transform(F.col("turns"), line), turn_sep
         ).alias("dialog_text"),
     )
+
+
+def assemble_dialogs_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    by: str = "user_id",
+    ts_col: str = "ts",
+    turn_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming-compatible dialog assembly: the same record contract
+    as :func:`assemble_dialogs` but built on the engine's gap-merged
+    ``session_window`` state instead of gaps-and-islands windows (lag
+    over an unbounded ordering has no streaming equivalent; session
+    state does). Dialogs key on ``dialog_start`` rather than a dense
+    per-speaker index — in an unbounded stream "the n-th dialog" is not
+    a well-defined quantity, the start time is.
+
+    Batch and streaming share this exact plan (the `windows.py`
+    doctrine); in streaming add ``withWatermark(ts_col, ...)`` upstream
+    and append mode emits each dialog once, when the watermark passes
+    its gap — turns arrive complete and time-ordered because the
+    session only finalizes after the gap closes."""
+    cols = turn_cols or ["event_type", "value"]
+    turn = F.struct(F.col(ts_col).alias("ts"), *[F.col(c) for c in cols])
+    return (
+        events.groupBy(
+            F.col(by), F.session_window(F.col(ts_col), gap).alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_sort(F.collect_list(turn)).alias("turns"),
+        )
+        .select(
+            by,
+            F.col("sw.start").alias("dialog_start"),
+            F.col("sw.end").alias("dialog_end"),
+            "n_turns",
+            "turns",
+        )
+    )

@@ -118,3 +118,66 @@ def test_render_dialogs_and_packing_handoff(spark, events):
     packed = pack_sequences(docs, budget=16, n_shards=2)
     assert packed.count() == 3
     assert packed.filter("seq_offset >= 16").count() == 0
+
+
+def test_stream_assembly_batch_parity_and_emission(spark, events, tmp_path):
+    """The streaming twin: identical (user, ordered-turn-values) sets
+    on the same batch data, and in a real stream a finalized dialog
+    emits once, complete and ordered, after the watermark passes."""
+    import json
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        assemble_dialogs_stream,
+    )
+
+    def turn_sets(df):
+        return sorted(
+            (r["user_id"], tuple(t["value"] for t in r["turns"]))
+            for r in df.collect()
+        )
+
+    assert turn_sets(assemble_dialogs_stream(events, "30 minutes")) == (
+        turn_sets(assemble_dialogs(events, 1800))
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    feed(
+        "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 00:02:00", "event_type": "m", "value": 2.0},
+            {"user_id": 1, "ts": "2024-01-01 00:00:00", "event_type": "m", "value": 1.0},
+        ],
+    )
+    # a much-later event closes user 1's session past the watermark
+    feed(
+        "b2.json",
+        [{"user_id": 1, "ts": "2024-01-01 03:00:00", "event_type": "m", "value": 9.0}],
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).json(str(landing))
+    q = (
+        assemble_dialogs_stream(
+            stream.withWatermark("ts", "10 minutes"), "30 minutes"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.read.parquet(out).collect()
+    finalized = [r for r in emitted if r["n_turns"] == 2]
+    assert len(finalized) == 1
+    assert [t["value"] for t in finalized[0]["turns"]] == [1.0, 2.0]
