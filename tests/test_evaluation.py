@@ -1,0 +1,97 @@
+"""Sliced-AUC pins: perfect/anti/chance separations, exact tie
+handling against a hand-computed Mann-Whitney value, degenerate
+single-class groups, and agreement with an independent O(n²)
+pair-counting AUC on random data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+    auc_by_group,
+)
+
+
+def test_perfect_anti_and_degenerate(spark):
+    rows = (
+        # group a: scores separate perfectly
+        [("a", 1, 0.9), ("a", 1, 0.8), ("a", 0, 0.2), ("a", 0, 0.1)]
+        # group b: anti-predictor
+        + [("b", 0, 0.9), ("b", 0, 0.8), ("b", 1, 0.2), ("b", 1, 0.1)]
+        # group c: positives only
+        + [("c", 1, 0.5), ("c", 1, 0.6)]
+    )
+    df = spark.createDataFrame(rows, ["g", "y", "s"])
+    got = {r["g"]: r for r in auc_by_group(df, "y", "s", "g").collect()}
+    assert got["a"]["auc"] == 1.0
+    assert got["b"]["auc"] == 0.0
+    assert got["c"]["auc"] is None
+    assert got["c"]["n_pos"] == 2 and got["c"]["n_neg"] == 0
+
+
+def test_tie_handling_exact(spark):
+    # one positive tied with one negative at 0.5, one negative below:
+    # avg ranks: 0.3 → 1; the two 0.5s → 2.5 each
+    # AUC = (2.5 - 1) / (1 * 2) = 0.75
+    df = spark.createDataFrame(
+        [("g", 1, 0.5), ("g", 0, 0.5), ("g", 0, 0.3)], ["g", "y", "s"]
+    )
+    got = auc_by_group(df, "y", "s", "g").collect()[0]
+    assert got["auc"] == 0.75
+
+
+def test_matches_pair_counting_on_random_data(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        ("g", rng.randint(0, 1), round(rng.random(), 2)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["g", "y", "s"])
+    got = auc_by_group(df, "y", "s", "g").collect()[0]["auc"]
+    pos = [s for _, y, s in rows if y == 1]
+    neg = [s for _, y, s in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    )
+    want = round(wins / (len(pos) * len(neg)), 6)
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_slices_the_trained_classifier(spark):
+    """End use: slice AUC of the hashed-BoW quality classifier on a
+    prose-vs-junk corpus (its own training regime) — near-perfect on
+    every slice that has both classes, with slice sizes exposed."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.quality_classifier import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    prose = (
+        "the harbor was quiet that evening and the sailors told long "
+        "stories about storms gulls and distant lighthouses while the "
+        "rain tapped gently on the tavern roof"
+    ).split()
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:
+            text = " ".join(prose[(i + j) % len(prose)] for j in range(20))
+            label = 1.0
+        else:
+            text = " ".join(f"zz{(i * 7 + j) % 97}q" for j in range(20))
+            label = 0.0
+        rows.append((i, text, label, str(i % 3)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "label", "grp"])
+    model = train_quality_classifier(docs, n_features=1 << 12)
+    scored = docs.join(score_documents(model, docs), "doc_id")
+    rep = {
+        r["grp"]: r
+        for r in auc_by_group(
+            scored, "label", "quality_prob", "grp"
+        ).collect()
+    }
+    assert set(rep) == {"0", "1", "2"}
+    for r in rep.values():
+        assert r["auc"] > 0.95
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
