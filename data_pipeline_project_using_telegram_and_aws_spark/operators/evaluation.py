@@ -64,3 +64,54 @@ def auc_by_group(
         ),
     )
     return agg.select(by, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_report(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """(bin, bin_lo, bin_hi, n, mean_score, frac_positive, gap): the
+    reliability table behind a calibration curve — AUC says the model
+    RANKS well; this says whether 0.9 MEANS 90% (it must, before
+    `quality_filter` thresholds or `temperature_sample` exponents are
+    read as probabilities). ``gap`` = mean_score − frac_positive per
+    equi-width score bin; |gap| summed n-weighted is expected
+    calibration error, left to the caller's tolerance.
+
+    One aggregation over one scan; scores outside [0, 1] raise (they
+    are not probabilities — calibrate after a sigmoid, not before)."""
+    if bins < 2:
+        raise ValueError("calibration_report: bins >= 2")
+    c = F.col(score_col)
+    guard = F.assert_true(
+        (c >= 0.0) & (c <= 1.0),
+        F.lit("calibration_report: scores must lie in [0, 1]"),
+    )
+    idx = F.least(F.floor(c * bins).cast("long"), F.lit(bins - 1))
+    return (
+        scored.filter(
+            F.col(label_col).isNotNull() & c.isNotNull() & guard.isNull()
+        )
+        .groupBy(idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(c), 6).alias("mean_score"),
+            F.round(
+                F.avg(F.col(label_col).cast("double")), 6
+            ).alias("frac_positive"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / bins, 6).alias("bin_lo"),
+            F.round((F.col("bin") + 1) / bins, 6).alias("bin_hi"),
+            "n",
+            "mean_score",
+            "frac_positive",
+            F.round(
+                F.col("mean_score") - F.col("frac_positive"), 6
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )

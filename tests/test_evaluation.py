@@ -95,3 +95,36 @@ def test_slices_the_trained_classifier(spark):
     for r in rep.values():
         assert r["auc"] > 0.95
         assert r["n_pos"] > 0 and r["n_neg"] > 0
+
+
+def test_calibration_report(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+        calibration_report,
+    )
+
+    # perfectly calibrated synthetic scores: in bin [0.b, 0.b+0.1),
+    # fraction positive == the score
+    rows = []
+    for b in range(10):
+        p = b / 10 + 0.05
+        for i in range(100):
+            rows.append(("g", 1 if i < p * 100 else 0, round(p, 2)))
+    df = spark.createDataFrame(rows, ["g", "y", "s"])
+    rep = {r["bin"]: r for r in calibration_report(df, "y", "s").collect()}
+    assert len(rep) == 10
+    for b, r in rep.items():
+        assert r["n"] == 100
+        assert abs(r["gap"]) <= 0.01
+        assert r["bin_lo"] == b / 10
+    # a systematically overconfident model shows positive gaps up top
+    over = spark.createDataFrame(
+        [("g", 0, 0.95)] * 80 + [("g", 1, 0.95)] * 20, ["g", "y", "s"]
+    )
+    r = calibration_report(over, "y", "s").collect()[-1]
+    assert r["gap"] > 0.7
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([("g", 1, 1.5)], ["g", "y", "s"])
+    with _pytest.raises(Exception, match="0, 1"):
+        calibration_report(bad, "y", "s").collect()
