@@ -1,0 +1,109 @@
+"""Deterministic negative sampling: pair every document with ``k``
+pseudo-random OTHER documents — the contrastive-training data op
+(embedding models train on (anchor, positive, negatives); dedup/ANN
+evaluation wants random non-neighbors as controls). `knn_join` finds
+the hard neighbors; this finds the uniform-random rest, without RNG
+state and without ever materializing the n² pair space.
+
+Scale shape: the id universe reduces once to a REPRESENTATIVE table —
+one id per hash bucket, chosen as the md5-min of the bucket (one
+partial-agg'd aggregation, ``n_buckets`` rows). Each anchor emits
+``k + pad`` probe rows whose target bucket is an independent hash of
+(anchor, probe-index, seed); probes equi-join the representative table
+on the bucket — ONE keyed shuffle of anchor×(k+pad) rows against
+bucket-count rows, nothing quadratic. Self-collisions (an anchor
+probing its own bucket may draw itself) are filtered and absorbed by
+the pad, ranked by probe index so the kept k are a pure function of
+(data, seed).
+
+Uniformity caveat, stated honestly: sampling is uniform over BUCKET
+REPRESENTATIVES, not over documents — each anchor can only ever draw
+from the ``n_buckets`` md5-min ids. Size ``n_buckets`` ≫ anchors × k
+for collision-free diversity, and ≈ corpus size if every document must
+be drawable; the default (4096) suits evaluation-control use, not
+full-corpus contrastive corpora — pass the bigger dial for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_BUCKETS = 4096
+PAD = 3
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id_col, neg_id, neg_rank 0..k-1): ``k`` deterministic negatives
+    per row, never the row itself. Falls short of ``k`` only if an
+    anchor self-collides more than ``PAD`` times (probability ≈
+    (1/n_buckets)^PAD — astronomically small at any sane sizing)."""
+    if k <= 0:
+        raise ValueError("negative_samples: k must be > 0")
+    if n_buckets < 2 * (k + PAD):
+        raise ValueError(
+            "negative_samples: n_buckets too small for k — the draw "
+            "space must exceed the per-anchor demand"
+        )
+    reps = (
+        df.select(F.col(id_col))
+        .groupBy(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).alias(
+                "__bucket"
+            )
+        )
+        .agg(
+            F.min_by(
+                F.col(id_col), F.md5(F.col(id_col).cast("string"))
+            ).alias("neg_id")
+        )
+    )
+    # probes must target OCCUPIED buckets (a sparse corpus occupies a
+    # fraction of the bucket space and an inner join on an empty bucket
+    # silently starves the anchor): index the representatives densely
+    # 0..R-1 and probe over R. The window and count run over the
+    # bucket-table — n_buckets-bounded, never corpus-sized.
+    reps = reps.withColumn(
+        "__ridx",
+        F.row_number().over(Window.orderBy("__bucket")) - 1,
+    ).drop("__bucket")
+    r_count = reps.agg(F.count(F.lit(1)).alias("__r"))
+    probes = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(k + PAD - 1))
+            ).alias("__j"),
+        )
+        .crossJoin(F.broadcast(r_count))
+        .withColumn(
+            "__ridx",
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.col("__j"), F.lit(seed)),
+                F.col("__r"),
+            ),
+        )
+        .drop("__r")
+    )
+    w = Window.partitionBy(id_col).orderBy("__j")
+    return (
+        probes.join(reps, "__ridx")
+        .filter(F.col("neg_id") != F.col(id_col))
+        # two probes can land in one bucket: keep each negative once
+        # per anchor (first probe index wins) so the k are DISTINCT
+        .withColumn(
+            "__dup",
+            F.row_number().over(
+                Window.partitionBy(id_col, "neg_id").orderBy("__j")
+            ),
+        )
+        .filter(F.col("__dup") == 1)
+        .withColumn("neg_rank", F.row_number().over(w) - 1)
+        .filter(F.col("neg_rank") < k)
+        .select(id_col, "neg_id", F.col("neg_rank").cast("long"))
+    )

@@ -1,0 +1,60 @@
+"""Negative-sampling pins: exactly k distinct non-self negatives per
+anchor, determinism across layouts, seed independence, rough
+uniformity over the draw space, and validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.negatives import (
+    negative_samples,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(500).select(F.col("id").alias("doc_id"))
+
+
+def test_k_distinct_non_self(spark, docs):
+    neg = negative_samples(docs, k=5, seed=1).collect()
+    by_anchor = {}
+    for r in neg:
+        by_anchor.setdefault(r["doc_id"], []).append(r)
+    assert set(by_anchor) == set(range(500))
+    for anchor, rows in by_anchor.items():
+        assert len(rows) == 5
+        ids = [r["neg_id"] for r in rows]
+        assert anchor not in ids
+        assert len(set(ids)) == 5
+        assert sorted(r["neg_rank"] for r in rows) == list(range(5))
+
+
+def test_deterministic_and_seed_sensitive(spark, docs):
+    key = lambda d: sorted(
+        (r["doc_id"], r["neg_rank"], r["neg_id"]) for r in d.collect()
+    )
+    a = key(negative_samples(docs, k=3, seed=7))
+    b = key(negative_samples(docs.repartition(13), k=3, seed=7))
+    c = key(negative_samples(docs, k=3, seed=8))
+    assert a == b
+    assert a != c
+
+
+def test_rough_uniformity(spark, docs):
+    """No representative dominates: with 500 anchors × 5 draws over
+    ≤4096 representatives, the hottest negative stays far below a
+    skewed assignment."""
+    neg = negative_samples(docs, k=5, seed=2)
+    top = (
+        neg.groupBy("neg_id").count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] < 50  # 2500 draws; uniform-ish ≈ 5-15 per rep
+
+
+def test_validation(spark, docs):
+    with pytest.raises(ValueError):
+        negative_samples(docs, k=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        negative_samples(docs, k=10, n_buckets=16)
