@@ -107,3 +107,95 @@ def negative_samples(
         .filter(F.col("neg_rank") < k)
         .select(id_col, "neg_id", F.col("neg_rank").cast("long"))
     )
+
+
+def build_triplets(
+    vectors: DataFrame,
+    k_hard: int = 2,
+    k_rand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    n_buckets: int = DEFAULT_BUCKETS,
+    **knn_kwargs,
+) -> DataFrame:
+    """Contrastive training records: (anchor id, positive_id, hard_negs,
+    rand_negs) — positive = the anchor's nearest neighbor (the standard
+    self-supervised proxy when no labels exist), hard negatives = the
+    next ``k_hard`` neighbors (`semdedup.knn_join` — the informative
+    ones), random negatives = ``k_rand`` uniform controls
+    (:func:`negative_samples`), excluding any id already used as the
+    positive or a hard negative for that anchor.
+
+    One kNN pass + one sampling pass + two group-collects; anchors
+    whose cluster yields no neighbor (singleton clusters) drop — a
+    triplet needs a positive, and the count difference is the caller's
+    audit signal."""
+    from .semdedup import knn_join
+
+    nn = knn_join(
+        vectors, knn=k_hard + 1, id_col=id_col, vec_col=vec_col,
+        **knn_kwargs,
+    )
+    pos = nn.filter(F.col("nn_rank") == 1).select(
+        F.col(id_col), F.col("neighbor_id").alias("positive_id")
+    )
+    hard = (
+        nn.filter(F.col("nn_rank") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("nn_rank", "neighbor_id"))
+            ).alias("__h")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__h"), lambda s: s["neighbor_id"]).alias(
+                "hard_negs"
+            ),
+        )
+    )
+    rand = (
+        negative_samples(
+            vectors.select(id_col), k=k_rand + k_hard + 1,
+            id_col=id_col, seed=seed, n_buckets=n_buckets,
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("neg_rank", "neg_id"))
+            ).alias("__r")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("__r"), lambda s: s["neg_id"]).alias(
+                "__rand_all"
+            ),
+        )
+    )
+    return (
+        pos.join(hard, id_col, "left")
+        .join(rand, id_col, "left")
+        .select(
+            id_col,
+            "positive_id",
+            F.coalesce(
+                "hard_negs", F.array().cast("array<long>")
+            ).alias("hard_negs"),
+            F.slice(
+                F.array_except(
+                    F.coalesce(
+                        "__rand_all", F.array().cast("array<long>")
+                    ),
+                    F.concat(
+                        F.array(F.col("positive_id")),
+                        F.coalesce(
+                            "hard_negs", F.array().cast("array<long>")
+                        ),
+                    ),
+                ),
+                1,
+                k_rand,
+            ).alias("rand_negs"),
+        )
+    )

@@ -58,3 +58,30 @@ def test_validation(spark, docs):
         negative_samples(docs, k=0)
     with pytest.raises(ValueError, match="n_buckets"):
         negative_samples(docs, k=10, n_buckets=16)
+
+
+def test_build_triplets(spark, sf_dir):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.negatives import (
+        build_triplets,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    trip = build_triplets(
+        vecs, k_hard=2, k_rand=3, k=4, sample_n=64, seed=3
+    ).collect()
+    assert trip  # anchors with neighbors produce records
+    ids = {r["vec_id"] for r in trip}
+    for r in trip:
+        assert r["positive_id"] != r["vec_id"]
+        assert r["vec_id"] not in r["hard_negs"]
+        assert len(r["hard_negs"]) <= 2
+        assert len(r["rand_negs"]) <= 3
+        overlap = set(r["rand_negs"]) & (
+            {r["positive_id"]} | set(r["hard_negs"]) | {r["vec_id"]}
+        )
+        assert not overlap
+    # determinism
+    again = build_triplets(
+        vecs, k_hard=2, k_rand=3, k=4, sample_n=64, seed=3
+    ).collect()
+    assert sorted(map(str, trip)) == sorted(map(str, again))
