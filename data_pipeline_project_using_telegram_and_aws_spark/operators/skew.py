@@ -58,3 +58,52 @@ def salted_join(
         how,
     )
     return joined.drop("__salt").drop("__rk")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    percentiles: list[float] | None = None,
+) -> DataFrame:
+    """Key-distribution diagnosis BEFORE choosing a join strategy: the
+    per-key row-count percentiles, the hottest ``top`` keys with their
+    counts, and the hot-key share — the evidence behind an informed
+    ``n_salts`` (``scale_rules.skew_salts`` wants the hottest count)
+    versus just letting AQE's skew split handle it.
+
+    Output is one row: percentile array, total rows/keys, top keys as
+    (key, n) structs, and ``top1_share`` (hottest key's fraction of all
+    rows). Cost: the per-key count aggregation (the same shuffle the
+    join under diagnosis would pay) + a top-sized sort — run it on a
+    sample for a quick look, on the full table for the real sizing."""
+    ps = percentiles or [0.5, 0.9, 0.99, 1.0]
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    topk = (
+        counts.orderBy(F.desc("n"), "key")
+        .limit(top)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("key").cast("string").alias("key"), "n")
+            ).alias("top_keys")
+        )
+    )
+    summary = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.percentile_approx("n", ps, 10_000).alias("count_percentiles"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(topk))
+        .withColumn(
+            "top1_share",
+            F.round(F.col("max_key_rows") / F.col("total_rows"), 6),
+        )
+        .withColumn(
+            "percentile_labels",
+            F.array(*[F.lit(p) for p in ps]),
+        )
+    )

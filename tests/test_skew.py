@@ -68,3 +68,28 @@ def test_rejects_outer_shapes(spark):
         assert "inner/left" in str(e)
     else:
         raise AssertionError("full outer accepted")
+
+
+def test_skew_report(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.skew import skew_report
+
+    # one hot key (500 rows) over a 100-key long tail (5 rows each)
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 500, F.lit(0))
+        .otherwise((F.col("id") % 100) + 1)
+        .alias("k")
+    )
+    rep = skew_report(df, "k", top=3).collect()[0]
+    assert rep["total_rows"] == 1000
+    assert rep["n_keys"] == 101
+    assert rep["max_key_rows"] == 500
+    assert rep["top1_share"] == 0.5
+    assert rep["top_keys"][0]["key"] == "0"
+    assert rep["top_keys"][0]["n"] == 500
+    assert len(rep["top_keys"]) == 3
+    # the p50 of per-key counts is the tail's 5; the max is the hot key
+    labels = list(rep["percentile_labels"])
+    p = dict(zip(labels, rep["count_percentiles"]))
+    assert p[0.5] == 5 and p[1.0] == 500
