@@ -115,3 +115,47 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+def tokenizer_fairness_report(
+    docs: DataFrame,
+    encoded: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_docs, total_chars, total_pieces, pieces_per_char,
+    relative_cost): how expensive the tokenizer makes each slice of the
+    corpus — the fertility/equity check for a trained vocabulary
+    (a BPE fit on English famously charges other scripts 2-4× the
+    pieces per character, which silently taxes their effective context
+    length and training weight). ``relative_cost`` is the slice's
+    pieces-per-char over the corpus-wide pieces-per-char; 1.0 = parity.
+
+    Input: the documents and any encoder output carrying ``n_pieces``
+    (`bpe_encode`, `unigram_encode`, `encode_documents`' token count).
+    One join keyed by id + one aggregation."""
+    joined = docs.select(
+        F.col(id_col), F.col(by), F.length(text_col).alias("__chars")
+    ).join(encoded.select(id_col, "n_pieces"), id_col)
+    per = joined.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("n_pieces").alias("total_pieces"),
+    )
+    total = per.agg(
+        (F.sum("total_pieces") / F.sum("total_chars")).alias("__corpus_ppc")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "pieces_per_char",
+            F.round(F.col("total_pieces") / F.col("total_chars"), 6),
+        )
+        .withColumn(
+            "relative_cost",
+            F.round(F.col("pieces_per_char") / F.col("__corpus_ppc"), 4),
+        )
+        .drop("__corpus_ppc")
+        .orderBy(by)
+    )

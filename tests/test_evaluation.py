@@ -128,3 +128,34 @@ def test_calibration_report(spark):
     bad = spark.createDataFrame([("g", 1, 1.5)], ["g", "y", "s"])
     with _pytest.raises(Exception, match="0, 1"):
         calibration_report(bad, "y", "s").collect()
+
+
+def test_tokenizer_fairness_report(spark):
+    """A BPE trained only on lang-A text charges lang B more pieces per
+    character — the report surfaces the asymmetry."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+        tokenizer_fairness_report,
+    )
+
+    a_words = "the cat sat on the mat and the dog ran"
+    b_words = "zq wx vk jy qz xw kv yj zx qw"
+    rows = [(i, a_words, "a") for i in range(20)] + [
+        (i + 100, b_words, "b") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    merges = train_bpe(
+        docs.filter("lang = 'a'"), n_merges=30, min_pair_freq=1
+    )
+    rep = {
+        r["lang"]: r
+        for r in tokenizer_fairness_report(
+            docs, bpe_encode(docs, merges)
+        ).collect()
+    }
+    assert rep["a"]["pieces_per_char"] < rep["b"]["pieces_per_char"]
+    assert rep["a"]["relative_cost"] < 1.0 < rep["b"]["relative_cost"]
+    assert rep["a"]["n_docs"] == rep["b"]["n_docs"] == 20
