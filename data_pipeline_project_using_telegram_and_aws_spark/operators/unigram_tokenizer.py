@@ -77,11 +77,18 @@ def _seed_candidates(
     )
 
 
-def _viterbi_factory(logp: dict[str, float], max_piece_len: int):
+def _viterbi_factory(
+    logp: dict[str, float],
+    max_piece_len: int,
+    byte_fallback: bool = False,
+):
     """Memoized O(len · max_piece_len) Viterbi DP. Characters absent
     from the vocabulary (possible only at encode time, on words unseen
-    in training) segment as themselves at a floor score, so encoding
-    never fails."""
+    in training) segment as themselves at a floor score — or, with
+    ``byte_fallback``, as SentencePiece-style ``<0xNN>`` byte pieces,
+    so the emitted piece ALPHABET stays the fixed trained vocabulary
+    plus the 256 byte symbols (a closed id space for the embedding
+    table) instead of growing with every novel character."""
     unk = min(logp.values()) - 10.0 if logp else -100.0
 
     def segment(word: str) -> list[str]:
@@ -99,7 +106,13 @@ def _viterbi_factory(logp: dict[str, float], max_piece_len: int):
         out: list[str] = []
         i = n
         while i > 0:
-            out.append(word[i - back[i] : i])
+            piece = word[i - back[i] : i]
+            if byte_fallback and len(piece) == 1 and piece not in logp:
+                out.extend(
+                    f"<0x{b:02X}>" for b in reversed(piece.encode("utf-8"))
+                )
+            else:
+                out.append(piece)
             i -= back[i]
         out.reverse()
         return out
@@ -120,8 +133,9 @@ def _segment_words(
     logp: dict[str, float],
     max_piece_len: int,
     word_col: str = "word",
+    byte_fallback: bool = False,
 ) -> DataFrame:
-    seg = _viterbi_factory(logp, max_piece_len)
+    seg = _viterbi_factory(logp, max_piece_len, byte_fallback)
 
     @F.pandas_udf(ArrayType(StringType()))
     def seg_udf(w: pd.Series) -> pd.Series:
@@ -209,11 +223,14 @@ def unigram_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_piece_len: int = 8,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """(doc_id, pieces: array<string>, n_pieces): each document as its
     Viterbi-optimal piece sequence under the trained vocabulary —
     ``bpe_encode``'s exact plan shape (distinct-word Python, corpus
-    JVM-side, one doc-keyed shuffle; zero-token docs keep their row)."""
+    JVM-side, one doc-keyed shuffle; zero-token docs keep their row).
+    ``byte_fallback`` closes the piece alphabet: unseen characters emit
+    ``<0xNN>`` byte pieces instead of themselves."""
     logp = {
         r["piece"]: float(r["logprob"]) for r in pieces.collect()
     }
@@ -224,7 +241,9 @@ def unigram_encode(
         ).alias("__pos", "word"),
     )
     distinct_words = toks.select("word").distinct()
-    segmented = _segment_words(distinct_words, logp, max_piece_len)
+    segmented = _segment_words(
+        distinct_words, logp, max_piece_len, byte_fallback=byte_fallback
+    )
     member = F.struct(F.col("__pos"), F.col("pieces"))
     encoded = (
         toks.join(F.broadcast(segmented), "word")

@@ -159,3 +159,31 @@ def test_encode_plan_is_broadcast_only(spark, docs, pieces):
             assert frag.lstrip().startswith("[doc_id")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_byte_fallback_closes_the_alphabet(spark, docs, pieces):
+    """With byte_fallback, unseen characters emit <0xNN> byte pieces —
+    the piece alphabet stays trained-vocab ∪ byte symbols; without it
+    the raw character leaks through."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.unigram_tokenizer import (
+        unigram_encode,
+    )
+
+    odd = spark.createDataFrame([(0, "theß")], ["doc_id", "text"])
+    plain = unigram_encode(odd, pieces, max_piece_len=4).collect()[0]
+    assert "ß" in plain["pieces"]
+    fb = unigram_encode(
+        odd, pieces, max_piece_len=4, byte_fallback=True
+    ).collect()[0]
+    # ß is two UTF-8 bytes: C3 9F, in order
+    assert fb["pieces"][-2:] == ["<0xC3>", "<0x9F>"]
+    assert "ß" not in fb["pieces"]
+    vocab = {r["piece"] for r in pieces.collect()}
+    for p in fb["pieces"]:
+        assert p in vocab or (p.startswith("<0x") and len(p) == 6)
+    # known text is untouched by the flag
+    known = unigram_encode(
+        spark.createDataFrame([(0, "the cat")], ["doc_id", "text"]),
+        pieces, max_piece_len=4, byte_fallback=True,
+    ).collect()[0]
+    assert "".join(known["pieces"]) == "thecat"
