@@ -15,6 +15,9 @@ Rule forms (plain dicts — serializable, diffable, no DSL):
   optional; NULLs don't violate bounds — that's not_null's job)
 - ``{"rule": "row_count", "lo": n, "hi": m}``
 - ``{"rule": "referential", "col": c, "to": other_df, "to_col": c2}``
+- ``{"rule": "schema", "expect": {col: dtype, ...}}``  (exact dtype
+  strings as ``df.dtypes`` reports them; missing columns and dtype
+  drift both violate — evaluated from metadata, zero scan)
 
 Execution shape: every scalar rule (everything except ``unique`` and
 ``referential``) compiles to one conditional-count expression in a
@@ -81,6 +84,19 @@ def check_contracts(df: DataFrame, rules: list[dict]) -> list[dict]:
         elif kind == "row_count":
             scalar_exprs.append(F.count(F.lit(1)).alias(f"__r{i}"))
             scalar_idx.append(i)
+            continue
+        elif kind == "schema":
+            dtypes = dict(df.dtypes)
+            bad = sum(
+                1
+                for c, t in r["expect"].items()
+                if dtypes.get(c) != t
+            )
+            results[i] = {
+                "rule": "schema",
+                "subject": ",".join(sorted(r["expect"])),
+                "violations": bad,
+            }
             continue
         elif kind == "unique":
             # COUNT(DISTINCT ...) skips rows with a NULL key column, so

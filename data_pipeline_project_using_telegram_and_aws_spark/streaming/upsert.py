@@ -60,7 +60,9 @@ def upsert_batch(
     if not os.path.exists(table_path):
         out = latest_snapshot(staged, keys, seq_col, delete_col)
         (
-            out.write.mode("overwrite")
+            out.repartition("__bucket")
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(table_path)
         )
@@ -82,8 +84,12 @@ def upsert_batch(
         delete_col,
     ).localCheckpoint(eager=True)  # cut lineage: we overwrite our input
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # sorted-by-key bucket files: parquet min/max stats prune row
+    # groups inside a bucket, so `lookup` reads even less than 1/n
     (
-        merged.write.mode("overwrite")
+        merged.repartition("__bucket")
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
         .partitionBy("__bucket")
         .parquet(table_path)
     )

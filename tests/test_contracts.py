@@ -126,3 +126,24 @@ def test_scalar_rules_are_one_aggregation(spark, table):
     )
     assert report[("not_null", "doc_id")]["violations"] == 1
     assert report[("accepted_values", "lang")]["violations"] == 2
+
+
+def test_schema_rule(spark, table):
+    report = _by_rule(
+        check_contracts(
+            table,
+            [
+                {"rule": "schema", "expect": {
+                    "doc_id": "bigint", "lang": "string", "score": "double",
+                }},
+                {"rule": "schema", "expect": {
+                    "doc_id": "int",          # dtype drift
+                    "missing_col": "string",  # absent column
+                }},
+            ],
+        )
+    )
+    ok = report[("schema", "doc_id,lang,score")]
+    assert ok["ok"] and ok["violations"] == 0
+    bad = report[("schema", "doc_id,missing_col")]
+    assert bad["violations"] == 2
