@@ -187,3 +187,21 @@ def test_byte_fallback_closes_the_alphabet(spark, docs, pieces):
         pieces, max_piece_len=4, byte_fallback=True,
     ).collect()[0]
     assert "".join(known["pieces"]) == "thecat"
+
+
+def test_pieces_artifact_round_trip(spark, docs, pieces, tmp_path):
+    """The trained piece table persists as plain parquet and the
+    reloaded artifact encodes identically — the tokenizer ships as
+    data, no pickling."""
+    path = str(tmp_path / "pieces")
+    pieces.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode(docs, pieces, max_piece_len=4).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["pieces"])
+        for r in unigram_encode(docs, reloaded, max_piece_len=4).collect()
+    }
+    assert a == b

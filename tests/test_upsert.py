@@ -156,3 +156,29 @@ def test_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert "__bucket" in plan  # partition filter present
     # and the physical scan reports partition pruning, not a full read
     assert plan.count("PartitionFilters: []") == 0
+
+
+def test_day_over_day_diff_of_upsert_table(spark, tmp_path):
+    """CDC composition: snapshots of the upsert table taken before and
+    after a batch diff to exactly that batch's effect."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.snapshots import (
+        snapshot_diff,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(1, 1, 10.0, False), (2, 1, 20.0, False)]),
+        path, ["user_id"], "seq", n_buckets=8, delete_col="deleted",
+    )
+    day1 = read_current(spark, path).localCheckpoint(eager=True)
+    upsert_batch(
+        _batch(spark, [(1, 2, 11.0, False), (3, 2, 30.0, False),
+                       (2, 2, None, True)]),
+        path, ["user_id"], "seq", n_buckets=8, delete_col="deleted",
+    )
+    day2 = read_current(spark, path)
+    diff = {
+        r["user_id"]: r["change"]
+        for r in snapshot_diff(day1, day2, ["user_id"]).collect()
+    }
+    assert diff == {1: "changed", 2: "removed", 3: "added"}
