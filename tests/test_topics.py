@@ -1,0 +1,87 @@
+"""Topic-balance pins: shares sum to one, a planted dominant cluster
+surfaces at the head, balanced sampling caps it exactly, determinism,
+and the text → tfidf → topics composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.topics import (
+    assign_topics,
+    topic_balance_report,
+    topic_balanced_sample,
+)
+
+DIMS = 6
+
+
+def _clustered(spark):
+    """300 vectors near axis 0 (the dominating 'topic'), 50 near axis 1,
+    50 near axis 2."""
+    rows = []
+    for i in range(400):
+        v = [0.0] * DIMS
+        axis = 0 if i < 300 else (1 if i < 350 else 2)
+        v[axis] = 1.0
+        v[3 + i % 3] = 0.05 * (i % 7)
+        rows.append(Row(vec_id=i, embedding=v))
+    return spark.createDataFrame(rows)
+
+
+def test_report_surfaces_dominance(spark):
+    vecs = _clustered(spark)
+    assigned = assign_topics(vecs, k=3, sample_n=128)
+    rep = topic_balance_report(assigned).collect()
+    assert abs(sum(r["share"] for r in rep) - 1.0) < 1e-6
+    assert rep[0]["n_docs"] >= 250          # the dominating cell leads
+    assert sum(r["n_docs"] for r in rep) == 400
+
+
+def test_balanced_sample_caps_the_head(spark):
+    vecs = _clustered(spark)
+    sampled = topic_balanced_sample(vecs, per_topic=40, k=3, sample_n=128)
+    by_topic = {
+        r["topic_id"]: r["n"]
+        for r in sampled.groupBy("topic_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(n <= 40 for n in by_topic.values())
+    assert max(by_topic.values()) == 40     # the dominant cell hits the cap
+    # deterministic across layouts
+    a = {r["vec_id"] for r in sampled.collect()}
+    b = {
+        r["vec_id"]
+        for r in topic_balanced_sample(
+            vecs.repartition(9), per_topic=40, k=3, sample_n=128
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        topic_balanced_sample(vecs, per_topic=0, k=3)
+
+
+def test_text_to_topics_composition(spark):
+    """documents → hashed TF-IDF → topics: two obvious content groups
+    land in different clusters."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.text_vectors import (
+        hashed_tfidf_vectors,
+    )
+
+    rows = [
+        (i, "spark shuffle executor join plan stage task") for i in range(20)
+    ] + [
+        (i + 100, "violets gulls harbor tavern lighthouse rain") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = hashed_tfidf_vectors(docs, dim=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    assigned = {r["vec_id"]: r["topic_id"] for r in assign_topics(
+        emb, k=2, sample_n=32
+    ).collect()}
+    spark_topics = {assigned[i] for i in range(20)}
+    prose_topics = {assigned[i + 100] for i in range(20)}
+    assert len(spark_topics) == 1 and len(prose_topics) == 1
+    assert spark_topics != prose_topics
