@@ -324,3 +324,28 @@ def quantile_gate(
         .filter(F.col(score_col).between(F.col("__lo"), F.col("__hi")))
         .drop("__lo", "__hi")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """:func:`assign_split`, but hashed on a GROUP id instead of the
+    row id — every member of a group lands in the SAME split. The
+    eval-hygiene fix for corpora with known near-duplicate structure:
+    splitting near-dups by doc id puts one copy in train and its twin
+    in holdout, and the holdout silently measures memorization of the
+    training copy. Feed it the duplicate-group labels the dedup stack
+    already computes (`semantic_dedup`'s ``dup_group``,
+    `connected_components`' ``component``, `curation`'s closure) and
+    the leak is structural, not probabilistic.
+
+    Same cost as assign_split (a projection) once the group column
+    exists; the group computation itself is the dedup pass you were
+    already running."""
+    return assign_split(
+        df, weights, id_col=group_col, out_col=out_col, salt=salt
+    )

@@ -482,3 +482,51 @@ class TestQuantileGate:
         # constant distribution: everything non-null survives
         assert kept.count() == 90
         assert kept.filter("doc_id < 10").count() == 0
+
+
+class TestLeakageSafeSplit:
+    def test_groups_never_straddle_splits(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            assign_split,
+            leakage_safe_split,
+        )
+
+        # 600 docs in 200 near-dup groups of 3
+        df = spark.range(600).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 200).alias("dup_group"),
+        )
+        out = leakage_safe_split(
+            df, {"train": 0.8, "holdout": 0.2}, "dup_group", salt="s"
+        )
+        straddlers = (
+            out.groupBy("dup_group")
+            .agg(F.count_distinct("split").alias("k"))
+            .filter("k > 1")
+            .count()
+        )
+        assert straddlers == 0
+        # proportions hold at the GROUP level
+        shares = {
+            r["split"]: r["n"]
+            for r in out.select("dup_group", "split")
+            .distinct()
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert abs(shares["train"] - 160) < 25
+        # the naive per-doc split DOES leak on the same data (the bug
+        # this operator exists to prevent)
+        naive = assign_split(
+            df, {"train": 0.8, "holdout": 0.2}, id_col="doc_id", salt="s"
+        )
+        leaked = (
+            naive.groupBy("dup_group")
+            .agg(F.count_distinct("split").alias("k"))
+            .filter("k > 1")
+            .count()
+        )
+        assert leaked > 0
