@@ -85,3 +85,38 @@ def test_text_to_topics_composition(spark):
     prose_topics = {assigned[i + 100] for i in range(20)}
     assert len(spark_topics) == 1 and len(prose_topics) == 1
     assert spark_topics != prose_topics
+
+
+def test_topic_drift_between_versions(spark):
+    """Version-over-version mixture drift: freeze centroids on v1,
+    report both versions against THE SAME cells — the share delta is
+    the content-drift signal (frozen reference, the drift-monitor
+    doctrine)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    v1 = _clustered(spark)  # 300/50/50 across three axes
+    cents = build_ivf_index(v1, k=3, iters=2, sample_n=128)
+    # v2: the tail topic explodes to 300 while the head shrinks
+    rows = []
+    for i in range(400):
+        v = [0.0] * DIMS
+        axis = 2 if i < 300 else (1 if i < 350 else 0)
+        v[axis] = 1.0
+        rows.append(Row(vec_id=i, embedding=v))
+    v2 = spark.createDataFrame(rows)
+
+    def shares(vecs):
+        rep = topic_balance_report(
+            assign_topics(vecs, centroids=cents)
+        ).collect()
+        return {r["topic_id"]: r["share"] for r in rep}
+
+    s1, s2 = shares(v1), shares(v2)
+    # same cells, comparable shares: the dominant cell flipped
+    head1 = max(s1, key=s1.get)
+    head2 = max(s2, key=s2.get)
+    assert head1 != head2
+    assert s1[head1] >= 0.7 and s2[head2] >= 0.7
+    assert s2.get(head1, 0.0) < 0.2
