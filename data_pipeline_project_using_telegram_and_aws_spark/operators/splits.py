@@ -349,3 +349,47 @@ def leakage_safe_split(
     return assign_split(
         df, weights, id_col=group_col, out_col=out_col, salt=salt
     )
+
+
+def solve_mixture(
+    availability: dict[str, float],
+    targets: dict[str, float],
+    max_epochs: float = 4.0,
+) -> dict:
+    """Recipe design arithmetic: given each source's available token
+    mass and the TARGET mixture fractions, compute the largest total
+    corpus achievable without oversampling any source beyond
+    ``max_epochs``, and the per-source rates that realize it — the
+    numbers :func:`weighted_mixture` consumes.
+
+    The binding source is the one with the least mass relative to its
+    target: ``T* = min_s(tokens_s · max_epochs / f_s)``; rates are
+    ``f_s · T* / tokens_s`` (≤ max_epochs by construction, the binding
+    source exactly AT max_epochs). Driver-side arithmetic over a
+    source-count-sized dict — feed it one aggregation's output."""
+    if not targets or any(v <= 0 for v in targets.values()):
+        raise ValueError("solve_mixture: targets must be positive")
+    missing = set(targets) - set(availability)
+    if missing:
+        raise ValueError(
+            f"solve_mixture: no availability for {sorted(missing)}"
+        )
+    if max_epochs <= 0:
+        raise ValueError("solve_mixture: max_epochs must be > 0")
+    total_f = float(sum(targets.values()))
+    f = {s: v / total_f for s, v in targets.items()}
+    t_star, binding = min(
+        ((availability[s] * max_epochs / f[s], s) for s in f),
+        key=lambda x: x[0],
+    )
+    rates = {
+        s: round(f[s] * t_star / availability[s], 9) for s in f
+    }
+    return {
+        "total_tokens": t_star,
+        "binding_source": binding,
+        "rates": rates,
+        "epochs": {
+            s: round(rates[s], 4) for s in f
+        },
+    }

@@ -530,3 +530,61 @@ class TestLeakageSafeSplit:
             .count()
         )
         assert leaked > 0
+
+
+class TestSolveMixture:
+    def test_arithmetic_and_binding_source(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            solve_mixture,
+        )
+
+        sol = solve_mixture(
+            {"web": 1000.0, "code": 100.0},
+            {"web": 0.7, "code": 0.3},
+            max_epochs=2.0,
+        )
+        # code binds: 100 tokens can serve at most 200/0.3 ≈ 666.7 total
+        assert sol["binding_source"] == "code"
+        assert abs(sol["total_tokens"] - 100 * 2 / 0.3) < 1e-6
+        assert abs(sol["rates"]["code"] - 2.0) < 1e-9   # at the cap
+        web_rate = 0.7 * sol["total_tokens"] / 1000
+        assert abs(sol["rates"]["web"] - web_rate) < 1e-6
+        assert sol["rates"]["web"] < 2.0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            solve_mixture({"web": 1.0}, {"web": 0.5, "code": 0.5})
+        with _pytest.raises(ValueError):
+            solve_mixture({"web": 1.0}, {"web": -1.0})
+
+    def test_composes_with_weighted_mixture(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+            solve_mixture,
+            weighted_mixture,
+        )
+
+        rows = [(i, "web", "w " * 10) for i in range(3000)] + [
+            (i + 10_000, "code", "c " * 10) for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        # docs carry equal tokens, so token mass ∝ doc count
+        sol = solve_mixture(
+            {"web": 3000.0, "code": 600.0},
+            {"web": 0.5, "code": 0.5},
+            max_epochs=2.0,
+        )
+        mixed = weighted_mixture(df, sol["rates"], source_col="source")
+        got = {
+            r["source"]: r["n"]
+            for r in mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(got.values())
+        # realized shares hit the target within hash-sampling noise
+        assert abs(got["web"] / total - 0.5) < 0.03
+        assert abs(got["code"] / total - 0.5) < 0.03
+        # the binding source oversamples at ~max_epochs
+        assert abs(got["code"] / 600 - 2.0) < 0.1
