@@ -454,3 +454,61 @@ def span_exact_dedup(
             "n_dropped_spans"
         ),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT: |A∩B| / |A| for every shingle-
+    sharing ordered pair — the asymmetric complement of
+    :func:`ngram_jaccard_pairs` for SUBSET duplication. A short quote
+    fully embedded in a long article scores containment ≈ 1 from the
+    quote's side while Jaccard stays near zero (the intersection drowns
+    in the article's size), so symmetric dedup never sees it; this is
+    the signal for "document A is contained in B" drops and
+    quote/boilerplate inclusion audits.
+
+    Same inverted-index plan as the Jaccard path (one shingle scan,
+    sizes riding the exploded rows, equi-join on shingle, one pair
+    aggregation, the same ``max_df`` hot-shingle guard) — only the
+    denominator changes, and both directions emit (containment is not
+    symmetric). ``min_containment`` prunes the output pair list
+    in-aggregation."""
+    sh = shingle_rows(
+        _spread(df, id_col), n, id_col, text_col, distinct=True
+    ).withColumnRenamed(id_col, "doc_id")
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("__df") > max_df)),
+            "shingle",
+            "left_anti",
+        )
+    sh = sh.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).localCheckpoint(eager=False)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("size_a"),
+        "shingle",
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("size_a"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

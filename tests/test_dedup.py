@@ -274,3 +274,50 @@ def test_span_dedup_properties_on_random_corpora(spark):
         # idempotence test covers the aligned common case)
 
     check()
+
+
+def test_ngram_containment_catches_subset_duplication(spark):
+    """A quote fully embedded in a long article: containment ≈ 1 from
+    the quote's side, far below 1 from the article's side, while
+    Jaccard stays too small for any symmetric threshold — the case
+    this operator exists for. Values checked against an independent
+    set computation."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = (
+        "in a study of canine reflexes researchers observed that "
+        + quote
+        + " repeatedly while cameras recorded every leap across the "
+        "garden fence near the old lighthouse on thursday afternoon"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "completely unrelated text here")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, n=3).collect()
+    }
+
+    def grams(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    gq, ga = grams(quote), grams(article)
+    assert cont[(1, 2)] == round(len(gq & ga) / len(gq), 6)
+    assert cont[(1, 2)] >= 0.85          # the quote is contained
+    assert cont[(2, 1)] == round(len(gq & ga) / len(ga), 6)
+    assert cont[(2, 1)] < 0.4            # the article is not
+    assert not any(3 in p for p in cont) # no shared shingles, no pair
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3).collect()
+    }
+    assert jac[(1, 2)] < 0.35            # symmetric score misses it
+    # threshold pruning
+    high = ngram_containment_pairs(df, n=3, min_containment=0.8).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in high} == {(1, 2)}
