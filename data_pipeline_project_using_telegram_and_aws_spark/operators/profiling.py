@@ -58,3 +58,59 @@ def profile_columns(
         "min_repr",
         "max_repr",
     )
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    col: str,
+    k: float = 5.0,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """One-row robust-outlier summary: median, MAD (median absolute
+    deviation), the [median ± k·MAD·1.4826] fence, and the row counts
+    beyond each side — the heavy-tail-safe complement to mean/stddev
+    profiling (one poisoned value moves a mean arbitrarily; it moves a
+    median not at all). 1.4826 scales MAD to σ-equivalents under
+    normality, so ``k`` reads like a z-score cutoff.
+
+    Two aggregations by necessity (MAD needs the median first — the
+    median broadcasts back as a 1-row literal between them), then one
+    conditional-count pass; all approx_percentile sketches at the
+    stated ``relative_error``."""
+    med = df.agg(
+        F.percentile_approx(
+            col, 0.5, int(1 / relative_error)
+        ).alias("median")
+    )
+    dev = df.crossJoin(F.broadcast(med)).select(
+        F.col(col),
+        F.col("median"),
+        F.abs(F.col(col) - F.col("median")).alias("__ad"),
+    )
+    mad = dev.groupBy("median").agg(
+        F.percentile_approx(
+            "__ad", 0.5, int(1 / relative_error)
+        ).alias("mad"),
+        F.count(F.col(col)).alias("n_rows"),
+    )
+    fence = F.col("mad") * 1.4826 * k
+    return (
+        df.crossJoin(F.broadcast(mad))
+        .select(
+            F.col(col),
+            "median",
+            "mad",
+            "n_rows",
+            (F.col("median") - fence).alias("lo_fence"),
+            (F.col("median") + fence).alias("hi_fence"),
+        )
+        .groupBy("median", "mad", "n_rows", "lo_fence", "hi_fence")
+        .agg(
+            F.sum(
+                F.when(F.col(col) < F.col("lo_fence"), 1).otherwise(0)
+            ).alias("n_below"),
+            F.sum(
+                F.when(F.col(col) > F.col("hi_fence"), 1).otherwise(0)
+            ).alias("n_above"),
+        )
+    )

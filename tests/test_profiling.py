@@ -42,3 +42,27 @@ def test_profile_is_one_job_one_scan(spark):
 def test_profile_column_subset(spark):
     rows = profile_columns(_df(spark), cols=["tag"]).collect()
     assert [r["column"] for r in rows] == ["tag"]
+
+
+def test_robust_outlier_report(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.profiling import (
+        robust_outlier_report,
+    )
+
+    # tight normal-ish body plus planted extreme outliers
+    body = spark.range(1000).select(
+        (100.0 + (F.pmod(F.xxhash64("id"), 21) - 10)).alias("x")
+    )
+    poisoned = body.unionByName(
+        spark.createDataFrame([(1e9,), (-1e9,), (5e8,)], "x double")
+    )
+    rep = robust_outlier_report(poisoned, "x", k=5.0).collect()[0]
+    # the median/MAD ignore the poison entirely
+    assert abs(rep["median"] - 100.0) <= 2
+    assert 0 < rep["mad"] <= 10
+    assert rep["n_above"] == 2 and rep["n_below"] == 1
+    assert rep["n_rows"] == 1003
+    # the fences sit near the body, nowhere near the poison
+    assert rep["hi_fence"] < 200
