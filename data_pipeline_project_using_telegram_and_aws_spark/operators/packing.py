@@ -260,13 +260,87 @@ def export_training_shards(
         F.count(F.lit(1)).alias("n_sequences"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("seq_tokens").alias("n_tokens"),
+        _content_hash(order_col).alias("content_hash"),
     )
     total = per_shard.agg(
         F.lit(-1).cast("long").alias("shard"),
         F.sum("n_sequences").alias("n_sequences"),
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
+        F.sum("content_hash").alias("content_hash"),
     )
     manifest = per_shard.unionByName(total).orderBy("shard")
     manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_manifest")
     return manifest
+
+
+def _content_hash(order_col: str) -> Column:
+    """Commutative per-shard content fingerprint: the plain sum of
+    per-sequence ``xxhash64(order, text)`` values. Commutativity makes
+    it partial-aggregatable (O(1) state per task, no shard-sized
+    collect) and lets the total row be the sum of shard rows; it is an
+    INTEGRITY check (truncation, corruption, wrong-file reads), not a
+    cryptographic one — an adversary could craft colliding edits, a
+    broken copy job cannot. The sum runs in decimal(38,0): ANSI mode
+    (this engine's default) raises on long-sum overflow, which random
+    int64 hashes would hit within a few thousand rows."""
+    return F.sum(
+        F.xxhash64(F.col(order_col), F.col("seq_text")).cast(
+            "decimal(38,0)"
+        )
+    )
+
+
+def verify_training_shards(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    shard_col_name: str = None,
+) -> list[dict]:
+    """Re-derive every manifest row from the shard data and return the
+    mismatches (empty list = intact): the dataloader's pre-flight
+    check against truncated/partial/clobbered exports. Reads the data
+    once with the same aggregation shape the export used."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    manifest = {}
+    for f in _Path(f"{path}/_manifest").glob("part-*"):
+        for line in f.read_text().splitlines():
+            row = _json.loads(line)
+            manifest[int(row["shard"])] = row
+    if not manifest:
+        raise ValueError(f"verify_training_shards: no manifest at {path}")
+    data = spark.read.format(fmt).load(path)
+    shard_col = shard_col_name or data.columns[-1]  # the partition col
+    order_col = data.columns[0]
+    got = {
+        int(r["shard"]): r
+        for r in data.groupBy(F.col(shard_col).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("seq_tokens").alias("n_tokens"),
+            _content_hash(order_col).alias("content_hash"),
+        )
+        .collect()
+    }
+    mismatches = []
+    for shard, want in manifest.items():
+        if shard == -1:
+            continue
+        have = got.get(shard)
+        for field in ("n_sequences", "n_docs", "n_tokens", "content_hash"):
+            w = int(want[field])
+            h = None if have is None else int(have[field])
+            if h != w:
+                mismatches.append(
+                    {"shard": shard, "field": field, "manifest": w,
+                     "data": h}
+                )
+    for shard in set(got) - set(manifest):
+        mismatches.append(
+            {"shard": shard, "field": "presence", "manifest": None,
+             "data": "unmanifested shard"}
+        )
+    return mismatches

@@ -334,3 +334,35 @@ def test_packing_in_tokenizer_units(spark):
     ).count() == 0
     # conservation
     assert packed.count() == 80
+
+
+def test_manifest_content_hash_verifies_and_catches_corruption(
+    spark, tmp_path
+):
+    """The exported manifest's content hash round-trips through
+    verify_training_shards (clean export → no mismatches); clobbering
+    one shard's data is caught with the shard and field named."""
+    import glob
+    import os
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        export_training_shards,
+        materialize_sequences,
+        verify_training_shards,
+    )
+
+    seqs = materialize_sequences(pack_sequences(_docs(spark), BUDGET, n_shards=4))
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(seqs, out)
+    assert "content_hash" in manifest.columns
+    assert verify_training_shards(spark, out) == []
+
+    # corrupt one shard: drop one of its files
+    victims = sorted(glob.glob(f"{out}/shard=*/part-*"))
+    victim = victims[0]
+    shard = int(victim.split("shard=")[1].split("/")[0])
+    os.remove(victim)
+    bad = verify_training_shards(spark, out)
+    assert bad
+    assert all(m["shard"] == shard for m in bad)
+    assert {m["field"] for m in bad} >= {"content_hash"}
