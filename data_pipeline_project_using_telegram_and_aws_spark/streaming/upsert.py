@@ -49,9 +49,20 @@ def upsert_batch(
     seq_col: str,
     n_buckets: int = 64,
     delete_col: str | None = None,
+    changefeed_path: str | None = None,
+    batch_id: int = 0,
 ) -> None:
     """Merge one batch of keyed updates into the bucket-partitioned
-    target. Creates the table on first write."""
+    target. Creates the table on first write.
+
+    ``changefeed_path``: additionally emit this batch's EFFECT as CDC
+    rows — `operators/snapshots.snapshot_diff` of the affected buckets
+    before vs after, labeled added/removed/changed with both sides'
+    values — under an ``ingest_batch=<batch_id>`` partition (replay
+    rewrites, the ledger pattern). Downstream consumers (cache
+    invalidation, search-index sync, audit) subscribe to the feed
+    instead of diffing snapshots themselves; the diff operand is
+    bucket-scoped, exactly the data the merge already read."""
     spark = batch.sparkSession
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
     staged = batch.withColumn("__bucket", bucket.cast("long"))
@@ -66,6 +77,14 @@ def upsert_batch(
             .partitionBy("__bucket")
             .parquet(table_path)
         )
+        if changefeed_path is not None:
+            _emit_changefeed(
+                spark.createDataFrame([], out.drop("__bucket").schema),
+                out.drop("__bucket"),
+                keys,
+                changefeed_path,
+                batch_id,
+            )
         return
     affected = [
         r["__bucket"]
@@ -77,6 +96,10 @@ def upsert_batch(
     if delete_col is not None and delete_col not in existing.columns:
         # stored rows are post-tombstone survivors: not deleted
         existing = existing.withColumn(delete_col, F.lit(False))
+    before = existing.drop("__bucket")
+    if delete_col is not None:
+        before = before.drop(delete_col)
+    before = before.localCheckpoint(eager=True)
     merged = latest_snapshot(
         existing.unionByName(staged.select(*existing.columns)),
         keys,
@@ -107,6 +130,32 @@ def upsert_batch(
         d = Path(table_path) / f"__bucket={b}"
         if d.exists():
             shutil.rmtree(d)
+    if changefeed_path is not None:
+        _emit_changefeed(
+            before, merged.drop("__bucket"), keys, changefeed_path,
+            batch_id,
+        )
+
+
+def _emit_changefeed(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    changefeed_path: str,
+    batch_id: int,
+) -> None:
+    from ..operators.snapshots import snapshot_diff
+
+    spark = after.sparkSession
+    feed = snapshot_diff(before, after, keys).withColumn(
+        "ingest_batch", F.lit(int(batch_id))
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        feed.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(changefeed_path)
+    )
 
 
 def start_upsert_stream(
@@ -120,13 +169,16 @@ def start_upsert_stream(
     n_buckets: int = 64,
     delete_col: str | None = None,
     available_now: bool = True,
+    changefeed_path: str | None = None,
 ) -> StreamingQuery:
-    """File-source stream of keyed updates → bucket-local merges."""
+    """File-source stream of keyed updates → bucket-local merges (and,
+    with ``changefeed_path``, a per-batch CDC feed)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         upsert_batch(
-            batch, table_path, keys, seq_col, n_buckets, delete_col
+            batch, table_path, keys, seq_col, n_buckets, delete_col,
+            changefeed_path=changefeed_path, batch_id=batch_id,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -182,3 +182,46 @@ def test_day_over_day_diff_of_upsert_table(spark, tmp_path):
         for r in snapshot_diff(day1, day2, ["user_id"]).collect()
     }
     assert diff == {1: "changed", 2: "removed", 3: "added"}
+
+
+def test_changefeed_emission_and_replay(spark, tmp_path):
+    """The CDC feed records each batch's effect: creation emits
+    'added' rows, a merge emits changed/added/removed, and an
+    at-least-once REPLAY leaves the original feed intact (the re-run's
+    diff is empty because the state already converged — the feed stays
+    the truthful first-application record)."""
+    path = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    b0 = _batch(spark, [(1, 1, 10.0, False), (2, 1, 20.0, False)])
+    b1 = _batch(spark, [(1, 2, 11.0, False), (2, 2, None, True),
+                        (3, 2, 30.0, False)])
+    upsert_batch(
+        b0, path, ["user_id"], "seq", n_buckets=8, delete_col="deleted",
+        changefeed_path=feed, batch_id=0,
+    )
+    f0 = spark.read.parquet(feed)
+    assert {r["change"] for r in f0.collect()} == {"added"}
+    assert f0.count() == 2
+
+    upsert_batch(
+        b1, path, ["user_id"], "seq", n_buckets=8, delete_col="deleted",
+        changefeed_path=feed, batch_id=1,
+    )
+    f = {
+        (r["ingest_batch"], r["user_id"]): r["change"]
+        for r in spark.read.parquet(feed).collect()
+    }
+    assert f[(1, 1)] == "changed"
+    assert f[(1, 2)] == "removed"
+    assert f[(1, 3)] == "added"
+
+    # replay of b1: state converged, diff empty, feed unchanged
+    upsert_batch(
+        b1, path, ["user_id"], "seq", n_buckets=8, delete_col="deleted",
+        changefeed_path=feed, batch_id=1,
+    )
+    again = {
+        (r["ingest_batch"], r["user_id"]): r["change"]
+        for r in spark.read.parquet(feed).collect()
+    }
+    assert again == f
