@@ -58,6 +58,7 @@ def curate_corpus(
     lm_ref: DataFrame | None = None,
     max_dup_trigram_frac: float | None = None,
     max_top_token_share: float | None = None,
+    compressibility_bounds: tuple[float, float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
@@ -99,7 +100,9 @@ def curate_corpus(
     ``max_dup_trigram_frac`` / ``max_top_token_share`` (optional) add a
     Gopher-style repetition gate after the LM stage: survivors whose
     duplicate-trigram fraction or top-token share exceeds the bound drop
-    with stage ``repetition`` and the 4-dp signal in the reason —
+    with stage ``repetition`` and the 4-dp signal in the reason;
+    ``compressibility_bounds=(lo, hi)`` (optional) adds the zlib-entropy
+    band gate after it (stage ``compressibility``) —
     boilerplate and keyword-stuffed documents the row-local heuristics
     pass. Documents with <3 tokens have no trigram signal and pass
     (``too_short`` owns them).
@@ -353,6 +356,36 @@ def curate_corpus(
         survivors = gated.filter(F.col("__rep").isNull()).drop(
             "__rep", "__dupfrac", "__topshare"
         )
+
+    # ---- stage 3.7: optional compressibility gate ------------------------
+    # zlib-entropy band (operators/compressibility.py): drops BOTH tails
+    # — templated spam (too compressible) and non-text junk (barely
+    # compressible) — the entropy axis the trigram heuristics can't see.
+    # The one Python stage in curation when enabled (no JVM deflate
+    # exists); docs under the 64-byte judgement floor pass (NULL ratio).
+    if compressibility_bounds is not None:
+        from .compressibility import compression_ratios
+
+        c_lo, c_hi = compressibility_bounds
+        ratios = compression_ratios(survivors, id_col, text_col).select(
+            F.col(id_col), F.col("compression_ratio").alias("__cr")
+        )
+        gated = survivors.join(ratios, id_col, "left")
+        bad_cr = F.col("__cr").isNotNull() & ~F.col("__cr").between(
+            c_lo, c_hi
+        )
+        ledgers.append(
+            gated.filter(bad_cr).select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("compressibility").alias("stage"),
+                F.concat(
+                    F.lit("zlib_ratio="),
+                    F.col("__cr").cast("decimal(7,4)").cast("string"),
+                ).alias("reason"),
+                null_flag,
+            )
+        )
+        survivors = gated.filter(~bad_cr).drop("__cr")
 
     # ---- stage 4: optional language allow-list --------------------------
     if keep_langs is not None:

@@ -200,3 +200,39 @@ def test_repetition_gate_passes_short_docs(spark):
     )
     # all-distinct trigrams: dup fraction 0, passes even a tight bound
     assert kept.count() == 1 and ledger.count() == 0
+
+
+def test_compressibility_gate_in_curation(spark):
+    """Enabled gate: the planted template-spam doc drops with stage
+    'compressibility' and the ratio in the reason; default-off leaves
+    the pipeline byte-identical (cu1's oracle contract)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    prose = (
+        "the study recorded seventeen distinct gull species along the "
+        "harbor wall during a cold november survey of nesting habits"
+    )
+    spam = "buy now click here " * 30
+    df = spark.createDataFrame(
+        [(1, prose, "en"), (2, spam, "en")], ["doc_id", "text", "lang"]
+    )
+    kept, ledger = curate_corpus(
+        df,
+        min_tokens=2,
+        jaccard_threshold=0.95,
+        compressibility_bounds=(0.2, 0.9),
+    )
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {1}
+    row = [r for r in ledger.collect() if r["doc_id"] == 2]
+    assert len(row) == 1
+    assert row[0]["stage"] == "compressibility"
+    assert row[0]["reason"].startswith("zlib_ratio=")
+
+    # defaults: gate absent, both docs survive curation unchanged
+    kept_default, _ = curate_corpus(
+        df, min_tokens=2, jaccard_threshold=0.95
+    )
+    assert {r["doc_id"] for r in kept_default.collect()} == {1, 2}
