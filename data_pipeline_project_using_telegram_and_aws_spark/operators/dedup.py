@@ -512,3 +512,91 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def build_exact_hash_index(
+    docs: DataFrame,
+    table: str,
+    buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's exact-dedup state as a bucketed
+    (text_hash, keeper id) table — one row per DISTINCT text, bucketed
+    by text_hash so every later probe join is hash-co-located. The
+    exact twin of ``build_minhash_index_table``: write the shuffle
+    once, probe forever."""
+    spark = docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        exact_dedup_keep_first(docs, id_col, text_col)
+        .select("text_hash", F.col(id_col).alias("keeper_id"))
+        .repartition(buckets, F.col("text_hash"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "text_hash")
+        .sortBy("text_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def exact_dedup_against_index(
+    spark,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup for a daily batch: returns
+    ``(admitted, duplicates)`` — admitted rows' texts appear neither in
+    the persisted index nor earlier in the batch itself (lowest id wins
+    within the batch, the batch-mode keeper rule); duplicates carry the
+    keeper they collided with (corpus keepers or the in-batch keeper).
+
+    Plan: hash the batch (projection), ONE equi-join against the
+    bucketed index keyed on text_hash (the batch side shuffles, the
+    corpus side reads in place), one in-batch window for intra-batch
+    dups. After admission, append the admitted (text_hash, keeper) rows
+    via ``insertInto`` — the index grows with the corpus, hashes never
+    recompute. At-least-once replay of the SAME batch re-admits nothing
+    (its hashes are in the index now), so the append is safe to re-run
+    — duplicate index rows for one hash cannot admit a duplicate (any
+    match rejects), only pad the index; dedupe them at compaction."""
+    hashed = with_text_hash(new_docs, text_col)
+    index = spark.table(table)
+    marked = hashed.join(
+        index.withColumnRenamed("keeper_id", "__corpus_keeper"),
+        "text_hash",
+        "left",
+    )
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    marked = marked.withColumn(
+        "__batch_rank", F.row_number().over(w)
+    ).withColumn(
+        "__batch_keeper", F.min(id_col).over(Window.partitionBy("text_hash"))
+    )
+    is_dup = F.col("__corpus_keeper").isNotNull() | (
+        F.col("__batch_rank") > 1
+    )
+    duplicates = marked.filter(is_dup).select(
+        F.col(id_col),
+        "text_hash",
+        F.coalesce("__corpus_keeper", "__batch_keeper").alias("keeper_id"),
+    )
+    admitted = marked.filter(~is_dup).drop(
+        "__corpus_keeper", "__batch_rank", "__batch_keeper"
+    )
+    return admitted, duplicates
+
+
+def append_to_exact_hash_index(
+    spark, admitted: DataFrame, table: str, id_col: str = "doc_id"
+) -> None:
+    """Grow the index with an admitted batch (bucket spec preserved by
+    insertInto — position-based, so follow the catalog's order)."""
+    (
+        admitted.select("text_hash", F.col(id_col).alias("keeper_id"))
+        .select(*spark.table(table).columns)
+        .write.mode("append")
+        .insertInto(table)
+    )

@@ -363,3 +363,45 @@ def test_containment_properties_on_random_corpora(spark, texts):
         inter_ab = c * sizes[a]
         c_ba = pairs[(b, a)]
         assert abs(inter_ab - c_ba * sizes[b]) < 1e-3
+
+
+def test_incremental_exact_dedup_against_index(spark, tmp_path):
+    """The daily-batch exact path: corpus collisions and in-batch
+    collisions both reject with the right keeper; admitted texts grow
+    the index; replaying the same batch admits nothing."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
+        append_to_exact_hash_index,
+        build_exact_hash_index,
+        exact_dedup_against_index,
+    )
+
+    table = "exact_idx_test"
+    corpus = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        ["doc_id", "text"],
+    )
+    build_exact_hash_index(corpus, table, buckets=4)
+    assert spark.table(table).count() == 2  # one row per distinct text
+
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha text"),   # corpus dup → keeper 1
+            (11, "gamma text"),   # fresh
+            (12, "gamma text"),   # in-batch dup → keeper 11
+            (13, "delta text"),   # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    admitted, dups = exact_dedup_against_index(spark, batch, table)
+    assert {r["doc_id"] for r in admitted.collect()} == {11, 13}
+    keepers = {r["doc_id"]: r["keeper_id"] for r in dups.collect()}
+    assert keepers == {10: 1, 12: 11}
+
+    append_to_exact_hash_index(spark, admitted, table)
+    assert spark.table(table).count() == 4
+
+    # at-least-once replay: everything now collides, nothing admits
+    again, dups2 = exact_dedup_against_index(spark, batch, table)
+    assert again.count() == 0
+    assert dups2.count() == 4
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
