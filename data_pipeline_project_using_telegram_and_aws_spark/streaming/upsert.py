@@ -227,3 +227,15 @@ def lookup(
     for k, v in zip(keys, values):
         df = df.filter(F.col(k) == v)
     return df.drop("__bucket")
+
+
+def read_changefeed(
+    spark: SparkSession, changefeed_path: str, since_batch: int | None = None
+) -> DataFrame:
+    """Consume the CDC feed: all change rows, or those after a
+    consumer's cursor (``ingest_batch > since_batch`` — partition
+    pruning makes the cursor read touch only new partitions)."""
+    feed = spark.read.parquet(changefeed_path)
+    if since_batch is not None:
+        feed = feed.filter(F.col("ingest_batch") > since_batch)
+    return feed

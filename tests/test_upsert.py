@@ -225,3 +225,43 @@ def test_changefeed_emission_and_replay(spark, tmp_path):
         for r in spark.read.parquet(feed).collect()
     }
     assert again == f
+
+
+def test_streaming_changefeed_and_cursor(spark, tmp_path):
+    """The stream emits per-batch CDC partitions; a consumer cursor
+    reads only what's new (partition-pruned)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+        read_changefeed,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    _batch(spark, [(1, 1, 10.0, False)]).coalesce(1).write.parquet(
+        str(src / "f0.parquet")
+    )
+    start_upsert_stream(
+        spark, str(src) + "/*", SCHEMA, path, ["user_id"], "seq", ckpt,
+        n_buckets=8, delete_col="deleted", changefeed_path=feed,
+    ).awaitTermination(120)
+    _batch(spark, [(1, 2, 99.0, False), (2, 2, 20.0, False)]).coalesce(
+        1
+    ).write.parquet(str(src / "f1.parquet"))
+    start_upsert_stream(
+        spark, str(src) + "/*", SCHEMA, path, ["user_id"], "seq", ckpt,
+        n_buckets=8, delete_col="deleted", changefeed_path=feed,
+    ).awaitTermination(120)
+
+    all_rows = read_changefeed(spark, feed).collect()
+    assert {(r["ingest_batch"], r["user_id"], r["change"]) for r in all_rows} == {
+        (0, 1, "added"),
+        (1, 1, "changed"),
+        (1, 2, "added"),
+    }
+    # cursor: a consumer that has seen batch 0 gets only batch 1
+    new = read_changefeed(spark, feed, since_batch=0)
+    assert {r["ingest_batch"] for r in new.collect()} == {1}
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "ingest_batch" in plan  # the cursor is a partition filter
