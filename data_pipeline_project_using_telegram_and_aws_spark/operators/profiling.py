@@ -114,3 +114,60 @@ def robust_outlier_report(
             ).alias("n_above"),
         )
     )
+
+
+def corpus_health_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str | None = "source",
+) -> dict:
+    """One call, one dict: the numbers an ingest dashboard shows —
+    row/distinct-id counts (exact + HLL ledger rows per group), the
+    exact-duplicate text ratio, token-length percentiles, and null/empty
+    text rates. A composition of the observability operators this
+    module sits beside (`sketches.hll_ledger`, the percentile sketches)
+    — three aggregations over two scans, nothing row-sized returns to
+    the driver.
+
+    This is a REPORT, not a gate: thresholds belong to
+    `operators/contracts.py`, trends to `operators/drift.py`."""
+    from .sketches import hll_ledger
+
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(id_col)).alias("n_distinct_ids"),
+        F.count_distinct(F.md5(F.col(text_col).cast("binary"))).alias(
+            "n_distinct_texts"
+        ),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null_text"),
+        F.sum((F.length(F.coalesce(text_col, F.lit(""))) == 0).cast("long"))
+        .alias("n_empty_text"),
+        F.percentile_approx(
+            toks, [0.5, 0.9, 0.99], 1000
+        ).alias("token_percentiles"),
+    ).collect()[0]
+    n = int(base["n_rows"])
+    report = {
+        "n_rows": n,
+        "n_distinct_ids": int(base["n_distinct_ids"]),
+        "n_distinct_texts": int(base["n_distinct_texts"]),
+        "duplicate_text_ratio": (
+            round(1.0 - base["n_distinct_texts"] / n, 6) if n else 0.0
+        ),
+        "null_text_rate": round(base["n_null_text"] / n, 6) if n else 0.0,
+        "empty_text_rate": round(base["n_empty_text"] / n, 6) if n else 0.0,
+        "token_p50_p90_p99": [int(x) for x in base["token_percentiles"]],
+    }
+    if by is not None and by in docs.columns:
+        report["per_group"] = {
+            r[by]: {
+                "n_rows": int(r["n_rows"]),
+                "distinct_est": int(r["distinct_est"]),
+            }
+            for r in hll_ledger(docs, id_col, by=[by]).collect()
+        }
+    return report

@@ -66,3 +66,30 @@ def test_robust_outlier_report(spark):
     assert rep["n_rows"] == 1003
     # the fences sit near the body, nowhere near the poison
     assert rep["hi_fence"] < 200
+
+
+def test_corpus_health_report(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.profiling import (
+        corpus_health_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.unionByName(
+        docs.limit(1).withColumn("doc_id", F.lit(999_999))
+    )  # one duplicate text under a fresh id
+    rep = corpus_health_report(planted)
+    n = docs.count()
+    assert rep["n_rows"] == n + 1
+    assert rep["n_distinct_ids"] == n + 1
+    assert rep["n_distinct_texts"] <= n       # the plant collapsed
+    assert rep["duplicate_text_ratio"] > 0
+    assert rep["null_text_rate"] == 0.0
+    p50, p90, p99 = rep["token_p50_p90_p99"]
+    assert 0 < p50 <= p90 <= p99
+    assert set(rep["per_group"]) == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    for g in rep["per_group"].values():
+        assert g["n_rows"] > 0 and g["distinct_est"] > 0
