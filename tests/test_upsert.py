@@ -265,3 +265,48 @@ def test_streaming_changefeed_and_cursor(spark, tmp_path):
     assert {r["ingest_batch"] for r in new.collect()} == {1}
     plan = new._jdf.queryExecution().executedPlan().toString()
     assert "ingest_batch" in plan  # the cursor is a partition filter
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),                 # key
+        st.floats(min_value=0, max_value=100, allow_nan=False),  # value
+        st.booleans(),                                         # delete?
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_ops, _ops)
+def test_upsert_matches_dict_reference_model(spark, tmp_path_factory, ops_a, ops_b):
+    """Model-based MERGE check: two batches of random upserts/deletes
+    (monotone seq numbers) applied through upsert_batch must equal the
+    trivial Python dict replay — last write per key wins, deletes
+    remove, later batches beat earlier ones."""
+    path = str(tmp_path_factory.mktemp("ups") / "t")
+    model: dict[int, float] = {}
+    seq = 0
+    for batch_id, ops in enumerate((ops_a, ops_b)):
+        rows = []
+        for key, val, is_del in ops:
+            seq += 1
+            rows.append((key, seq, None if is_del else val, is_del))
+            if is_del:
+                model.pop(key, None)
+            else:
+                model[key] = val
+        upsert_batch(
+            _batch(spark, rows), path, ["user_id"], "seq",
+            n_buckets=4, delete_col="deleted",
+        )
+    got = {
+        r["user_id"]: r["balance"]
+        for r in read_current(spark, path).collect()
+    }
+    assert got == model
