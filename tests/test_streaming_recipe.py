@@ -88,3 +88,60 @@ def test_gate_feeds_ledger(spark, tmp_path):
     }
     assert totals2["en"] == 81 and totals2["de"] == 70
     assert spark.read.parquet(quar).count() == 3
+
+
+def test_full_front_door_gate_then_dedup(spark, tmp_path):
+    """The complete streaming front door: contract gate (violators →
+    quarantine) feeding exact-dedup ingest (duplicates → reject zone,
+    fresh texts → good zone + growing index). Conservation holds across
+    BOTH stages: every input row lands in exactly one of quarantine /
+    reject / good."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.dedup_ingest import (
+        start_dedup_ingest_stream,
+    )
+
+    table = "front_door_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    src = tmp_path / "src"
+    src.mkdir()
+    gated = str(tmp_path / "gated")
+    quar = str(tmp_path / "quar")
+    good = str(tmp_path / "good")
+    reject = str(tmp_path / "reject")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "en", "alpha"),
+        (2, "de", "beta"),
+        (3, "en", "alpha"),     # duplicate text → reject zone
+        (None, "en", "gamma"),  # contract violation → quarantine
+        (5, "xx", "delta"),     # contract violation → quarantine
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_contract_gate_stream(
+        spark, str(src) + "/*", schema,
+        [{"rule": "not_null", "col": "doc_id"},
+         {"rule": "accepted_values", "col": "lang", "values": ["en", "de"]}],
+        gated, quar, str(tmp_path / "ck1"),
+    ).awaitTermination(120)
+    start_dedup_ingest_stream(
+        spark, gated + "/*", schema, table, good, reject,
+        str(tmp_path / "ck2"), buckets=4,
+    ).awaitTermination(120)
+
+    good_ids = {r["doc_id"] for r in spark.read.parquet(good).collect()}
+    reject_ids = {r["doc_id"] for r in spark.read.parquet(reject).collect()}
+    n_quar = spark.read.parquet(quar).count()
+    assert good_ids == {1, 2}
+    assert reject_ids == {3}
+    assert n_quar == 2
+    assert len(good_ids) + len(reject_ids) + n_quar == len(rows)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
