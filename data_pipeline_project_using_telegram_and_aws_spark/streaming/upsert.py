@@ -67,16 +67,33 @@ def upsert_batch(
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
     staged = batch.withColumn("__bucket", bucket.cast("long"))
     import os
+    import shutil
+    from pathlib import Path
+
+    # An existing table with zero __bucket= dirs is the EMPTY state
+    # (every key tombstoned by a prior batch; a zero-row marker file
+    # holds the schema so readers keep working). The next merge starts
+    # from scratch: clear the marker and take the bootstrap path.
+    if os.path.exists(table_path) and not any(
+        Path(table_path).glob("__bucket=*")
+    ):
+        shutil.rmtree(table_path)
 
     if not os.path.exists(table_path):
         out = latest_snapshot(staged, keys, seq_col, delete_col)
-        (
-            out.repartition("__bucket")
-            .sortWithinPartitions(*keys)
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(table_path)
-        )
+        out = out.localCheckpoint(eager=True)
+        if out.isEmpty():
+            # all-tombstone first batch: land the schema marker, not a
+            # fileless directory that breaks every subsequent read
+            _write_empty_marker(out, table_path)
+        else:
+            (
+                out.repartition("__bucket")
+                .sortWithinPartitions(*keys)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(table_path)
+            )
         if changefeed_path is not None:
             _emit_changefeed(
                 spark.createDataFrame([], out.drop("__bucket").schema),
@@ -119,9 +136,6 @@ def upsert_batch(
     # dynamic overwrite only rewrites partitions PRESENT in the output:
     # an affected bucket whose merge came back empty (its last keys were
     # all tombstoned) must be deleted explicitly or stale rows survive
-    import shutil
-    from pathlib import Path
-
     surviving = {
         r["__bucket"]
         for r in merged.select("__bucket").distinct().collect()
@@ -130,11 +144,32 @@ def upsert_batch(
         d = Path(table_path) / f"__bucket={b}"
         if d.exists():
             shutil.rmtree(d)
+    if not any(Path(table_path).glob("__bucket=*")):
+        # the batch tombstoned the table's LAST keys: the dynamic
+        # overwrite wrote nothing and the cleanup removed every bucket
+        # dir — replace the fileless husk with the zero-row schema
+        # marker so read_current/lookup and the next merge still work
+        shutil.rmtree(table_path)
+        _write_empty_marker(merged, table_path)
     if changefeed_path is not None:
         _emit_changefeed(
             before, merged.drop("__bucket"), keys, changefeed_path,
             batch_id,
         )
+
+
+def _write_empty_marker(template: DataFrame, table_path: str) -> None:
+    """Persist a zero-row, NON-partitioned parquet carrying the table
+    schema (``__bucket`` as a plain long column). Readers infer the
+    schema from it; `upsert_batch` recognizes the no-bucket-dirs layout
+    as the empty state and bootstraps over it on the next write."""
+    spark = template.sparkSession
+    (
+        spark.createDataFrame([], template.schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(table_path)
+    )
 
 
 def _emit_changefeed(

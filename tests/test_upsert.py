@@ -310,3 +310,50 @@ def test_upsert_matches_dict_reference_model(spark, tmp_path_factory, ops_a, ops
         for r in read_current(spark, path).collect()
     }
     assert got == model
+
+
+def test_delete_last_keys_leaves_readable_empty_table(spark, tmp_path):
+    """Regression: tombstoning EVERY remaining key used to leave a
+    fileless directory (dynamic overwrite wrote nothing, the cleanup
+    removed the last bucket dirs) that broke read_current and the next
+    merge with UNABLE_TO_INFER_SCHEMA. The empty state must stay
+    readable and writable."""
+    path = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(1, 1, 10.0, False), (2, 1, 20.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    upsert_batch(
+        _batch(spark, [(1, 2, None, True), (2, 2, None, True)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    assert read_current(spark, path).count() == 0
+    # the table is born again from the empty state
+    upsert_batch(
+        _batch(spark, [(3, 3, 30.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    state = {
+        r["user_id"]: r["balance"]
+        for r in read_current(spark, path).collect()
+    }
+    assert state == {3: 30.0}
+
+
+def test_all_tombstone_first_batch_bootstraps_empty(spark, tmp_path):
+    """A first batch that is pure deletes creates a readable empty
+    table, and a later insert works on top of it."""
+    path = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(9, 1, None, True)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    assert read_current(spark, path).count() == 0
+    upsert_batch(
+        _batch(spark, [(9, 2, 9.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    assert {
+        r["user_id"]: r["balance"]
+        for r in read_current(spark, path).collect()
+    } == {9: 9.0}
