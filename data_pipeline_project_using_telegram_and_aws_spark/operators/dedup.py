@@ -558,16 +558,32 @@ def exact_dedup_against_index(
     corpus side reads in place), one in-batch window for intra-batch
     dups. After admission, append the admitted (text_hash, keeper) rows
     via ``insertInto`` — the index grows with the corpus, hashes never
-    recompute. At-least-once replay of the SAME batch re-admits nothing
-    (its hashes are in the index now), so the append is safe to re-run
-    — duplicate index rows for one hash cannot admit a duplicate (any
-    match rejects), only pad the index; dedupe them at compaction."""
+    recompute. At-least-once replay of the SAME batch is
+    classification-STABLE: a corpus keeper equal to the probing row's
+    own id is the row itself (indexed by the previous delivery) and is
+    treated as no-match, so the original admitted/duplicate split
+    reproduces exactly and the re-append only pads the index with rows
+    it already has — padding cannot admit a duplicate (the per-hash
+    min-keeper survives); dedupe it at compaction."""
     hashed = with_text_hash(new_docs, text_col)
-    index = spark.table(table)
-    marked = hashed.join(
-        index.withColumnRenamed("keeper_id", "__corpus_keeper"),
-        "text_hash",
-        "left",
+    # one keeper per hash: replay/crash re-appends pad the index with
+    # repeated (hash, keeper) rows, which must not multiply the probe
+    # join. min() is bucket-local (table is bucketed on text_hash).
+    index = (
+        spark.table(table)
+        .groupBy("text_hash")
+        .agg(F.min("keeper_id").alias("__corpus_keeper"))
+    )
+    marked = hashed.join(index, "text_hash", "left")
+    # self-match = this row re-delivered after its own index append:
+    # nullify so it re-classifies as admitted, keeping the reject zone
+    # and stats replay-stable (when() without otherwise yields null)
+    marked = marked.withColumn(
+        "__corpus_keeper",
+        F.when(
+            F.col("__corpus_keeper") != F.col(id_col),
+            F.col("__corpus_keeper"),
+        ),
     )
     w = Window.partitionBy("text_hash").orderBy(id_col)
     marked = marked.withColumn(

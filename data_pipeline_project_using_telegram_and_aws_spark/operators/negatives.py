@@ -40,9 +40,20 @@ def negative_samples(
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
     """(id_col, neg_id, neg_rank 0..k-1): ``k`` deterministic negatives
-    per row, never the row itself. Falls short of ``k`` only if an
-    anchor self-collides more than ``PAD`` times (probability ≈
-    (1/n_buckets)^PAD — astronomically small at any sane sizing)."""
+    per row, never the row itself.
+
+    Shortfall math, stated honestly: an anchor needs ``k`` DISTINCT
+    non-self representatives from its draws, and BOTH self-collisions
+    and probe-to-probe bucket collisions consume the slack — with ``m``
+    draws over ``R`` occupied buckets the expected number of wasted
+    (colliding) draws is ≈ m(m−1)/(2R), the birthday rate, far above
+    the old (1/R)^pad folklore. The pad is therefore sized from the
+    MEASURED ``R``: pad = PAD + ⌈(k+PAD)²/(2R)⌉ extra probes, so the
+    expected waste is covered with the same fixed-PAD headroom on top.
+    An anchor can still (rarely) fall short when R is tiny relative to
+    k; per-anchor row counts are the caller's audit signal. Extra tail
+    probes never change the first-k-distinct prefix, so raising the pad
+    is output-compatible for anchors that were already full."""
     if k <= 0:
         raise ValueError("negative_samples: k must be > 0")
     if n_buckets < 2 * (k + PAD):
@@ -68,27 +79,36 @@ def negative_samples(
     # silently starves the anchor): index the representatives densely
     # 0..R-1 and probe over R. The window and count run over the
     # bucket-table — n_buckets-bounded, never corpus-sized.
-    reps = reps.withColumn(
-        "__ridx",
-        F.row_number().over(Window.orderBy("__bucket")) - 1,
-    ).drop("__bucket")
-    r_count = reps.agg(F.count(F.lit(1)).alias("__r"))
-    probes = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(0), F.lit(k + PAD - 1))
-            ).alias("__j"),
-        )
-        .crossJoin(F.broadcast(r_count))
-        .withColumn(
+    reps = (
+        reps.withColumn(
             "__ridx",
-            F.pmod(
-                F.xxhash64(F.col(id_col), F.col("__j"), F.lit(seed)),
-                F.col("__r"),
-            ),
+            F.row_number().over(Window.orderBy("__bucket")) - 1,
         )
-        .drop("__r")
+        .drop("__bucket")
+        # reps feeds both the R count and the probe join: checkpoint so
+        # the corpus aggregates once, not once per consumer
+        .localCheckpoint(eager=True)
+    )
+    r = reps.count()  # occupied buckets — control-plane scalar
+    if r == 0:
+        return reps.select(
+            F.col("neg_id").alias(id_col),
+            F.col("neg_id"),
+            F.lit(0).cast("long").alias("neg_rank"),
+        )
+    m = k + PAD
+    pad = PAD + -(-(m * m) // (2 * r))  # birthday-rate cover, ceil
+    probes = df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(k + pad - 1))
+        ).alias("__j"),
+    ).withColumn(
+        "__ridx",
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.col("__j"), F.lit(seed)),
+            F.lit(r),
+        ),
     )
     w = Window.partitionBy(id_col).orderBy("__j")
     return (

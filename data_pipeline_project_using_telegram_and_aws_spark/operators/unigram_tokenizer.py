@@ -207,7 +207,10 @@ def train_unigram(
             key=lambda x: (x[1], x[0]),
         )
         overage = len(logp) - vocab_size
-        n_drop = max(1, min(len(multi), max(overage, int(overage * prune_frac))))
+        # prune only a FRACTION of the overage per round so EM
+        # re-estimates between prunes (the SentencePiece schedule);
+        # max(1, ...) guarantees progress when the fraction rounds to 0
+        n_drop = max(1, min(len(multi), int(overage * prune_frac)))
         for p, _ in multi[:n_drop]:
             del mass[p]
         logp = to_logp(mass)

@@ -6,13 +6,16 @@ duplicates land in a labeled reject zone with their keeper — the
 
 Replay contract, stated precisely: the good zone and the reject zone
 are per-batch ``ingest_batch`` partitions (dynamic overwrite — the
-ledger pattern, re-delivery rewrites), while the index append itself
-is naturally replay-safe: a re-delivered batch's texts are already
-indexed, so every row re-classifies as duplicate and the re-run
-appends nothing. The ONE asymmetry — a crash between the good-zone
-write and the index append — re-admits the batch against the un-grown
-index and rewrites the same partition with the same rows before
-appending; convergent either way.
+ledger pattern, re-delivery rewrites), and classification itself is
+replay-STABLE: a re-delivered row whose indexed keeper is its own id
+re-classifies as admitted (self-match = no-match inside
+`exact_dedup_against_index`), so the good zone, reject zone, AND the
+stats row all rewrite with their original contents. The re-run's
+index append pads the index with rows it already has — harmless
+(per-hash min-keeper wins; compaction dedupes). A crash between the
+good-zone write and the index append replays against the un-grown
+index and rewrites the same partitions identically; convergent either
+way.
 
 Per-batch observability rides along: one stats row per batch
 (admitted/duplicate counts, dedup ratio) under the same partition

@@ -25,8 +25,9 @@ from ..operators.drift import EPS, histogram
 def freeze_baseline(
     df: DataFrame, col: str, path: str, bins: int = 20
 ) -> None:
-    """Persist the reference distribution: (bin, p) rows plus one
-    metadata row (bin = -1) carrying lo/hi/bins/n_rows."""
+    """Persist the reference distribution: one (bin, p) row per
+    OCCUPIED bin, every row also carrying the lo/hi/bins/n_rows
+    metadata (so any row can seed the scorer's binning)."""
     stats = df.agg(
         F.min(F.col(col)).alias("lo"),
         F.max(F.col(col)).alias("hi"),
@@ -62,12 +63,16 @@ def score_batch_psi(
     )
     h = histogram(batch, col, bins, lo, hi)
     total = h.agg(F.sum("n").alias("t"))
+    # FULL outer: the baseline stores only occupied bins, so batch
+    # mass landing in a bin the baseline never saw (a new mode — the
+    # strongest drift signal) must still contribute its
+    # q·ln((q+eps)/eps) term, matching operators/drift.psi_report
     scored = (
         baseline.select("bin", "p")
-        .join(h, "bin", "left")
+        .join(h, "bin", "full_outer")
         .crossJoin(F.broadcast(total))
         .select(
-            "p",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
             (F.coalesce("n", F.lit(0)) / F.greatest("t", F.lit(1))).alias(
                 "q"
             ),

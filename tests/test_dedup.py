@@ -368,7 +368,9 @@ def test_containment_properties_on_random_corpora(spark, texts):
 def test_incremental_exact_dedup_against_index(spark, tmp_path):
     """The daily-batch exact path: corpus collisions and in-batch
     collisions both reject with the right keeper; admitted texts grow
-    the index; replaying the same batch admits nothing."""
+    the index; replaying the same batch reproduces the ORIGINAL
+    admitted/duplicate split (self-matches are no-matches), and the
+    padded index still rejects genuinely new duplicates."""
     from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
         append_to_exact_hash_index,
         build_exact_hash_index,
@@ -400,8 +402,24 @@ def test_incremental_exact_dedup_against_index(spark, tmp_path):
     append_to_exact_hash_index(spark, admitted, table)
     assert spark.table(table).count() == 4
 
-    # at-least-once replay: everything now collides, nothing admits
+    # at-least-once replay: classification is STABLE — the previously
+    # admitted rows re-admit (their corpus keeper is themselves), the
+    # previously rejected rows re-reject with the same keepers
     again, dups2 = exact_dedup_against_index(spark, batch, table)
-    assert again.count() == 0
-    assert dups2.count() == 4
+    assert {r["doc_id"] for r in again.collect()} == {11, 13}
+    assert {
+        r["doc_id"]: r["keeper_id"] for r in dups2.collect()
+    } == {10: 1, 12: 11}
+    # the replayed append pads the index; padding must not multiply
+    # probe matches nor admit a real duplicate
+    append_to_exact_hash_index(spark, again, table)
+    adm3, dups3 = exact_dedup_against_index(
+        spark,
+        spark.createDataFrame([(20, "gamma text")], ["doc_id", "text"]),
+        table,
+    )
+    assert adm3.count() == 0
+    assert {(r["doc_id"], r["keeper_id"]) for r in dups3.collect()} == {
+        (20, 11)
+    }
     spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -75,3 +75,44 @@ def test_dedup_ingest_end_to_end(spark, tmp_path):
     assert spark.read.parquet(good).count() == 3
     assert spark.table(table).count() == 3
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_replay_of_indexed_batch_is_stable(spark, tmp_path):
+    """Regression: re-delivering an already-indexed batch used to
+    reclassify EVERY row as a duplicate of itself (its own id is the
+    corpus keeper now), rewriting the reject zone and stats row as
+    all-duplicates. Replay must reproduce the original good/reject
+    split and stats."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.dedup_ingest import (
+        ingest_batch_with_dedup,
+    )
+
+    table = "dedup_replay_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    good = str(tmp_path / "good")
+    reject = str(tmp_path / "reject")
+    stats = str(tmp_path / "stats")
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], SCHEMA
+    )
+
+    def snapshot():
+        g = {r["doc_id"] for r in spark.read.parquet(good).collect()}
+        d = {
+            (r["doc_id"], r["keeper_id"])
+            for r in spark.read.parquet(reject).collect()
+        }
+        s = spark.read.parquet(stats).collect()[0]
+        return g, d, (s["n_admitted"], s["n_duplicates"], s["dup_ratio"])
+
+    ingest_batch_with_dedup(
+        batch, 0, table, good, reject, stats_path=stats, buckets=4
+    )
+    first = snapshot()
+    assert first[0] == {1, 2} and first[1] == {(3, 1)}
+    # at-least-once re-delivery of the SAME batch (same batch_id)
+    ingest_batch_with_dedup(
+        batch, 0, table, good, reject, stats_path=stats, buckets=4
+    )
+    assert snapshot() == first
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -85,3 +85,29 @@ def test_score_batch_matches_batch_report(spark, tmp_path):
             spark.createDataFrame([(1.0,)], "x double"), "x",
             str(tmp_path / "bad"),
         )
+
+
+def test_new_mode_in_baseline_empty_bin_counts(spark, tmp_path):
+    """Regression: batch mass landing in a bin the baseline never
+    occupied (a NEW mode) used to vanish from the PSI sum because the
+    scorer left-joined from the baseline side and the baseline persists
+    only occupied bins. It must contribute its q·ln((q+eps)/eps) term,
+    matching the batch-side psi_report on the same pair."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import psi_report
+
+    # bimodal baseline: bins in the middle of [0, 1] are empty
+    base = _uniform(spark, 1000, 0.0, 0.05, seed=1).unionAll(
+        _uniform(spark, 1000, 0.95, 1.0, seed=2)
+    )
+    # the whole batch lands in the baseline-empty middle
+    cur = _uniform(spark, 1000, 0.45, 0.55, seed=3)
+    base_path = str(tmp_path / "b")
+    freeze_baseline(base, "x", base_path)
+    stream_psi = score_batch_psi(
+        cur, "x", spark.read.parquet(base_path)
+    ).collect()[0]["psi"]
+    batch_psi = psi_report(base, cur, "x")["psi"]
+    # identical binning (both fix edges from the baseline min/max), so
+    # the two scorers must agree tightly — and the new mode dominates
+    assert stream_psi > 5.0
+    assert abs(stream_psi - batch_psi) < 1e-3

@@ -85,3 +85,21 @@ def test_build_triplets(spark, sf_dir):
         vecs, k_hard=2, k_rand=3, k=4, sample_n=64, seed=3
     ).collect()
     assert sorted(map(str, trip)) == sorted(map(str, again))
+
+
+def test_pad_covers_birthday_collisions(spark):
+    """Regression: the pad was fixed at 3 regardless of k and R, while
+    probe-to-probe bucket collisions consume it at the birthday rate
+    (k+PAD)²/2R — anchors fell short of k at moderate k/R ratios. With
+    the adaptive pad every anchor must come back full when R > k."""
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    out = negative_samples(docs, k=8, n_buckets=4096)
+    per_anchor = (
+        out.groupBy("doc_id").count().select("count").distinct().collect()
+    )
+    assert {r["count"] for r in per_anchor} == {8}
+    # distinctness still holds per anchor
+    dup = (
+        out.groupBy("doc_id", "neg_id").count().filter("count > 1").count()
+    )
+    assert dup == 0

@@ -205,3 +205,24 @@ def test_pieces_artifact_round_trip(spark, docs, pieces, tmp_path):
         for r in unigram_encode(docs, reloaded, max_piece_len=4).collect()
     }
     assert a == b
+
+
+def test_prune_is_gradual(spark):
+    """Regression: prune_frac was dead code (max() instead of min()),
+    so the entire overage was cut in one round with no EM re-estimation
+    between prunes. With a small prune_frac the trainer must still
+    converge to the target size, and a full-overage prune_frac=1.0 run
+    must also land on target — both ending EXACTLY at or below
+    vocab_size with every single character retained."""
+    rows = [(i, ("abcdef" * 3) + "ghij" * 2 + "kl" * i) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for frac in (0.2, 1.0):
+        pieces = {
+            r["piece"]
+            for r in train_unigram(
+                docs, vocab_size=14, max_piece_len=4, prune_frac=frac
+            ).collect()
+        }
+        assert len(pieces) <= 14
+        chars = {c for _, t in rows for c in t}
+        assert chars <= pieces  # single-character floor survives
