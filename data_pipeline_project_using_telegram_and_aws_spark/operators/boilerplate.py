@@ -1,0 +1,145 @@
+"""Document-frequency boilerplate removal (the CCNet/Dolma line-level
+filter): drop every line that appears in "too many" documents — cookie
+banners, navigation chrome, license headers, template footers — from
+EVERY document, then reassemble.
+
+Complementary to `dedup.span_exact_dedup`, deliberately: span dedup
+keeps each repeated span's FIRST occurrence (dedup semantics — one
+copy survives), while boilerplate is defined by ubiquity and the right
+number of surviving copies is ZERO. A cookie banner in 90% of a crawl
+is not content that deserves one keeper; it is noise in all of them.
+
+Threshold semantics: a line is boilerplate when its document frequency
+is ≥ max(``min_docs``, ``frac`` · corpus size). The ``min_docs`` floor
+keeps tiny corpora from flagging every shared line; the fraction keeps
+the rule scale-relative. Blank lines never count and never drop.
+
+Scale shape, with the bound stated: lines explode row-locally; the DF
+table is one partial-agg'd countDistinct over (line_hash); the HOT set
+— lines above threshold — is broadcast-safe BY CONSTRUCTION, because
+at most (total lines) / (frac · n_docs) ≈ avg_lines_per_doc / frac
+lines can clear a frac-of-corpus bar (a quantity independent of corpus
+row count; ~thousands at frac=0.01). Removal is then one broadcast
+hash join on the exploded lines and reassembly one doc-keyed
+aggregation — two shuffles total (the DF agg and the reassembly),
+both keyed, nothing all-pairs, no Python anywhere.
+
+Matching is on the TRIMMED line (leading/trailing whitespace doesn't
+make a banner a different banner) but reassembly preserves the
+original line bytes of survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _exploded_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__key", F.md5(F.trim(F.col("__line")).cast("binary")))
+
+
+def _hot_lines(
+    lines: DataFrame,
+    id_col: str,
+    n_docs: int,
+    min_docs: int,
+    frac: float,
+) -> DataFrame:
+    threshold = max(min_docs, int(-(-frac * n_docs // 1)))  # ceil
+    return (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy("__key")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") >= threshold)
+    )
+
+
+def boilerplate_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    frac: float = 0.5,
+) -> DataFrame:
+    """Audit surface: (line, line_df, doc_share) for every line above
+    the boilerplate threshold — what WOULD be removed, with its reach.
+    The line text shown is one representative rendering (min — trimmed
+    variants collapse to one row)."""
+    n_docs = docs.count()
+    lines = _exploded_lines(docs, id_col, text_col)
+    hot = _hot_lines(lines, id_col, n_docs, min_docs, frac)
+    return (
+        lines.join(F.broadcast(hot), "__key")
+        .groupBy("__key")
+        .agg(
+            F.min(F.trim(F.col("__line"))).alias("line"),
+            F.first("line_df").alias("line_df"),
+        )
+        .select(
+            "line",
+            "line_df",
+            (F.col("line_df") / F.lit(float(max(n_docs, 1)))).alias(
+                "doc_share"
+            ),
+        )
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    frac: float = 0.5,
+) -> DataFrame:
+    """One row per input document: (id, text, n_lines,
+    n_dropped_lines) with every above-threshold line removed and the
+    survivors rejoined in original order. A document that was ALL
+    boilerplate comes back with empty text rather than vanishing (the
+    `span_exact_dedup` row contract). Idempotent: a second pass over
+    the output drops nothing (the hot lines are gone, so no line can
+    clear the threshold it already cleared)."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("remove_boilerplate_lines: frac must be in (0, 1]")
+    n_docs = docs.count()
+    lines = _exploded_lines(docs, id_col, text_col)
+    hot = _hot_lines(lines, id_col, n_docs, min_docs, frac)
+    flagged = lines.join(
+        F.broadcast(hot.select("__key", F.lit(True).alias("__hot"))),
+        "__key",
+        "left",
+    )
+    member = F.struct(F.col("__pos"), F.col("__line"))
+    rebuilt = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("__hot").isNull(), member))
+            ).alias("__kept"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce("__hot", F.lit(False)).cast("long")).alias(
+                "n_dropped_lines"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda m: m["__line"]), "\n"
+            ).alias(text_col),
+            F.col("n_lines").cast("long"),
+            "n_dropped_lines",
+        )
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_dropped_lines", F.lit(0).cast("long")).alias(
+            "n_dropped_lines"
+        ),
+    )
