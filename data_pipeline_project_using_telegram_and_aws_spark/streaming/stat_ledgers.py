@@ -1,0 +1,164 @@
+"""Streaming maintenance for the quantile and frequency ledgers — the
+`sketch_ledger` pattern applied to `operators/quantile_sketch.py`
+(bottom-k samples) and `operators/frequency.py` (count-min rows): each
+micro-batch reduces to ledger rows under its own ``ingest_batch``
+partition, and "token-length p95 so far" / "all-time count of domain X"
+cost a ledger merge, never a rescan of history.
+
+Replay safety, per ledger, stated precisely (the two layers
+`streaming/sketch_ledger.py` documents):
+
+- **quantile rows** get both layers: partition idempotence (dynamic
+  overwrite rewrites a re-delivered batch's partition) AND algebraic
+  idempotence of the sample merge (set union over (die, value) pairs —
+  a duplicated ledger row merges to a no-op). The exact counters
+  (n_rows/n_null) are sums and rely on layer 1 alone, same as the HLL
+  ledger's n_rows.
+- **count-min rows** have NO algebraic idempotence (counter addition
+  double-counts), so they rely entirely on partition idempotence —
+  which the ledger layout provides. The compaction caveat from
+  `sketch_ledger.compact_ledger` therefore binds HARDER here: folding
+  batch partitions into a baseline must only happen in a maintenance
+  window with the checkpoint committed past the folded ids, or a
+  replayed batch inflates counts (not just n_rows).
+
+Scale: per batch, one keyed shuffle + rank window (quantile — see the
+operator's plan note) or one partial-agg'd aggregation (CMS); ledger
+growth per batch = groups × k structs, or ≤ groups × depth·width
+counter rows — independent of batch row volume. The ledger IS the
+state: plain parquet, no state store, readable by any batch job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.frequency import cms_ledger, merge_cms_ledger
+from ..operators.quantile_sketch import (
+    merge_quantile_ledger,
+    quantile_ledger,
+)
+
+
+def _land(rows: DataFrame, batch_id: int, ledger_path: str) -> None:
+    spark = rows.sparkSession
+    stamped = rows.withColumn("ingest_batch", F.lit(int(batch_id)))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        stamped.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(ledger_path)
+    )
+
+
+def _start(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sink,
+    checkpoint_dir: str | None,
+    available_now: bool,
+) -> StreamingQuery:
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_quantile_ledger_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ledger_path: str,
+    value_col: str,
+    id_col: str,
+    by: list[str] | None = None,
+    k: int = 1024,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source stream → per-batch bottom-k quantile rows in the
+    ledger."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _land(
+            quantile_ledger(batch, value_col, id_col, by=by, k=k),
+            batch_id,
+            ledger_path,
+        )
+
+    return _start(
+        spark, source_dir, schema, sink, checkpoint_dir, available_now
+    )
+
+
+def quantiles_so_far(
+    spark: SparkSession,
+    ledger_path: str,
+    qs: list[float],
+    by: list[str] | None = None,
+    k: int = 1024,
+) -> DataFrame:
+    """The read side: merge every batch's sample rows down to ``by``
+    groups and append ``q_<...>`` estimate columns. Ledger-sized
+    operand only."""
+    from ..operators.quantile_sketch import ledger_quantiles
+
+    merged = merge_quantile_ledger(
+        spark.read.parquet(ledger_path).drop("ingest_batch"), by=by, k=k
+    )
+    return ledger_quantiles(merged, qs)
+
+
+def start_cms_ledger_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ledger_path: str,
+    item_col: str,
+    by: list[str] | None = None,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source stream → per-batch count-min rows in the ledger."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _land(
+            cms_ledger(
+                batch, item_col, by=by, weight_col=weight_col,
+                depth=depth, width=width,
+            ),
+            batch_id,
+            ledger_path,
+        )
+
+    return _start(
+        spark, source_dir, schema, sink, checkpoint_dir, available_now
+    )
+
+
+def counts_so_far(
+    spark: SparkSession,
+    ledger_path: str,
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """The read side: merge every batch's counters and point-estimate
+    the given items — one ledger-sized sum + one broadcast join."""
+    from ..operators.frequency import estimate_counts
+
+    merged = merge_cms_ledger(
+        spark.read.parquet(ledger_path).drop("ingest_batch")
+    )
+    return estimate_counts(
+        merged, items, item_col=item_col, depth=depth, width=width
+    )

@@ -1,0 +1,98 @@
+"""Streaming quantile/CMS ledger maintenance: batch-parity of the
+streamed ledgers, read-side merges matching single-pass builds, replay
+idempotence via the ingest_batch partitions, and checkpointed resume
+(new files only, no re-ingestion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.frequency import (
+    cms_ledger,
+    estimate_counts,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.operators.quantile_sketch import (
+    ledger_quantiles,
+    quantile_ledger,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+    counts_so_far,
+    quantiles_so_far,
+    start_cms_ledger_stream,
+    start_quantile_ledger_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("item", T.StringType()),
+    ]
+)
+
+
+def _chunk(spark, id_start, n):
+    return spark.range(id_start, id_start + n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("x"),
+        F.when(F.col("id") % 5 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold_"), F.col("id")))
+        .alias("item"),
+    )
+
+
+def test_quantile_stream_matches_batch_build(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    led = str(tmp_path / "led")
+    ckpt = str(tmp_path / "ckpt")
+    _chunk(spark, 0, 2000).coalesce(1).write.parquet(str(src / "a.parquet"))
+    _chunk(spark, 5000, 1500).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    start_quantile_ledger_stream(
+        spark, str(src) + "/*", SCHEMA, led, "x", "doc_id", k=128,
+        checkpoint_dir=ckpt,
+    ).awaitTermination(120)
+
+    got = quantiles_so_far(spark, led, [0.5], k=128).collect()[0]
+    full = _chunk(spark, 0, 2000).unionByName(_chunk(spark, 5000, 1500))
+    want = ledger_quantiles(
+        quantile_ledger(full, "x", "doc_id", k=128), [0.5]
+    ).collect()[0]
+    assert got["sample"] == want["sample"]  # bit-equal bottom-k
+    assert got["q_0_5"] == want["q_0_5"]
+    assert got["n_rows"] == want["n_rows"] == 3500
+
+    # restart with nothing new: ledger unchanged (checkpoint resume)
+    n_before = spark.read.parquet(led).count()
+    start_quantile_ledger_stream(
+        spark, str(src) + "/*", SCHEMA, led, "x", "doc_id", k=128,
+        checkpoint_dir=ckpt,
+    ).awaitTermination(120)
+    assert spark.read.parquet(led).count() == n_before
+
+
+def test_cms_stream_matches_batch_build(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    led = str(tmp_path / "led")
+    ckpt = str(tmp_path / "ckpt")
+    _chunk(spark, 0, 3000).coalesce(1).write.parquet(str(src / "a.parquet"))
+    _chunk(spark, 9000, 2000).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    start_cms_ledger_stream(
+        spark, str(src) + "/*", SCHEMA, led, "item", depth=4, width=512,
+        checkpoint_dir=ckpt,
+    ).awaitTermination(120)
+
+    items = spark.createDataFrame([("hot",)], "item string")
+    got = counts_so_far(spark, led, items, depth=4, width=512).collect()[0]
+    full = _chunk(spark, 0, 3000).unionByName(_chunk(spark, 9000, 2000))
+    want = estimate_counts(
+        cms_ledger(full, "item", depth=4, width=512), items,
+        depth=4, width=512,
+    ).collect()[0]
+    assert got["est"] == want["est"]  # streamed merge == one pass
+    assert got["est"] >= 1000  # 1/5 of 5000 rows, never undercounts
