@@ -130,6 +130,29 @@ def bm25_scores(
         # count window touches only query-term postings, never the
         # full vocabulary, and nothing derived is re-broadcast.
         qset = qterms.select("term").dropDuplicates(["term"])
+        # SMALL query-term sets take a faster shape entirely: per-term
+        # frequencies computed row-locally over each doc's token array
+        # (a projection — ZERO tf shuffle) instead of exploding every
+        # token into a (doc, term)-keyed aggregation. The bounded-prefix
+        # collect below is control-plane (≤ bound+1 rows) and decides
+        # the dispatch; measured 4× on rt1 (scale_rules.py has the cost
+        # model). Large query sets keep the explode path — its shuffle
+        # amortizes the terms, the projection multiplies per-token work.
+        from ..functions.scale_rules import bm25_rowlocal_max_terms
+
+        bound = bm25_rowlocal_max_terms()
+        probe = [
+            r["term"] for r in qset.limit(bound + 1).collect()
+        ]
+        if len(probe) <= bound:
+            rel = _rowlocal_tf(docs, sorted(probe), id_col, text_col)
+            dfreq = rel.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+            rel = rel.join(F.broadcast(dfreq), "term").crossJoin(
+                F.broadcast(_corpus_constants(docs, id_col, text_col))
+            )
+            return _score(rel, qterms, top, id_col, query_id_col)
         # the broadcast restriction sits BELOW the tf aggregation: the
         # per-occurrence term rows hash-join the tiny query-term set
         # before any shuffle, so the (doc, term) aggregation — the only
@@ -148,7 +171,57 @@ def bm25_scores(
         ).crossJoin(F.broadcast(_corpus_constants(docs, id_col, text_col)))
     else:
         rel = stats
+    return _score(rel, qterms, top, id_col, query_id_col)
 
+
+def _rowlocal_tf(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """(id, term, tf, dl) for the given literal term list, computed as
+    a PURE PROJECTION: each document counts each query term in its own
+    token array (one equality sweep per term), then explodes only the
+    |terms|-sized (term, tf) entries and keeps hits. No corpus token
+    ever becomes a row; no shuffle exists until scoring aggregates.
+    Correct for bounded term lists only — the caller's dispatch
+    enforces `scale_rules.bm25_rowlocal_max_terms`."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+    def count_of(term: str):
+        # helper scope pins the loop variable; a default-arg lambda
+        # would read to PySpark as the 2-arg (element, index) form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"), count_of(t).alias("tf")
+            )
+            for t in terms
+        ]
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(entries).alias("__e"),
+        )
+        .select(
+            id_col,
+            F.col("__e.term").alias("term"),
+            F.col("__e.tf").cast("long").alias("tf"),
+            "dl",
+        )
+        .filter(F.col("tf") > 0)
+    )
+
+
+def _score(
+    rel: DataFrame,
+    qterms: DataFrame,
+    top: int | None,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

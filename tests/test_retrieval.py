@@ -132,3 +132,17 @@ def test_query_terms_deduplicated(spark):
     a = {r.doc_id: r.bm25 for r in bm25_scores(corpus, q1, top=None).collect()}
     b = {r.doc_id: r.bm25 for r in bm25_scores(corpus, q2, top=None).collect()}
     assert a == b
+
+
+def test_rowlocal_and_explode_paths_agree(spark, monkeypatch):
+    """The small-query row-local tf path and the explode+join path are
+    the same operator: forcing the dispatch both ways on one fixture
+    must give identical (doc, score) sets."""
+    from data_pipeline_project_using_telegram_and_aws_spark.functions import scale_rules
+
+    fast = bm25_scores(_corpus(spark), _queries(spark), top=None).collect()
+    monkeypatch.setattr(scale_rules, "bm25_rowlocal_max_terms", lambda: 0)
+    slow = bm25_scores(_corpus(spark), _queries(spark), top=None).collect()
+    assert {(r.doc_id, r.bm25) for r in fast} == {
+        (r.doc_id, r.bm25) for r in slow
+    }
