@@ -143,3 +143,55 @@ def remove_boilerplate_lines(
             "n_dropped_lines"
         ),
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document line dedup: within EACH document, keep only the
+    first occurrence of every repeated (trimmed) non-blank line — the
+    scraped-page artifact where navigation or a quote block repeats
+    inside one page. Scope is the complement of this module's corpus
+    filter and of `dedup.span_exact_dedup`'s global keep-first: here
+    each document is judged only against itself, so the operator is a
+    PURE PROJECTION — an array fold per row, zero shuffles, trivially
+    scale-free (pinned: no Exchange in the plan).
+
+    Blank lines always survive (they are structure, not content — and
+    deduping them would silently merge paragraphs). Matching ignores
+    surrounding whitespace; the kept first occurrence preserves its
+    original bytes. Output: (id, text, n_lines, n_dropped_lines).
+
+    The fold is O(lines²) worst-case per document (array_contains over
+    the seen-set) — row-local work bounded by document size, the same
+    stance as the winnowing/chunking row-local passes."""
+    lines = F.split(F.col(text_col), "\n")
+    zero = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("kept"),
+    )
+
+    def step(acc, x):
+        t = F.trim(x)
+        is_blank = t == ""
+        is_dup = (~is_blank) & F.array_contains(acc["seen"], t)
+        return F.struct(
+            F.when(is_blank, acc["seen"])
+            .otherwise(F.array_union(acc["seen"], F.array(t)))
+            .alias("seen"),
+            F.when(is_dup, acc["kept"])
+            .otherwise(F.concat(acc["kept"], F.array(x)))
+            .alias("kept"),
+        )
+
+    folded = F.aggregate(lines, zero, step)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(folded["kept"], "\n").alias(text_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(folded["kept"]))
+        .cast("long")
+        .alias("n_dropped_lines"),
+    )

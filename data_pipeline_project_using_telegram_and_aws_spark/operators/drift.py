@@ -110,3 +110,92 @@ def psi_report(
         "current_rows": int(cur_stats["n_rows"]),
         "current_nulls": int(cur_stats["n_null"] or 0),
     }
+
+
+def categorical_drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    top_movers: int = 5,
+) -> dict:
+    """Categorical twin of :func:`psi_report` — PSI's equi-width bins
+    have no meaning for ``lang`` / ``source`` / ``event_type`` columns,
+    where drift is a CATEGORY FREQUENCY shift: a new language appearing,
+    a source going dark, a class ratio sliding.
+
+    Metrics, all over the full-outer category join (a category present
+    on either side contributes — the lesson the streaming PSI fix
+    encoded: one-sided joins hide exactly the new-mode mass that
+    matters most):
+
+    - ``js_divergence``: Jensen-Shannon divergence (natural log, so the
+      bound is [0, ln 2]) — symmetric, finite even for disjoint
+      supports, the standard distribution-shift scalar;
+    - ``total_variation``: ½ Σ |p − q| — the "fraction of mass that
+      moved" reading;
+    - ``new_categories`` / ``vanished_categories``: present one side
+      only (NULL category counts as its own category — a null-rate
+      change is drift too);
+    - ``top_movers``: the ``top_movers`` categories by |p − q| with
+      both shares.
+
+    Plan: each side reduces to one category-count aggregation
+    (partial-agg'd, category-cardinality-sized output); everything
+    after is category-table math. Two scans, nothing corpus-sized
+    shuffles, no Python beyond assembling the report dict."""
+    freqs = []
+    for side, name in ((baseline, "p"), (current, "q")):
+        f = (
+            side.groupBy(
+                F.coalesce(
+                    F.col(col).cast("string"), F.lit("<null>")
+                ).alias("cat")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        total = f.agg(F.sum("n")).collect()[0][0] or 0
+        if total == 0:
+            raise ValueError(
+                f"categorical_drift_report: empty {name} side"
+            )
+        freqs.append(
+            f.select("cat", (F.col("n") / total).alias(name))
+        )
+    joined = (
+        freqs[0]
+        .join(freqs[1], "cat", "full_outer")
+        .select(
+            "cat",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    kl_term = lambda x: F.when(  # noqa: E731 — local expression builder
+        F.col(x) > 0, F.col(x) * F.log(F.col(x) / m)
+    ).otherwise(F.lit(0.0))
+    agg = joined.agg(
+        F.round(
+            (F.sum(kl_term("p")) + F.sum(kl_term("q"))) / 2.0, 6
+        ).alias("jsd"),
+        F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0, 6).alias(
+            "tv"
+        ),
+    ).collect()[0]
+    cats = joined.orderBy(
+        F.desc(F.abs(F.col("p") - F.col("q"))), F.asc("cat")
+    ).collect()
+    return {
+        "js_divergence": float(agg["jsd"]),
+        "total_variation": float(agg["tv"]),
+        "new_categories": sorted(
+            r["cat"] for r in cats if r["p"] == 0.0
+        ),
+        "vanished_categories": sorted(
+            r["cat"] for r in cats if r["q"] == 0.0
+        ),
+        "top_movers": [
+            {"cat": r["cat"], "p": r["p"], "q": r["q"]}
+            for r in cats[:top_movers]
+        ],
+    }

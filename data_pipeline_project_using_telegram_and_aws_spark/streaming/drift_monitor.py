@@ -126,3 +126,113 @@ def start_drift_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def freeze_categorical_baseline(
+    df: DataFrame, col: str, path: str
+) -> None:
+    """Persist the reference CATEGORY distribution: one (cat, p) row
+    per observed category (NULL folded to its own '<null>' category),
+    plus n_rows metadata on every row — the categorical twin of
+    :func:`freeze_baseline` for lang/source/event_type columns."""
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+    counts = df.groupBy(cat.alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    if total == 0:
+        raise ValueError("freeze_categorical_baseline: empty baseline")
+    (
+        counts.select(
+            "cat",
+            (F.col("n") / total).alias("p"),
+            F.lit(int(total)).alias("n_rows"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def score_batch_categorical(
+    batch: DataFrame, col: str, baseline: DataFrame
+) -> DataFrame:
+    """One row per batch: (jsd, tv, n_new_categories, n_rows) against
+    the frozen category distribution. FULL outer from the start —
+    batch mass in a category the baseline never saw is the loudest
+    drift signal and must contribute (the lesson the numeric scorer
+    learned the hard way). The join operand is category-cardinality-
+    sized on both sides; nothing here scales with batch rows beyond
+    the one counting aggregation."""
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+    counts = batch.groupBy(cat.alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    q_rows = counts.crossJoin(F.broadcast(total)).select(
+        "cat", (F.col("n") / F.greatest("t", F.lit(1))).alias("q")
+    )
+    joined = (
+        baseline.select("cat", "p")
+        .join(q_rows, "cat", "full_outer")
+        .select(
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+
+    def kl_term(x):
+        return F.when(
+            F.col(x) > 0, F.col(x) * F.log(F.col(x) / m)
+        ).otherwise(F.lit(0.0))
+
+    scored = joined.agg(
+        F.round((F.sum(kl_term("p")) + F.sum(kl_term("q"))) / 2.0, 6).alias(
+            "jsd"
+        ),
+        F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0, 6).alias("tv"),
+        F.sum(
+            ((F.col("p") == 0.0) & (F.col("q") > 0.0)).cast("long")
+        ).alias("n_new_categories"),
+    )
+    n = batch.agg(F.count(F.lit(1)).alias("n_rows"))
+    return scored.crossJoin(F.broadcast(n))
+
+
+def start_categorical_drift_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    col: str,
+    baseline_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Categorical twin of :func:`start_drift_monitor`: one
+    (jsd, tv, n_new_categories, n_rows) report row per micro-batch
+    under its replay-idempotent ``ingest_batch`` partition."""
+    baseline = spark.read.parquet(baseline_path)
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        report = score_batch_categorical(batch, col, baseline).withColumn(
+            "ingest_batch", F.lit(int(batch_id))
+        )
+        s.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            report.write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(report_path)
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

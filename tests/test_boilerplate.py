@@ -109,3 +109,39 @@ def test_report_and_plan(spark):
     assert "BroadcastHashJoin" in plan  # hot set broadcast, never SMJ
     with pytest.raises(ValueError, match="frac"):
         remove_boilerplate_lines(docs, frac=0.0)
+
+
+def test_within_doc_dedup_is_doc_scoped_and_shuffle_free(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.boilerplate import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # repeated nav block inside one page; whitespace variant
+            (1, "Home | About\nreal content\n  Home | About \nmore text"),
+            # the same line in ANOTHER doc is untouched (doc-scoped)
+            (2, "Home | About\nother content"),
+            # repeated blank lines survive; repeated content drops
+            (3, "para one\n\npara one\n\npara two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_within_doc(docs).collect()}
+    assert out[1]["text"] == "Home | About\nreal content\nmore text"
+    assert out[1]["n_dropped_lines"] == 1
+    assert out[2]["text"] == "Home | About\nother content"
+    assert out[2]["n_dropped_lines"] == 0
+    assert out[3]["text"] == "para one\n\n\npara two"
+    assert out[3]["n_dropped_lines"] == 1
+    # idempotent
+    again = dedup_lines_within_doc(dedup_lines_within_doc(docs))
+    assert again.agg(F.sum("n_dropped_lines")).collect()[0][0] == 0
+    # pure projection: no Exchange anywhere in the plan
+    plan = (
+        dedup_lines_within_doc(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -89,3 +89,68 @@ def test_matches_python_recomputation(spark):
         psi_report(
             spark.createDataFrame([(1.0,)], "x double"), cur, "x"
         )
+
+
+def _cats(spark, spec: dict[str, int], with_null: int = 0):
+    rows = [(c,) for c, n in spec.items() for _ in range(n)]
+    rows += [(None,)] * with_null
+    return spark.createDataFrame(rows, "cat string")
+
+
+def test_categorical_identical_distributions_near_zero(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        categorical_drift_report,
+    )
+
+    a = _cats(spark, {"en": 800, "de": 150, "fr": 50})
+    rep = categorical_drift_report(a, a, "cat")
+    assert rep["js_divergence"] == 0.0
+    assert rep["total_variation"] == 0.0
+    assert rep["new_categories"] == [] and rep["vanished_categories"] == []
+
+
+def test_categorical_matches_python_and_detects_new_category(spark):
+    """JSD/TV against a pure-Python recomputation, with a category the
+    baseline never saw — its mass MUST contribute (the full-outer
+    contract) and be named in new_categories."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        categorical_drift_report,
+    )
+
+    base_spec = {"en": 700, "de": 300}
+    cur_spec = {"en": 500, "de": 200, "zz": 300}  # new mode: 30% zz
+    rep = categorical_drift_report(
+        _cats(spark, base_spec), _cats(spark, cur_spec), "cat"
+    )
+    p = {c: n / 1000 for c, n in base_spec.items()}
+    q = {c: n / 1000 for c, n in cur_spec.items()}
+    cats = set(p) | set(q)
+    jsd = tv = 0.0
+    for c in cats:
+        pc, qc = p.get(c, 0.0), q.get(c, 0.0)
+        m = (pc + qc) / 2
+        if pc:
+            jsd += 0.5 * pc * math.log(pc / m)
+        if qc:
+            jsd += 0.5 * qc * math.log(qc / m)
+        tv += abs(pc - qc) / 2
+    assert rep["js_divergence"] == pytest.approx(round(jsd, 6))
+    assert rep["total_variation"] == pytest.approx(round(tv, 6))
+    assert rep["new_categories"] == ["zz"]
+    assert rep["vanished_categories"] == []
+    assert rep["top_movers"][0]["cat"] == "zz"
+
+
+def test_categorical_nulls_and_vanished(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        categorical_drift_report,
+    )
+
+    base = _cats(spark, {"en": 900, "legacy": 100})
+    cur = _cats(spark, {"en": 900}, with_null=100)
+    rep = categorical_drift_report(base, cur, "cat")
+    assert rep["vanished_categories"] == ["legacy"]
+    assert rep["new_categories"] == ["<null>"]  # null-rate change IS drift
+    assert rep["js_divergence"] > 0.05
+    with pytest.raises(ValueError, match="empty"):
+        categorical_drift_report(base, cur.limit(0), "cat")

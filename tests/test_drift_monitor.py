@@ -111,3 +111,69 @@ def test_new_mode_in_baseline_empty_bin_counts(spark, tmp_path):
     # the two scorers must agree tightly — and the new mode dominates
     assert stream_psi > 5.0
     assert abs(stream_psi - batch_psi) < 1e-3
+
+
+CAT_SCHEMA = T.StructType([T.StructField("lang", T.StringType())])
+
+
+def _langs(spark, spec):
+    rows = [(c,) for c, n in spec.items() for _ in range(n)]
+    return spark.createDataFrame(rows, CAT_SCHEMA)
+
+
+def test_categorical_stream_scores_batches(spark, tmp_path):
+    """Stable batch in the stable band; a batch dominated by a never-
+    seen language crosses it, with the new category counted; one row
+    per batch; replay-stable restart."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.drift_monitor import (
+        freeze_categorical_baseline,
+        score_batch_categorical,
+        start_categorical_drift_monitor,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        categorical_drift_report,
+    )
+
+    base = _langs(spark, {"en": 700, "de": 200, "fr": 100})
+    bpath = str(tmp_path / "cat_base")
+    freeze_categorical_baseline(base, "lang", bpath)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    report = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ck")
+    _langs(spark, {"en": 350, "de": 100, "fr": 50}).coalesce(1).write.parquet(
+        str(src / "stable.parquet")
+    )
+    start_categorical_drift_monitor(
+        spark, str(src) + "/*", CAT_SCHEMA, "lang", bpath, report, ckpt
+    ).awaitTermination(120)
+    _langs(spark, {"zz": 400, "en": 100}).coalesce(1).write.parquet(
+        str(src / "shifted.parquet")
+    )
+    start_categorical_drift_monitor(
+        spark, str(src) + "/*", CAT_SCHEMA, "lang", bpath, report, ckpt
+    ).awaitTermination(120)
+
+    rows = {
+        r["ingest_batch"]: r for r in spark.read.parquet(report).collect()
+    }
+    assert len(rows) == 2
+    assert rows[0]["jsd"] < 0.01 and rows[0]["n_new_categories"] == 0
+    assert rows[1]["jsd"] > 0.3 and rows[1]["n_new_categories"] == 1
+    assert rows[1]["n_rows"] == 500
+
+    # scorer parity with the batch report on the same pair
+    cur = _langs(spark, {"zz": 400, "en": 100})
+    stream_row = score_batch_categorical(
+        cur, "lang", spark.read.parquet(bpath)
+    ).collect()[0]
+    batch_rep = categorical_drift_report(base, cur, "lang")
+    assert stream_row["jsd"] == pytest.approx(batch_rep["js_divergence"])
+    assert stream_row["tv"] == pytest.approx(batch_rep["total_variation"])
+
+    # restart with nothing new: no rows added
+    start_categorical_drift_monitor(
+        spark, str(src) + "/*", CAT_SCHEMA, "lang", bpath, report, ckpt
+    ).awaitTermination(120)
+    assert spark.read.parquet(report).count() == 2
