@@ -1,0 +1,145 @@
+"""Differential fuzzing: hypothesis generates random query shapes
+(filter → optional group-by → aggregates, optional dimension join)
+over the lineitem/orders testdata, and each one runs through BOTH this
+engine (DataFrame plan) and DuckDB (independently rendered SQL) —
+drift in filter comparison semantics, aggregate null handling, join
+multiplicity, or grouping would surface as a mismatch on shapes no
+hand-written registry row thought to try.
+
+This widens the fixed 50-row oracle gate along a different axis: the
+registry pins 50 curated plans deeply; the fuzzer pins the COMPOSITION
+RULES (any filter × any grouping × any aggregate set) shallowly but
+broadly. Counts compare exactly; floating aggregates within 1e-9
+relative (both engines sum doubles in unspecified order)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+CMP_OPS = ["<", "<=", ">", ">=", "="]
+AGG_FNS = ["sum", "avg", "min", "max", "count"]
+
+_filters = st.lists(
+    st.tuples(
+        st.sampled_from(NUM_COLS + ["l_linenumber"]),
+        st.sampled_from(CMP_OPS),
+        st.sampled_from([0.02, 0.05, 1.0, 3.0, 25.0, 40.0, 900.0]),
+    ),
+    min_size=0,
+    max_size=3,
+)
+_groups = st.lists(
+    st.sampled_from(GROUP_COLS), min_size=0, max_size=2, unique=True
+)
+_aggs = st.lists(
+    st.tuples(st.sampled_from(AGG_FNS), st.sampled_from(NUM_COLS)),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+
+def _spark_query(spark, filters, groups, aggs, join_orders):
+    df = load_table(spark, SF_DIR, "lineitem")
+    if join_orders:
+        orders = load_table(spark, SF_DIR, "orders").select(
+            F.col("o_orderkey"), F.col("o_orderstatus")
+        )
+        df = df.join(
+            F.broadcast(orders),
+            df["l_orderkey"] == orders["o_orderkey"],
+        )
+    for col, op, v in filters:
+        c = F.col(col)
+        cond = {
+            "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v,
+            "=": c == v,
+        }[op]
+        df = df.filter(cond)
+    group_cols = list(groups) + (["o_orderstatus"] if join_orders else [])
+    exprs = []
+    for fn, col in aggs:
+        name = f"{fn}_{col}"
+        e = getattr(F, fn)(F.col(col)).alias(name)
+        exprs.append(e)
+    if group_cols:
+        out = df.groupBy(*group_cols).agg(*exprs)
+    else:
+        out = df.agg(*exprs)
+    return out, group_cols, [f"{fn}_{c}" for fn, c in aggs]
+
+
+def _duck_sql(filters, groups, aggs, join_orders):
+    src = f"read_parquet('{SF_DIR}/lineitem.parquet') l"
+    if join_orders:
+        src += (
+            f" join read_parquet('{SF_DIR}/orders.parquet') o"
+            " on l.l_orderkey = o.o_orderkey"
+        )
+    where = " and ".join(f"{c} {op} {v}" for c, op, v in filters)
+    group_cols = list(groups) + (["o_orderstatus"] if join_orders else [])
+    sels = list(group_cols)
+    for fn, col in aggs:
+        sels.append(f"{fn}({col}) as {fn}_{col}")
+    sql = f"select {', '.join(sels)} from {src}"
+    if where:
+        sql += f" where {where}"
+    if group_cols:
+        sql += f" group by {', '.join(group_cols)}"
+    return sql
+
+
+def _normalize(rows, group_cols, agg_cols):
+    out = []
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        vals = tuple(r[c] for c in agg_cols)
+        out.append((key, vals))
+    return sorted(out, key=lambda kv: repr(kv[0]))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_filters, _groups, _aggs, st.booleans())
+def test_random_query_shapes_match_duckdb(
+    spark, filters, groups, aggs, join_orders
+):
+    sdf, group_cols, agg_cols = _spark_query(
+        spark, filters, groups, aggs, join_orders
+    )
+    got = _normalize(sdf.collect(), group_cols, agg_cols)
+    con = duckdb.connect()
+    want_rows = con.execute(
+        _duck_sql(filters, groups, aggs, join_orders)
+    ).fetchall()
+    cols = group_cols + agg_cols
+    want = _normalize(
+        [dict(zip(cols, r)) for r in want_rows], group_cols, agg_cols
+    )
+    con.close()
+    assert len(got) == len(want), (filters, groups, aggs, join_orders)
+    for (gk, gv), (wk, wv) in zip(got, want):
+        assert gk == wk, (gk, wk, filters, groups, aggs)
+        for a, b in zip(gv, wv):
+            if a is None or b is None:
+                assert a == b, (gk, gv, wv, filters, aggs)
+            elif isinstance(a, float) or isinstance(b, float):
+                assert math.isclose(
+                    float(a), float(b), rel_tol=1e-9, abs_tol=1e-9
+                ), (gk, a, b, filters, aggs)
+            else:
+                assert a == b, (gk, a, b, filters, aggs)
