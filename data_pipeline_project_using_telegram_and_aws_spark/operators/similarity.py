@@ -476,6 +476,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "vec_id",
+    keep_score: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``max_rank`` nearest centroids by cosine
     (rounded to 4 dp, centroid id as tie-break — deterministic across
@@ -507,11 +508,16 @@ def ivf_assign(
     w = Window.partitionBy(out_id).orderBy(
         F.desc("__cos"), F.asc("centroid_id")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_rank)
-        .select(out_id, "centroid_id")
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_rank
     )
+    if keep_score:
+        # callers ranking WITHIN a cell (prototypicality pruning) need
+        # the similarity itself, not just the cell id
+        return ranked.select(
+            out_id, "centroid_id", F.col("__cos").alias("cos")
+        )
+    return ranked.select(out_id, "centroid_id")
 
 
 def build_ivf_assignments_table(

@@ -120,3 +120,57 @@ def test_topic_drift_between_versions(spark):
     assert head1 != head2
     assert s1[head1] >= 0.7 and s2[head2] >= 0.7
     assert s2.get(head1, 0.0) < 0.2
+
+
+def test_prototypicality_prune_modes(spark):
+    """Planted geometry: a tight cluster core plus one off-axis outlier
+    per cluster. keep_hard retains the outlier first; keep_easy retains
+    the core; per-cell quotas are exact ceilings; both modes are
+    deterministic and layout-stable."""
+    import pytest as _pytest
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.topics import (
+        prototypicality_prune,
+    )
+
+    rows = []
+    vid = 0
+    for cluster, base in ((0, [10.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0])):
+        for i in range(9):  # tight core: tiny jitter along axis
+            vec = [
+                base[0] + (0.01 * i if base[0] else 0.0),
+                base[1] + (0.01 * i if base[1] else 0.0),
+                0.001 * i,
+            ]
+            rows.append((vid, vec))
+            vid += 1
+        off = [base[0], base[1], 8.0]  # same cell, far off-axis
+        rows.append((vid, off))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    outliers = {9, 19}
+
+    hard = prototypicality_prune(df, keep_frac=0.2, mode="keep_hard", k=2)
+    hard_rows = hard.collect()
+    assert outliers <= {r["vec_id"] for r in hard_rows}
+    # ceil(0.2 * 10) = 2 per cell
+    from collections import Counter
+
+    assert Counter(r["topic_id"] for r in hard_rows) == Counter(
+        {t: 2 for t in {r["topic_id"] for r in hard_rows}}
+    )
+
+    easy = prototypicality_prune(df, keep_frac=0.5, mode="keep_easy", k=2)
+    assert outliers.isdisjoint({r["vec_id"] for r in easy.collect()})
+
+    # determinism across layouts
+    again = prototypicality_prune(
+        df.repartition(13), keep_frac=0.2, mode="keep_hard", k=2
+    )
+    assert sorted(map(str, hard_rows)) == sorted(map(str, again.collect()))
+
+    with _pytest.raises(ValueError, match="keep_frac"):
+        prototypicality_prune(df, keep_frac=0.0)
+    with _pytest.raises(ValueError, match="mode"):
+        prototypicality_prune(df, keep_frac=0.5, mode="middle")
