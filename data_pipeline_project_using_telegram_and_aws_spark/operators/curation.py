@@ -59,6 +59,8 @@ def curate_corpus(
     max_dup_trigram_frac: float | None = None,
     max_top_token_share: float | None = None,
     compressibility_bounds: tuple[float, float] | None = None,
+    dedup_doc_lines: bool = False,
+    boilerplate: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
@@ -107,6 +109,13 @@ def curate_corpus(
     pass. Documents with <3 tokens have no trigram signal and pass
     (``too_short`` owns them).
 
+    ``dedup_doc_lines`` / ``boilerplate`` (optional) prepend stage 0
+    line-cleanup TRANSFORMS (`operators/boilerplate.py`): within-doc
+    line dedup and corpus-DF boilerplate removal. They rewrite text
+    rather than drop documents (no ledger rows; kept docs carry the
+    cleaned text), and running them before stage 1 means chrome-only
+    differences no longer defeat the exact-dedup hash.
+
     ``near_dup_closure`` picks the drop semantics applied to the
     candidate pairs:
 
@@ -122,6 +131,36 @@ def curate_corpus(
       is always TRUE (the representative survives by construction).
     """
     ledgers: list[DataFrame] = []
+
+    # ---- stage 0: optional line cleanup (TRANSFORMS, not gates) ---------
+    # ``dedup_doc_lines`` runs boilerplate.dedup_lines_within_doc (pure
+    # projection); ``boilerplate={...}`` runs remove_boilerplate_lines
+    # with those kwargs. Both REWRITE text instead of dropping rows, so
+    # they live before every gate and leave no ledger rows (their audit
+    # surface is n_dropped_lines / boilerplate_report, not the drop
+    # ledger — the ledger records removed DOCUMENTS only). Ordering is
+    # load-bearing: cleaning precedes hashing, so two documents that
+    # differ only in chrome (one carries the banner, one doesn't)
+    # hash-collide in stage 1 and dedup — recall the raw-text hash
+    # would miss. Defaults off; kept docs carry CLEANED text when on.
+    def _swap_text(base: DataFrame, cleaned: DataFrame) -> DataFrame:
+        return base.drop(text_col).join(
+            cleaned.select(F.col(id_col), F.col(text_col)), id_col
+        )
+
+    if dedup_doc_lines:
+        from .boilerplate import dedup_lines_within_doc
+
+        docs = _swap_text(
+            docs, dedup_lines_within_doc(docs, id_col, text_col)
+        )
+    if boilerplate is not None:
+        from .boilerplate import remove_boilerplate_lines
+
+        docs = _swap_text(
+            docs,
+            remove_boilerplate_lines(docs, id_col, text_col, **boilerplate),
+        )
 
     # ---- stage 1: exact dedup (keep lowest id per identical text) -------
     hashed = D.with_text_hash(docs, text_col)

@@ -236,3 +236,42 @@ def test_compressibility_gate_in_curation(spark):
         df, min_tokens=2, jaccard_threshold=0.95
     )
     assert {r["doc_id"] for r in kept_default.collect()} == {1, 2}
+
+
+def test_line_cleanup_stage_raises_exact_dedup_recall(spark):
+    """Stage 0 ordering payoff: two documents identical except one
+    carries the site banner hash-collide AFTER cleanup, so exact dedup
+    catches what the raw-text hash would miss; survivors carry cleaned
+    text; defaults-off leaves text untouched."""
+    banner = "Accept cookies"
+    rows = [(i, f"{banner}\nfiller document {i}") for i in range(2, 12)]
+    rows += [
+        (0, f"{banner}\nshared article body"),
+        (1, "shared article body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # without cleanup: docs 0 and 1 differ byte-wise → both survive
+    kept_raw, _ = curate_corpus(
+        docs, min_tokens=1, jaccard_threshold=1.01
+    )
+    assert {0, 1} <= {r["doc_id"] for r in kept_raw.collect()}
+    assert banner in {
+        r["text"] for r in kept_raw.filter("doc_id = 0").collect()
+    }.pop()
+
+    # with boilerplate removal first: they collide, lowest id wins
+    kept, ledger = curate_corpus(
+        docs,
+        min_tokens=1,
+        jaccard_threshold=1.01,
+        boilerplate={"min_docs": 3, "frac": 0.5},
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids
+    led = {r["doc_id"]: r for r in ledger.collect()}
+    assert led[1]["stage"] == "exact_dedup"
+    # survivors carry CLEANED text
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert texts[0] == "shared article body"
+    assert all(banner not in t for t in texts.values())
