@@ -176,3 +176,51 @@ def theta_overlap(
             .otherwise(F.lit(0.0)),
         )
     )
+
+
+def theta_overlap_matrix(
+    ledger: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """All-pairs :func:`theta_overlap`: one row per unordered group
+    pair with (est_a, est_b, est_intersection, jaccard_est) — the
+    cross-SOURCE contamination screen ("which of my 40 corpus sources
+    share content?") that decides where to point the exact dedup
+    machinery, at sketch cost.
+
+    Plan: a self cross join of LEDGER rows — groups² pairs of ≤8·k-byte
+    sketches, a bounded operand by the ledger's nature (sources/days,
+    never documents); the ``<`` filter halves it to unordered pairs.
+    Raw data is never touched; a 40-source matrix is 780 sketch
+    intersections, milliseconds."""
+    a = ledger.select(
+        F.col(group_col).alias("group_a"),
+        F.col("sketch").alias("__sk_a"),
+    )
+    b = ledger.select(
+        F.col(group_col).alias("group_b"),
+        F.col("sketch").alias("__sk_b"),
+    )
+    est = F.theta_sketch_estimate
+    return (
+        a.crossJoin(b)
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            est(F.col("__sk_a")).alias("est_a"),
+            est(F.col("__sk_b")).alias("est_b"),
+            est(F.theta_intersection("__sk_a", "__sk_b")).alias(
+                "est_intersection"
+            ),
+            est(F.theta_union("__sk_a", "__sk_b")).alias("est_union"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.col("est_union") > 0,
+                F.col("est_intersection") / F.col("est_union"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.desc("jaccard_est"), "group_a", "group_b")
+    )

@@ -143,3 +143,48 @@ def test_random_query_shapes_match_duckdb(
                 ), (gk, a, b, filters, aggs)
             else:
                 assert a == b, (gk, a, b, filters, aggs)
+
+
+_groups1 = st.lists(
+    st.sampled_from(GROUP_COLS), min_size=1, max_size=2, unique=True
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    _groups1,
+    st.sampled_from(NUM_COLS + ["l_orderkey"]),
+    st.sampled_from([1, 10, 200, 2000]),
+)
+def test_having_and_count_distinct_match_duckdb(spark, groups, dcol, h):
+    """A second fuzz axis: exact count-distinct per group plus a
+    HAVING-style post-aggregation filter — the grouping/distinct
+    machinery under a predicate the registry rows never combine."""
+    df = load_table(spark, SF_DIR, "lineitem")
+    got_rows = (
+        df.groupBy(*groups)
+        .agg(
+            F.countDistinct(dcol).alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= h)
+        .collect()
+    )
+    got = _normalize(got_rows, groups, ["nd", "n"])
+    con = duckdb.connect()
+    sql = (
+        f"select {', '.join(groups)}, count(distinct {dcol}) as nd, "
+        f"count(*) as n from read_parquet('{SF_DIR}/lineitem.parquet') "
+        f"group by {', '.join(groups)} having count(*) >= {h}"
+    )
+    want_rows = con.execute(sql).fetchall()
+    cols = list(groups) + ["nd", "n"]
+    want = _normalize(
+        [dict(zip(cols, r)) for r in want_rows], groups, ["nd", "n"]
+    )
+    con.close()
+    assert got == want, (groups, dcol, h)

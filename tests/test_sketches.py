@@ -205,3 +205,32 @@ def test_theta_algebra_matches_exact_sets_on_random_inputs(spark, a, b):
     assert rep["est_b_only"] == len(b - a)
     assert abs(rep["jaccard_est"] - len(a & b) / len(a | b)) < 1e-9
     assert abs(rep["novelty_b"] - len(b - a) / len(b)) < 1e-9
+
+
+def test_theta_overlap_matrix_ranks_contaminated_pair(spark):
+    """Three sources: A and B share half their documents, C is
+    disjoint. The matrix's top row must be (A, B) with jaccard ≈ 1/3
+    (|∩|=500, |∪|=1500) and both C pairs ≈ 0; estimates within theta
+    RSE."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.sketches import (
+        theta_ledger,
+        theta_overlap_matrix,
+    )
+
+    rows = []
+    for i in range(1000):
+        rows.append((f"doc_{i}", "A"))
+    for i in range(500, 1500):
+        rows.append((f"doc_{i}", "B"))  # 500-999 shared with A
+    for i in range(10_000, 11_000):
+        rows.append((f"doc_{i}", "C"))
+    df = spark.createDataFrame(rows, "key string, src string")
+    led = theta_ledger(df, "key", by=["src"])
+    mat = theta_overlap_matrix(led, "src").collect()
+    assert len(mat) == 3
+    top = mat[0]
+    assert (top["group_a"], top["group_b"]) == ("A", "B")
+    assert abs(top["jaccard_est"] - 1 / 3) < 0.05
+    assert abs(top["est_intersection"] - 500) < 50
+    for r in mat[1:]:
+        assert r["jaccard_est"] < 0.01

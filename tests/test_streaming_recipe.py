@@ -145,3 +145,77 @@ def test_full_front_door_gate_then_dedup(spark, tmp_path):
     assert n_quar == 2
     assert len(good_ids) + len(reject_ids) + n_quar == len(rows)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_front_door_through_to_packed_sequences(spark, tmp_path):
+    """The streaming pipeline end-to-end to the TRAINING ARTIFACT:
+    contract gate → exact-dedup ingest → streaming packing. Only
+    admitted documents' tokens reach the packed sequences; quarantined
+    and rejected text never does; token mass is conserved from the
+    good zone into the sequences."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.dedup_ingest import (
+        start_dedup_ingest_stream,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.pack_stream import (
+        read_packed_dataset,
+        start_packing_stream,
+    )
+
+    table = "front_door_pack_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    src = tmp_path / "src"
+    src.mkdir()
+    gated = str(tmp_path / "gated")
+    quar = str(tmp_path / "quar")
+    good = str(tmp_path / "good")
+    reject = str(tmp_path / "reject")
+    packed = str(tmp_path / "packed")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "en", "clean words one"),
+        (2, "de", "zwei saubere worte"),
+        (3, "en", "clean words one"),        # dup → rejected
+        (None, "en", "poisoned text"),       # violation → quarantined
+        (5, "en", "more clean content here"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_contract_gate_stream(
+        spark, str(src) + "/*", schema,
+        [{"rule": "not_null", "col": "doc_id"}],
+        gated, quar, str(tmp_path / "ck1"),
+    ).awaitTermination(120)
+    start_dedup_ingest_stream(
+        spark, gated + "/*", schema, table, good, reject,
+        str(tmp_path / "ck2"), buckets=4,
+    ).awaitTermination(120)
+    good_schema = T.StructType(
+        schema.fields + [T.StructField("ingest_batch", T.LongType())]
+    )
+    start_packing_stream(
+        spark, good + "/*", good_schema, packed, budget=8, n_shards=2,
+        checkpoint_dir=str(tmp_path / "ck3"),
+    ).awaitTermination(120)
+
+    seqs = read_packed_dataset(spark, packed).collect()
+    all_text = " ".join(r["seq_text"] for r in seqs)
+    assert "poisoned" not in all_text
+    assert all_text.count("clean words one") == 1  # the dup packed once
+    good_tokens = (
+        spark.read.parquet(good)
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert sum(r["seq_tokens"] for r in seqs) == good_tokens
+    assert {r["doc_id"] for r in spark.read.parquet(good).collect()} == {
+        1, 2, 5,
+    }
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
