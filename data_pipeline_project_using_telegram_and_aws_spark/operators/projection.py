@@ -21,6 +21,16 @@ Cost, stated honestly: O(d · k) hash evaluations + multiply-adds per
 row (nested higher-order functions, JVM-side). That is the price of
 matrix-free determinism; at d=256, k=32 it is ~8k fused ops per row —
 scan-dominated at any corpus size, and embarrassingly parallel.
+
+What projection preserves, stated honestly: COARSE structure. Cluster
+identity survives (pinned: projected top-k stays within the query's
+true cluster on separated data), but fine within-cluster rankings
+that ride on margins smaller than the ε-distortion legitimately
+scramble — measured 0.16 exact-top-5 recall on isotropic random
+vectors (where ALL margins are tiny, the JL worst case) and 0.53
+within tight clusters. Use it for routing, clustering, LSH banding,
+and candidate generation; rerank candidates in the full dimension
+when exact neighbor order matters (the `pq.py` two-stage pattern).
 """
 
 from __future__ import annotations
