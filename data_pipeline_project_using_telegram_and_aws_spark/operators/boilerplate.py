@@ -195,3 +195,125 @@ def dedup_lines_within_doc(
         .cast("long")
         .alias("n_dropped_lines"),
     )
+
+
+def update_line_df_ledger(
+    batch: DataFrame,
+    ledger_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental twin of the corpus-global DF pass — the daily-batch
+    shape (`dedup.exact_dedup_against_index`'s family): each batch
+    reduces to per-line document-frequency increments landed under its
+    own ``ingest_batch`` partition (dynamic overwrite ⇒ at-least-once
+    replay rewrites, never double-counts — the ledger pattern; DF
+    increments are sums, so partition idempotence is the ONLY replay
+    layer, as with the CMS ledger).
+
+    Row layout per partition: (line_key, line, line_df, n_docs) line
+    rows carry a NULL n_docs; ONE metadata row (NULL line_key) carries
+    the batch's document count — total corpus size is the sum of
+    metadata rows, cumulative DF the per-key sum of line rows. Both
+    reads are ledger-sized."""
+    spark = batch.sparkSession
+    lines = _exploded_lines(batch, id_col, text_col)
+    incr = (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy("__key")
+        .agg(
+            F.countDistinct(id_col).alias("line_df"),
+            F.min(F.trim(F.col("__line"))).alias("line"),
+        )
+        .select(
+            F.col("__key").alias("line_key"),
+            "line",
+            "line_df",
+            F.lit(None).cast("long").alias("n_docs"),
+        )
+    )
+    meta = batch.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(None).cast("string").alias("line_key"),
+        F.lit(None).cast("string").alias("line"),
+        F.lit(None).cast("long").alias("line_df"),
+        F.col("n_docs"),
+    )
+    rows = incr.unionByName(meta).withColumn(
+        "ingest_batch", F.lit(int(batch_id))
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        rows.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(ledger_path)
+    )
+
+
+def remove_boilerplate_against_ledger(
+    batch: DataFrame,
+    ledger_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+    frac: float = 0.5,
+) -> DataFrame:
+    """Clean a batch against the CUMULATIVE line-DF ledger: thresholds
+    use all-time document counts, so a banner that is rare inside any
+    single day but ubiquitous across the corpus still drops — the
+    recall the per-batch-only threshold structurally misses (pinned).
+    Same output contract as :func:`remove_boilerplate_lines`; the hot
+    set keeps the broadcast-safe bound (≤ avg_lines/frac entries of
+    the CUMULATIVE corpus). Typical daily flow: `update_line_df_ledger`
+    with today's batch, then this against the grown ledger."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(
+            "remove_boilerplate_against_ledger: frac must be in (0, 1]"
+        )
+    spark = batch.sparkSession
+    ledger = spark.read.parquet(ledger_path)
+    n_docs = (
+        ledger.filter(F.col("line_key").isNull())
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+        or 0
+    )
+    threshold = max(min_docs, int(-(-frac * n_docs // 1)))  # ceil
+    hot = (
+        ledger.filter(F.col("line_key").isNotNull())
+        .groupBy("line_key")
+        .agg(F.sum("line_df").alias("line_df"))
+        .filter(F.col("line_df") >= threshold)
+        .select(F.col("line_key").alias("__key"), F.lit(True).alias("__hot"))
+    )
+    lines = _exploded_lines(batch, id_col, text_col)
+    flagged = lines.join(F.broadcast(hot), "__key", "left")
+    member = F.struct(F.col("__pos"), F.col("__line"))
+    rebuilt = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("__hot").isNull(), member))
+            ).alias("__kept"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce("__hot", F.lit(False)).cast("long")).alias(
+                "n_dropped_lines"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda m: m["__line"]), "\n"
+            ).alias(text_col),
+            F.col("n_lines").cast("long"),
+            "n_dropped_lines",
+        )
+    )
+    return batch.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_dropped_lines", F.lit(0).cast("long")).alias(
+            "n_dropped_lines"
+        ),
+    )

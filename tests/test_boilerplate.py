@@ -145,3 +145,64 @@ def test_within_doc_dedup_is_doc_scoped_and_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_incremental_ledger_cumulative_threshold_and_replay(spark, tmp_path):
+    """The daily-batch boilerplate shape: a banner rare within each
+    single day but ubiquitous across days drops only under the
+    CUMULATIVE ledger (the per-batch threshold structurally misses
+    it); single-pass parity on the merged corpus; at-least-once replay
+    of a batch partition is a rewrite, not a double count."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.boilerplate import (
+        remove_boilerplate_against_ledger,
+        update_line_df_ledger,
+    )
+
+    led = str(tmp_path / "ledger")
+    # 3 days × 4 docs; the banner appears in 3 docs per day (75% of
+    # each day, 9/12 overall) — but with min_docs=5 no single day can
+    # clear the floor alone; cumulatively it must
+    days = []
+    for d in range(3):
+        rows = [
+            (d * 10 + i, f"{BANNER}\nday {d} body {i}" if i < 3 else f"day {d} body {i}")
+            for i in range(4)
+        ]
+        days.append(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+    for d, batch in enumerate(days):
+        update_line_df_ledger(batch, led, d)
+
+    # day-2 batch cleaned against the full ledger: banner (df=9 ≥
+    # max(5, ceil(0.5*12)=6)) drops everywhere
+    out = remove_boilerplate_against_ledger(
+        days[2], led, min_docs=5, frac=0.5
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert all(BANNER not in t for t in texts.values())
+    assert texts[23] == "day 2 body 3"  # untouched doc intact
+    # but against only day 2's own ledger slice the banner survives
+    led1 = str(tmp_path / "one_day")
+    update_line_df_ledger(days[2], led1, 0)
+    solo = remove_boilerplate_against_ledger(
+        days[2], led1, min_docs=5, frac=0.5
+    )
+    assert any(BANNER in r["text"] for r in solo.collect())
+
+    # replay: re-landing day 1's partition leaves cumulative counts
+    # unchanged (rewrite, not append)
+    before = spark.read.parquet(led).count()
+    n_docs_before = (
+        spark.read.parquet(led)
+        .filter(F.col("line_key").isNull())
+        .agg(F.sum("n_docs")).collect()[0][0]
+    )
+    update_line_df_ledger(days[1], led, 1)
+    assert spark.read.parquet(led).count() == before
+    assert (
+        spark.read.parquet(led)
+        .filter(F.col("line_key").isNull())
+        .agg(F.sum("n_docs")).collect()[0][0] == n_docs_before
+    )
+    assert n_docs_before == 12
