@@ -275,3 +275,69 @@ def test_line_cleanup_stage_raises_exact_dedup_recall(spark):
     texts = {r["doc_id"]: r["text"] for r in kept.collect()}
     assert texts[0] == "shared article body"
     assert all(banner not in t for t in texts.values())
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_texts = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [
+                "the quick brown fox jumps over the dog",
+                "the quick brown fox jumps over the dog",  # dup bait
+                "spam spam spam spam spam spam",
+                "x",                                        # too short
+                "!!!???...;;;:::",                          # punct bait
+                "ein kleiner deutscher satz mit worten",
+            ]
+        ),
+        st.text(
+            alphabet="abcdef ,.!", min_size=0, max_size=60
+        ),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_texts, st.sampled_from([0.3, 0.8]), st.booleans())
+def test_curation_conservation_model(spark, texts, jt, components):
+    """Model-based pipeline invariants on arbitrary corpora: every
+    input document lands in EXACTLY one of kept/ledger (no loss, no
+    double-drop), ledger stages come from the known stage set, and
+    every exact-duplicate group keeps exactly its lowest id."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en"))
+    kept, ledger = curate_corpus(
+        docs,
+        jaccard_threshold=jt,
+        min_tokens=2,
+        near_dup_closure="components" if components else "drop_all",
+    )
+    kept_ids = [r["doc_id"] for r in kept.collect()]
+    led = ledger.collect()
+    led_ids = [r["doc_id"] for r in led]
+    assert len(set(kept_ids)) == len(kept_ids)
+    assert len(set(led_ids)) == len(led_ids)  # dropped exactly once
+    assert set(kept_ids) | set(led_ids) == set(range(len(texts)))
+    assert set(kept_ids) & set(led_ids) == set()
+    assert {r["stage"] for r in led} <= {
+        "exact_dedup", "near_dedup", "quality", "language",
+    }
+    # exact-duplicate groups: lowest id survives stage 1 (it may still
+    # drop LATER, but never with stage exact_dedup)
+    by_text: dict = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    exact_drops = {
+        r["doc_id"] for r in led if r["stage"] == "exact_dedup"
+    }
+    for ids in by_text.values():
+        assert min(ids) not in exact_drops
+        # every non-minimal member IS an exact-dedup drop
+        assert all(i in exact_drops for i in ids if i != min(ids))
