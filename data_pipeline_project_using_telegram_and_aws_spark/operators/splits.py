@@ -393,3 +393,67 @@ def solve_mixture(
             s: round(rates[s], 4) for s in f
         },
     }
+
+
+def normalize_scores_per_group(
+    df: DataFrame,
+    score_col: str,
+    by: list[str],
+    method: str = "robust",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Normalize a score WITHIN each group so thresholds compare across
+    groups — the cross-source comparability step before any global
+    gate: a quality classifier calibrated on web text scores academic
+    PDFs on a different scale, and a single global cutoff then filters
+    by SOURCE, not by quality. Normalizing per source first makes
+    `quantile_gate`/`temperature_sample` cuts mean the same thing in
+    every slice.
+
+    ``method="zscore"``: (x − mean)/stddev; ``"robust"`` (default):
+    (x − median)/(1.4826·MAD) — the `profiling.robust_outlier_report`
+    scaling, poison-proof against the heavy tails quality scores
+    actually have. Degenerate groups (zero spread, or robust MAD = 0)
+    normalize to 0.0 rather than NULL/±inf — every row keeps a usable
+    score. NULL scores pass through as NULL.
+
+    Plan: one partial-agg'd group-stats aggregation (groups-sized
+    output, broadcast back) + a row-local projection — the corpus
+    shuffles zero times."""
+    if method not in ("zscore", "robust"):
+        raise ValueError(
+            "normalize_scores_per_group: method must be zscore | robust"
+        )
+    x = F.col(score_col)
+    if method == "zscore":
+        stats = df.groupBy(*by).agg(
+            F.avg(x).alias("__center"),
+            F.stddev_pop(x).alias("__scale"),
+        )
+    else:
+        stats = df.groupBy(*by).agg(
+            F.expr(f"percentile({score_col}, 0.5)").alias("__center"),
+        )
+        mad = df.join(F.broadcast(stats), by).groupBy(*by).agg(
+            F.expr(
+                f"percentile(abs({score_col} - __center), 0.5)"
+            ).alias("__mad"),
+            F.first("__center").alias("__center"),
+        )
+        stats = mad.select(
+            *by, "__center", (F.col("__mad") * 1.4826).alias("__scale")
+        )
+    out = out_col or f"{score_col}_norm"
+    return (
+        df.join(F.broadcast(stats), by)
+        .withColumn(
+            out,
+            F.when(x.isNull(), F.lit(None).cast("double"))
+            .when(
+                F.coalesce(F.col("__scale"), F.lit(0.0)) <= 0.0,
+                F.lit(0.0),
+            )
+            .otherwise((x - F.col("__center")) / F.col("__scale")),
+        )
+        .drop("__center", "__scale")
+    )

@@ -588,3 +588,48 @@ class TestSolveMixture:
         assert abs(got["code"] / total - 0.5) < 0.03
         # the binding source oversamples at ~max_epochs
         assert abs(got["code"] / 600 - 2.0) < 0.1
+
+
+def test_normalize_scores_per_group(spark):
+    """Per-group normalization vs a pure-Python recomputation; a
+    global threshold on the normalized score selects the same relative
+    band in every source despite shifted raw scales; degenerate and
+    NULL handling."""
+    import statistics
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        normalize_scores_per_group,
+    )
+
+    rows = []
+    # source A scores ~N(0.2, .) ; source B shifted to ~N(0.8, .)
+    for i in range(50):
+        rows.append((i, "A", 0.2 + 0.001 * (i % 10)))
+        rows.append((100 + i, "B", 0.8 + 0.001 * (i % 10)))
+    rows.append((999, "A", None))
+    rows.append((998, "C", 5.0))  # singleton: zero spread
+    df = spark.createDataFrame(rows, "doc_id long, src string, q double")
+
+    for method in ("robust", "zscore"):
+        out = {
+            r["doc_id"]: r["q_norm"]
+            for r in normalize_scores_per_group(
+                df, "q", ["src"], method=method
+            ).collect()
+        }
+        assert out[999] is None
+        assert out[998] == 0.0
+        # python recompute for source A, robust method
+        a_vals = [0.2 + 0.001 * (i % 10) for i in range(50)]
+        if method == "robust":
+            med = statistics.median(a_vals)
+            mad = statistics.median([abs(v - med) for v in a_vals])
+            want = (a_vals[7] - med) / (1.4826 * mad)
+        else:
+            mu = statistics.fmean(a_vals)
+            sd = statistics.pstdev(a_vals)
+            want = (a_vals[7] - mu) / sd
+        assert abs(out[7] - want) < 1e-9
+        # the same doc position in each source gets the same normalized
+        # score (scales differ, shape is identical)
+        assert abs(out[7] - out[107]) < 1e-9
