@@ -616,3 +616,81 @@ def append_to_exact_hash_index(
         .write.mode("append")
         .insertInto(table)
     )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source_a, source_b, n_shared_texts, share_of_a, share_of_b):
+    for every unordered source pair, the EXACT count of distinct texts
+    present in both — the precise twin of
+    `sketches.theta_overlap_matrix` (run the sketch screen first; run
+    this where the screen lights up, or wholesale when one aggregation
+    over the corpus is affordable anyway).
+
+    Plan: one distinct (text_hash, source) projection-aggregation, one
+    per-hash source-set aggregation (set size ≤ source count — tiny),
+    a row-local pairwise expansion of that set (≤ sources² structs per
+    hash), and one pair-keyed count. Nothing is ever all-pairs in
+    DOCUMENTS; the quadratic is over the bounded source list only.
+    ``share_of_X`` = n_shared / distinct texts of X."""
+    hashed = (
+        with_text_hash(docs, text_col)
+        .select("text_hash", F.col(source_col).alias("__src"))
+        .dropDuplicates(["text_hash", "__src"])
+    )
+    per_source = hashed.groupBy("__src").agg(
+        F.count(F.lit(1)).alias("__n_texts")
+    )
+    sets = hashed.groupBy("text_hash").agg(
+        F.array_sort(F.collect_set("__src")).alias("__s")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__s"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__s"),
+                            i + 2,
+                            F.greatest(
+                                F.size("__s") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.source_a", "__p.source_b")
+    counts = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_texts")
+    )
+    a_tot = per_source.select(
+        F.col("__src").alias("source_a"), F.col("__n_texts").alias("__na")
+    )
+    b_tot = per_source.select(
+        F.col("__src").alias("source_b"), F.col("__n_texts").alias("__nb")
+    )
+    return (
+        counts.join(F.broadcast(a_tot), "source_a")
+        .join(F.broadcast(b_tot), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_texts",
+            F.round(F.col("n_shared_texts") / F.col("__na"), 6).alias(
+                "share_of_a"
+            ),
+            F.round(F.col("n_shared_texts") / F.col("__nb"), 6).alias(
+                "share_of_b"
+            ),
+        )
+        .orderBy(F.desc("n_shared_texts"), "source_a", "source_b")
+    )

@@ -423,3 +423,50 @@ def test_incremental_exact_dedup_against_index(spark, tmp_path):
         (20, 11)
     }
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cross_source_dup_matrix_exact_and_consistent_with_theta(spark):
+    """Planted overlap: sources A/B share exactly 30 texts, C shares 2
+    with A and none with B; exact counts and shares; and the theta
+    screen's estimate on the same data agrees within its RSE (the
+    screen-then-confirm workflow)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.sketches import (
+        theta_ledger,
+        theta_overlap_matrix,
+    )
+
+    rows = []
+    did = 0
+    for i in range(100):
+        rows.append((did, f"text a {i}", "A")); did += 1
+    for i in range(70, 130):  # 70-99 shared with A (30 texts)
+        rows.append((did, f"text a {i}" if i < 100 else f"text b {i}", "B"))
+        did += 1
+    rows.append((did, "text a 0", "C")); did += 1
+    rows.append((did, "text a 1", "C")); did += 1
+    rows.append((did, "only c", "C")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    mat = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_dup_matrix(docs).collect()
+    }
+    ab = mat[("A", "B")]
+    assert ab["n_shared_texts"] == 30
+    assert ab["share_of_a"] == 0.3  # 30 of A's 100 distinct texts
+    assert ab["share_of_b"] == 0.5  # 30 of B's 60
+    assert mat[("A", "C")]["n_shared_texts"] == 2
+    assert ("B", "C") not in mat  # zero-overlap pairs have no row
+
+    led = theta_ledger(
+        docs.select(F.concat("text").alias("k"), "source"), "k",
+        by=["source"],
+    )
+    est = {
+        (r["group_a"], r["group_b"]): r["est_intersection"]
+        for r in theta_overlap_matrix(led, "source").collect()
+    }
+    assert abs(est[("A", "B")] - 30) < 5  # small sets: theta ~exact

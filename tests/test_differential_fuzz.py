@@ -188,3 +188,61 @@ def test_having_and_count_distinct_match_duckdb(spark, groups, dcol, h):
     )
     con.close()
     assert got == want, (groups, dcol, h)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.sampled_from(GROUP_COLS),
+    st.sampled_from(NUM_COLS),
+    st.sampled_from(["rank", "range_sum"]),
+)
+def test_window_functions_match_duckdb(spark, part, val, kind):
+    """Third fuzz axis: window functions over a sort key WITH ties
+    (the synthetic lineitem repeats (l_orderkey, l_linenumber) pairs —
+    6000 rows, 4599 distinct), restricted to the tie-DETERMINISTIC
+    family: rank() (peers share a rank) and a RANGE-frame running sum
+    (peers all included). row_number/ROWS frames are engine-dependent
+    under ties, by spec — excluded deliberately. Frame semantics and
+    tie rules are where engines quietly disagree."""
+    from pyspark.sql import Window
+
+    df = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", part, val
+    )
+    order = [F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy(part).orderBy(*order)
+    if kind == "rank":
+        expr = F.rank().over(w)
+    else:
+        expr = F.sum(val).over(
+            w.rangeBetween(Window.unboundedPreceding, 0)
+        )
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r[part], float(r["x"]))
+        for r in df.withColumn("x", expr).collect()
+    )
+    sql_expr = "rank()" if kind == "rank" else f"sum({val})"
+    frame = (
+        "" if kind == "rank"
+        else " range between unbounded preceding and current row"
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (r[0], r[1], r[2], float(r[3]))
+        for r in con.execute(
+            f"select l_orderkey, l_linenumber, {part}, {sql_expr} over ("
+            f"partition by {part} order by l_orderkey, l_linenumber{frame}"
+            f") as x from read_parquet('{SF_DIR}/lineitem.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) == len(want)
+    for g, v in zip(got, want):
+        assert g[:3] == v[:3]
+        assert math.isclose(g[3], v[3], rel_tol=1e-9, abs_tol=1e-9), (
+            g, v, kind,
+        )
