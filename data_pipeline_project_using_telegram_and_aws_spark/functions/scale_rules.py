@@ -135,11 +135,16 @@ def bm25_rowlocal_max_terms() -> int:
 
     Cost model: row-local tf costs O(dl · |T|) equality checks per
     document against the explode path's O(dl) row generation PLUS a
-    survivors-keyed shuffle + hash aggregation; measured on rt1's
-    corpus (sf0.1, 270k tokens, 9 query terms) the row-local projection
-    runs 0.5 s vs 2.1 s for explode+join+agg — the shuffle's constant
-    factor dwarfs the extra comparisons until |T| reaches the hundreds.
-    64 keeps the per-token multiplier comfortably under the measured
-    ~4× win while staying far below the crossover; larger query sets
-    take the explode path, whose shuffle amortizes them."""
-    return 64
+    survivors-keyed shuffle + hash aggregation. Measured twice:
+
+    - rt1's corpus (sf0.1, 5k docs, 270k tokens, |T| = 9): row-local
+      0.5 s vs explode 2.1 s (~4×);
+    - probe corpus (50k docs × 40 tokens, full end-to-end bm25): |T|=4
+      → 1.8 vs 2.4 s, |T|=16 → 2.1 vs 2.6, |T|=64 → 4.7 vs 2.9,
+      |T|=128 → 7.3 vs 2.6 — the explode path is |T|-flat (its shuffle
+      amortizes terms) while row-local grows linearly, crossing
+      between 16 and 64.
+
+    32 sits inside the measured win region on both corpora with margin
+    under the crossover; larger query sets take the explode path."""
+    return 32
