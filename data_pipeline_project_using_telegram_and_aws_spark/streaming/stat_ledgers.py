@@ -162,3 +162,50 @@ def counts_so_far(
     return estimate_counts(
         merged, items, item_col=item_col, depth=depth, width=width
     )
+
+
+def compact_stat_ledger(
+    spark: SparkSession,
+    ledger_path: str,
+    through_batch: int,
+    kind: str,
+    by: list[str] | None = None,
+    k: int = 1024,
+) -> None:
+    """Fold every ledger partition with ``ingest_batch <=
+    through_batch`` into ONE baseline row set under ``ingest_batch =
+    -1`` — `sketch_ledger.compact_ledger` for these ledgers.
+    ``kind``: ``"quantile"`` (bottom-k sample union — estimate
+    provably unchanged) or ``"cms"`` (counter sums). The maintenance-
+    window contract from the module docstring applies, and binds
+    HARDER for cms: a batch id folded away no longer owns a partition,
+    so an at-least-once re-delivery would double-count its counters —
+    compact only with the stream stopped and the checkpoint committed
+    past ``through_batch``."""
+    if kind not in ("quantile", "cms"):
+        raise ValueError("compact_stat_ledger: kind must be quantile | cms")
+    ledger = spark.read.parquet(ledger_path)
+    old = ledger.filter(F.col("ingest_batch") <= through_batch)
+    if not old.limit(1).count():
+        return
+    old = old.drop("ingest_batch")
+    if kind == "quantile":
+        baseline = merge_quantile_ledger(old, by=by, k=k)
+    else:
+        baseline = merge_cms_ledger(old, by=by)
+    baseline = baseline.withColumn(
+        "ingest_batch", F.lit(-1)
+    ).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        baseline.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(ledger_path)
+    )
+    import shutil
+    from pathlib import Path
+
+    for d in Path(ledger_path).glob("ingest_batch=*"):
+        suffix = d.name.split("=", 1)[1]
+        if suffix != "-1" and int(suffix) <= through_batch:
+            shutil.rmtree(d)

@@ -96,3 +96,53 @@ def test_cms_stream_matches_batch_build(spark, tmp_path):
     ).collect()[0]
     assert got["est"] == want["est"]  # streamed merge == one pass
     assert got["est"] >= 1000  # 1/5 of 5000 rows, never undercounts
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    """Folding old batch partitions into the -1 baseline changes no
+    answer: quantile samples stay bit-identical (set-union merge is
+    exact), CMS point estimates stay equal (counter sums); folded
+    partitions disappear, the baseline appears."""
+    from pathlib import Path
+
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        compact_stat_ledger,
+    )
+
+    qled = str(tmp_path / "q")
+    cled = str(tmp_path / "c")
+    for bid, (s, n) in enumerate([(0, 1500), (4000, 1200), (9000, 800)]):
+        chunk = _chunk(spark, s, n)
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.quantile_sketch import (
+            quantile_ledger,
+        )
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.frequency import (
+            cms_ledger,
+        )
+        from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+            _land,
+        )
+
+        _land(quantile_ledger(chunk, "x", "doc_id", k=64), bid, qled)
+        _land(cms_ledger(chunk, "item", depth=4, width=256), bid, cled)
+
+    items = spark.createDataFrame([("hot",)], "item string")
+    q_before = quantiles_so_far(spark, qled, [0.5], k=64).collect()[0]
+    c_before = counts_so_far(
+        spark, cled, items, depth=4, width=256
+    ).collect()[0]["est"]
+
+    compact_stat_ledger(spark, qled, 1, "quantile", k=64)
+    compact_stat_ledger(spark, cled, 1, "cms")
+
+    q_after = quantiles_so_far(spark, qled, [0.5], k=64).collect()[0]
+    c_after = counts_so_far(
+        spark, cled, items, depth=4, width=256
+    ).collect()[0]["est"]
+    assert q_after["sample"] == q_before["sample"]
+    assert q_after["n_rows"] == q_before["n_rows"]
+    assert c_after == c_before
+
+    for path in (qled, cled):
+        parts = {p.name for p in Path(path).glob("ingest_batch=*")}
+        assert parts == {"ingest_batch=-1", "ingest_batch=2"}
