@@ -179,6 +179,54 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    include_equal: bool = True,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """FORWARD as-of LEFT join: each left row picks up ``right_cols``
+    from the EARLIEST right row of the same key with ``right_ts >=
+    left_ts`` (strictly ``>`` when ``include_equal=False``) — the
+    "next event after" direction (next order after a page view, next
+    reading at-or-after a query time). Same contracts as
+    :func:`asof_join` (unique right (key, ts); NULL right timestamps
+    never match; struct-carried columns; skew guard).
+
+    Implementation is the time-reversal identity — forward-as-of over
+    t is backward-as-of over −t — so the entire union-window machinery
+    (including the chunked skew guard) is REUSED rather than mirrored:
+    both timestamps negate into epoch-second doubles (microsecond
+    precision preserved; a cast back to timestamp keeps ordering),
+    the backward join runs, and the helper columns drop on the way
+    out. Equality, tie-tag semantics, and left-row preservation are
+    invariant under the negation."""
+    lts, rts = "__fwd_lts", "__fwd_rts"
+    lneg = left.withColumn(
+        lts, -F.col(left_ts).cast("timestamp").cast("double")
+    )
+    rneg = right.withColumn(
+        rts, -F.col(right_ts).cast("timestamp").cast("double")
+    )
+    out = asof_join(
+        lneg,
+        rneg,
+        left_key,
+        right_key,
+        lts,
+        rts,
+        right_cols,
+        include_equal=include_equal,
+        bucket_seconds=bucket_seconds,
+    )
+    return out.drop(lts)
+
+
 def binned_range_join(
     left: DataFrame,
     value_col: str,

