@@ -107,12 +107,33 @@ def upsert_batch(
         r["__bucket"]
         for r in staged.select("__bucket").distinct().collect()
     ]
-    existing = spark.read.parquet(table_path).filter(
-        F.col("__bucket").isin(affected)
+    # mergeSchema: buckets rewritten after a schema evolution carry the
+    # new columns while untouched buckets don't — the union schema is
+    # the table's real schema (default parquet reads take one file's)
+    existing = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(table_path)
+        .filter(F.col("__bucket").isin(affected))
     )
     if delete_col is not None and delete_col not in existing.columns:
         # stored rows are post-tombstone survivors: not deleted
         existing = existing.withColumn(delete_col, F.lit(False))
+    # schema evolution = ADDING columns (type changes are not
+    # supported): align both sides to the union-by-name schema. A
+    # column the batch doesn't carry is NULL on its rows — upserts are
+    # FULL-row (the winning row replaces the old one wholesale), so an
+    # evolved-away value nulls out rather than leaking through; old
+    # rows show NULL for newly added columns.
+    for c in staged.columns:
+        if c not in existing.columns:
+            existing = existing.withColumn(
+                c, F.lit(None).cast(staged.schema[c].dataType)
+            )
+    for c in existing.columns:
+        if c not in staged.columns:
+            staged = staged.withColumn(
+                c, F.lit(None).cast(existing.schema[c].dataType)
+            )
     before = existing.drop("__bucket")
     if delete_col is not None:
         before = before.drop(delete_col)
@@ -225,8 +246,14 @@ def start_upsert_stream(
 
 
 def read_current(spark: SparkSession, table_path: str) -> DataFrame:
-    """The current state (bucket column dropped)."""
-    return spark.read.parquet(table_path).drop("__bucket")
+    """The current state (bucket column dropped). mergeSchema: after a
+    schema evolution, untouched buckets lack the new columns — the
+    union schema surfaces them as NULL there."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(table_path)
+        .drop("__bucket")
+    )
 
 
 def lookup(
@@ -244,7 +271,7 @@ def lookup(
     prunes row groups inside the bucket via parquet stats."""
     if len(keys) != len(values):
         raise ValueError("lookup: one value per key column")
-    table = spark.read.parquet(table_path)
+    table = spark.read.option("mergeSchema", "true").parquet(table_path)
     dtypes = dict(table.dtypes)
     # xxhash64 is TYPE-sensitive: hash the literals at the stored
     # column types or the bucket comes out different from the writer's

@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F, types as T
 
 from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+    lookup,
     read_current,
     start_upsert_stream,
     upsert_batch,
@@ -357,3 +358,44 @@ def test_all_tombstone_first_batch_bootstraps_empty(spark, tmp_path):
         r["user_id"]: r["balance"]
         for r in read_current(spark, path).collect()
     } == {9: 9.0}
+
+
+def test_schema_evolution_adds_columns(spark, tmp_path):
+    """A later batch carrying a NEW column must not silently lose it
+    (the old merge projected staged onto the stored columns): after
+    the evolving batch, the new column exists with the batch's values,
+    rows in UNTOUCHED buckets read NULL for it (mergeSchema), lookup
+    still prunes to one bucket, and a batch that OMITS a column writes
+    NULL on its winners (full-row upsert semantics, documented)."""
+    path = str(tmp_path / "t")
+    # many keys so several buckets are occupied
+    rows = [(i, 1, float(i), False) for i in range(40)]
+    upsert_batch(
+        _batch(spark, rows), path, ["user_id"], "seq",
+        n_buckets=8, delete_col="deleted",
+    )
+    # evolve: batch 2 adds a 'tier' column for one key
+    evolved_schema = T.StructType(
+        SCHEMA.fields + [T.StructField("tier", T.StringType())]
+    )
+    evolved = spark.createDataFrame(
+        [(1, 2, 11.0, False, "gold")], evolved_schema
+    )
+    upsert_batch(
+        evolved, path, ["user_id"], "seq", n_buckets=8,
+        delete_col="deleted",
+    )
+    cur = {r["user_id"]: r for r in read_current(spark, path).collect()}
+    assert "tier" in read_current(spark, path).columns
+    assert cur[1]["tier"] == "gold" and cur[1]["balance"] == 11.0
+    assert cur[2]["tier"] is None  # untouched bucket, evolved schema
+    assert len(cur) == 40
+    got = lookup(spark, path, ["user_id"], [1], n_buckets=8).collect()
+    assert got[0]["tier"] == "gold"
+    # a later OLD-schema batch updating key 1: winner's tier is NULL
+    upsert_batch(
+        _batch(spark, [(1, 3, 12.0, False)]), path, ["user_id"], "seq",
+        n_buckets=8, delete_col="deleted",
+    )
+    r1 = lookup(spark, path, ["user_id"], [1], n_buckets=8).collect()[0]
+    assert r1["balance"] == 12.0 and r1["tier"] is None
