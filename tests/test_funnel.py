@@ -132,3 +132,103 @@ def test_funnel_report_and_validation(spark):
         funnel(_events(spark, rows), ["view"])
     with pytest.raises(ValueError, match="distinct"):
         funnel(_events(spark, rows), ["view", "view"])
+
+
+def test_incremental_funnel_matches_batch(spark, tmp_path):
+    """Events split into time-ordered daily batches through
+    funnel_update_state (state persisted via the keyed upsert table)
+    must end at the same per-user position as the batch operator over
+    the full log; the state report aggregates the user-sized table,
+    never the history; replaying the last batch converges."""
+    import random
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.funnel import (
+        funnel_state_report,
+        funnel_update_state,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+        read_current,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    t0 = _ts("2024-03-01 00:00:00")
+    from datetime import timedelta
+
+    for minute in range(300):
+        u = rng.randrange(25)
+        et = rng.choice(STEPS + ["error", "signup"])
+        rows.append((u, et, t0 + timedelta(minutes=minute)))
+    ev = _events(spark, rows)
+    state = str(tmp_path / "fstate")
+
+    # three time-ordered batches (minute 0-99, 100-199, 200-299)
+    for bid in range(3):
+        lo = t0 + timedelta(minutes=100 * bid)
+        hi = t0 + timedelta(minutes=100 * (bid + 1))
+        funnel_update_state(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+            state, STEPS, batch_id=bid, n_buckets=8,
+        )
+    got = {
+        r["user_id"]: r["want"]
+        for r in read_current(spark, state).collect()
+    }
+    want = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(ev, STEPS).collect()
+    }
+    for u, w in got.items():
+        assert w == want.get(u, 0), (u, w, want.get(u))
+    assert set(want) <= set(got)  # every progressed user has state
+
+    rep = {
+        r["steps_completed"]: r["n_users"]
+        for r in funnel_state_report(spark, state, len(STEPS)).collect()
+    }
+    from collections import Counter
+
+    assert rep == dict(Counter(got.values()))
+
+    # at-least-once replay of the final batch: state converges
+    lo = t0 + timedelta(minutes=200)
+    funnel_update_state(
+        ev.filter(F.col("ts") >= lo), state, STEPS, batch_id=2,
+        n_buckets=8,
+    )
+    again = {
+        r["user_id"]: r["want"]
+        for r in read_current(spark, state).collect()
+    }
+    assert again == got
+
+
+def test_incremental_replay_cannot_time_travel(spark, tmp_path):
+    """Adversarial replay: a batch holding click@t1 then view@t2
+    (later step first IN TIME) folds to want=1 — and replaying it must
+    NOT match the t1 click 'after' the t2 view. A frontierless fold
+    double-counts exactly this; the persisted frontier pins it."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.funnel import (
+        funnel_update_state,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+        read_current,
+    )
+
+    rows = [
+        (1, "click", _ts("2024-01-01 10:00:00")),  # step 2, earlier
+        (1, "view", _ts("2024-01-01 11:00:00")),   # step 1, later
+    ]
+    state = str(tmp_path / "fs")
+    funnel_update_state(
+        _events(spark, rows), state, STEPS, batch_id=0, n_buckets=4
+    )
+    first = read_current(spark, state).collect()[0]
+    assert first["want"] == 1  # the pre-view click never counts
+    # at-least-once re-delivery of the same batch
+    funnel_update_state(
+        _events(spark, rows), state, STEPS, batch_id=0, n_buckets=4
+    )
+    again = read_current(spark, state).collect()[0]
+    assert again["want"] == 1, again  # no time travel
+    assert again["frontier_ts"] == first["frontier_ts"]
