@@ -50,38 +50,54 @@ def quantile_ledger(
     id_col: str,
     by: list[str] | None = None,
     k: int = DEFAULT_K,
+    salt_partitions: int = 64,
 ) -> DataFrame:
     """One ledger row per ``by`` group: ``sample`` = the k
     (die, value) pairs with the smallest dice (die-sorted array),
     plus exact ``n_rows`` (non-null values), ``lo`` / ``hi``, and
-    ``n_null``. NULLs never enter the sample or the extremes."""
+    ``n_null``. NULLs never enter the sample or the extremes.
+
+    Scale shape — salted two-stage bottom-k, because a single rank
+    window per group would funnel a whole group (the ENTIRE corpus
+    when ``by=None``) through one task: stage 1 ranks within
+    (group, salt) partitions — ``salt_partitions``-way parallelism,
+    each sorting ~1/S of the group — and stage 2 merges the S
+    ledger-sized per-salt bottom-k arrays exactly as
+    :func:`merge_quantile_ledger` does (bottom-k of a union IS the
+    bottom-k of the per-part bottom-ks, so the result is bit-identical
+    to the unsalted rank — pinned by the layout-invariance tests). The
+    exact counters ride the same stage-2 aggregation, partial-agg'd
+    from stage-1 rows. ``salt_partitions`` dials stage-1 parallelism;
+    per-salt sort work is n/(S·groups) rows per task, spill-safe."""
     if k < 1:
         raise ValueError("quantile_ledger: k must be >= 1")
+    if salt_partitions < 1:
+        raise ValueError("quantile_ledger: salt_partitions must be >= 1")
     keys = list(by or [])
     slim = df.select(
         *keys,
         F.md5(F.col(id_col).cast("string")).alias("__die"),
         F.col(value_col).cast("double").alias("__v"),
+    ).withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("__die")), F.lit(salt_partitions)),
     )
-    # one window: nulls rank LAST so they never consume sample slots;
-    # the isNotNull guard below keeps them out even when the group has
-    # fewer than k non-null rows
-    parts = keys if keys else [F.lit(1)]
-    w = Window.partitionBy(*parts).orderBy(
+    # stage 1: rank within (group, salt); nulls rank LAST so they
+    # never consume sample slots, and the isNotNull guard keeps them
+    # out even when a salt cell has fewer than k non-null rows
+    w = Window.partitionBy(*keys, "__salt").orderBy(
         F.col("__v").isNull().asc(), F.col("__die").asc()
     )
     ranked = slim.withColumn("__rk", F.row_number().over(w))
+    keep = F.when(
+        (F.col("__rk") <= k) & F.col("__v").isNotNull(),
+        F.struct(F.col("__die").alias("die"), F.col("__v").alias("v")),
+    )
+    # stage 2: per-group merge of the per-salt bottom-ks + the exact
+    # counters (sums/min/max — partial-aggregated over stage-1 rows)
     aggs = [
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    (F.col("__rk") <= k) & F.col("__v").isNotNull(),
-                    F.struct(
-                        F.col("__die").alias("die"),
-                        F.col("__v").alias("v"),
-                    ),
-                )
-            )
+        F.slice(
+            F.array_sort(F.collect_list(keep)), 1, k
         ).alias("sample"),
         F.sum(F.col("__v").isNotNull().cast("long")).alias("n_rows"),
         F.min("__v").alias("lo"),
