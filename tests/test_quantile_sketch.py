@@ -117,3 +117,28 @@ def test_per_group_rows_and_validation(spark):
         quantile_ledger(df, "x", "doc_id", k=0)
     with pytest.raises(ValueError, match="outside"):
         ledger_quantiles(quantile_ledger(df, "x", "doc_id", k=4), [1.5])
+
+
+def test_salted_build_rank_stage_is_parallel(spark):
+    """Plan hygiene for the scale fix: the rank window must sit on a
+    salt-hash exchange (S-way parallel), never on a SinglePartition
+    exchange — the shape that funneled the whole corpus through one
+    task for global ledgers. (The one SinglePartition exchange that
+    remains feeds the FINAL aggregation with pre-aggregated partials —
+    one row per upstream partition, the standard global-agg tail.)"""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 1.0).alias("x")
+    )
+    plan = (
+        quantile_ledger(df, "x", "doc_id", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    win_at = plan.index("Window [row_number()")
+    below_window = plan[win_at:]
+    first_exchange = below_window[
+        below_window.index("Exchange") :
+    ].splitlines()[0]
+    assert "hashpartitioning(__salt" in first_exchange, first_exchange
+    assert "SinglePartition" not in first_exchange
