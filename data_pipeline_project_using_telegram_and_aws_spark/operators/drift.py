@@ -182,20 +182,40 @@ def categorical_drift_report(
             "tv"
         ),
     ).collect()[0]
-    cats = joined.orderBy(
+    # bounded collects only: a "categorical" column can turn out to be
+    # high-cardinality (the misuse case), and an unbounded full-table
+    # collect is exactly the driver-side trap this package bans — the
+    # divergence aggregates stay fully distributed above; here each
+    # list caps at max_listed (counts stay exact via the aggregation)
+    max_listed = 100
+    side_counts = joined.agg(
+        F.sum((F.col("p") == 0.0).cast("long")).alias("n_new"),
+        F.sum((F.col("q") == 0.0).cast("long")).alias("n_vanished"),
+    ).collect()[0]
+    movers = joined.orderBy(
         F.desc(F.abs(F.col("p") - F.col("q"))), F.asc("cat")
-    ).collect()
+    ).limit(top_movers).collect()
+    new_cats = (
+        joined.filter(F.col("p") == 0.0)
+        .orderBy("cat")
+        .limit(max_listed)
+        .collect()
+    )
+    gone_cats = (
+        joined.filter(F.col("q") == 0.0)
+        .orderBy("cat")
+        .limit(max_listed)
+        .collect()
+    )
     return {
         "js_divergence": float(agg["jsd"]),
         "total_variation": float(agg["tv"]),
-        "new_categories": sorted(
-            r["cat"] for r in cats if r["p"] == 0.0
-        ),
-        "vanished_categories": sorted(
-            r["cat"] for r in cats if r["q"] == 0.0
-        ),
+        "new_categories": [r["cat"] for r in new_cats],
+        "vanished_categories": [r["cat"] for r in gone_cats],
+        "n_new_categories": int(side_counts["n_new"]),
+        "n_vanished_categories": int(side_counts["n_vanished"]),
         "top_movers": [
             {"cat": r["cat"], "p": r["p"], "q": r["q"]}
-            for r in cats[:top_movers]
+            for r in movers
         ],
     }

@@ -152,9 +152,12 @@ def refresh_grouped_view(
     cursor_df = spark.createDataFrame(
         [(new_cursor,)], "last_batch long"
     ).localCheckpoint(eager=True)
-    # temp-and-swap: view rows + cursor land together or not at all
+    # temp-and-swap: view rows + cursor land together or not at all.
+    # No coalesce(1): a high-cardinality group column makes the view
+    # itself large, and a single-file write would serialize it through
+    # one task — let the write keep its parallelism.
     tmp = view_path + "__tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
     cursor_df.coalesce(1).write.mode("overwrite").parquet(
         str(Path(tmp) / "_cursor")
     )
