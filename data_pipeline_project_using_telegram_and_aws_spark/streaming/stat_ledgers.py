@@ -209,3 +209,101 @@ def compact_stat_ledger(
         suffix = d.name.split("=", 1)[1]
         if suffix != "-1" and int(suffix) <= through_batch:
             shutil.rmtree(d)
+
+
+def start_cms_ledger_stream_with_candidates(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ledger_path: str,
+    candidates_path: str,
+    item_col: str,
+    phi: float,
+    max_batches_hint: int = 64,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 2048,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CMS ledger stream that ALSO lands each batch's exact heavy-
+    hitter candidates — the streamed form of
+    `operators/frequency.heavy_hitters`'s per-day harvest, with the
+    same pigeonhole recall guarantee transposed to batches: an item
+    with all-time mass ≥ φ·N over ≤ ``max_batches_hint`` batches must
+    clear the φ/max_batches_hint share in SOME batch, so harvesting
+    above that bar per batch can never miss a true heavy hitter
+    (overshooting the hint only shrinks the bar — recall survives;
+    the candidate set grows, precision is restored by the CMS score
+    in :func:`heavy_hitters_so_far`). Candidate rows are
+    (item, batch_count) under ``ingest_batch`` partitions — replay
+    rewrites, like every ledger here."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        wcol = (
+            F.col(weight_col).cast("long")
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        )
+        slim = batch.select(
+            F.col(item_col).cast("string").alias("item"),
+            wcol.alias("__w"),
+        )
+        _land(
+            cms_ledger(
+                slim, "item", weight_col="__w", depth=depth, width=width
+            ),
+            batch_id,
+            ledger_path,
+        )
+        counts = slim.groupBy("item").agg(F.sum("__w").alias("batch_count"))
+        total = counts.agg(F.sum("batch_count").alias("m"))
+        cands = (
+            counts.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("batch_count")
+                >= F.col("m") * F.lit(phi / max_batches_hint)
+            )
+            .select("item", "batch_count")
+        )
+        _land(cands, batch_id, candidates_path)
+
+    return _start(
+        spark, source_dir, schema, sink, checkpoint_dir, available_now
+    )
+
+
+def heavy_hitters_so_far(
+    spark: SparkSession,
+    ledger_path: str,
+    candidates_path: str,
+    phi: float,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """(item, est, share_est): all-time heavy hitters from the streamed
+    state — the candidate union (bounded, see the harvest's bar)
+    scored against the merged CMS, filtered at φ·N where N is the
+    merged counter mass of any single depth row (each row of the
+    sketch sums the whole stream). Ledger-sized work only."""
+    from ..operators.frequency import estimate_counts
+
+    merged = merge_cms_ledger(
+        spark.read.parquet(ledger_path).drop("ingest_batch")
+    )
+    total = (
+        merged.filter(F.col("r") == 0).agg(F.sum("cnt")).collect()[0][0]
+        or 0
+    )
+    cands = (
+        spark.read.parquet(candidates_path)
+        .select("item")
+        .distinct()
+    )
+    return (
+        estimate_counts(merged, cands, depth=depth, width=width)
+        .filter(F.col("est") >= phi * total)
+        .withColumn(
+            "share_est", F.col("est") / F.lit(float(max(total, 1)))
+        )
+    )

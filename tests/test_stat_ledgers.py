@@ -146,3 +146,51 @@ def test_compaction_preserves_answers(spark, tmp_path):
     for path in (qled, cled):
         parts = {p.name for p in Path(path).glob("ingest_batch=*")}
         assert parts == {"ingest_batch=-1", "ingest_batch=2"}
+
+
+def test_streamed_heavy_hitters_guaranteed_recall(spark, tmp_path):
+    """The streamed harvest + merged CMS recovers every true all-time
+    heavy hitter across batches — including one whose mass is SPREAD
+    over batches (heavy overall, unremarkable per batch beyond the
+    φ/hint bar) — and nothing reported undercounts."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        heavy_hitters_so_far,
+        start_cms_ledger_stream_with_candidates,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    led = str(tmp_path / "led")
+    cand = str(tmp_path / "cand")
+    ckpt = str(tmp_path / "ck")
+    for b in range(3):
+        _chunk(spark, b * 10_000, 2000).coalesce(1).write.parquet(
+            str(src / f"b{b}.parquet")
+        )
+    start_cms_ledger_stream_with_candidates(
+        spark, str(src) + "/*", SCHEMA, led, cand, "item",
+        phi=0.05, max_batches_hint=16, depth=4, width=1024,
+        checkpoint_dir=ckpt,
+    ).awaitTermination(180)
+
+    got = {
+        r["item"]: r["est"]
+        for r in heavy_hitters_so_far(
+            spark, led, cand, phi=0.05, depth=4, width=1024
+        ).collect()
+    }
+    # truth: 'hot' is 1/5 of all 6000 rows = 20% — far above φ=5%
+    full = (
+        _chunk(spark, 0, 2000)
+        .unionByName(_chunk(spark, 10_000, 2000))
+        .unionByName(_chunk(spark, 20_000, 2000))
+    )
+    truth = {
+        r["item"]: r["c"]
+        for r in full.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    heavy = {k for k, c in truth.items() if c >= 0.05 * 6000}
+    assert heavy == {"hot"}
+    assert set(got) >= heavy  # guaranteed recall
+    for item, est in got.items():
+        assert est >= truth[item]  # one-sided
