@@ -246,3 +246,73 @@ def test_window_functions_match_duckdb(spark, part, val, kind):
         assert math.isclose(g[3], v[3], rel_tol=1e-9, abs_tol=1e-9), (
             g, v, kind,
         )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.sampled_from(["left", "full", "inner", "semi", "anti"]),
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        min_size=0,
+        max_size=8,
+    ),
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_join_null_key_semantics_match_duckdb(
+    spark, tmp_path_factory, how, lkeys, rkeys
+):
+    """Fourth fuzz axis: join families over keys WITH NULLS and
+    duplicates — NULL keys must never match, outer sides must
+    preserve, semi/anti must not multiply. Both engines read the same
+    parquet bytes."""
+    d = tmp_path_factory.mktemp("jf")
+    lpath, rpath = str(d / "l.parquet"), str(d / "r.parquet")
+    spark.createDataFrame(
+        [(i, k) for i, k in enumerate(lkeys)], "lid long, k long"
+    ).coalesce(1).write.mode("overwrite").parquet(lpath)
+    spark.createDataFrame(
+        [(100 + i, k) for i, k in enumerate(rkeys)], "rid long, k long"
+    ).coalesce(1).write.mode("overwrite").parquet(rpath)
+
+    l = spark.read.parquet(lpath)
+    r = spark.read.parquet(rpath)
+    sj = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
+    joined = l.join(r, l["k"] == r["k"], sj)
+    if how in ("semi", "anti"):
+        got = sorted(
+            ((x["lid"], x["k"]) for x in joined.collect()), key=repr
+        )
+    else:
+        got = sorted(
+            ((x["lid"], x["rid"]) for x in joined.collect()), key=repr
+        )
+
+    con = duckdb.connect()
+    lp, rp = f"{lpath}/*.parquet", f"{rpath}/*.parquet"
+    if how in ("semi", "anti"):
+        sql = (
+            f"select lid, l.k from read_parquet('{lp}') l "
+            f"{how} join read_parquet('{rp}') r on l.k = r.k"
+        )
+        want = sorted(
+            (tuple(t) for t in con.execute(sql).fetchall()), key=repr
+        )
+    else:
+        kw = {"left": "left", "full": "full outer", "inner": "inner"}[how]
+        sql = (
+            f"select lid, rid from read_parquet('{lp}') l "
+            f"{kw} join read_parquet('{rp}') r on l.k = r.k"
+        )
+        want = sorted(
+            (tuple(t) for t in con.execute(sql).fetchall()), key=repr
+        )
+    con.close()
+    assert got == want, (how, lkeys, rkeys, got, want)
