@@ -59,8 +59,12 @@ def _start(
     sink,
     checkpoint_dir: str | None,
     available_now: bool,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     writer = stream.writeStream.foreachBatch(sink)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
@@ -225,6 +229,7 @@ def start_cms_ledger_stream_with_candidates(
     width: int = 2048,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """CMS ledger stream that ALSO lands each batch's exact heavy-
     hitter candidates — the streamed form of
@@ -269,7 +274,8 @@ def start_cms_ledger_stream_with_candidates(
         _land(cands, batch_id, candidates_path)
 
     return _start(
-        spark, source_dir, schema, sink, checkpoint_dir, available_now
+        spark, source_dir, schema, sink, checkpoint_dir, available_now,
+        max_files_per_trigger,
     )
 
 
@@ -307,3 +313,42 @@ def heavy_hitters_so_far(
             "share_est", F.col("est") / F.lit(float(max(total, 1)))
         )
     )
+
+
+def compact_candidates(
+    spark: SparkSession,
+    candidates_path: str,
+    through_batch: int,
+) -> None:
+    """Fold old candidate partitions into one deduplicated baseline
+    (``ingest_batch = -1``). The candidate union only matters as a
+    SET (the CMS supplies the counts), so compaction is a distinct —
+    idempotent, order-insensitive, answer-preserving — and the
+    candidate store stays bounded by distinct-ever-candidates instead
+    of growing per batch. Same maintenance-window contract as the
+    ledgers it rides with (a folded batch id replayed would re-land
+    its partition — harmless here: its items are already in the
+    baseline and `heavy_hitters_so_far` reads the union distinctly)."""
+    ledger = spark.read.parquet(candidates_path)
+    old = ledger.filter(F.col("ingest_batch") <= through_batch)
+    if not old.limit(1).count():
+        return
+    baseline = (
+        old.groupBy("item")
+        .agg(F.max("batch_count").alias("batch_count"))
+        .withColumn("ingest_batch", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        baseline.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(candidates_path)
+    )
+    import shutil
+    from pathlib import Path
+
+    for d in Path(candidates_path).glob("ingest_batch=*"):
+        suffix = d.name.split("=", 1)[1]
+        if suffix != "-1" and int(suffix) <= through_batch:
+            shutil.rmtree(d)

@@ -194,3 +194,61 @@ def test_streamed_heavy_hitters_guaranteed_recall(spark, tmp_path):
     assert set(got) >= heavy  # guaranteed recall
     for item, est in got.items():
         assert est >= truth[item]  # one-sided
+
+
+def test_candidate_compaction_preserves_heavy_hitters(spark, tmp_path):
+    """Folding candidate partitions into the deduped baseline changes
+    no heavy-hitter answer; folded partitions disappear; re-compacting
+    is a no-op (set semantics)."""
+    from pathlib import Path
+
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        compact_candidates,
+        heavy_hitters_so_far,
+        start_cms_ledger_stream_with_candidates,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    led = str(tmp_path / "led")
+    cand = str(tmp_path / "cand")
+    for b in range(3):
+        _chunk(spark, b * 10_000, 1500).coalesce(1).write.parquet(
+            str(src / f"b{b}.parquet")
+        )
+    start_cms_ledger_stream_with_candidates(
+        spark, str(src) + "/*", SCHEMA, led, cand, "item",
+        phi=0.05, max_batches_hint=16, depth=4, width=512,
+        checkpoint_dir=str(tmp_path / "ck"), max_files_per_trigger=1,
+    ).awaitTermination(180)
+
+    before = sorted(
+        map(
+            str,
+            heavy_hitters_so_far(
+                spark, led, cand, phi=0.05, depth=4, width=512
+            ).collect(),
+        )
+    )
+    compact_candidates(spark, cand, through_batch=1)
+    after = sorted(
+        map(
+            str,
+            heavy_hitters_so_far(
+                spark, led, cand, phi=0.05, depth=4, width=512
+            ).collect(),
+        )
+    )
+    assert after == before
+    parts = {p.name for p in Path(cand).glob("ingest_batch=*")}
+    assert parts == {"ingest_batch=-1", "ingest_batch=2"}
+    compact_candidates(spark, cand, through_batch=2)
+    final = sorted(
+        map(
+            str,
+            heavy_hitters_so_far(
+                spark, led, cand, phi=0.05, depth=4, width=512
+            ).collect(),
+        )
+    )
+    assert final == before
