@@ -292,3 +292,43 @@ def funnel_state_report(spark, state_table, n_steps: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("steps_completed")
     )
+
+
+def start_funnel_stream(
+    spark,
+    source_dir: str,
+    schema,
+    state_table: str,
+    steps: list[str],
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured-Streaming front end for :func:`funnel_update_state`:
+    each micro-batch continues the per-user folds and upserts the
+    state table; the checkpoint carries source progress (restart
+    resumes at the next unprocessed file) and the frontier makes
+    at-least-once re-delivery converge. The ordering contract
+    transfers verbatim: the file source must deliver events in
+    per-user event-time order across batches (append-only ingest)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def sink(batch, batch_id: int) -> None:
+        funnel_update_state(
+            batch, state_table, steps, user_col, type_col, ts_col,
+            batch_id=batch_id, n_buckets=n_buckets,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -232,3 +232,71 @@ def test_incremental_replay_cannot_time_travel(spark, tmp_path):
     again = read_current(spark, state).collect()[0]
     assert again["want"] == 1, again  # no time travel
     assert again["frontier_ts"] == first["frontier_ts"]
+
+
+def test_funnel_stream_matches_batch_and_resumes(spark, tmp_path):
+    """The streamed funnel over time-ordered files ends at the batch
+    operator's positions; a restart with nothing new changes no
+    state."""
+    import random
+    from datetime import timedelta
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.funnel import (
+        start_funnel_stream,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+        read_current,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rng = random.Random(5)
+    t0 = _ts("2024-04-01 00:00:00")
+    rows = [
+        (
+            rng.randrange(15),
+            rng.choice(STEPS + ["error"]),
+            t0 + timedelta(minutes=m),
+        )
+        for m in range(200)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in range(2):
+        _events(spark, rows[b * 100 : (b + 1) * 100]).coalesce(
+            1
+        ).write.parquet(str(src / f"b{b}.parquet"))
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    start_funnel_stream(
+        spark, str(src) + "/*", schema, state, STEPS, ckpt,
+        n_buckets=8, max_files_per_trigger=1,
+    ).awaitTermination(180)
+
+    got = {
+        r["user_id"]: r["want"]
+        for r in read_current(spark, state).collect()
+    }
+    want = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(_events(spark, rows), STEPS).collect()
+    }
+    for u, w in got.items():
+        assert w == want.get(u, 0), (u, w)
+    assert set(want) <= set(got)
+
+    # restart with nothing new
+    start_funnel_stream(
+        spark, str(src) + "/*", schema, state, STEPS, ckpt, n_buckets=8
+    ).awaitTermination(120)
+    again = {
+        r["user_id"]: r["want"]
+        for r in read_current(spark, state).collect()
+    }
+    assert again == got
