@@ -316,3 +316,57 @@ def test_join_null_key_semantics_match_duckdb(
         )
     con.close()
     assert got == want, (how, lkeys, rkeys, got, want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.sampled_from(
+        ["union_all", "union", "intersect", "intersect_all",
+         "except", "except_all"]
+    ),
+    st.sampled_from([1.0, 3.0, 25.0]),
+    st.sampled_from([0.02, 0.05]),
+)
+def test_set_operations_match_duckdb(spark, op, qcut, dcut):
+    """Fifth fuzz axis: set operations with DUPLICATE rows on both
+    sides — ALL vs DISTINCT multiplicity rules are where engines (and
+    hand-rolled rewrites) drift."""
+    df = load_table(spark, SF_DIR, "lineitem")
+    a = df.filter(F.col("l_quantity") <= qcut).select(
+        "l_returnflag", "l_linestatus"
+    )
+    b = df.filter(F.col("l_discount") <= dcut).select(
+        "l_returnflag", "l_linestatus"
+    )
+    spark_ops = {
+        "union_all": a.union(b),
+        "union": a.union(b).distinct(),
+        "intersect": a.intersect(b),
+        "intersect_all": a.intersectAll(b),
+        # subtract IS distinct-except in the DataFrame API
+        "except": a.subtract(b),
+        "except_all": a.exceptAll(b),
+    }
+    got = sorted(
+        ((r[0], r[1]) for r in spark_ops[op].collect())
+    )
+    sql_op = {
+        "union_all": "union all", "union": "union",
+        "intersect": "intersect", "intersect_all": "intersect all",
+        "except": "except", "except_all": "except all",
+    }[op]
+    base = f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    sql = (
+        f"select l_returnflag, l_linestatus from {base} "
+        f"where l_quantity <= {qcut} {sql_op} "
+        f"select l_returnflag, l_linestatus from {base} "
+        f"where l_discount <= {dcut}"
+    )
+    con = duckdb.connect()
+    want = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == want, (op, qcut, dcut, len(got), len(want))
