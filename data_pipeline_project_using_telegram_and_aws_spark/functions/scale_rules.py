@@ -96,6 +96,29 @@ def blocked_pairs_max_block_rows(
     return int(math.sqrt(2 * target_pairs_per_block))
 
 
+def collected_group_max_rows(
+    bytes_per_row: int,
+    target_bytes_per_task: int = 64 * 1024 * 1024,
+    lo: int = 1024,
+) -> int:
+    """Guard bound for per-group ``collect_list`` operators (funnel's
+    per-user event arrays, dialog assembly's per-conversation turn
+    arrays): unlike a window aggregate, ``collect_list`` materializes
+    the WHOLE group as one in-memory array inside one task — it cannot
+    spill — so one pathological key (a bot emitting millions of funnel
+    events, a never-idle speaker) OOMs an executor hours into a job.
+    The bound caps the array at ``target_bytes_per_task`` of payload
+    (default 64 MB — comfortably inside a multi-GB executor even with
+    several concurrent tasks) given the caller's per-element width:
+    funnel's (timestamp, int) struct is ~16 B → ~4M events; a dialog
+    turn carrying text is ~256 B+ → ~262k turns. Enforced IN-PLAN with
+    the same ``assert_true``-over-a-count-window pattern as
+    ``blocked_pairs_max_block_rows`` (the window count spills; the
+    collect would not), so oversized keys fail loudly with the key
+    named BEFORE the array builds."""
+    return max(lo, target_bytes_per_task // max(bytes_per_row, 1))
+
+
 def skew_n_salts(
     hot_key_rows: int,
     target_rows_per_task: int = 1_000_000,

@@ -13,24 +13,83 @@ analytics engine uses):
   match is a min over timestamps, not a row pick);
 - ``within_seconds`` bounds the WHOLE funnel: step k only matches
   while ``ts − step-1 ts <= within_seconds`` (the campaign-window
-  reading; per-edge timeouts are a different dial, not this one);
+  reading);
+- ``step_within_seconds`` bounds each EDGE: step k+1 only matches
+  while ``ts − step-k match ts <= step_within_seconds`` (the
+  session-timeout reading product analytics usually wants). The two
+  dials compose with AND; a fixture where they disagree is pinned.
 - greedy-earliest is the standard and SAFE choice for unbounded
   funnels (matching later step-1 events can never reach fewer steps),
-  and the documented convention under a window (a user who misses the
-  window from their first A but would convert from a later A reports
-  the first — the conservative reading).
+  and the documented convention under either window (a user who
+  misses a window from their first A but would convert from a later
+  A reports the first — the conservative reading; there is no
+  backtracking to re-anchor on a later attempt).
 
 Plan shape: filter to funnel-step events only (pushed to the scan),
 ONE user-keyed aggregation collecting the (ts, step) pairs, and a
-row-local sorted fold computing the chain — the `dialogs.py` /
-sessionization stance: per-user arrays bounded by per-user FUNNEL
-activity (already filtered to the k step types), not corpus size.
-No window functions, no joins, no Python.
+row-local sorted fold computing the chain — no window functions in
+the hot path beyond the guard, no joins, no Python. The per-user
+``collect_list`` is usually bounded by per-user FUNNEL activity
+(already filtered to the k step types), but an adversarial key (a
+bot emitting millions of step-type events) would funnel one giant
+in-memory array through one task — so the collect is guarded IN-PLAN
+with the repo's bounded-operand pattern (``assert_true`` over a
+per-user count window, bound from
+``scale_rules.collected_group_max_rows``): the window count spills,
+the collect would not, and the oversized key fails loudly by name
+before the array builds.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _guard_per_user_collect(
+    slim: DataFrame,
+    user_col: str,
+    max_events_per_user: int | None,
+    op_name: str,
+) -> DataFrame:
+    """In-plan bounded-operand guard preceding the per-user
+    ``collect_list`` (module docstring): count-window + assert_true,
+    the `similarity.blocked_neardup_pairs` pattern. The window shuffles
+    on the same key as the following groupBy, so Catalyst reuses the
+    exchange — the guard costs a sort, not a second shuffle."""
+    if max_events_per_user is None:
+        from ..functions.scale_rules import collected_group_max_rows
+
+        # (timestamp, int) struct ≈ 16 B/event → ~4M events / 64 MB
+        max_events_per_user = collected_group_max_rows(bytes_per_row=16)
+    return (
+        slim.withColumn(
+            "__un", F.count(F.lit(1)).over(Window.partitionBy(user_col))
+        )
+        # filter-on-assert keeps the guard un-prunable: assert_true
+        # yields NULL for every passing row (isNull keeps all), raises
+        # on the first oversized user
+        .filter(
+            F.assert_true(
+                F.col("__un") <= F.lit(max_events_per_user),
+                F.concat_ws(
+                    " ",
+                    F.lit(f"{op_name}: user"),
+                    F.col(user_col).cast("string"),
+                    F.lit("has"),
+                    F.col("__un").cast("string"),
+                    F.lit(
+                        "funnel events > max_events_per_user="
+                        f"{max_events_per_user}; the per-user "
+                        "collect_list materializes the whole group in "
+                        "one task - raise the bound only with the "
+                        "scale_rules.collected_group_max_rows cost "
+                        "model in hand"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("__un")
+    )
 
 
 def funnel(
@@ -40,10 +99,14 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_seconds: int | None = None,
+    step_within_seconds: int | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """One row per user who emitted at least one step-1 event:
     (user, steps_completed, step_ts: array<timestamp> — the matched
-    timestamp per completed step)."""
+    timestamp per completed step). ``within_seconds`` bounds the whole
+    funnel from the step-1 match; ``step_within_seconds`` bounds each
+    edge from the previous step's match; both AND together."""
     if len(steps) < 2:
         raise ValueError("funnel: need at least 2 steps")
     if len(set(steps)) != len(steps):
@@ -61,6 +124,9 @@ def funnel(
             ).alias("__e"),
         )
     )
+    slim = _guard_per_user_collect(
+        slim, user_col, max_events_per_user, "funnel"
+    )
     collected = slim.groupBy(user_col).agg(
         F.array_sort(F.collect_list("__e")).alias("__es")
     )
@@ -74,6 +140,11 @@ def funnel(
         F.lit(None).cast("double")
         if within_seconds is None
         else F.lit(float(within_seconds))
+    )
+    step_horizon = (
+        F.lit(None).cast("double")
+        if step_within_seconds is None
+        else F.lit(float(step_within_seconds))
     )
 
     def step_fn(acc, e):
@@ -89,8 +160,24 @@ def funnel(
                 )
             )
         )
+        # per-edge window: the previous step's match is the LAST hit
+        in_step_window = (
+            F.lit(True)
+            if step_within_seconds is None
+            else (
+                (F.size(acc["hits"]) == 0)
+                | (
+                    e["ts"].cast("double")
+                    - F.element_at(acc["hits"], -1).cast("double")
+                    <= step_horizon
+                )
+            )
+        )
         matches = (
-            (acc["want"] < k) & (e["step"] == acc["want"]) & in_window
+            (acc["want"] < k)
+            & (e["step"] == acc["want"])
+            & in_window
+            & in_step_window
         )
         return F.struct(
             F.when(matches, acc["want"] + 1)
@@ -121,12 +208,15 @@ def funnel_report(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_seconds: int | None = None,
+    step_within_seconds: int | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Per-step rollup: (step, event_type, n_users, conversion_from_
     start, conversion_from_prev) — the drop-off table. Operand after
     the per-user funnel is user-sized, the rollup is k rows."""
     f = funnel(
-        events, steps, user_col, type_col, ts_col, within_seconds
+        events, steps, user_col, type_col, ts_col, within_seconds,
+        step_within_seconds, max_events_per_user,
     )
     counts = (
         f.groupBy("steps_completed")
@@ -172,6 +262,8 @@ def funnel_update_state(
     ts_col: str = "ts",
     batch_id: int = 0,
     n_buckets: int = 64,
+    step_within_seconds: int | None = None,
+    max_events_per_user: int | None = None,
 ) -> None:
     """Incremental funnel: continue each user's fold from persisted
     state — the daily-batch shape, COMPOSED from existing machinery
@@ -213,6 +305,11 @@ def funnel_update_state(
                 step_idx[F.col(type_col)].alias("step"),
             ).alias("__e"),
         )
+    )
+    slim = (
+        _guard_per_user_collect(
+            slim, user_col, max_events_per_user, "funnel_update_state"
+        )
         .groupBy(user_col)
         .agg(F.array_sort(F.collect_list("__e")).alias("__es"))
     )
@@ -237,6 +334,12 @@ def funnel_update_state(
         F.col("__t0").alias("frontier"),
     )
 
+    step_horizon = (
+        F.lit(None).cast("double")
+        if step_within_seconds is None
+        else F.lit(float(step_within_seconds))
+    )
+
     def step_fn(acc, e):
         # the FRONTIER (last matched event's ts) makes replay converge:
         # re-folding a delivered batch can only consider events at-or-
@@ -244,6 +347,21 @@ def funnel_update_state(
         # every such candidate already matched on first application, so
         # a replayed fold is a no-op instead of illegally matching an
         # event that TIME-PRECEDES an already-counted one
+        in_step_window = (
+            F.lit(True)
+            if step_within_seconds is None
+            else (
+                # frontier doubles as the previous step's match ts, so
+                # the per-edge dial persists across batches for free;
+                # null frontier = nothing matched yet = no constraint
+                acc["frontier"].isNull()
+                | (
+                    e["ts"].cast("double")
+                    - acc["frontier"].cast("double")
+                    <= step_horizon
+                )
+            )
+        )
         matches = (
             (acc["want"] < k)
             & (e["step"] == acc["want"])
@@ -251,6 +369,7 @@ def funnel_update_state(
                 acc["frontier"].isNull()
                 | (e["ts"] >= acc["frontier"])
             )
+            & in_step_window
         )
         return F.struct(
             F.when(matches, acc["want"] + 1)
@@ -307,6 +426,8 @@ def start_funnel_stream(
     n_buckets: int = 64,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    step_within_seconds: int | None = None,
+    max_events_per_user: int | None = None,
 ):
     """Structured-Streaming front end for :func:`funnel_update_state`:
     each micro-batch continues the per-user folds and upserts the
@@ -324,6 +445,8 @@ def start_funnel_stream(
         funnel_update_state(
             batch, state_table, steps, user_col, type_col, ts_col,
             batch_id=batch_id, n_buckets=n_buckets,
+            step_within_seconds=step_within_seconds,
+            max_events_per_user=max_events_per_user,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

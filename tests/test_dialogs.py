@@ -181,3 +181,38 @@ def test_stream_assembly_batch_parity_and_emission(spark, events, tmp_path):
     finalized = [r for r in emitted if r["n_turns"] == 2]
     assert len(finalized) == 1
     assert [t["value"] for t in finalized[0]["turns"]] == [1.0, 2.0]
+
+
+def test_oversized_dialog_guard_fires(spark, events):
+    """A never-idle speaker (every event under the gap) makes one
+    corpus-sized dialog; the in-plan guard must fail loudly by size
+    instead of funneling it through one collect task — and the bound
+    leaves normal dialogs untouched."""
+    with pytest.raises(Exception, match="max_turns_per_dialog"):
+        assemble_dialogs(
+            events, gap_seconds=1800, max_turns_per_dialog=2
+        ).collect()
+    ok = assemble_dialogs(
+        events, gap_seconds=1800, max_turns_per_dialog=3
+    ).collect()
+    assert len(ok) == 3  # largest dialog has exactly 3 turns
+
+
+def test_oversized_dialog_guard_streaming(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        assemble_dialogs_stream,
+    )
+
+    rows = [(1, _ts(0, s), "msg", float(s)) for s in range(5)]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "value"]
+    )
+    # batch execution of the streaming-shaped plan: the post-agg assert
+    with pytest.raises(Exception, match="max_turns_per_dialog"):
+        assemble_dialogs_stream(
+            ev, "30 minutes", max_turns_per_dialog=4
+        ).collect()
+    ok = assemble_dialogs_stream(
+        ev, "30 minutes", max_turns_per_dialog=5
+    ).collect()
+    assert len(ok) == 1 and ok[0]["n_turns"] == 5

@@ -119,19 +119,151 @@ def test_funnel_report_and_validation(spark):
     assert rep[2]["n_users"] == 2 and rep[2]["conversion_from_prev"] == 0.5
     assert rep[3]["n_users"] == 1 and rep[3]["conversion_from_prev"] == 0.5
     assert rep[3]["conversion_from_start"] == 0.25
-    # plan: one aggregation, no joins, no window functions, no Python
+    # plan: one aggregation, no joins, no Python; the ONLY window is
+    # the bounded-operand guard, and it must not add a second exchange
+    # (the guard's partitioning key = the groupBy key)
     plan = (
         funnel(_events(spark, rows), STEPS)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Join" not in plan and "Window" not in plan
+    assert "Join" not in plan
     assert "Python" not in plan
+    assert plan.count("+- Window") == 1  # the guard, nothing else
+    assert plan.count("Exchange") == 1  # guard + groupBy share one
     with pytest.raises(ValueError, match="at least 2"):
         funnel(_events(spark, rows), ["view"])
     with pytest.raises(ValueError, match="distinct"):
         funnel(_events(spark, rows), ["view", "view"])
+
+
+def test_funnel_hot_user_guard_fires(spark):
+    """A user whose funnel-event count exceeds max_events_per_user must
+    fail LOUDLY in-plan (the collect_list would otherwise funnel one
+    giant array through one task) — and quiet users pass unharmed."""
+    rows = [
+        (1, "view", _ts(f"2024-01-01 10:00:0{i}")) for i in range(5)
+    ] + [
+        (2, "view", _ts("2024-01-01 10:00:00")),
+        (2, "click", _ts("2024-01-01 10:01:00")),
+    ]
+    with pytest.raises(Exception, match="max_events_per_user"):
+        funnel(
+            _events(spark, rows), STEPS, max_events_per_user=3
+        ).collect()
+    ok = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(
+            _events(spark, rows), STEPS, max_events_per_user=5
+        ).collect()
+    }
+    assert ok == {1: 1, 2: 2}
+
+
+def test_funnel_incremental_guard_fires(spark, tmp_path):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.funnel import (
+        funnel_update_state,
+    )
+
+    rows = [
+        (1, "view", _ts(f"2024-01-01 10:00:0{i}")) for i in range(6)
+    ]
+    with pytest.raises(Exception, match="max_events_per_user"):
+        funnel_update_state(
+            _events(spark, rows), str(tmp_path / "s"), STEPS,
+            batch_id=0, n_buckets=4, max_events_per_user=4,
+        )
+
+
+def test_funnel_step_window_vs_whole_window(spark):
+    """The fixture where the two window dials disagree: edges of 40 and
+    30 minutes, total 70. A 1 h WHOLE-funnel window cuts the purchase
+    (70 > 60 from step 1); a 1 h PER-EDGE window admits it (both edges
+    <= 60); a 30-minute per-edge window cuts the click itself."""
+    rows = [
+        (1, "view", _ts("2024-01-01 10:00:00")),
+        (1, "click", _ts("2024-01-01 10:40:00")),
+        (1, "purchase", _ts("2024-01-01 11:10:00")),
+    ]
+    ev = _events(spark, rows)
+
+    def got(**kw):
+        return funnel(ev, STEPS, **kw).collect()[0]["steps_completed"]
+
+    assert got(within_seconds=3600) == 2
+    assert got(step_within_seconds=3600) == 3
+    assert got(step_within_seconds=1800) == 1
+    # the dials AND together: whole-window passes, per-edge cuts
+    assert got(within_seconds=7200, step_within_seconds=1800) == 1
+    # greedy, no backtracking: a later view@10:50 would make the
+    # 30-minute-edge funnel convert, but the first view anchors
+    rows2 = rows + [(1, "view", _ts("2024-01-01 10:50:00"))]
+    assert (
+        funnel(
+            _events(spark, rows2), STEPS, step_within_seconds=1800
+        ).collect()[0]["steps_completed"]
+        == 1
+    )
+
+
+def test_incremental_step_window_matches_batch_and_replays(spark, tmp_path):
+    """step_within_seconds on the incremental path: time-ordered
+    batches end at the batch operator's positions, and replaying the
+    last batch converges (the frontier doubles as the previous match,
+    so the per-edge dial persists across batches)."""
+    import random
+    from datetime import timedelta
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.funnel import (
+        funnel_update_state,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+        read_current,
+    )
+
+    rng = random.Random(23)
+    t0 = _ts("2024-05-01 00:00:00")
+    rows = [
+        (
+            rng.randrange(20),
+            rng.choice(STEPS + ["noise"]),
+            t0 + timedelta(minutes=3 * m),
+        )
+        for m in range(200)
+    ]
+    ev = _events(spark, rows)
+    state = str(tmp_path / "fsw")
+    for bid in range(2):
+        lo = t0 + timedelta(minutes=300 * bid)
+        hi = t0 + timedelta(minutes=300 * (bid + 1))
+        funnel_update_state(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+            state, STEPS, batch_id=bid, n_buckets=8,
+            step_within_seconds=1200,
+        )
+    got = {
+        r["user_id"]: r["want"]
+        for r in read_current(spark, state).collect()
+    }
+    want = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(ev, STEPS, step_within_seconds=1200).collect()
+    }
+    for u, w in got.items():
+        assert w == want.get(u, 0), (u, w, want.get(u))
+    assert set(want) <= set(got)
+    # replay the final batch — convergent under the per-edge dial too
+    funnel_update_state(
+        ev.filter(F.col("ts") >= t0 + timedelta(minutes=300)),
+        state, STEPS, batch_id=1, n_buckets=8,
+        step_within_seconds=1200,
+    )
+    again = {
+        r["user_id"]: r["want"]
+        for r in read_current(spark, state).collect()
+    }
+    assert again == got
 
 
 def test_incremental_funnel_matches_batch(spark, tmp_path):

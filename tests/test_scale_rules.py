@@ -69,3 +69,15 @@ def test_build_ivf_index_derives_k_from_rule(spark):
     # loses every member can drop out, so allow <=
     n = cents.count()
     assert 1 < n <= 11
+
+
+def test_collected_group_max_rows():
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
+        collected_group_max_rows,
+    )
+
+    # 64 MB / 16 B funnel struct ≈ 4.2M events
+    assert collected_group_max_rows(16) == (64 * 1024 * 1024) // 16
+    # wider rows → tighter bound; floor applies
+    assert collected_group_max_rows(256) < collected_group_max_rows(16)
+    assert collected_group_max_rows(1 << 30) == 1024  # lo floor
