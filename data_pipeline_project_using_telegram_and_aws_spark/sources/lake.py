@@ -13,6 +13,18 @@ Mirrors the reference's medallion layout (SURVEY.md §1.1):
 Improvements over the reference, deliberate (SURVEY §2.9 ST4): writes to
 the enriched zone use *dynamic partition overwrite*, so re-running a day is
 idempotent (the reference would duplicate output).
+
+Filesystem-atomicity note, stated ONCE for every temp-and-swap path in
+this repo (`streaming/ivm.py` view swaps, `streaming/upsert.py`'s
+empty-table marker replacement, `sources/bucketing.py` compactions):
+their crash-consistency arguments rely on directory ``rename`` being
+atomic — true on POSIX filesystems and HDFS, FALSE on object stores,
+where rename is a non-atomic per-object copy-then-delete. The
+object-store deployment path is a MANIFEST POINTER instead: write the
+new data under a unique directory, then atomically update a small
+manifest file or catalog entry naming the current directory (the
+Iceberg/Delta commit model); readers resolve the pointer, never the
+directory name. Each swap site cites this note.
 """
 
 from __future__ import annotations

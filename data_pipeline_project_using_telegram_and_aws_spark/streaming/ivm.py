@@ -17,8 +17,10 @@ sum/count-measure, group-by-dimension view class:
 — the two-sided form handles a row MOVING groups (the case one-sided
 delta rules silently corrupt). AVG and other derived measures come
 from sum/count at read time; measures that are not self-maintainable
-from deltas (MIN/MAX under deletes, distinct counts) are out of scope
-by design — use a sketch ledger or recompute.
+from deltas are handled by class: COUNT DISTINCT has a sketch-backed
+twin here (:func:`refresh_distinct_view` — HLL union over the added
+side, insert-only by contract), MIN/MAX under deletes stay out of
+scope by design — use a ledger or recompute.
 
 Consistency contract: the view carries a CURSOR (the highest
 ``ingest_batch`` applied, in an underscore-prefixed sidecar Spark's
@@ -98,6 +100,38 @@ def _read_cursor(spark: SparkSession, view_path: str) -> int:
     return spark.read.parquet(str(p)).collect()[0]["last_batch"]
 
 
+def _swap_view(
+    spark: SparkSession, view_path: str, rows: DataFrame, new_cursor: int
+) -> None:
+    """Land view rows + cursor together via temp-and-swap.
+
+    POSIX assumption, stated once for every swap path in this repo
+    (here, `streaming/upsert.py`'s all-tombstone marker, and
+    `sources/bucketing.py`'s compactions): the crash-consistency
+    argument relies on ``Path.rename`` being an atomic directory move —
+    true on a POSIX filesystem (and HDFS), NOT on an object store,
+    where "rename" is a non-atomic copy-then-delete per object. The
+    object-store deployment path is a manifest pointer: write the new
+    view under a unique directory, then atomically update a small
+    manifest file (or catalog entry) naming the current directory —
+    the Iceberg/Delta commit model. See `sources/lake.py` (lake-layer
+    doc note) for the shared statement."""
+    rows = rows.localCheckpoint(eager=True)  # cut lineage: we overwrite
+    cursor_df = spark.createDataFrame(
+        [(new_cursor,)], "last_batch long"
+    ).localCheckpoint(eager=True)
+    # No coalesce(1) on the rows: a high-cardinality group column makes
+    # the view itself large — let the write keep its parallelism.
+    tmp = view_path + "__tmp"
+    rows.write.mode("overwrite").parquet(tmp)
+    cursor_df.coalesce(1).write.mode("overwrite").parquet(
+        str(Path(tmp) / "_cursor")
+    )
+    if Path(view_path).exists():
+        shutil.rmtree(view_path)
+    Path(tmp).rename(view_path)
+
+
 def refresh_grouped_view(
     spark: SparkSession,
     changefeed_path: str,
@@ -130,38 +164,144 @@ def refresh_grouped_view(
             F.lit(0).cast("long").alias("n_rows"),
             *[F.lit(0.0).alias(f"sum_{c}") for c in sum_cols],
         )
+    # NULL-SAFE merge join: a null group key (a missing/null field in
+    # the changefeed's JSON-parsed values) is a legitimate group —
+    # groupBy puts all nulls in one group, so the view merge must too.
+    # A plain equi-join never matches null=null, which would append a
+    # fresh null-group row on EVERY refresh and permanently diverge
+    # from the from-scratch-recompute invariant. eqNullSafe (<=>) is
+    # still an equi-join to the planner — hash join, no cartesian.
+    cur, d = current.alias("__cur"), deltas.alias("__d")
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & F.col(f"__cur.{g}").eqNullSafe(F.col(f"__d.{g}"))
     merged = (
-        current.join(deltas, group_cols, "full_outer")
+        cur.join(d, cond, "full_outer")
         .select(
-            *group_cols,
+            *[
+                F.coalesce(F.col(f"__cur.{g}"), F.col(f"__d.{g}")).alias(g)
+                for g in group_cols
+            ],
             (
-                F.coalesce("n_rows", F.lit(0))
-                + F.coalesce("d_count", F.lit(0))
+                F.coalesce(F.col("__cur.n_rows"), F.lit(0))
+                + F.coalesce(F.col("__d.d_count"), F.lit(0))
             ).alias("n_rows"),
             *[
                 (
-                    F.coalesce(f"sum_{c}", F.lit(0.0))
-                    + F.coalesce(f"d_sum_{c}", F.lit(0.0))
+                    F.coalesce(F.col(f"__cur.sum_{c}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"__d.d_sum_{c}"), F.lit(0.0))
                 ).alias(f"sum_{c}")
                 for c in sum_cols
             ],
         )
         .filter(F.col("n_rows") > 0)
-        .localCheckpoint(eager=True)  # cut lineage: we overwrite input
     )
-    cursor_df = spark.createDataFrame(
-        [(new_cursor,)], "last_batch long"
-    ).localCheckpoint(eager=True)
-    # temp-and-swap: view rows + cursor land together or not at all.
-    # No coalesce(1): a high-cardinality group column makes the view
-    # itself large, and a single-file write would serialize it through
-    # one task — let the write keep its parallelism.
-    tmp = view_path + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    cursor_df.coalesce(1).write.mode("overwrite").parquet(
-        str(Path(tmp) / "_cursor")
+    # temp-and-swap: view rows + cursor land together or not at all
+    # (atomicity caveat: see _swap_view's POSIX note)
+    _swap_view(spark, view_path, merged, new_cursor)
+    return n_batches
+
+
+def refresh_distinct_view(
+    spark: SparkSession,
+    changefeed_path: str,
+    view_path: str,
+    group_cols: list[str],
+    key_col: str,
+    value_schema: str,
+    lg_k: int = 12,
+) -> int:
+    """Sketch-backed distinct-count IVM: maintain per-group HLL rows
+    (sketch, n_rows, distinct_est) from the changefeed's ADDED side —
+    the composition `refresh_grouped_view`'s docstring points to for
+    the measure class it excludes (COUNT DISTINCT is not
+    self-maintainable from deltas; a sketch union of inserts is).
+
+    Contract, stated loudly: HLL union is associative and IDEMPOTENT
+    (a re-delivered batch unions to a no-op), so insert-only feeds
+    maintain the view within the sketch's published RSE forever. But
+    registers cannot be SUBTRACTED — a removal or change cannot be
+    applied to a sketch — so a feed slice containing ``removed`` or
+    ``changed`` rows raises, naming the recompute trigger: rebuild the
+    view from scratch with ``operators.sketches.hll_ledger`` over
+    ``read_current`` (grouped, one scan), then resume incremental
+    refreshes above the rebuilt cursor. Estimates are bounds-stated,
+    never bit-pinned (`operators/sketches.py` doctrine).
+
+    Scale shape: one |changes|-sized aggregation + a ledger-sized
+    null-safe merge; the base table is never read."""
+    cursor = _read_cursor(spark, view_path)
+    feed = read_changefeed(spark, changefeed_path, since_batch=cursor)
+    top_row = feed.agg(
+        F.max("ingest_batch").alias("m"),
+        F.sum(
+            F.when(F.col("change").isin("removed", "changed"), 1).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    if top_row["m"] is None:
+        return 0
+    if (top_row["bad"] or 0) > 0:
+        raise ValueError(
+            "refresh_distinct_view: the changefeed slice contains "
+            f"{top_row['bad']} removed/changed rows - HLL registers "
+            "cannot be subtracted. Recompute the view from scratch "
+            "(operators.sketches.hll_ledger over upsert.read_current, "
+            "grouped by the view's group columns), write it with the "
+            "feed's max ingest_batch as cursor, then resume "
+            "incremental refreshes."
+        )
+    new_cursor = int(top_row["m"])
+    n_batches = feed.select("ingest_batch").distinct().count()
+    new_v = F.from_json("new_values", value_schema)
+    # key_col resolves from the feed's top-level columns first (the
+    # upsert KEYS ride there, outside the packed value struct — the
+    # "distinct users per region" case), else from the value struct.
+    key_expr = (
+        F.col(key_col) if key_col in feed.columns
+        else new_v.getField(key_col)
     )
-    if exists:
-        shutil.rmtree(view_path)
-    Path(tmp).rename(view_path)
+    deltas = (
+        feed.filter(F.col("change") == "added")
+        .select(
+            *[new_v.getField(g).alias(g) for g in group_cols],
+            key_expr.cast("string").alias("__k"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.hll_sketch_agg("__k", lg_k).alias("sketch"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    if Path(view_path).exists():
+        current = read_view(spark, view_path).select(
+            *group_cols, "sketch", "n_rows"
+        )
+    else:
+        current = deltas.limit(0)
+    cur, d = current.alias("__cur"), deltas.alias("__d")
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & F.col(f"__cur.{g}").eqNullSafe(F.col(f"__d.{g}"))
+    cs, ds = F.col("__cur.sketch"), F.col("__d.sketch")
+    merged = (
+        cur.join(d, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"__cur.{g}"), F.col(f"__d.{g}")).alias(g)
+                for g in group_cols
+            ],
+            # union only when both sides exist; hll_union(null, x) is
+            # not defined to pass through
+            F.when(cs.isNull(), ds)
+            .when(ds.isNull(), cs)
+            .otherwise(F.hll_union(cs, ds, True))
+            .alias("sketch"),
+            (
+                F.coalesce(F.col("__cur.n_rows"), F.lit(0))
+                + F.coalesce(F.col("__d.n_rows"), F.lit(0))
+            ).alias("n_rows"),
+        )
+        .withColumn("distinct_est", F.hll_sketch_estimate("sketch"))
+    )
+    _swap_view(spark, view_path, merged, new_cursor)
     return n_batches

@@ -170,6 +170,7 @@ def upsert_batch(
         # overwrite wrote nothing and the cleanup removed every bucket
         # dir — replace the fileless husk with the zero-row schema
         # marker so read_current/lookup and the next merge still work
+        # (rename-atomicity caveat: sources/lake.py filesystem note)
         shutil.rmtree(table_path)
         _write_empty_marker(merged, table_path)
     if changefeed_path is not None:

@@ -8,8 +8,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F, types as T
 
+import pytest
+
 from data_pipeline_project_using_telegram_and_aws_spark.streaming.ivm import (
     read_view,
+    refresh_distinct_view,
     refresh_grouped_view,
 )
 from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
@@ -97,3 +100,138 @@ def test_ivm_matches_recompute_through_moves_and_deletes(spark, tmp_path):
         spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA
     ) == 0
     assert _view(spark, view) == got
+
+
+def test_ivm_null_group_merges_like_groupby(spark, tmp_path):
+    """A NULL group key (missing region in the upserted values) must
+    behave exactly like groupBy's null group: ONE view row that deltas
+    merge into across refreshes — not a fresh appended row per refresh
+    (the plain-equi-join bug: null never equals null)."""
+    table = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    view = str(tmp_path / "view")
+
+    def up(rows, bid):
+        upsert_batch(
+            spark.createDataFrame(rows, SCHEMA), table, ["user_id"],
+            "seq", n_buckets=4, delete_col="deleted",
+            changefeed_path=feed, batch_id=bid,
+        )
+
+    up([(1, 1, None, 10.0, False), (2, 1, "eu", 3.0, False)], 0)
+    refresh_grouped_view(
+        spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA
+    )
+    # second refresh touches the null group AGAIN: a new null-group row
+    # plus a move of user 2 INTO the null group
+    up([(3, 2, None, 5.0, False), (2, 2, None, 4.0, False)], 1)
+    refresh_grouped_view(
+        spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA
+    )
+    rows = read_view(spark, view).collect()
+    null_rows = [r for r in rows if r["region"] is None]
+    assert len(null_rows) == 1, rows  # ONE null group, like groupBy
+    assert _view(spark, view) == _recompute(spark, table)
+    assert (None,) in _view(spark, view)
+    assert _view(spark, view)[(None,)] == (3, 19.0)
+    # and the eu group vanished (its only row moved out)
+    assert ("eu",) not in _view(spark, view)
+
+    # a delete shrinks the null group through the same null-safe path
+    up([(1, 3, None, None, True)], 2)
+    refresh_grouped_view(
+        spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA
+    )
+    assert _view(spark, view) == _recompute(spark, table)
+    assert _view(spark, view)[(None,)] == (2, 9.0)
+
+
+def test_distinct_view_insert_only_tracks_recompute(spark, tmp_path):
+    """Sketch-backed COUNT DISTINCT IVM: on insert-only feeds the
+    per-group estimate tracks an exact from-scratch count-distinct
+    (within the sketch's bounds — exact here, the sets are tiny and
+    DataSketches HLL stays in exact coupon mode), refresh is
+    cursor-idempotent, and null groups merge like groupBy's."""
+    table = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    view = str(tmp_path / "view")
+
+    def up(rows, bid):
+        upsert_batch(
+            spark.createDataFrame(rows, SCHEMA), table, ["user_id"],
+            "seq", n_buckets=4, delete_col="deleted",
+            changefeed_path=feed, batch_id=bid,
+        )
+
+    # distinct user_id (the upsert KEY — top-level feed column) per
+    # region, built across two refreshes
+    up(
+        [
+            (1, 1, "eu", 10.0, False),
+            (2, 1, "us", 20.0, False),
+            (3, 1, "us", 5.0, False),
+            (4, 1, None, 1.0, False),
+        ],
+        0,
+    )
+    assert refresh_distinct_view(
+        spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+    ) == 1
+    up([(5, 1, "us", 2.0, False), (6, 1, None, 3.0, False)], 1)
+    assert refresh_distinct_view(
+        spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+    ) == 1
+
+    exact = {
+        (r["region"],): r["d"]
+        for r in read_current(spark, table)
+        .groupBy("region")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    rows = read_view(spark, view).collect()
+    got = {(r["region"],): round(r["distinct_est"]) for r in rows}
+    assert got == exact  # {eu:1, us:3, None:2}
+    assert len([r for r in rows if r["region"] is None]) == 1
+
+    # idempotent: nothing new → no-op
+    assert refresh_distinct_view(
+        spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+    ) == 0
+    assert {
+        (r["region"],): round(r["distinct_est"])
+        for r in read_view(spark, view).collect()
+    } == exact
+
+
+def test_distinct_view_rejects_removals_loudly(spark, tmp_path):
+    """HLL registers cannot be subtracted: a feed slice carrying a
+    removed (or changed) row must raise, naming the recompute path —
+    never silently under- or over-count."""
+    table = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    view = str(tmp_path / "view")
+
+    def up(rows, bid):
+        upsert_batch(
+            spark.createDataFrame(rows, SCHEMA), table, ["user_id"],
+            "seq", n_buckets=4, delete_col="deleted",
+            changefeed_path=feed, batch_id=bid,
+        )
+
+    up([(1, 1, "eu", 10.0, False)], 0)
+    refresh_distinct_view(
+        spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+    )
+    up([(1, 2, None, None, True)], 1)  # delete → 'removed' feed row
+    with pytest.raises(ValueError, match="cannot be subtracted"):
+        refresh_distinct_view(
+            spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+        )
+    # a 'changed' row (value update) is equally rejected
+    up([(2, 1, "us", 1.0, False)], 2)
+    up([(2, 2, "us", 9.0, False)], 3)
+    with pytest.raises(ValueError, match="cannot be subtracted"):
+        refresh_distinct_view(
+            spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+        )
