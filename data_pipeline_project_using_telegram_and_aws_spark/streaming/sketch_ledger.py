@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.sketches import hll_ledger, merge_hll_ledger
+from .ledger_compaction import commit_baseline, delete_folded, read_ledger
 
 
 def append_sketch_batch(
@@ -94,8 +95,10 @@ def ledger_distinct_so_far(
 ) -> DataFrame:
     """The read side: merge every batch's sketch rows down to ``by``
     groups (or one total row). Operand size = ledger rows, i.e. batches
-    × groups — never the ingested data."""
-    return merge_hll_ledger(spark.read.parquet(ledger_path), by=by)
+    × groups — never the ingested data. Goes through
+    `ledger_compaction.read_ledger` so a half-finished compaction can
+    never double-count ``n_rows``."""
+    return merge_hll_ledger(read_ledger(spark, ledger_path), by=by)
 
 
 def compact_ledger(
@@ -117,30 +120,20 @@ def compact_ledger(
     at-least-once re-delivery of it would DOUBLE-COUNT ``n_rows`` (the
     estimate still wouldn't move). Compact only in a maintenance
     window — stream stopped, checkpoint committed past
-    ``through_batch`` — and the contract stays exact."""
-    ledger = spark.read.parquet(ledger_path)
-    old = ledger.filter(F.col("ingest_batch") <= through_batch)
-    if not old.limit(1).count():
-        return
-    # materialize BEFORE writing: the baseline derives from the same
-    # path the write mutates, so cut the lineage (group-sized operand)
-    baseline = (
-        merge_hll_ledger(old, by=by)
-        .withColumn("ingest_batch", F.lit(-1))
-        .localCheckpoint(eager=True)
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # land the new baseline first (overwrites any previous baseline in
-    # one shot), then drop the folded batch partitions
-    (
-        baseline.write.mode("overwrite")
-        .partitionBy("ingest_batch")
-        .parquet(ledger_path)
-    )
-    import shutil
-    from pathlib import Path
+    ``through_batch`` — and the contract stays exact.
 
-    for d in Path(ledger_path).glob("ingest_batch=*"):
-        suffix = d.name.split("=", 1)[1]
-        if suffix != "-1" and int(suffix) <= through_batch:
-            shutil.rmtree(d)
+    Crash consistency: commits via `ledger_compaction` (staged
+    baseline + marker, one atomic swap, delete last), so a crash at
+    ANY step leaves `ledger_distinct_so_far` reading the exact
+    pre- or post-compaction answer — never a double-counted one."""
+    ledger = read_ledger(spark, ledger_path)
+    fold = ledger.filter(
+        (F.col("ingest_batch") >= 0)
+        & (F.col("ingest_batch") <= through_batch)
+    )
+    if not fold.limit(1).count():
+        return
+    old = ledger.filter(F.col("ingest_batch") <= through_batch)
+    baseline = merge_hll_ledger(old.drop("ingest_batch"), by=by)
+    commit_baseline(baseline, ledger_path, through_batch)
+    delete_folded(ledger_path, through_batch)

@@ -39,6 +39,7 @@ from ..operators.quantile_sketch import (
     merge_quantile_ledger,
     quantile_ledger,
 )
+from .ledger_compaction import commit_baseline, delete_folded, read_ledger
 
 
 def _land(rows: DataFrame, batch_id: int, ledger_path: str) -> None:
@@ -113,7 +114,7 @@ def quantiles_so_far(
     from ..operators.quantile_sketch import ledger_quantiles
 
     merged = merge_quantile_ledger(
-        spark.read.parquet(ledger_path).drop("ingest_batch"), by=by, k=k
+        read_ledger(spark, ledger_path).drop("ingest_batch"), by=by, k=k
     )
     return ledger_quantiles(merged, qs)
 
@@ -161,7 +162,7 @@ def counts_so_far(
     from ..operators.frequency import estimate_counts
 
     merged = merge_cms_ledger(
-        spark.read.parquet(ledger_path).drop("ingest_batch")
+        read_ledger(spark, ledger_path).drop("ingest_batch")
     )
     return estimate_counts(
         merged, items, item_col=item_col, depth=depth, width=width
@@ -185,34 +186,35 @@ def compact_stat_ledger(
     HARDER for cms: a batch id folded away no longer owns a partition,
     so an at-least-once re-delivery would double-count its counters —
     compact only with the stream stopped and the checkpoint committed
-    past ``through_batch``."""
+    past ``through_batch``.
+
+    Crash consistency: commits via `ledger_compaction` (staged
+    baseline + ``_compacted_through`` marker, one atomic directory
+    swap, partition deletion LAST), and every read side here goes
+    through `ledger_compaction.read_ledger`, which excludes
+    already-folded partitions ≤ the committed marker. For cms this is
+    load-bearing correctness: the previous write-then-delete sequence
+    had a crash window where the folded counters lived in BOTH the
+    baseline and their surviving partitions and every later merge
+    summed them twice, silently, forever."""
     if kind not in ("quantile", "cms"):
         raise ValueError("compact_stat_ledger: kind must be quantile | cms")
-    ledger = spark.read.parquet(ledger_path)
-    old = ledger.filter(F.col("ingest_batch") <= through_batch)
-    if not old.limit(1).count():
+    ledger = read_ledger(spark, ledger_path)
+    fold = ledger.filter(
+        (F.col("ingest_batch") >= 0)
+        & (F.col("ingest_batch") <= through_batch)
+    )
+    if not fold.limit(1).count():
         return
-    old = old.drop("ingest_batch")
+    old = ledger.filter(F.col("ingest_batch") <= through_batch).drop(
+        "ingest_batch"
+    )
     if kind == "quantile":
         baseline = merge_quantile_ledger(old, by=by, k=k)
     else:
         baseline = merge_cms_ledger(old, by=by)
-    baseline = baseline.withColumn(
-        "ingest_batch", F.lit(-1)
-    ).localCheckpoint(eager=True)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        baseline.write.mode("overwrite")
-        .partitionBy("ingest_batch")
-        .parquet(ledger_path)
-    )
-    import shutil
-    from pathlib import Path
-
-    for d in Path(ledger_path).glob("ingest_batch=*"):
-        suffix = d.name.split("=", 1)[1]
-        if suffix != "-1" and int(suffix) <= through_batch:
-            shutil.rmtree(d)
+    commit_baseline(baseline, ledger_path, through_batch)
+    delete_folded(ledger_path, through_batch)
 
 
 def start_cms_ledger_stream_with_candidates(
@@ -230,6 +232,7 @@ def start_cms_ledger_stream_with_candidates(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    on_hint_exceeded: str = "fail",
 ) -> StreamingQuery:
     """CMS ledger stream that ALSO lands each batch's exact heavy-
     hitter candidates — the streamed form of
@@ -238,13 +241,64 @@ def start_cms_ledger_stream_with_candidates(
     with all-time mass ≥ φ·N over ≤ ``max_batches_hint`` batches must
     clear the φ/max_batches_hint share in SOME batch, so harvesting
     above that bar per batch can never miss a true heavy hitter
-    (overshooting the hint only shrinks the bar — recall survives;
-    the candidate set grows, precision is restored by the CMS score
-    in :func:`heavy_hitters_so_far`). Candidate rows are
+    (the candidate set over-collects; precision is restored by the
+    CMS score in :func:`heavy_hitters_so_far`). Candidate rows are
     (item, batch_count) under ``ingest_batch`` partitions — replay
-    rewrites, like every ledger here."""
+    rewrites, like every ledger here.
+
+    ``max_batches_hint`` is a PRECONDITION, and the sink enforces it:
+    the pigeonhole argument needs the bar ≤ φ/B for the FINAL batch
+    count B, so a stream that runs past the hint has already harvested
+    its early batches at a bar that may sit above φ/B — a true heavy
+    hitter whose mass was concentrated in those batches can be missed
+    with no signal. ``on_hint_exceeded``:
+
+    - ``"fail"`` (default): batch ids ≥ the hint raise, naming the
+      recovery (re-harvest candidates from retained sources at the
+      corrected bar into a fresh candidates path, or restart with a
+      larger hint BEFORE the data arrives). Streaming-structural note:
+      the raise fails the micro-batch before its checkpoint commit, so
+      a restart re-fails — the stream stays down until reconfigured,
+      which is the point of a broken precondition.
+    - ``"warn"``: emit a loud ``RuntimeWarning`` once per offending
+      batch and keep running with the bar lowered to φ/(batch_id+1)
+      for CURRENT and later batches — best-effort recall from here on;
+      the guarantee for items concentrated in pre-hint batches is
+      already forfeit and the warning says so.
+    """
+    if on_hint_exceeded not in ("fail", "warn"):
+        raise ValueError(
+            "start_cms_ledger_stream_with_candidates: on_hint_exceeded "
+            "must be fail | warn"
+        )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        bar_batches = max_batches_hint
+        if batch_id >= max_batches_hint:
+            msg = (
+                "start_cms_ledger_stream_with_candidates: batch id "
+                f"{batch_id} reached max_batches_hint={max_batches_hint}; "
+                "the per-batch harvest bar phi/max_batches_hint no longer "
+                "guarantees recall (an item concentrated in earlier "
+                "batches may have been missed)."
+            )
+            if on_hint_exceeded == "fail":
+                raise RuntimeError(
+                    msg
+                    + " Restart with a larger hint before the data "
+                    "arrives, or re-harvest candidates from retained "
+                    "sources at the corrected bar into a fresh "
+                    "candidates path."
+                )
+            import warnings
+
+            warnings.warn(
+                msg + " Continuing with the bar lowered to "
+                f"phi/{batch_id + 1} from this batch on (best-effort).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            bar_batches = batch_id + 1
         wcol = (
             F.col(weight_col).cast("long")
             if weight_col is not None
@@ -267,7 +321,7 @@ def start_cms_ledger_stream_with_candidates(
             counts.crossJoin(F.broadcast(total))
             .filter(
                 F.col("batch_count")
-                >= F.col("m") * F.lit(phi / max_batches_hint)
+                >= F.col("m") * F.lit(phi / bar_batches)
             )
             .select("item", "batch_count")
         )
@@ -295,14 +349,14 @@ def heavy_hitters_so_far(
     from ..operators.frequency import estimate_counts
 
     merged = merge_cms_ledger(
-        spark.read.parquet(ledger_path).drop("ingest_batch")
+        read_ledger(spark, ledger_path).drop("ingest_batch")
     )
     total = (
         merged.filter(F.col("r") == 0).agg(F.sum("cnt")).collect()[0][0]
         or 0
     )
     cands = (
-        spark.read.parquet(candidates_path)
+        read_ledger(spark, candidates_path)
         .select("item")
         .distinct()
     )
@@ -328,27 +382,22 @@ def compact_candidates(
     of growing per batch. Same maintenance-window contract as the
     ledgers it rides with (a folded batch id replayed would re-land
     its partition — harmless here: its items are already in the
-    baseline and `heavy_hitters_so_far` reads the union distinctly)."""
-    ledger = spark.read.parquet(candidates_path)
-    old = ledger.filter(F.col("ingest_batch") <= through_batch)
-    if not old.limit(1).count():
+    baseline and `heavy_hitters_so_far` reads the union distinctly).
+    Commits via the same `ledger_compaction` protocol as the counter
+    ledgers — here the union is a set, so a crash was never a
+    correctness hazard, but one protocol for every ledger keeps the
+    recovery story singular."""
+    ledger = read_ledger(spark, candidates_path)
+    fold = ledger.filter(
+        (F.col("ingest_batch") >= 0)
+        & (F.col("ingest_batch") <= through_batch)
+    )
+    if not fold.limit(1).count():
         return
     baseline = (
-        old.groupBy("item")
+        ledger.filter(F.col("ingest_batch") <= through_batch)
+        .groupBy("item")
         .agg(F.max("batch_count").alias("batch_count"))
-        .withColumn("ingest_batch", F.lit(-1))
-        .localCheckpoint(eager=True)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        baseline.write.mode("overwrite")
-        .partitionBy("ingest_batch")
-        .parquet(candidates_path)
-    )
-    import shutil
-    from pathlib import Path
-
-    for d in Path(candidates_path).glob("ingest_batch=*"):
-        suffix = d.name.split("=", 1)[1]
-        if suffix != "-1" and int(suffix) <= through_batch:
-            shutil.rmtree(d)
+    commit_baseline(baseline, candidates_path, through_batch)
+    delete_folded(candidates_path, through_batch)
