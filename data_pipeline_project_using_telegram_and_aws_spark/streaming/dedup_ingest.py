@@ -7,15 +7,20 @@ duplicates land in a labeled reject zone with their keeper — the
 Replay contract, stated precisely: the good zone and the reject zone
 are per-batch ``ingest_batch`` partitions (dynamic overwrite — the
 ledger pattern, re-delivery rewrites), and classification itself is
-replay-STABLE: a re-delivered row whose indexed keeper is its own id
-re-classifies as admitted (self-match = no-match inside
+replay-STABLE *scoped to the batch id*: a re-delivered row whose
+indexed keeper is its own id AND whose index row was admitted by THIS
+batch id re-classifies as admitted (self-match = no-match inside
 `exact_dedup_against_index`), so the good zone, reject zone, AND the
-stats row all rewrite with their original contents. The re-run's
-index append pads the index with rows it already has — harmless
-(per-hash min-keeper wins; compaction dedupes). A crash between the
-good-zone write and the index append replays against the un-grown
-index and rewrites the same partitions identically; convergent either
-way.
+stats row all rewrite with their original contents. The batch scoping
+is load-bearing: a document RE-SENT under a NEW batch id (at-least-
+once upstream, not a replay) fails the batch check and lands in the
+reject zone as a duplicate of its own corpus copy — without the
+scope, the same bytes would be re-admitted into a second good-zone
+partition. The re-run's index append pads the index with rows it
+already has — harmless (per-hash min wins; compaction dedupes). A
+crash between the good-zone write and the index append replays
+against the un-grown index and rewrites the same partitions
+identically; convergent either way.
 
 Per-batch observability rides along: one stats row per batch
 (admitted/duplicate counts, dedup ratio) under the same partition
@@ -52,7 +57,7 @@ def ingest_batch_with_dedup(
             batch.limit(0), index_table, buckets, id_col, text_col
         )
     admitted, dups = exact_dedup_against_index(
-        spark, batch, index_table, id_col, text_col
+        spark, batch, index_table, id_col, text_col, batch_id=int(batch_id)
     )
     admitted = admitted.localCheckpoint(eager=True)  # classify once
     dups = dups.localCheckpoint(eager=True)
@@ -71,7 +76,9 @@ def ingest_batch_with_dedup(
         .partitionBy("ingest_batch")
         .parquet(reject_path)
     )
-    append_to_exact_hash_index(spark, admitted, index_table, id_col)
+    append_to_exact_hash_index(
+        spark, admitted, index_table, id_col, batch_id=int(batch_id)
+    )
     if stats_path is not None:
         n_adm, n_dup = admitted.count(), dups.count()
         total = n_adm + n_dup
