@@ -19,8 +19,11 @@ as a single un-spillable array — so the collect is guarded IN-PLAN
 (``assert_true`` over a per-dialog count window, bound from
 ``scale_rules.collected_group_max_rows``; the window count spills,
 the collect would not), same stance as `operators/funnel.py`. The
-streaming twin cannot window before its stateful agg, so it asserts
-on ``n_turns`` after — still loud, one dialog later.
+streaming twin cannot window before its stateful agg, so it checks
+``n_turns`` after — loud assert by default (a poison pill for the
+stream, documented on the function), or the opt-in ``dead_letter``
+mode that flags-and-truncates so oversized dialogs route to a reject
+sink instead of wedging the checkpoint.
 """
 
 from __future__ import annotations
@@ -35,17 +38,31 @@ def _default_max_turns() -> int:
     return collected_group_max_rows(bytes_per_row=256)
 
 
-def _turns_assert(n: Column, bound: int) -> Column:
+def _turns_assert(
+    n: Column, bound: int, keys: list[tuple[str, Column]]
+) -> Column:
+    """Loud bound check naming the offending group — the
+    `collected_group_max_rows` contract ("oversized keys fail loudly
+    with the key named", matching funnel's `_guard_per_user_collect`):
+    at scale the operator needs the speaker/dialog in the error to
+    filter the pathological key upstream, not just the count."""
+    named = []
+    for name, col in keys:
+        named.append(F.lit(f"{name}="))
+        named.append(F.coalesce(col.cast("string"), F.lit("NULL")))
+        named.append(F.lit(" "))
     return F.assert_true(
         n <= F.lit(bound),
-        F.concat_ws(
-            " ",
-            F.lit("assemble_dialogs: a dialog has"),
+        F.concat(
+            F.lit("assemble_dialogs: dialog "),
+            *named,
+            F.lit("has "),
             n.cast("string"),
             F.lit(
-                f"turns > max_turns_per_dialog={bound}; the per-dialog "
+                f" turns > max_turns_per_dialog={bound}; the per-dialog "
                 "collect_list materializes the whole conversation in "
-                "one task - raise the bound only with the "
+                "one task - filter the named speaker upstream, raise "
+                "the bound only with the "
                 "scale_rules.collected_group_max_rows cost model in "
                 "hand, or shorten the gap"
             ),
@@ -96,7 +113,11 @@ def assemble_dialogs(
             F.count(F.lit(1)).over(Window.partitionBy(by, "dialog_id")),
         )
         .filter(
-            _turns_assert(F.col("__dn"), max_turns_per_dialog).isNull()
+            _turns_assert(
+                F.col("__dn"),
+                max_turns_per_dialog,
+                [(by, F.col(by)), ("dialog_id", F.col("dialog_id"))],
+            ).isNull()
         )
         .drop("__dn")
     )
@@ -142,6 +163,7 @@ def assemble_dialogs_stream(
     ts_col: str = "ts",
     turn_cols: list[str] | None = None,
     max_turns_per_dialog: int | None = None,
+    on_oversized: str = "fail",
 ) -> DataFrame:
     """Streaming-compatible dialog assembly: the same record contract
     as :func:`assemble_dialogs` but built on the engine's gap-merged
@@ -155,33 +177,71 @@ def assemble_dialogs_stream(
     doctrine); in streaming add ``withWatermark(ts_col, ...)`` upstream
     and append mode emits each dialog once, when the watermark passes
     its gap — turns arrive complete and time-ordered because the
-    session only finalizes after the gap closes."""
+    session only finalizes after the gap closes.
+
+    Oversized dialogs, honestly: no pre-agg window exists in streaming
+    (the session state IS the grouping), so the bound is checked AFTER
+    the array has materialized. ``on_oversized``:
+
+    - ``"fail"`` (default): assert_true raises, naming speaker and
+      dialog start. WEDGE WARNING, stated explicitly: in a running
+      stream this is a poison pill — the failing micro-batch never
+      commits its checkpoint, a restart re-finalizes the same session
+      and fails again, and the stream stays down until the bound is
+      raised in code. Pick this when an oversized dialog means the
+      pipeline is misconfigured and MUST stop.
+    - ``"dead_letter"``: no assert; rows gain an ``oversized`` boolean
+      and oversized dialogs keep only their first ``max_turns``
+      turns (``n_turns`` still reports the true count). The stream
+      keeps running; route ``oversized`` rows to a reject sink in the
+      caller's foreachBatch/filter — the dead-letter path for the
+      never-idle-speaker case.
+
+    Either way the state for a pathological never-idle speaker grows
+    until the session closes; to bound state BEFORE materialization,
+    gate upstream (e.g. drop or sample the named speaker once the
+    fail/dead-letter signal identifies it, or cap per-key event rates
+    at ingest)."""
+    if on_oversized not in ("fail", "dead_letter"):
+        raise ValueError(
+            "assemble_dialogs_stream: on_oversized must be "
+            "fail | dead_letter"
+        )
     cols = turn_cols or ["event_type", "value"]
     if max_turns_per_dialog is None:
         max_turns_per_dialog = _default_max_turns()
     turn = F.struct(F.col(ts_col).alias("ts"), *[F.col(c) for c in cols])
-    return (
-        events.groupBy(
-            F.col(by), F.session_window(F.col(ts_col), gap).alias("sw")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.array_sort(F.collect_list(turn)).alias("turns"),
-        )
-        # no pre-agg window exists in streaming (the session state IS
-        # the grouping); assert after — the array already built, but
-        # the job fails loudly with the size named instead of silently
-        # shipping a corpus-sized dialog downstream
-        .filter(
+    agged = events.groupBy(
+        F.col(by), F.session_window(F.col(ts_col), gap).alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_sort(F.collect_list(turn)).alias("turns"),
+    )
+    if on_oversized == "fail":
+        agged = agged.filter(
             _turns_assert(
-                F.col("n_turns"), max_turns_per_dialog
+                F.col("n_turns"),
+                max_turns_per_dialog,
+                [(by, F.col(by)), ("dialog_start", F.col("sw.start"))],
             ).isNull()
         )
-        .select(
+        return agged.select(
             by,
             F.col("sw.start").alias("dialog_start"),
             F.col("sw.end").alias("dialog_end"),
             "n_turns",
             "turns",
         )
+    over = F.col("n_turns") > F.lit(max_turns_per_dialog)
+    return agged.select(
+        by,
+        F.col("sw.start").alias("dialog_start"),
+        F.col("sw.end").alias("dialog_end"),
+        "n_turns",
+        F.when(
+            over, F.slice(F.col("turns"), 1, max_turns_per_dialog)
+        )
+        .otherwise(F.col("turns"))
+        .alias("turns"),
+        over.alias("oversized"),
     )

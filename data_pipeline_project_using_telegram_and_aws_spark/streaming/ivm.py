@@ -217,16 +217,23 @@ def refresh_distinct_view(
     the measure class it excludes (COUNT DISTINCT is not
     self-maintainable from deltas; a sketch union of inserts is).
 
-    Contract, stated loudly: HLL union is associative and IDEMPOTENT
-    (a re-delivered batch unions to a no-op), so insert-only feeds
-    maintain the view within the sketch's published RSE forever. But
-    registers cannot be SUBTRACTED — a removal or change cannot be
-    applied to a sketch — so a feed slice containing ``removed`` or
-    ``changed`` rows raises, naming the recompute trigger: rebuild the
-    view from scratch with ``operators.sketches.hll_ledger`` over
-    ``read_current`` (grouped, one scan), then resume incremental
-    refreshes above the rebuilt cursor. Estimates are bounds-stated,
-    never bit-pinned (`operators/sketches.py` doctrine).
+    Contract, stated loudly: HLL union is associative and IDEMPOTENT,
+    so a re-delivered batch unions the SKETCH (and therefore
+    ``distinct_est``) to a no-op and insert-only feeds maintain the
+    estimate within the sketch's published RSE forever. The
+    idempotency claim is scoped to the sketch alone: ``n_rows`` is a
+    SUM of added rows observed, so at-least-once upstream delivery
+    (the same logical rows re-ingested under a NEW ingest_batch above
+    the cursor) inflates it while the estimate stands still — read
+    ``n_rows`` as rows-observed, not rows-distinct-contributing, and
+    not a delivery-deduplicated count. But registers cannot be
+    SUBTRACTED — a removal or change cannot be applied to a sketch —
+    so a feed slice containing ``removed`` or ``changed`` rows raises,
+    naming the recompute trigger: call :func:`rebuild_distinct_view`
+    (one grouped scan of the current table, cursor stamped to the
+    feed's frontier), then resume incremental refreshes above the
+    rebuilt cursor. Estimates are bounds-stated, never bit-pinned
+    (`operators/sketches.py` doctrine).
 
     Scale shape: one |changes|-sized aggregation + a ledger-sized
     null-safe merge; the base table is never read."""
@@ -244,11 +251,11 @@ def refresh_distinct_view(
         raise ValueError(
             "refresh_distinct_view: the changefeed slice contains "
             f"{top_row['bad']} removed/changed rows - HLL registers "
-            "cannot be subtracted. Recompute the view from scratch "
-            "(operators.sketches.hll_ledger over upsert.read_current, "
-            "grouped by the view's group columns), write it with the "
-            "feed's max ingest_batch as cursor, then resume "
-            "incremental refreshes."
+            "cannot be subtracted. Recompute the view from scratch: "
+            "rebuild_distinct_view(spark, table_path, changefeed_path, "
+            "view_path, group_cols, key_col) - one grouped scan of the "
+            "current table, cursor stamped to the feed's frontier - "
+            "then resume incremental refreshes."
         )
     new_cursor = int(top_row["m"])
     n_batches = feed.select("ingest_batch").distinct().count()
@@ -305,3 +312,41 @@ def refresh_distinct_view(
     )
     _swap_view(spark, view_path, merged, new_cursor)
     return n_batches
+
+
+def rebuild_distinct_view(
+    spark: SparkSession,
+    table_path: str,
+    changefeed_path: str,
+    view_path: str,
+    group_cols: list[str],
+    key_col: str,
+    lg_k: int = 12,
+) -> int:
+    """The recompute path :func:`refresh_distinct_view`'s rejection
+    names, as one public call: rebuild the per-group HLL view from the
+    CURRENT table state (one grouped scan —
+    ``operators.sketches.hll_ledger`` over ``upsert.read_current``)
+    and stamp the cursor to the changefeed's frontier (its max
+    ``ingest_batch``), so incremental refreshes resume cleanly above
+    everything the rebuild already saw. Returns the stamped cursor.
+
+    Use after any removal/change-bearing slice wedged the incremental
+    path; the swap is the same atomic temp-and-swap every view write
+    uses, so a crashed rebuild leaves the old view intact. After a
+    rebuild, ``n_rows`` restarts as the CURRENT table's row count per
+    group (the rows-observed ledger forgets pre-rebuild deliveries)."""
+    from ..operators.sketches import hll_ledger
+    from .upsert import read_current
+
+    frontier = (
+        read_changefeed(spark, changefeed_path)
+        .agg(F.max("ingest_batch").alias("m"))
+        .collect()[0]["m"]
+    )
+    new_cursor = -1 if frontier is None else int(frontier)
+    view = hll_ledger(
+        read_current(spark, table_path), key_col, by=group_cols, lg_k=lg_k
+    )
+    _swap_view(spark, view_path, view, new_cursor)
+    return new_cursor

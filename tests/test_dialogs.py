@@ -216,3 +216,63 @@ def test_oversized_dialog_guard_streaming(spark):
         ev, "30 minutes", max_turns_per_dialog=5
     ).collect()
     assert len(ok) == 1 and ok[0]["n_turns"] == 5
+
+
+def test_oversized_dialog_error_names_the_key(spark, events):
+    """The guard's error must NAME the offending speaker and dialog
+    (the collected_group_max_rows contract): at scale the operator
+    needs the key in hand to filter the pathological speaker upstream,
+    not just the count."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        assemble_dialogs_stream,
+    )
+
+    with pytest.raises(
+        Exception, match=r"user_id=1 dialog_id=\d+ has"
+    ):
+        assemble_dialogs(
+            events, gap_seconds=1800, max_turns_per_dialog=2
+        ).collect()
+
+    rows = [(7, _ts(0, s), "msg", float(s)) for s in range(5)]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "value"]
+    )
+    with pytest.raises(Exception, match=r"user_id=7 dialog_start="):
+        assemble_dialogs_stream(
+            ev, "30 minutes", max_turns_per_dialog=4
+        ).collect()
+
+
+def test_streaming_dead_letter_mode_routes_instead_of_wedging(spark):
+    """on_oversized='dead_letter': the oversized dialog is truncated to
+    the bound and flagged instead of poisoning the micro-batch, so the
+    caller can route it to a reject sink while the stream keeps
+    running; normal dialogs pass through unflagged and untruncated."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        assemble_dialogs_stream,
+    )
+
+    rows = [(1, _ts(0, s), "msg", float(s)) for s in range(6)] + [
+        (2, _ts(0, s), "msg", float(s)) for s in range(2)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "value"]
+    )
+    got = {
+        r["user_id"]: r
+        for r in assemble_dialogs_stream(
+            ev, "30 minutes", max_turns_per_dialog=4,
+            on_oversized="dead_letter",
+        ).collect()
+    }
+    big, small = got[1], got[2]
+    assert big["oversized"] is True
+    assert big["n_turns"] == 6  # true count survives truncation
+    assert [t["value"] for t in big["turns"]] == [0.0, 1.0, 2.0, 3.0]
+    assert small["oversized"] is False
+    assert small["n_turns"] == 2
+    assert len(small["turns"]) == 2
+
+    with pytest.raises(ValueError, match="fail | dead_letter"):
+        assemble_dialogs_stream(ev, on_oversized="explode")

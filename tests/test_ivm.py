@@ -235,3 +235,75 @@ def test_distinct_view_rejects_removals_loudly(spark, tmp_path):
         refresh_distinct_view(
             spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
         )
+
+
+def test_rebuild_distinct_view_recovers_after_removals(spark, tmp_path):
+    """The documented recovery path, executable end-to-end: a
+    removal-bearing slice wedges the incremental refresh; ONE
+    rebuild_distinct_view call recomputes the view from the current
+    table, stamps the cursor to the feed frontier, and incremental
+    refreshes resume cleanly on later insert-only batches."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.ivm import (
+        rebuild_distinct_view,
+    )
+
+    table = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    view = str(tmp_path / "view")
+
+    def up(rows, bid):
+        upsert_batch(
+            spark.createDataFrame(rows, SCHEMA), table, ["user_id"],
+            "seq", n_buckets=4, delete_col="deleted",
+            changefeed_path=feed, batch_id=bid,
+        )
+
+    def exact():
+        return {
+            (r["region"],): r["d"]
+            for r in read_current(spark, table)
+            .groupBy("region")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect()
+        }
+
+    up(
+        [
+            (1, 1, "eu", 10.0, False),
+            (2, 1, "us", 20.0, False),
+            (3, 1, "us", 5.0, False),
+        ],
+        0,
+    )
+    refresh_distinct_view(
+        spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+    )
+    up([(2, 2, None, None, True)], 1)  # delete → wedges the view
+    with pytest.raises(ValueError, match="rebuild_distinct_view"):
+        refresh_distinct_view(
+            spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+        )
+
+    cursor = rebuild_distinct_view(
+        spark, table, feed, view, ["region"], "user_id"
+    )
+    assert cursor == 1  # the feed frontier, including the delete batch
+    assert {
+        (r["region"],): round(r["distinct_est"])
+        for r in read_view(spark, view).collect()
+    } == exact() == {("eu",): 1, ("us",): 1}
+    # n_rows restarts as the current table's per-group row count
+    assert {
+        (r["region"],): r["n_rows"]
+        for r in read_view(spark, view).collect()
+    } == {("eu",): 1, ("us",): 1}
+
+    # incremental refreshes resume above the rebuilt cursor
+    up([(4, 1, "us", 2.0, False), (5, 1, "eu", 7.0, False)], 2)
+    assert refresh_distinct_view(
+        spark, feed, view, ["region"], "user_id", VALUE_SCHEMA
+    ) == 1
+    assert {
+        (r["region"],): round(r["distinct_est"])
+        for r in read_view(spark, view).collect()
+    } == exact() == {("eu",): 2, ("us",): 2}
