@@ -370,3 +370,207 @@ def test_set_operations_match_duckdb(spark, op, qcut, dcut):
     want = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
     con.close()
     assert got == want, (op, qcut, dcut, len(got), len(want))
+
+
+# ---------------------------------------------------------------- axis 6
+# Nested / correlated subqueries: EXISTS, NOT EXISTS, IN, NOT IN
+# (null-bearing), correlated scalar subqueries, and a depth-2 nesting —
+# the classic engine-drift corner (null-aware anti-join semantics,
+# empty-subquery scalar NULLs) the five axes above never touch.
+
+_SUB_KINDS = ["exists", "not_exists", "in", "not_in"]
+_QTY_CUTS = [5.0, 25.0, 45.0, 49.5]
+
+
+def _views(spark):
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("fz_orders")
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView(
+        "fz_lineitem"
+    )
+    load_table(spark, SF_DIR, "part").createOrReplaceTempView("fz_part")
+
+
+def _subquery_pred(kind, v, null_bearing, li_src):
+    """One predicate term over outer alias ``o``. With null_bearing the
+    IN/NOT IN list projects a CASE that yields NULL for some rows —
+    NOT IN must then reject EVERY outer row (three-valued logic), the
+    drift spot null-naive anti-join rewrites get wrong."""
+    if kind in ("exists", "not_exists"):
+        neg = "not " if kind == "not_exists" else ""
+        return (
+            f"{neg}exists (select 1 from {li_src} li where "
+            f"li.l_orderkey = o.o_orderkey and li.l_quantity > {v})"
+        )
+    key = (
+        "case when li.l_linenumber > 2 then li.l_orderkey end"
+        if null_bearing
+        else "li.l_orderkey"
+    )
+    neg = "not " if kind == "not_in" else ""
+    return (
+        f"o.o_orderkey {neg}in (select {key} from {li_src} li "
+        f"where li.l_quantity > {v})"
+    )
+
+
+def _subquery_sql(orders_src, li_src, terms, comb, outer_cut):
+    preds = [
+        _subquery_pred(k, v, nb, li_src) for (k, v, nb) in terms
+    ]
+    where = f" {comb} ".join(f"({p})" for p in preds)
+    if outer_cut is not None:
+        where = f"o.o_totalprice < {outer_cut} and ({where})"
+    return (
+        f"select o.o_orderkey from {orders_src} o where {where} "
+        f"order by o.o_orderkey"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(_SUB_KINDS),
+            st.sampled_from(_QTY_CUTS),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+    st.sampled_from(["and", "or"]),
+    st.sampled_from([None, 100000.0, 350000.0]),
+)
+def test_subquery_predicates_match_duckdb(spark, terms, comb, outer_cut):
+    _views(spark)
+    got = [
+        r["o_orderkey"]
+        for r in spark.sql(
+            _subquery_sql("fz_orders", "fz_lineitem", terms, comb, outer_cut)
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            _subquery_sql(
+                f"read_parquet('{SF_DIR}/orders.parquet')",
+                f"read_parquet('{SF_DIR}/lineitem.parquet')",
+                terms,
+                comb,
+                outer_cut,
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want, (terms, comb, outer_cut, len(got), len(want))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.sampled_from(["max", "min", "sum", "count"]),
+    st.sampled_from(_QTY_CUTS),
+    st.sampled_from([None, 150000.0]),
+)
+def test_correlated_scalar_subquery_matches_duckdb(
+    spark, fn, v, outer_cut
+):
+    """Correlated scalar subquery in the SELECT list: outer rows with
+    an EMPTY inner set take NULL (count: 0) — exactly where a naive
+    join rewrite drops rows or fabricates zeros — and a further
+    aggregate COMPOSES over those scalars (sum skips NULLs)."""
+
+    def q(orders_src, li_src):
+        where = (
+            f"where o.o_totalprice < {outer_cut} "
+            if outer_cut is not None
+            else ""
+        )
+        return (
+            f"select o.o_orderkey, (select {fn}(li.l_quantity) from "
+            f"{li_src} li where li.l_orderkey = o.o_orderkey and "
+            f"li.l_quantity > {v}) as sq from {orders_src} o "
+            f"{where}order by o.o_orderkey"
+        )
+
+    _views(spark)
+    got = [
+        (r["o_orderkey"], r["sq"])
+        for r in spark.sql(q("fz_orders", "fz_lineitem")).collect()
+    ]
+    con = duckdb.connect()
+    want = con.execute(
+        q(
+            f"read_parquet('{SF_DIR}/orders.parquet')",
+            f"read_parquet('{SF_DIR}/lineitem.parquet')",
+        )
+    ).fetchall()
+    con.close()
+    assert len(got) == len(want), (fn, v, outer_cut)
+    for (gk, gv), (wk, wv) in zip(got, want):
+        assert gk == wk
+        if gv is None or wv is None:
+            assert gv == wv, (gk, gv, wv, fn, v)
+        else:
+            assert math.isclose(
+                float(gv), float(wv), rel_tol=1e-9, abs_tol=1e-9
+            ), (gk, gv, wv, fn, v)
+    # composition: aggregate over the scalar column must agree too
+    g_sum = sum(float(x) for _, x in got if x is not None)
+    w_sum = sum(float(x) for _, x in want if x is not None)
+    assert math.isclose(g_sum, w_sum, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.sampled_from([10, 25, 40]),
+    st.sampled_from(_QTY_CUTS),
+    st.booleans(),
+)
+def test_depth2_nested_subquery_matches_duckdb(spark, psize, v, negate):
+    """Depth-2 nesting: a correlated EXISTS whose inner query itself
+    contains an (uncorrelated) IN subquery over a third table — the
+    shape where decorrelation rewrites interact with subquery
+    flattening."""
+
+    def q(orders_src, li_src, part_src):
+        neg = "not " if negate else ""
+        return (
+            f"select o.o_orderkey from {orders_src} o where "
+            f"{neg}exists (select 1 from {li_src} li where "
+            f"li.l_orderkey = o.o_orderkey and li.l_quantity > {v} and "
+            f"li.l_partkey in (select p.p_partkey from {part_src} p "
+            f"where p.p_size > {psize})) order by o.o_orderkey"
+        )
+
+    _views(spark)
+    got = [
+        r["o_orderkey"]
+        for r in spark.sql(
+            q("fz_orders", "fz_lineitem", "fz_part")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            q(
+                f"read_parquet('{SF_DIR}/orders.parquet')",
+                f"read_parquet('{SF_DIR}/lineitem.parquet')",
+                f"read_parquet('{SF_DIR}/part.parquet')",
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want, (psize, v, negate, len(got), len(want))
