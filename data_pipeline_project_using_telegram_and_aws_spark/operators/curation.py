@@ -61,6 +61,8 @@ def curate_corpus(
     compressibility_bounds: tuple[float, float] | None = None,
     dedup_doc_lines: bool = False,
     boilerplate: dict | None = None,
+    language_model=None,
+    language_model_kwargs: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline; returns ``(kept, ledger)``.
 
@@ -115,6 +117,14 @@ def curate_corpus(
     rather than drop documents (no ledger rows; kept docs carry the
     cleaned text), and running them before stage 1 means chrome-only
     differences no longer defeat the exact-dedup hash.
+
+    ``language_model`` (optional, used with ``keep_langs``) swaps the
+    language gate's signal from the precomputed ``lang_col`` to a
+    fitted :func:`langid.train_langid` model scored over the stage's
+    survivors (``language_model_kwargs`` forwards n/max_chars to
+    :func:`langid.predict_lang` — they must match training). Ledger
+    reasons say ``lang_pred=`` instead of ``lang=``; the heuristic
+    default is unchanged.
 
     ``near_dup_closure`` picks the drop semantics applied to the
     candidate pairs:
@@ -427,7 +437,43 @@ def curate_corpus(
         survivors = gated.filter(~bad_cr).drop("__cr")
 
     # ---- stage 4: optional language allow-list --------------------------
-    if keep_langs is not None:
+    # Two gates share the stage: the default trusts a precomputed
+    # ``lang_col`` (the heuristic path — cu1's oracle semantics,
+    # unchanged); passing ``language_model`` (a fitted
+    # `langid.train_langid` PipelineModel) scores the SURVIVORS with
+    # `langid.predict_lang` instead and gates on its prediction —
+    # row-wise transform, no shuffle, and the ledger reason carries
+    # ``lang_pred=`` so model-backed drops are distinguishable from
+    # heuristic ``lang=`` drops at audit time.
+    if keep_langs is not None and language_model is not None:
+        from .langid import predict_lang
+
+        preds = predict_lang(
+            language_model,
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            **(language_model_kwargs or {}),
+        ).select(F.col(id_col), F.col("lang_pred").alias("__lang"))
+        gated = survivors.join(preds, id_col, "left")
+        # coalesce: an unscored doc (no prediction row) must drop WITH
+        # a ledger entry, never vanish through three-valued logic
+        bad = ~F.coalesce(
+            F.col("__lang").isin(*keep_langs), F.lit(False)
+        )
+        ledgers.append(
+            gated.filter(bad).select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("language").alias("stage"),
+                F.concat(
+                    F.lit("lang_pred="),
+                    F.coalesce(F.col("__lang"), F.lit("NULL")),
+                ).alias("reason"),
+                null_flag,
+            )
+        )
+        survivors = gated.filter(~bad).drop("__lang")
+    elif keep_langs is not None:
         bad = ~F.col(lang_col).isin(*keep_langs)
         ledgers.append(
             survivors.filter(bad).select(

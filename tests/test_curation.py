@@ -341,3 +341,54 @@ def test_curation_conservation_model(spark, texts, jt, components):
         assert min(ids) not in exact_drops
         # every non-minimal member IS an exact-dedup drop
         assert all(i in exact_drops for i in ids if i != min(ids))
+
+
+def test_language_model_gate_in_curation(spark):
+    """keep_langs with a fitted train_langid model: the language stage
+    gates on the MODEL's prediction instead of a precomputed lang
+    column — on a separable fixture the off-language docs drop with
+    stage 'language' and a lang_pred= reason naming the predicted
+    language, while the on-language docs survive with full text."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.curation import curate_corpus
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.langid import train_langid
+
+    words = {
+        "en": ["the", "query", "table", "fast", "window", "filter"],
+        "zh": ["数据", "查询", "表格", "快速", "窗口", "过滤"],
+    }
+    train_rows = []
+    did = 10_000
+    for lang, ws in words.items():
+        for i in range(50):
+            train_rows.append(
+                (did, " ".join(ws[(i + j) % len(ws)] for j in range(10)), lang)
+            )
+            did += 1
+    model = train_langid(
+        spark.createDataFrame(
+            train_rows, "doc_id long, text string, lang string"
+        ),
+        n=2,
+        n_features=1 << 12,
+        max_iter=30,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the fast query window over the filter table goes fast"),
+            (2, "数据 查询 表格 快速 窗口 过滤 数据 查询 表格 快速"),
+            (3, "query the table with the fast window filter query now"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, ledger = curate_corpus(
+        docs,
+        min_tokens=2,
+        keep_langs=["en"],
+        language_model=model,
+        language_model_kwargs={"n": 2},
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    led = {r["doc_id"]: r for r in ledger.collect()}
+    assert led[2]["stage"] == "language"
+    assert led[2]["reason"] == "lang_pred=zh"
