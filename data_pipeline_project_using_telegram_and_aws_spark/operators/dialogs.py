@@ -199,9 +199,11 @@ def assemble_dialogs_stream(
 
     Either way the state for a pathological never-idle speaker grows
     until the session closes; to bound state BEFORE materialization,
-    gate upstream (e.g. drop or sample the named speaker once the
-    fail/dead-letter signal identifies it, or cap per-key event rates
-    at ingest)."""
+    gate upstream with `streaming/quota.cap_events_per_key` — it
+    chains into this operator's session agg in ONE streaming query
+    (append-mode applyInPandasWithState followed by a stateful agg is
+    a supported combination; pinned in tests), so the capped
+    speaker's turns never enter the session state at all."""
     if on_oversized not in ("fail", "dead_letter"):
         raise ValueError(
             "assemble_dialogs_stream: on_oversized must be "

@@ -112,6 +112,56 @@ def apply_token_quota(
     )
 
 
+def cap_events_per_key(
+    events: DataFrame, key_col: str, max_events_per_key: int
+) -> DataFrame:
+    """Admit at most ``max_events_per_key`` rows per key over the
+    stream's lifetime, dropping the overflow — the upstream state
+    bound for per-group collectors downstream (the
+    `operators/dialogs.assemble_dialogs_stream` composition: its
+    session state materializes every admitted turn, and no pre-agg
+    window exists in streaming, so the place to bound a never-idle
+    speaker is BEFORE the stateful agg, here). Schema passes through
+    unchanged; state per key is ONE long (rows admitted so far), in
+    the checkpoint — replay-safe like every applyInPandasWithState
+    gate. Same determinism doctrine as :func:`apply_token_quota`:
+    admission is arrival-ordered, and at the cap boundary arrival
+    order IS the semantic.
+
+    This is a lifetime cap (the quota shape), not a per-session one:
+    a capped key contributes nothing further until the operator's
+    state is reset. That is the right bluntness for the pathological
+    case it exists for — a bot that never goes idle has no session
+    boundary to scope a finer cap to."""
+    if max_events_per_key <= 0:
+        raise ValueError(
+            "cap_events_per_key: max_events_per_key must be > 0"
+        )
+    out_schema = events.schema
+
+    def gate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (used,) = state.get if state.exists else (0,)
+        for batch in pdfs:
+            room = max_events_per_key - used
+            if room <= 0:
+                break
+            out = batch.iloc[:room]
+            used += len(out)
+            if len(out):
+                yield out
+        state.update((used,))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        gate,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 try:  # pragma: no cover - exercised only where protobuf exists
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -276,3 +276,79 @@ def test_streaming_dead_letter_mode_routes_instead_of_wedging(spark):
 
     with pytest.raises(ValueError, match="fail | dead_letter"):
         assemble_dialogs_stream(ev, on_oversized="explode")
+
+
+def test_upstream_cap_bounds_dialog_state_pre_materialization(
+    spark, tmp_path
+):
+    """The documented composition for bounding streaming dialog state
+    BEFORE it materializes: cap_events_per_key chained into the
+    session agg in ONE streaming query. A never-idle speaker's turns
+    are cut at the gate (across micro-batches — the cap is stateful),
+    so the session state never holds more than the cap; other speakers
+    pass untouched."""
+    import json
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        assemble_dialogs_stream,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.quota import (
+        cap_events_per_key,
+    )
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+
+    def feed(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+
+    def ev(uid, minute, v):
+        return {
+            "user_id": uid,
+            "ts": f"2024-01-01 00:{minute:02d}:00",
+            "event_type": "m",
+            "value": float(v),
+        }
+
+    # the bot (user 1) spans two micro-batches: 2 events then 4 more;
+    # the human (user 2) sends 2. cap=3 must admit exactly the bot's
+    # first three ACROSS batches (state persists), all of the human's.
+    feed("a.json", [ev(1, 0, 0), ev(1, 1, 1), ev(2, 0, 10)])
+    feed("b.json", [ev(1, 2, 2), ev(1, 3, 3), ev(1, 4, 4), ev(2, 1, 11)])
+    # a far-future closer pushes the watermark past everyone's gap
+    feed("z.json", [ev(3, 0, 99) | {"ts": "2024-01-01 06:00:00"}])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    gated = cap_events_per_key(
+        stream.withWatermark("ts", "10 minutes"), "user_id", 3
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        assemble_dialogs_stream(
+            gated.withWatermark("ts", "10 minutes"), "30 minutes"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: [t["value"] for t in r["turns"]]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] == [0.0, 1.0, 2.0]  # capped at 3, across batches
+    assert got[2] == [10.0, 11.0]  # untouched
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        cap_events_per_key(stream, "user_id", 0)
