@@ -30,15 +30,19 @@ The protocol — one atomic commit point, everything else recoverable:
    anywhere in step 3 (or between 2 and 3) leaves stale partitions
    that no reader sums.
 
-Crash recovery (:func:`recover_compaction`, run by every read and
-every compaction) resolves the remaining windows by inspection:
-staging present → the commit never happened, discard it; baseline
-missing but trash present → the swap died between its two renames,
-roll the trash back. Both recoveries restore the exact pre-compaction
-answer. The directory renames carry the same POSIX-atomicity
-assumption every swap in this repo states (`sources/lake.py` — on an
-object store, replace the rename pair with a manifest-pointer update,
-the Iceberg/Delta commit model).
+Crash recovery is split by role. Readers (:func:`recover_compaction`,
+run by every :func:`read_ledger`) fix only the state they cannot read
+through — baseline missing because a swap died between its two
+renames → roll the trash back — and never delete anything, so a
+reader can never kill a live compactor's staging. Compactors
+(:func:`commit_baseline`) own the staging/trash lifecycle and sweep a
+dead predecessor's leftovers on entry: staging present → the commit
+never happened, discard; trash present with a live baseline → a
+committed swap's leftover old baseline, discard. Every recovery
+restores the exact pre- or post-commit answer. The directory renames
+carry the same POSIX-atomicity assumption every swap in this repo
+states (`sources/lake.py` — on an object store, replace the rename
+pair with a manifest-pointer update, the Iceberg/Delta commit model).
 
 Replay interaction unchanged: the maintenance-window contract (compact
 only with the stream stopped and the checkpoint committed past
@@ -67,23 +71,24 @@ _rename = Path.rename
 
 
 def recover_compaction(ledger_path: str) -> None:
-    """Resolve any half-finished compaction under ``ledger_path`` to a
-    consistent state (pre- or post-commit, whichever the crash left
-    committed). Idempotent; every reader and compactor calls it."""
+    """Reader-side recovery: resolve the ONE crash state a reader
+    cannot answer correctly through — baseline missing because a
+    compactor died between its two swap renames — by rolling the
+    trashed old baseline back. Deliberately does NOTHING else: leftover
+    staging/trash dirs are invisible to Spark (dot-prefixed) and
+    harmless to answers, and a reader that deleted them could kill a
+    LIVE compactor's staging mid-write. Full cleanup belongs to the
+    next compactor (:func:`commit_baseline`), which owns those dirs.
+    A reader racing an in-flight swap may roll back a baseline the
+    compactor just moved aside — the compactor's commit rename then
+    fails (destination exists) and the ledger stays at its old
+    consistent state: reads are always right, a racing compaction
+    fails retryably, nothing corrupts. (The documented maintenance-
+    window contract makes the race moot in normal operation.)"""
     root = Path(ledger_path)
-    base, staging, trash = (
-        root / BASELINE_DIR,
-        root / _STAGING_DIR,
-        root / _TRASH_DIR,
-    )
+    base, trash = root / BASELINE_DIR, root / _TRASH_DIR
     if not base.exists() and trash.exists():
-        # died between the swap's two renames: roll the old baseline
-        # back; the staged one was never committed
         _rename(trash, base)
-    if staging.exists():
-        _rmtree(staging)
-    if trash.exists():
-        _rmtree(trash)
 
 
 def compacted_through(ledger_path: str) -> int | None:
@@ -125,8 +130,17 @@ def commit_baseline(
         root / BASELINE_DIR,
         root / _TRASH_DIR,
     )
+    # compactor-owned cleanup of prior crashes: discard a dead run's
+    # staging, roll back or discard its trash (roll back only when the
+    # baseline is missing — otherwise the trash is a committed swap's
+    # leftover old baseline)
     if staging.exists():
         _rmtree(staging)
+    if trash.exists():
+        if not base.exists():
+            _rename(trash, base)
+        else:
+            _rmtree(trash)
     baseline.write.mode("overwrite").parquet(str(staging))
     (staging / MARKER_FILE).write_text(str(int(through_batch)))
     if base.exists():
@@ -134,6 +148,17 @@ def commit_baseline(
     _rename(staging, base)  # COMMIT POINT: rows + marker together
     if trash.exists():
         _rmtree(trash)
+
+
+def sweep_stragglers(ledger_path: str) -> None:
+    """Delete any batch partitions the COMMITTED marker already covers
+    — the retry path after a crash between commit and deletion. Called
+    at the top of every compaction so a ledger whose feed went quiet
+    (no new batches to fold, so the fold step early-returns) still
+    converges to clean physical state. No-op without a marker."""
+    t = compacted_through(ledger_path)
+    if t is not None:
+        delete_folded(ledger_path, t)
 
 
 def delete_folded(ledger_path: str, through_batch: int) -> None:

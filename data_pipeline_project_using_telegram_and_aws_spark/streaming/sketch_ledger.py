@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.sketches import hll_ledger, merge_hll_ledger
-from .ledger_compaction import commit_baseline, delete_folded, read_ledger
+from .ledger_compaction import (
+    commit_baseline,
+    delete_folded,
+    read_ledger,
+    sweep_stragglers,
+)
 
 
 def append_sketch_batch(
@@ -126,6 +131,7 @@ def compact_ledger(
     baseline + marker, one atomic swap, delete last), so a crash at
     ANY step leaves `ledger_distinct_so_far` reading the exact
     pre- or post-compaction answer — never a double-counted one."""
+    sweep_stragglers(ledger_path)
     ledger = read_ledger(spark, ledger_path)
     fold = ledger.filter(
         (F.col("ingest_batch") >= 0)

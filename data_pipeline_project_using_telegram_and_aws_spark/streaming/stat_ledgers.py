@@ -39,7 +39,12 @@ from ..operators.quantile_sketch import (
     merge_quantile_ledger,
     quantile_ledger,
 )
-from .ledger_compaction import commit_baseline, delete_folded, read_ledger
+from .ledger_compaction import (
+    commit_baseline,
+    delete_folded,
+    read_ledger,
+    sweep_stragglers,
+)
 
 
 def _land(rows: DataFrame, batch_id: int, ledger_path: str) -> None:
@@ -199,6 +204,7 @@ def compact_stat_ledger(
     summed them twice, silently, forever."""
     if kind not in ("quantile", "cms"):
         raise ValueError("compact_stat_ledger: kind must be quantile | cms")
+    sweep_stragglers(ledger_path)
     ledger = read_ledger(spark, ledger_path)
     fold = ledger.filter(
         (F.col("ingest_batch") >= 0)
@@ -387,6 +393,7 @@ def compact_candidates(
     ledgers — here the union is a set, so a crash was never a
     correctness hazard, but one protocol for every ledger keeps the
     recovery story singular."""
+    sweep_stragglers(candidates_path)
     ledger = read_ledger(spark, candidates_path)
     fold = ledger.filter(
         (F.col("ingest_batch") >= 0)

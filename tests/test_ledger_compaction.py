@@ -113,11 +113,15 @@ def test_crash_before_commit_is_a_clean_rollback(
 
     assert (Path(led) / ".compact_staging").exists()
     assert ledger_compaction.compacted_through(led) is None
-    assert hot_est() == before  # read recovers: staging discarded
-    assert not (Path(led) / ".compact_staging").exists()
-
-    compact_stat_ledger(spark, led, 1, "cms")  # retry converges
+    # reads are right with the dead staging still on disk (dot-dirs
+    # are invisible to Spark) and deliberately do NOT delete it — a
+    # reader must never kill a live compactor's staging
     assert hot_est() == before
+    assert (Path(led) / ".compact_staging").exists()
+
+    compact_stat_ledger(spark, led, 1, "cms")  # retry sweeps + converges
+    assert hot_est() == before
+    assert not (Path(led) / ".compact_staging").exists()
 
 
 def test_crash_between_swap_renames_rolls_back_old_baseline(
@@ -233,3 +237,102 @@ def test_heavy_hitter_hint_is_enforced(spark, tmp_path):
             str(tmp_path / "led_x"), str(tmp_path / "cand_x"), "item",
             phi=0.05, max_batches_hint=2, on_hint_exceeded="explode",
         )
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 5)),
+        st.tuples(
+            st.just("compact"),
+            st.sampled_from(["none", "pre_commit", "mid_swap", "post_commit"]),
+        ),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_ops)
+def test_compaction_model_check(spark, tmp_path_factory, ops):
+    """Model check: under ANY interleaving of appends and compactions —
+    each compaction crashing at any protocol step or not at all — the
+    ledger's point estimates stay bit-identical to a shadow twin that
+    received the same appends and was NEVER compacted. Counter-sum
+    associativity makes the shadow the exact oracle; any double-count,
+    drop, or marker bug breaks the equality."""
+    import data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers as sl
+
+    tmp_path = tmp_path_factory.mktemp("model")
+    main, shadow = str(tmp_path / "main"), str(tmp_path / "shadow")
+    items = spark.createDataFrame(
+        [("hot",), ("cold_3",)], "item string"
+    )
+
+    def est(path):
+        return sorted(
+            (r["item"], r["est"])
+            for r in counts_so_far(
+                spark, path, items, depth=2, width=64
+            ).collect()
+        )
+
+    real_rename = ledger_compaction._rename
+    real_delete = sl.delete_folded
+    next_batch = 0
+    appended = False
+    for op in ops:
+        if op[0] == "append":
+            chunk = _chunk(spark, op[1] * 1000, 120)
+            rows = cms_ledger(chunk, "item", depth=2, width=64)
+            _land(rows, next_batch, main)
+            _land(rows, next_batch, shadow)
+            next_batch += 1
+            appended = True
+        else:
+            if not appended:
+                continue
+            mode = op[1]
+            calls = {"n": 0}
+
+            def flaky_rename(src, dst, _m=mode, _c=calls):
+                _c["n"] += 1
+                if _m == "pre_commit" and _c["n"] == 1:
+                    raise RuntimeError("injected pre_commit")
+                if _m == "mid_swap" and _c["n"] == 2:
+                    raise RuntimeError("injected mid_swap")
+                return real_rename(src, dst)
+
+            def flaky_delete(path, through):
+                raise RuntimeError("injected post_commit")
+
+            ledger_compaction._rename = (
+                flaky_rename if mode in ("pre_commit", "mid_swap")
+                else real_rename
+            )
+            sl.delete_folded = (
+                flaky_delete if mode == "post_commit" else real_delete
+            )
+            try:
+                compact_stat_ledger(spark, main, next_batch - 1, "cms")
+            except RuntimeError:
+                pass
+            finally:
+                ledger_compaction._rename = real_rename
+                sl.delete_folded = real_delete
+        assert est(main) == est(shadow), (op, ops)
+
+    # a final clean compaction converges and still agrees
+    if appended:
+        compact_stat_ledger(spark, main, next_batch - 1, "cms")
+        assert est(main) == est(shadow), ops
+        parts = {
+            p.name for p in Path(main).glob("ingest_batch=*")
+        }
+        assert parts == {"ingest_batch=-1"}, (parts, ops)
