@@ -574,3 +574,96 @@ def test_depth2_nested_subquery_matches_duckdb(spark, psize, v, negate):
     ]
     con.close()
     assert got == want, (psize, v, negate, len(got), len(want))
+
+
+# ---------------------------------------------------------------- axis 7
+# ROLLUP / CUBE / GROUPING SETS: super-aggregate rows use NULL as the
+# "all" marker, indistinguishable from genuine NULL group values except
+# through GROUPING() — exactly the ambiguity engines must agree on.
+# The generated Spark side is the DataFrame API (rollup/cube/
+# groupingSets + F.grouping), the DuckDB side independently rendered
+# SQL; a null-injected group column makes the marker collision real.
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.sampled_from(["rollup", "cube", "sets"]),
+    st.lists(
+        st.sampled_from(GROUP_COLS), min_size=2, max_size=3, unique=True
+    ),
+    st.sampled_from(NUM_COLS),
+    st.booleans(),
+)
+def test_grouping_analytics_match_duckdb(spark, kind, groups, val, nullify):
+    df = load_table(spark, SF_DIR, "lineitem")
+    if nullify:
+        # make genuine NULLs collide with the super-aggregate marker
+        df = df.withColumn(
+            groups[0],
+            F.when(
+                F.col("l_linenumber") % 3 == 0, F.col(groups[0])
+            ),
+        )
+    gcols = [F.col(c) for c in groups]
+    if kind == "rollup":
+        grouped = df.rollup(*gcols)
+    elif kind == "cube":
+        grouped = df.cube(*gcols)
+    else:
+        grouped = df.groupingSets(
+            [[gcols[0]], gcols, []], *gcols
+        )
+    out = grouped.agg(
+        *[F.grouping(c).alias(f"g_{i}") for i, c in enumerate(gcols)],
+        F.count(F.lit(1)).alias("n"),
+        F.sum(val).alias("s"),
+    )
+    gflags = [f"g_{i}" for i in range(len(groups))]
+    got = _normalize(out.collect(), list(groups) + gflags, ["n", "s"])
+
+    if nullify:
+        src = (
+            f"(select * replace (case when l_linenumber % 3 = 0 "
+            f"then {groups[0]} end as {groups[0]}) from "
+            f"read_parquet('{SF_DIR}/lineitem.parquet'))"
+        )
+    else:
+        src = f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    gl = ", ".join(groups)
+    if kind == "rollup":
+        by = f"rollup({gl})"
+    elif kind == "cube":
+        by = f"cube({gl})"
+    else:
+        by = f"grouping sets (({groups[0]}), ({gl}), ())"
+    sels = (
+        [*groups]
+        + [f"grouping({c}) as g_{i}" for i, c in enumerate(groups)]
+        + ["count(*) as n", f"sum({val}) as s"]
+    )
+    con = duckdb.connect()
+    want_rows = con.execute(
+        f"select {', '.join(sels)} from {src} group by {by}"
+    ).fetchall()
+    con.close()
+    cols = list(groups) + gflags + ["n", "s"]
+    want = _normalize(
+        [dict(zip(cols, r)) for r in want_rows],
+        list(groups) + gflags,
+        ["n", "s"],
+    )
+    assert len(got) == len(want), (kind, groups, nullify)
+    for (gk, gv), (wk, wv) in zip(got, want):
+        assert gk == wk, (gk, wk, kind, groups, nullify)
+        assert gv[0] == wv[0], (gk, gv, wv)
+        a, b = gv[1], wv[1]
+        if a is None or b is None:
+            assert a == b, (gk, gv, wv)
+        else:
+            assert math.isclose(
+                float(a), float(b), rel_tol=1e-9, abs_tol=1e-9
+            ), (gk, a, b)
