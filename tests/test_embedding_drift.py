@@ -128,3 +128,13 @@ def test_runs_on_the_embeddings_table(spark):
     assert len(rows) == 1
     assert rows[0]["centroid_cos"] == pytest.approx(1.0, abs=1e-5)
     assert rows[0]["norm_psi"] == pytest.approx(0.0, abs=1e-6)
+
+    # plan hygiene: norms/cosine/PSI fold via JVM higher-order
+    # functions — no Python stage anywhere in the report plan
+    plan = (
+        embedding_drift_report(half, half, vec_col=vec_col)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
