@@ -199,3 +199,50 @@ def test_quota_checkpoint_recovery_resumes_without_readmitting(
     assert ledger == sorted(ledger)  # monotone across restarts
     # the recovered state lives in the checkpoint's state store
     assert os.path.isdir(os.path.join(ckpt, "state"))
+
+
+def test_cap_events_per_key_checkpoint_recovery(spark, tmp_path):
+    """The per-key event cap survives a restart: with cap=3 and 2
+    events admitted before the stop, a restart admits exactly ONE more
+    for that key (a reset state would admit three) and drops the rest;
+    a fresh key is unaffected by the old key's state."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.quota import (
+        cap_events_per_key,
+    )
+
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(landing)
+        q = (
+            cap_events_per_key(stream, "source", 3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.source, r.doc_id)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    _write_batch(landing, "b1.json", [
+        {"source": "k1", "doc_id": 1, "n_tokens": 1},
+        {"source": "k1", "doc_id": 2, "n_tokens": 1},
+    ])
+    assert run() == [("k1", 1), ("k1", 2)]
+
+    _write_batch(landing, "b2.json", [
+        {"source": "k1", "doc_id": 3, "n_tokens": 1},
+        {"source": "k1", "doc_id": 4, "n_tokens": 1},
+        {"source": "k1", "doc_id": 5, "n_tokens": 1},
+        {"source": "k2", "doc_id": 6, "n_tokens": 1},
+    ])
+    got = run()
+    k1 = [d for s, d in got if s == "k1"]
+    assert len(k1) == 3  # 2 admitted before the restart + exactly 1 after
+    assert ("k2", 6) in got  # fresh key admits independently
