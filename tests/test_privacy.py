@@ -1,0 +1,90 @@
+"""Disclosure-risk export gates: rare-combination audit, k-anonymity
+enforcement (drop and fail modes, NULL quasi values as one joinable
+value, k-anonymity of the survivor frame verified by recount), and
+minimum-cell-size suppression on aggregates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.privacy import (
+    enforce_k_anonymity,
+    rare_combinations,
+    suppress_small_groups,
+)
+
+ROWS = [
+    # (zip, year, payload) — "10001"×1990 has 3 rows, "10002"×1991 has
+    # 2, "10003"×1992 is a singleton, NULL×1990 has 2 (nulls group)
+    ("10001", 1990, "a"),
+    ("10001", 1990, "b"),
+    ("10001", 1990, "c"),
+    ("10002", 1991, "d"),
+    ("10002", 1991, "e"),
+    ("10003", 1992, "f"),
+    (None, 1990, "g"),
+    (None, 1990, "h"),
+]
+SCHEMA = "zip string, birth_year int, payload string"
+
+
+def test_rare_combinations_audit(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rare = rare_combinations(df, ["zip", "birth_year"], k=3).collect()
+    got = {(r["zip"], r["birth_year"]): r["n"] for r in rare}
+    assert got == {
+        ("10003", 1992): 1,
+        ("10002", 1991): 2,
+        (None, 1990): 2,
+    }
+    assert rare[0]["n"] == 1  # singletons lead
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        rare_combinations(df, ["zip"], k=1)
+
+
+def test_enforce_k_anonymity_drop_and_recount(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = enforce_k_anonymity(df, ["zip", "birth_year"], k=2)
+    kept = {r["payload"] for r in out.collect()}
+    assert kept == {"a", "b", "c", "d", "e", "g", "h"}  # singleton gone
+    # the released frame is k-anonymous by recount: zero rare combos
+    assert (
+        rare_combinations(out, ["zip", "birth_year"], k=2).count() == 0
+    )
+    # k=4: only the size-3 group dies too
+    out4 = enforce_k_anonymity(df, ["zip", "birth_year"], k=4)
+    assert out4.count() == 0  # no combo reaches 4
+
+    # NULL quasi values are one joinable value: the two NULL-zip rows
+    # survive k=2 together
+    assert {"g", "h"} <= kept
+
+
+def test_enforce_k_anonymity_fail_mode_names_the_combo(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(Exception, match=r"10003,1992 appears 1 < k=2"):
+        enforce_k_anonymity(
+            df, ["zip", "birth_year"], k=2, on_violation="fail"
+        ).collect()
+    clean = spark.createDataFrame(
+        [r for r in ROWS if r[2] != "f"], SCHEMA
+    )
+    assert (
+        enforce_k_anonymity(
+            clean, ["zip", "birth_year"], k=2, on_violation="fail"
+        ).count()
+        == 7
+    )
+    with pytest.raises(ValueError, match="drop | fail"):
+        enforce_k_anonymity(df, ["zip"], k=2, on_violation="mask")
+
+
+def test_suppress_small_groups_on_aggregates(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    agg = df.groupBy("zip").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("payload").alias("payloads"),
+    )
+    out = suppress_small_groups(agg, "n", k=2).collect()
+    assert {r["zip"] for r in out} == {"10001", "10002", None}
