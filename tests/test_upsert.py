@@ -399,3 +399,88 @@ def test_schema_evolution_adds_columns(spark, tmp_path):
     )
     r1 = lookup(spark, path, ["user_id"], [1], n_buckets=8).collect()[0]
     assert r1["balance"] == 12.0 and r1["tier"] is None
+
+
+_evo_batches = st.lists(
+    st.tuples(
+        st.sets(st.sampled_from(["c1", "c2"])),  # this batch's extras
+        st.lists(
+            st.tuples(st.integers(0, 4), st.booleans()),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_evo_batches)
+def test_upsert_schema_evolution_matches_model(
+    spark, tmp_path_factory, batches
+):
+    """Model-based check of the EVOLVING-schema surface: each batch
+    carries a random subset of optional columns (introducing them,
+    omitting them again, mixing with deletes in any order). The pinned
+    full-row semantics replayed in a Python dict — winner's omitted
+    columns read NULL, a column once introduced exists for every row,
+    deletes drop keys regardless of which schema wrote them — must
+    equal read_current after every sequence hypothesis finds."""
+    path = str(tmp_path_factory.mktemp("evo") / "t")
+    model: dict[int, dict] = {}
+    introduced: set[str] = set()
+    seq = 0
+    for cols_set, ops in batches:
+        cols = sorted(cols_set)
+        introduced |= set(cols)
+        fields = list(SCHEMA.fields) + [
+            T.StructField(c, T.DoubleType()) for c in cols
+        ]
+        rows = []
+        for key, is_del in ops:
+            seq += 1
+            extra = tuple(
+                float(seq * 10 + i) for i in range(len(cols))
+            )
+            rows.append(
+                (key, seq, None if is_del else float(seq), is_del)
+                + extra
+            )
+            if is_del:
+                model.pop(key, None)
+            else:
+                model[key] = {
+                    "balance": float(seq),
+                    **{c: extra[i] for i, c in enumerate(cols)},
+                }
+        upsert_batch(
+            spark.createDataFrame(rows, T.StructType(fields)),
+            path,
+            ["user_id"],
+            "seq",
+            n_buckets=4,
+            delete_col="deleted",
+        )
+    cur = read_current(spark, path)
+    present = set(cur.columns)
+    got = {
+        r["user_id"]: {
+            "balance": r["balance"],
+            **{c: r[c] for c in introduced & present},
+        }
+        for r in cur.collect()
+    }
+    want = {
+        k: {
+            "balance": v["balance"],
+            **{c: v.get(c) for c in introduced},
+        }
+        for k, v in model.items()
+    }
+    assert got == want, batches
+    # a column once introduced is part of the union schema for good
+    if model:
+        assert introduced <= present
