@@ -432,3 +432,86 @@ def test_funnel_stream_matches_batch_and_resumes(spark, tmp_path):
         for r in read_current(spark, state).collect()
     }
     assert again == got
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                       # user
+        st.sampled_from(["s0", "s1", "s2", "x"]),  # type (x = noise)
+        st.integers(0, 20),                      # ts offset seconds
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    _events,
+    st.sampled_from([None, 4, 9]),   # within_seconds
+    st.sampled_from([None, 3, 7]),   # step_within_seconds
+)
+def test_funnel_matches_python_fold(spark, events, within, step_within):
+    """Differential model check: the in-plan aggregate fold (greedy
+    first-match over time-sorted events, whole-funnel AND per-edge
+    windows ANDed) must equal a straightforward Python replay of the
+    same rule on random event streams — including ties on ts (both
+    sides order by (ts, step)), noise events, and users who never
+    start."""
+    import datetime
+
+    steps = ["s0", "s1", "s2"]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + datetime.timedelta(seconds=s))
+        for u, t, s in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["user_id"]: (
+            r["steps_completed"],
+            [ts.replace(tzinfo=None) for ts in r["step_ts"]],
+        )
+        for r in funnel(
+            df,
+            steps,
+            within_seconds=within,
+            step_within_seconds=step_within,
+        ).collect()
+    }
+
+    want = {}
+    idx = {s: i for i, s in enumerate(steps)}
+    for u in {u for u, _, _ in events}:
+        evs = sorted(
+            (base + datetime.timedelta(seconds=s), idx[t])
+            for uu, t, s in events
+            if uu == u and t in idx
+        )
+        wantstep, hits = 0, []
+        for ts, stp in evs:
+            if wantstep >= len(steps) or stp != wantstep:
+                continue
+            if (
+                within is not None
+                and hits
+                and (ts - hits[0]).total_seconds() > within
+            ):
+                continue
+            if (
+                step_within is not None
+                and hits
+                and (ts - hits[-1]).total_seconds() > step_within
+            ):
+                continue
+            hits.append(ts)
+            wantstep += 1
+        if hits:
+            want[u] = (wantstep, hits)
+    assert got == want, (events, within, step_within)
