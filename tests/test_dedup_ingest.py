@@ -116,3 +116,46 @@ def test_replay_of_indexed_batch_is_stable(spark, tmp_path):
     )
     assert snapshot() == first
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_resend_same_doc_new_batch_is_rejected_e2e(spark, tmp_path):
+    """The wiring pin for the batch-scoped replay exemption: the SAME
+    document (same id, same text) re-delivered by the upstream in a
+    LATER micro-batch must land in the reject zone as a duplicate of
+    its own corpus copy — never in a second good-zone partition."""
+    table = "dedup_ingest_resend_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    src = tmp_path / "src"
+    src.mkdir()
+    good = str(tmp_path / "good")
+    reject = str(tmp_path / "reject")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    start_dedup_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, table, good, reject, ckpt,
+        buckets=4,
+    ).awaitTermination(120)
+
+    # the upstream re-sends doc 1 verbatim under a NEW batch
+    spark.createDataFrame(
+        [(1, "alpha"), (3, "gamma")], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    start_dedup_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, table, good, reject, ckpt,
+        buckets=4,
+    ).awaitTermination(120)
+
+    good_rows = spark.read.parquet(good).collect()
+    # doc 1's text exists exactly ONCE across the good zone
+    assert sorted(
+        (r["doc_id"], r["ingest_batch"]) for r in good_rows
+    ) == [(1, 0), (2, 0), (3, 1)]
+    rejects = {
+        (r["doc_id"], r["ingest_batch"]): r["keeper_id"]
+        for r in spark.read.parquet(reject).collect()
+    }
+    assert rejects == {(1, 1): 1}  # duplicate of its own corpus copy
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
