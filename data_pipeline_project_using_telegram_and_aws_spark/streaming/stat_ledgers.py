@@ -339,6 +339,31 @@ def start_cms_ledger_stream_with_candidates(
     )
 
 
+def _score_heavy_hitters(
+    spark: SparkSession,
+    ledger: DataFrame,
+    candidates: DataFrame,
+    phi: float,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    from ..operators.frequency import estimate_counts
+
+    merged = merge_cms_ledger(ledger.drop("ingest_batch"))
+    total = (
+        merged.filter(F.col("r") == 0).agg(F.sum("cnt")).collect()[0][0]
+        or 0
+    )
+    cands = candidates.select("item").distinct()
+    return (
+        estimate_counts(merged, cands, depth=depth, width=width)
+        .filter(F.col("est") >= phi * total)
+        .withColumn(
+            "share_est", F.col("est") / F.lit(float(max(total, 1)))
+        )
+    )
+
+
 def heavy_hitters_so_far(
     spark: SparkSession,
     ledger_path: str,
@@ -352,26 +377,66 @@ def heavy_hitters_so_far(
     scored against the merged CMS, filtered at φ·N where N is the
     merged counter mass of any single depth row (each row of the
     sketch sums the whole stream). Ledger-sized work only."""
-    from ..operators.frequency import estimate_counts
+    return _score_heavy_hitters(
+        spark,
+        read_ledger(spark, ledger_path),
+        read_ledger(spark, candidates_path),
+        phi,
+        depth,
+        width,
+    )
 
-    merged = merge_cms_ledger(
-        read_ledger(spark, ledger_path).drop("ingest_batch")
-    )
-    total = (
-        merged.filter(F.col("r") == 0).agg(F.sum("cnt")).collect()[0][0]
-        or 0
-    )
-    cands = (
-        read_ledger(spark, candidates_path)
-        .select("item")
-        .distinct()
-    )
-    return (
-        estimate_counts(merged, cands, depth=depth, width=width)
-        .filter(F.col("est") >= phi * total)
-        .withColumn(
-            "share_est", F.col("est") / F.lit(float(max(total, 1)))
-        )
+
+def heavy_hitters_in_range(
+    spark: SparkSession,
+    ledger_path: str,
+    candidates_path: str,
+    phi: float,
+    since_batch: int,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Heavy hitters over RECENT history only (``ingest_batch >
+    since_batch``) — "trending in the last N batches" — by the same
+    candidate-union + merged-CMS scoring, sliced at read time. This is
+    what the per-batch partition layout buys: any suffix of the stream
+    re-merges without re-ingesting anything.
+
+    Two contracts, stated loudly:
+
+    - **Compaction horizon**: a batch folded into the baseline has no
+      partition left to slice, so a range reaching into compacted
+      history RAISES (an answer silently missing the folded mass would
+      be worse than no answer). Keep the compaction horizon behind the
+      longest window you query: compact through ``now − max_window``.
+    - **Range recall**: the per-batch harvest bar is
+      φ/``max_batches_hint``, so the pigeonhole guarantee holds for
+      any range of ≤ ``max_batches_hint`` batches — same bound as the
+      all-time read, applied to the suffix."""
+    for path, what in (
+        (ledger_path, "ledger"),
+        (candidates_path, "candidates"),
+    ):
+        from .ledger_compaction import compacted_through
+
+        t = compacted_through(path)
+        if t is not None and since_batch < t:
+            raise ValueError(
+                f"heavy_hitters_in_range: the {what} store is compacted "
+                f"through batch {t} but the range starts after batch "
+                f"{since_batch} - folded history cannot be re-sliced. "
+                "Query a range inside the unfolded suffix, or compact "
+                "less aggressively (keep the horizon behind the longest "
+                "window you query)."
+            )
+    recent = F.col("ingest_batch") > since_batch
+    return _score_heavy_hitters(
+        spark,
+        read_ledger(spark, ledger_path).filter(recent),
+        read_ledger(spark, candidates_path).filter(recent),
+        phi,
+        depth,
+        width,
     )
 
 

@@ -252,3 +252,74 @@ def test_candidate_compaction_preserves_heavy_hitters(spark, tmp_path):
         )
     )
     assert final == before
+
+
+def test_heavy_hitters_in_range_and_compaction_horizon(spark, tmp_path):
+    """Recent-range heavy hitters: an item hot ONLY in the latest
+    batch clears φ on the suffix while staying invisible all-time; a
+    range reaching into compacted history raises instead of silently
+    missing the folded mass; a range inside the unfolded suffix still
+    answers after compaction."""
+    import pytest
+
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        _land,
+        compact_candidates,
+        compact_stat_ledger,
+        heavy_hitters_in_range,
+        heavy_hitters_so_far,
+    )
+
+    led, cand = str(tmp_path / "led"), str(tmp_path / "cand")
+    phi = 0.3
+
+    def batch_rows(items):
+        return spark.createDataFrame(
+            [(i, x) for i, x in enumerate(items)], "doc_id long, item string"
+        )
+
+    # batches 0/1: uniform cold items; batch 2: 'late' takes half
+    batches = [
+        [f"c{i}" for i in range(20)],
+        [f"d{i}" for i in range(20)],
+        ["late"] * 10 + [f"e{i}" for i in range(10)],
+    ]
+    for bid, items in enumerate(batches):
+        b = batch_rows(items)
+        _land(cms_ledger(b, "item", depth=4, width=512), bid, led)
+        counts = b.groupBy("item").agg(F.count("*").alias("batch_count"))
+        _land(
+            counts.filter(F.col("batch_count") >= phi / 16 * len(items)),
+            bid,
+            cand,
+        )
+
+    alltime = {
+        r["item"]
+        for r in heavy_hitters_so_far(
+            spark, led, cand, phi, depth=4, width=512
+        ).collect()
+    }
+    assert "late" not in alltime  # 10/60 < 30%
+    recent = {
+        r["item"]: r["share_est"]
+        for r in heavy_hitters_in_range(
+            spark, led, cand, phi, since_batch=1, depth=4, width=512
+        ).collect()
+    }
+    assert "late" in recent  # 10/20 = 50% of the suffix
+    assert recent["late"] >= 0.5
+
+    compact_stat_ledger(spark, led, 1, "cms")
+    compact_candidates(spark, cand, 1)
+    with pytest.raises(ValueError, match="compacted through batch 1"):
+        heavy_hitters_in_range(
+            spark, led, cand, phi, since_batch=0, depth=4, width=512
+        )
+    still = {
+        r["item"]
+        for r in heavy_hitters_in_range(
+            spark, led, cand, phi, since_batch=1, depth=4, width=512
+        ).collect()
+    }
+    assert "late" in still  # the unfolded suffix still answers
