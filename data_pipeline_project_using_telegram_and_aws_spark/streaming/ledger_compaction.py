@@ -150,6 +150,25 @@ def commit_baseline(
         _rmtree(trash)
 
 
+def require_unfolded_range(
+    ledger_path: str, since_batch: int, op_name: str, what: str = "ledger"
+) -> None:
+    """Guard for range reads (``ingest_batch > since_batch``): a batch
+    folded into the baseline has no partition left to slice, so a
+    range reaching into compacted history must RAISE — an answer
+    silently missing the folded mass is worse than no answer. Keep the
+    compaction horizon behind the longest window you query."""
+    t = compacted_through(ledger_path)
+    if t is not None and since_batch < t:
+        raise ValueError(
+            f"{op_name}: the {what} store is compacted through batch "
+            f"{t} but the range starts after batch {since_batch} - "
+            "folded history cannot be re-sliced. Query a range inside "
+            "the unfolded suffix, or compact less aggressively (keep "
+            "the horizon behind the longest window you query)."
+        )
+
+
 def sweep_stragglers(ledger_path: str) -> None:
     """Delete any batch partitions the COMMITTED marker already covers
     — the retry path after a crash between commit and deletion. Called

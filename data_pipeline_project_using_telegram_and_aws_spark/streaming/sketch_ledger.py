@@ -106,6 +106,27 @@ def ledger_distinct_so_far(
     return merge_hll_ledger(read_ledger(spark, ledger_path), by=by)
 
 
+def distinct_in_range(
+    spark: SparkSession,
+    ledger_path: str,
+    since_batch: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Distinct estimates over RECENT history only (``ingest_batch >
+    since_batch``) — "distinct users in the last N batches" — sketch
+    union over the sliced partitions; the compaction-horizon contract
+    of `ledger_compaction.require_unfolded_range` applies (folded
+    batches have no partition left to slice, so the range raises
+    rather than silently undercounting)."""
+    from .ledger_compaction import require_unfolded_range
+
+    require_unfolded_range(ledger_path, since_batch, "distinct_in_range")
+    sliced = read_ledger(spark, ledger_path).filter(
+        F.col("ingest_batch") > since_batch
+    )
+    return merge_hll_ledger(sliced, by=by)
+
+
 def compact_ledger(
     spark: SparkSession,
     ledger_path: str,

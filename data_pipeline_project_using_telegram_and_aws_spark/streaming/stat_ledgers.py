@@ -124,6 +124,35 @@ def quantiles_so_far(
     return ledger_quantiles(merged, qs)
 
 
+def quantiles_in_range(
+    spark: SparkSession,
+    ledger_path: str,
+    qs: list[float],
+    since_batch: int,
+    by: list[str] | None = None,
+    k: int = 1024,
+) -> DataFrame:
+    """Quantiles over RECENT history only (``ingest_batch >
+    since_batch``) — "p95 token length in the last N batches" — the
+    same suffix-slicing as `heavy_hitters_in_range`, with the same
+    compaction-horizon contract (`ledger_compaction.
+    require_unfolded_range`): a range reaching into folded history
+    raises. Estimate quality within the range is exactly the ledger's
+    (bottom-k union over the sliced partitions is still an exact
+    bottom-k of the range's rows)."""
+    from ..operators.quantile_sketch import ledger_quantiles
+    from .ledger_compaction import require_unfolded_range
+
+    require_unfolded_range(ledger_path, since_batch, "quantiles_in_range")
+    sliced = read_ledger(spark, ledger_path).filter(
+        F.col("ingest_batch") > since_batch
+    )
+    merged = merge_quantile_ledger(
+        sliced.drop("ingest_batch"), by=by, k=k
+    )
+    return ledger_quantiles(merged, qs)
+
+
 def start_cms_ledger_stream(
     spark: SparkSession,
     source_dir: str,
@@ -169,6 +198,31 @@ def counts_so_far(
     merged = merge_cms_ledger(
         read_ledger(spark, ledger_path).drop("ingest_batch")
     )
+    return estimate_counts(
+        merged, items, item_col=item_col, depth=depth, width=width
+    )
+
+
+def counts_in_range(
+    spark: SparkSession,
+    ledger_path: str,
+    items: DataFrame,
+    since_batch: int,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point estimates over RECENT history only (``ingest_batch >
+    since_batch``) — counter sums over the sliced partitions, horizon
+    contract as `quantiles_in_range`."""
+    from ..operators.frequency import estimate_counts
+    from .ledger_compaction import require_unfolded_range
+
+    require_unfolded_range(ledger_path, since_batch, "counts_in_range")
+    sliced = read_ledger(spark, ledger_path).filter(
+        F.col("ingest_batch") > since_batch
+    )
+    merged = merge_cms_ledger(sliced.drop("ingest_batch"))
     return estimate_counts(
         merged, items, item_col=item_col, depth=depth, width=width
     )
@@ -413,22 +467,15 @@ def heavy_hitters_in_range(
       φ/``max_batches_hint``, so the pigeonhole guarantee holds for
       any range of ≤ ``max_batches_hint`` batches — same bound as the
       all-time read, applied to the suffix."""
-    for path, what in (
-        (ledger_path, "ledger"),
-        (candidates_path, "candidates"),
-    ):
-        from .ledger_compaction import compacted_through
+    from .ledger_compaction import require_unfolded_range
 
-        t = compacted_through(path)
-        if t is not None and since_batch < t:
-            raise ValueError(
-                f"heavy_hitters_in_range: the {what} store is compacted "
-                f"through batch {t} but the range starts after batch "
-                f"{since_batch} - folded history cannot be re-sliced. "
-                "Query a range inside the unfolded suffix, or compact "
-                "less aggressively (keep the horizon behind the longest "
-                "window you query)."
-            )
+    require_unfolded_range(
+        ledger_path, since_batch, "heavy_hitters_in_range"
+    )
+    require_unfolded_range(
+        candidates_path, since_batch, "heavy_hitters_in_range",
+        "candidates",
+    )
     recent = F.col("ingest_batch") > since_batch
     return _score_heavy_hitters(
         spark,

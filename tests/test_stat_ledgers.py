@@ -323,3 +323,76 @@ def test_heavy_hitters_in_range_and_compaction_horizon(spark, tmp_path):
         ).collect()
     }
     assert "late" in still  # the unfolded suffix still answers
+
+
+def test_range_reads_match_suffix_rebuilds(spark, tmp_path):
+    """quantiles_in_range / counts_in_range / distinct_in_range equal
+    a from-scratch build over only the suffix batches, and all three
+    raise once the range reaches into compacted history."""
+    import pytest
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.quantile_sketch import (
+        ledger_quantiles,
+        quantile_ledger,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.sketch_ledger import (
+        append_sketch_batch,
+        compact_ledger,
+        distinct_in_range,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        _land,
+        compact_stat_ledger,
+        counts_in_range,
+        quantiles_in_range,
+    )
+
+    qled = str(tmp_path / "q")
+    cled = str(tmp_path / "c")
+    hled = str(tmp_path / "h")
+    chunks = [(0, 900), (4000, 700), (9000, 500)]
+    for bid, (s, n) in enumerate(chunks):
+        ch = _chunk(spark, s, n)
+        _land(quantile_ledger(ch, "x", "doc_id", k=64), bid, qled)
+        _land(cms_ledger(ch, "item", depth=4, width=256), bid, cled)
+        append_sketch_batch(ch, bid, hled, "doc_id")
+
+    suffix = _chunk(spark, 4000, 700).unionByName(_chunk(spark, 9000, 500))
+    q_want = ledger_quantiles(
+        quantile_ledger(suffix, "x", "doc_id", k=64), [0.5]
+    ).collect()[0]
+    q_got = quantiles_in_range(
+        spark, qled, [0.5], since_batch=0, k=64
+    ).collect()[0]
+    assert q_got["sample"] == q_want["sample"]
+    assert q_got["n_rows"] == 1200
+
+    items = spark.createDataFrame([("hot",)], "item string")
+    c_want = estimate_counts(
+        cms_ledger(suffix, "item", depth=4, width=256), items,
+        depth=4, width=256,
+    ).collect()[0]["est"]
+    c_got = counts_in_range(
+        spark, cled, items, since_batch=0, depth=4, width=256
+    ).collect()[0]["est"]
+    assert c_got == c_want
+
+    d = distinct_in_range(spark, hled, since_batch=0).collect()[0]
+    assert d["n_rows"] == 1200
+
+    compact_stat_ledger(spark, qled, 0, "quantile", k=64)
+    compact_stat_ledger(spark, cled, 0, "cms")
+    compact_ledger(spark, hled, 0)
+    # horizon: since_batch=-1 reaches the folded batch 0 -> raise
+    with pytest.raises(ValueError, match="compacted through batch 0"):
+        quantiles_in_range(spark, qled, [0.5], since_batch=-1, k=64)
+    with pytest.raises(ValueError, match="compacted through batch 0"):
+        counts_in_range(spark, cled, items, since_batch=-1)
+    with pytest.raises(ValueError, match="compacted through batch 0"):
+        distinct_in_range(spark, hled, since_batch=-1)
+    # ranges inside the unfolded suffix still answer identically
+    assert (
+        quantiles_in_range(spark, qled, [0.5], since_batch=0, k=64)
+        .collect()[0]["sample"]
+        == q_want["sample"]
+    )
