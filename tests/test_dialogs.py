@@ -352,3 +352,76 @@ def test_upstream_cap_bounds_dialog_state_pre_materialization(
 
     with pytest.raises(ValueError, match="must be > 0"):
         cap_events_per_key(stream, "user_id", 0)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_ev = st.lists(
+    st.tuples(
+        st.integers(0, 2),    # user
+        st.integers(0, 120),  # ts offset in minutes
+        st.integers(0, 3),    # value tag
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_ev, st.sampled_from([600, 1800, 3600]))
+def test_assemble_dialogs_matches_python_model(spark, events, gap_seconds):
+    """Differential model check of the gaps-and-islands assembly:
+    random per-user event streams (including exact ts duplicates)
+    replayed through a plain Python sessionizer — sort by (ts, turn
+    cols), break when the gap is EXCEEDED (boundary is strict >), and
+    carry the member turns — must equal the operator's dialogs row for
+    row: same boundaries, same n_turns, same ordered turn arrays."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(minutes=m), "m", float(v))
+        for u, m, v in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r["dialog_id"],
+            r["n_turns"],
+            tuple(
+                (t["ts"].replace(tzinfo=None), t["value"])
+                for t in r["turns"]
+            ),
+        )
+        for r in assemble_dialogs(df, gap_seconds=gap_seconds).collect()
+    )
+
+    want = []
+    for u in {u for u, _, _ in events}:
+        evs = sorted(
+            (base + datetime.timedelta(minutes=m), "m", float(v))
+            for uu, m, v in events
+            if uu == u
+        )
+        sessions, cur = [], [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if (nxt[0] - prev[0]).total_seconds() > gap_seconds:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for i, sess in enumerate(sessions):
+            want.append(
+                (
+                    u,
+                    i,
+                    len(sess),
+                    tuple((ts, v) for ts, _, v in sess),
+                )
+            )
+    assert got == sorted(want), (events, gap_seconds)
