@@ -88,3 +88,52 @@ def test_suppress_small_groups_on_aggregates(spark):
     )
     out = suppress_small_groups(agg, "n", k=2).collect()
     assert {r["zip"] for r in out} == {"10001", "10002", None}
+
+
+def test_release_pipeline_composition(spark):
+    """The release recipe end-to-end: PII-scrub the text, pseudonymize
+    the join key, then k-anonymity-gate the quasi identifiers — the
+    surviving frame has no raw id column, no under-k combination, and
+    the pseudonymized key still joins back to other pseudonymized
+    tables (referential integrity across the release)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.redaction import (
+        pseudonymize,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "10001", 1990, "mail me at a@b.com"),
+            (2, "10001", 1990, "hello"),
+            (3, "10001", 1990, "world"),
+            (4, "10009", 1999, "singleton combo with b@c.org"),
+        ],
+        "user_id long, zip string, birth_year int, text string",
+    )
+    released = enforce_k_anonymity(
+        pseudonymize(
+            # redact_pii APPENDS the scrubbed column; the release drops
+            # the raw text explicitly — nothing raw leaves
+            redact_pii(docs, text_col="text").drop("text"),
+            ["user_id"],
+            secret="s3",
+        ),
+        ["zip", "birth_year"],
+        k=2,
+    )
+    rows = released.collect()
+    assert "user_id" not in released.columns  # raw id left the dataset
+    assert "text" not in released.columns  # raw text left the dataset
+    assert {r["zip"] for r in rows} == {"10001"}  # singleton suppressed
+    assert all("@" not in r["text_redacted"] for r in rows)  # scrubbed
+    assert rare_combinations(released, ["zip", "birth_year"], 2).count() == 0
+
+    # the keyed surrogate still joins across released tables
+    other = pseudonymize(
+        spark.createDataFrame([(1, "x")], "user_id long, k string"),
+        ["user_id"],
+        secret="s3",
+    )
+    assert (
+        released.join(other, "user_id_pseudo").count() == 1
+    )

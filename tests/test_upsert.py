@@ -484,3 +484,58 @@ def test_upsert_schema_evolution_matches_model(
     # a column once introduced is part of the union schema for good
     if model:
         assert introduced <= present
+
+
+def test_right_to_erasure_recipe(spark, tmp_path):
+    """The key-erasure story as one pinned recipe: erasing a user is
+    ONE tombstone batch — the key leaves read_current and lookup, the
+    changefeed records the removal with the erased values visible to
+    the audit trail, only the key's bucket rewrites, and a replay of
+    the erasure batch converges (still absent, feed unchanged)."""
+    import os
+
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import (
+        lookup,
+        read_changefeed,
+    )
+
+    path = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    rows = [(i, 1, float(i), False) for i in range(30)]
+    upsert_batch(
+        _batch(spark, rows), path, ["user_id"], "seq", n_buckets=8,
+        delete_col="deleted", changefeed_path=feed, batch_id=0,
+    )
+    mtimes = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+
+    erase = _batch(spark, [(7, 2, None, True)])
+    upsert_batch(
+        erase, path, ["user_id"], "seq", n_buckets=8,
+        delete_col="deleted", changefeed_path=feed, batch_id=1,
+    )
+    assert read_current(spark, path).filter("user_id = 7").count() == 0
+    assert lookup(spark, path, ["user_id"], [7], n_buckets=8).count() == 0
+    removed = read_changefeed(spark, feed, since_batch=0).collect()
+    assert [(r["change"], r["user_id"]) for r in removed] == [
+        ("removed", 7)
+    ]
+    assert '"balance":7.0' in removed[0]["old_values"].replace(" ", "")
+    # bucket-scoped rewrite: at most one bucket dir younger than before
+    touched = [
+        d
+        for d, m in mtimes.items()
+        if os.path.getmtime(os.path.join(path, d)) > m
+    ]
+    assert len(touched) <= 1
+
+    # replay of the erasure converges: still absent, feed unchanged
+    upsert_batch(
+        erase, path, ["user_id"], "seq", n_buckets=8,
+        delete_col="deleted", changefeed_path=feed, batch_id=1,
+    )
+    assert read_current(spark, path).filter("user_id = 7").count() == 0
+    assert read_changefeed(spark, feed).count() == 31  # 30 adds + 1 removal
