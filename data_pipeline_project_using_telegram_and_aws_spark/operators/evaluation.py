@@ -159,3 +159,111 @@ def tokenizer_fairness_report(
         .drop("__corpus_ppc")
         .orderBy(by)
     )
+
+
+def agreement_report(
+    labeled: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    by: str | None = None,
+    max_labels: int = 256,
+) -> DataFrame:
+    """Inter-annotator agreement per slice: (by?, n, observed_agreement,
+    expected_agreement, kappa) — Cohen's κ between two label columns
+    (Cohen 1960), the label-quality check a raw percent-agreement
+    hides (two raters who both say "good" 95% of the time agree 90%+
+    by CHANCE; κ scores only the agreement beyond that).
+
+    Rows where either label is NULL are excluded (an abstention is not
+    a judgment; report abstention rates separately). Slices where
+    expected agreement is 1 (both raters constant — κ is 0/0) report
+    NULL kappa instead of inventing a number.
+
+    Plan: one partial-agg'd groupBy on (slice, label_a, label_b) —
+    operand ≤ slices × |alphabet|², never row-sized — then a
+    per-slice row-local fold over the collected cell list. The
+    collect is bounded by |alphabet|² and GUARDED in-plan at
+    ``max_labels``² cells (the `collected_group_max_rows` stance): a
+    thousand-label "alphabet" means a free-text column was passed by
+    mistake, and the error names the slice."""
+    keys = [by] if by else []
+    cells = (
+        labeled.filter(
+            F.col(rater_a_col).isNotNull()
+            & F.col(rater_b_col).isNotNull()
+        )
+        .groupBy(
+            *keys,
+            F.col(rater_a_col).cast("string").alias("__la"),
+            F.col(rater_b_col).cast("string").alias("__lb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # in-plan alphabet guard: the (slice) cell-count window reuses the
+    # upcoming groupBy exchange on a prefix key
+    cells = cells.withColumn(
+        "__ncells",
+        F.count(F.lit(1)).over(Window.partitionBy(*keys or [F.lit(0)])),
+    ).filter(
+        F.assert_true(
+            F.col("__ncells") <= F.lit(max_labels * max_labels),
+            F.concat_ws(
+                " ",
+                F.lit(
+                    "agreement_report: a slice has more than "
+                    f"{max_labels * max_labels} distinct label pairs - "
+                    "is a free-text column being passed as a label? "
+                    "Slice:"
+                ),
+                *(
+                    [F.coalesce(F.col(by).cast("string"), F.lit("NULL"))]
+                    if by
+                    else [F.lit("(global)")]
+                ),
+            ),
+        ).isNull()
+    ).drop("__ncells")
+    grouped = cells.groupBy(*keys).agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__la") == F.col("__lb"), F.col("__c"))).alias(
+            "__agree"
+        ),
+        F.collect_list(F.struct("__la", "__lb", "__c")).alias("__cells"),
+    )
+    # marginals fold row-locally over the bounded cell list:
+    # pe = Σ_label p_a(label) · p_b(label)
+    pa = lambda label: F.aggregate(
+        "__cells",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.when(s["__la"] == label, s["__c"]).otherwise(0.0),
+    )
+    pb = lambda label: F.aggregate(
+        "__cells",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.when(s["__lb"] == label, s["__c"]).otherwise(0.0),
+    )
+    labels = F.array_distinct(
+        F.concat(
+            F.transform("__cells", lambda s: s["__la"]),
+            F.transform("__cells", lambda s: s["__lb"]),
+        )
+    )
+    pe = F.aggregate(
+        labels,
+        F.lit(0.0),
+        lambda acc, label: acc
+        + (pa(label) / F.col("n")) * (pb(label) / F.col("n")),
+    )
+    po = F.coalesce(F.col("__agree"), F.lit(0)) / F.col("n")
+    out = grouped.select(
+        *keys,
+        "n",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.when(
+            pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)
+        ).alias("kappa"),
+    )
+    return out

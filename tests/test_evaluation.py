@@ -159,3 +159,46 @@ def test_tokenizer_fairness_report(spark):
     assert rep["a"]["pieces_per_char"] < rep["b"]["pieces_per_char"]
     assert rep["a"]["relative_cost"] < 1.0 < rep["b"]["relative_cost"]
     assert rep["a"]["n_docs"] == rep["b"]["n_docs"] == 20
+
+
+def test_agreement_report_kappa(spark):
+    """Cohen's κ against the textbook hand computation: confusion
+    matrix [[20,5],[10,15]] → po=0.7, pe=0.5, κ=0.4; per-slice
+    computation, NULL-label exclusion, the both-raters-constant
+    degenerate (κ NULL, not 1.0), and the in-plan alphabet guard."""
+    import pytest
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+        agreement_report,
+    )
+
+    rows = (
+        [("s1", "yes", "yes")] * 20
+        + [("s1", "yes", "no")] * 5
+        + [("s1", "no", "yes")] * 10
+        + [("s1", "no", "no")] * 15
+        + [("s2", "x", "x")] * 7          # constant raters
+        + [("s1", None, "yes")] * 3       # abstentions excluded
+        + [("s1", "yes", None)] * 2
+    )
+    df = spark.createDataFrame(rows, "slice string, a string, b string")
+    rep = {
+        r["slice"]: r
+        for r in agreement_report(df, "a", "b", by="slice").collect()
+    }
+    s1 = rep["s1"]
+    assert s1["n"] == 50  # NULL-label rows excluded
+    assert s1["observed_agreement"] == pytest.approx(0.7)
+    assert s1["expected_agreement"] == pytest.approx(0.5)
+    assert s1["kappa"] == pytest.approx(0.4)
+    s2 = rep["s2"]
+    assert s2["observed_agreement"] == 1.0
+    assert s2["kappa"] is None  # 0/0, not perfect agreement
+
+    # global mode: one row, no slice column
+    g = agreement_report(df, "a", "b").collect()
+    assert len(g) == 1 and g[0]["n"] == 57
+
+    # alphabet guard: 3 distinct labels with max_labels=1 -> >1 cell
+    with pytest.raises(Exception, match="distinct label pairs"):
+        agreement_report(df, "a", "b", by="slice", max_labels=1).collect()
