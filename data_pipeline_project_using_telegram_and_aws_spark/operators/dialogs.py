@@ -247,3 +247,74 @@ def assemble_dialogs_stream(
         .alias("turns"),
         over.alias("oversized"),
     )
+
+
+def render_dialogs_with_spans(
+    dialogs: DataFrame,
+    role_col: str = "event_type",
+    text_col: str = "value",
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+    loss_roles: list[str] | None = None,
+) -> DataFrame:
+    """:func:`render_dialogs` plus the SFT loss-masking record: a
+    ``spans`` column — one struct per turn with the turn's role and
+    the 0-based character offsets ``[text_start, text_end)`` of its
+    TEXT (the part after ``role: ``) inside ``dialog_text`` — and,
+    when ``loss_roles`` is given, ``loss_spans`` filtered to those
+    roles (the assistant-turns-only mask an SFT trainer feeds its
+    loss). Character offsets, stated plainly: token-level masks
+    belong to the tokenizer stage — any tokenizer that reports
+    character offset mappings composes; slicing ``dialog_text`` by a
+    span reproduces the turn text exactly (pinned).
+
+    Plan: one row-local ``aggregate`` fold over the turns array
+    (running offset + span list — no shuffle, no Python), then the
+    same ``array_join`` render as :func:`render_dialogs`; the two are
+    built from the same parts so text and offsets cannot drift."""
+    sep_len = len(turn_sep)
+    rsep_len = len(role_sep)
+
+    role_str = lambda t: t[role_col].cast("string")
+    text_str = lambda t: t[text_col].cast("string")
+    line_len = lambda t: (
+        F.length(role_str(t)) + rsep_len + F.length(text_str(t))
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("off"),
+        F.array().cast(
+            "array<struct<role:string,text_start:long,text_end:long>>"
+        ).alias("spans"),
+    )
+
+    def fold(acc, t):
+        # a turn after the first is preceded by the separator
+        start = acc["off"] + F.when(
+            F.size(acc["spans"]) > 0, F.lit(sep_len)
+        ).otherwise(F.lit(0))
+        text_start = start + F.length(role_str(t)) + rsep_len
+        text_end = text_start + F.length(text_str(t))
+        span = F.struct(
+            role_str(t).alias("role"),
+            text_start.cast("long").alias("text_start"),
+            text_end.cast("long").alias("text_end"),
+        )
+        return F.struct(
+            text_end.cast("long").alias("off"),
+            F.concat(acc["spans"], F.array(span)).alias("spans"),
+        )
+
+    rendered = render_dialogs(
+        dialogs, role_col, text_col, turn_sep, role_sep
+    ).withColumn(
+        "spans", F.aggregate(F.col("turns"), zero, fold)["spans"]
+    )
+    if loss_roles is not None:
+        rendered = rendered.withColumn(
+            "loss_spans",
+            F.filter(
+                F.col("spans"),
+                lambda s: s["role"].isin(*loss_roles),
+            ),
+        )
+    return rendered

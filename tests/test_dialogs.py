@@ -425,3 +425,40 @@ def test_assemble_dialogs_matches_python_model(spark, events, gap_seconds):
                 )
             )
     assert got == sorted(want), (events, gap_seconds)
+
+
+def test_render_spans_slice_back_to_turn_texts(spark):
+    """The loss-mask record: every span sliced out of dialog_text
+    reproduces its turn's text exactly (multi-char separators, empty
+    texts, multi-byte role names included), and loss_spans keeps only
+    the requested roles in order."""
+    rows = [
+        (1, _ts(0, 0), "user", "hello there"),
+        (1, _ts(0, 1), "assistant", "hi!"),
+        (1, _ts(0, 2), "user", ""),
+        (1, _ts(0, 3), "assistant", "bye été"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value string"
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        render_dialogs_with_spans,
+    )
+
+    d = assemble_dialogs(ev, gap_seconds=3600)
+    out = render_dialogs_with_spans(
+        d, turn_sep="\n\n", role_sep=">> ", loss_roles=["assistant"]
+    ).collect()[0]
+    text = out["dialog_text"]
+    texts = [t["value"] for t in out["turns"]]
+    roles = [t["event_type"] for t in out["turns"]]
+    assert [s["role"] for s in out["spans"]] == roles
+    for s, want in zip(out["spans"], texts):
+        assert text[s["text_start"]:s["text_end"]] == want
+    assert [s["role"] for s in out["loss_spans"]] == [
+        "assistant", "assistant",
+    ]
+    got_loss = [
+        text[s["text_start"]:s["text_end"]] for s in out["loss_spans"]
+    ]
+    assert got_loss == ["hi!", "bye été"]
