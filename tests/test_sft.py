@@ -1,0 +1,108 @@
+"""SFT record assembly: covering segments reproduce the rendered text
+byte for byte, any per-segment tokenizer composes, the reassembled
+mask is True exactly on loss-role tokens, and the per-record token
+guard fails loudly with the dialog named."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+    assemble_dialogs,
+    render_dialogs_with_spans,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.operators.sft import (
+    explode_loss_segments,
+    reassemble_sft_records,
+)
+
+
+def _rendered(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(minutes=m), role, txt)
+        for m, (role, txt) in enumerate(
+            [
+                ("user", "hello big world"),
+                ("assistant", "hi there"),
+                ("user", ""),
+                ("assistant", "bye now"),
+            ]
+        )
+    ] + [
+        (2, base, "user", "solo"),
+        (2, base + datetime.timedelta(minutes=1), "assistant", "ok"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value string"
+    )
+    return render_dialogs_with_spans(
+        assemble_dialogs(ev, gap_seconds=3600), turn_sep="\n", role_sep=": "
+    )
+
+
+def test_segments_cover_text_exactly(spark):
+    rendered = _rendered(spark)
+    segs = explode_loss_segments(
+        rendered, loss_roles=["assistant"]
+    ).orderBy("user_id", "seg_idx")
+    by_user: dict = {}
+    for r in segs.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    texts = {
+        r["user_id"]: r["dialog_text"] for r in rendered.collect()
+    }
+    for uid, rows in by_user.items():
+        assert "".join(r["seg_text"] for r in rows) == texts[uid]
+        # chrome rows carry no role and never train
+        for r in rows:
+            if r["role"] is None:
+                assert not r["is_loss"]
+            else:
+                assert r["is_loss"] == (r["role"] == "assistant")
+    # the empty user turn contributed no segment
+    assert all(r["seg_text"] != "" for rows in by_user.values() for r in rows)
+
+
+def test_reassembled_mask_aligns_with_tokens(spark):
+    rendered = _rendered(spark)
+    segs = explode_loss_segments(rendered, loss_roles=["assistant"])
+    # any tokenizer composes; whitespace split is the test's stand-in
+    tok = segs.withColumn(
+        "token_ids",
+        F.filter(F.split("seg_text", r"\s+"), lambda p: p != ""),
+    )
+    rec = {
+        r["user_id"]: r
+        for r in reassemble_sft_records(tok).collect()
+    }
+    r1 = rec[1]
+    assert r1["n_tokens"] == len(r1["token_ids"]) == len(r1["loss_mask"])
+    trainable = [
+        t for t, m in zip(r1["token_ids"], r1["loss_mask"]) if m
+    ]
+    assert trainable == ["hi", "there", "bye", "now"]
+    assert r1["n_loss_tokens"] == 4
+    masked = [
+        t for t, m in zip(r1["token_ids"], r1["loss_mask"]) if not m
+    ]
+    # chrome + user turns: role headers train nowhere
+    assert "user:" in masked and "assistant:" in masked
+    assert {"hello", "big", "world"} <= set(masked)
+    r2 = rec[2]
+    assert [
+        t for t, m in zip(r2["token_ids"], r2["loss_mask"]) if m
+    ] == ["ok"]
+
+
+def test_token_guard_names_the_dialog(spark):
+    rendered = _rendered(spark)
+    segs = explode_loss_segments(rendered, loss_roles=["assistant"])
+    tok = segs.withColumn(
+        "token_ids", F.split("seg_text", r"\s+")
+    )
+    with pytest.raises(Exception, match=r"user_id=\d+ dialog_id=0 has"):
+        reassemble_sft_records(tok, max_tokens_per_record=2).collect()
