@@ -106,3 +106,50 @@ def test_token_guard_names_the_dialog(spark):
     )
     with pytest.raises(Exception, match=r"user_id=\d+ dialog_id=0 has"):
         reassemble_sft_records(tok, max_tokens_per_record=2).collect()
+
+
+def test_sft_records_pack_with_masks_intact(spark):
+    """The full handoff: SFT records (tokens + mask) pack like any
+    documents (whole records, never split) and materialize into fixed-
+    budget sequences whose flattened mask stays parallel to the tokens
+    — the trainable token multiset is conserved end to end."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        materialize_token_sequences,
+        pack_sequences,
+    )
+
+    rendered = _rendered(spark)
+    segs = explode_loss_segments(rendered, loss_roles=["assistant"])
+    tok = segs.withColumn(
+        "token_ids",
+        F.filter(F.split("seg_text", r"\s+"), lambda p: p != ""),
+    )
+    recs = reassemble_sft_records(tok).withColumn(
+        "record_id",
+        F.concat_ws("/", "user_id", "dialog_id"),
+    )
+    packed = pack_sequences(
+        recs, budget=8, n_shards=2, id_col="record_id",
+        n_tokens_col="n_tokens",
+    )
+    seqs = materialize_token_sequences(
+        packed, mask_col="loss_mask"
+    ).collect()
+    assert len(seqs) >= 1
+    for r in seqs:
+        assert len(r["token_ids"]) == len(r["loss_mask"]) == r["n_tokens"]
+    packed_trainable = sorted(
+        t
+        for r in seqs
+        for t, m in zip(r["token_ids"], r["loss_mask"])
+        if m
+    )
+    want_trainable = sorted(
+        t
+        for r in recs.collect()
+        for t, m in zip(r["token_ids"], r["loss_mask"])
+        if m
+    )
+    assert packed_trainable == want_trainable == sorted(
+        ["hi", "there", "bye", "now", "ok"]
+    )
