@@ -667,3 +667,84 @@ def test_grouping_analytics_match_duckdb(spark, kind, groups, val, nullify):
             assert math.isclose(
                 float(a), float(b), rel_tol=1e-9, abs_tol=1e-9
             ), (gk, a, b)
+
+
+# ---------------------------------------------------------------- axis 8
+# String expression composition: nested applications of the shared-
+# semantics string family (case, trim, reverse, 1-based substring,
+# literal concat/replace) over low-cardinality columns — where engines
+# drift on boundary cases (out-of-range substring, empty results) that
+# no hand-written row exercises.
+
+_STR_COLS = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+_str_op = st.sampled_from(
+    ["upper", "lower", "trim", "reverse", "substr", "concat", "replace"]
+)
+_str_ops = st.lists(
+    st.tuples(_str_op, st.integers(1, 5), st.integers(0, 4)),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _apply_spark(col, ops):
+    from pyspark.sql import functions as F
+
+    e = F.col(col).cast("string")
+    for op, a, b in ops:
+        if op == "upper":
+            e = F.upper(e)
+        elif op == "lower":
+            e = F.lower(e)
+        elif op == "trim":
+            e = F.trim(e)
+        elif op == "reverse":
+            e = F.reverse(e)
+        elif op == "substr":
+            e = F.substring(e, a, b)
+        elif op == "concat":
+            e = F.concat(e, F.lit("_Z"), e)
+        elif op == "replace":
+            e = F.replace(e, F.lit("E"), F.lit("*"))
+    return e
+
+
+def _apply_duck(col, ops):
+    e = f"cast({col} as varchar)"
+    for op, a, b in ops:
+        if op in ("upper", "lower", "trim", "reverse"):
+            e = f"{op}({e})"
+        elif op == "substr":
+            e = f"substr({e}, {a}, {b})"
+        elif op == "concat":
+            e = f"concat({e}, '_Z', {e})"
+        elif op == "replace":
+            e = f"replace({e}, 'E', '*')"
+    return e
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.sampled_from(_STR_COLS), _str_ops)
+def test_string_expressions_match_duckdb(spark, col, ops):
+    df = load_table(spark, SF_DIR, "lineitem")
+    got = sorted(
+        (r["k"], r["n"])
+        for r in df.select(_apply_spark(col, ops).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"select {_apply_duck(col, ops)} as k, count(*) as n "
+            f"from read_parquet('{SF_DIR}/lineitem.parquet') group by 1"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (col, ops)
