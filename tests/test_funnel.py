@@ -436,7 +436,7 @@ def test_funnel_stream_matches_batch_and_resumes(spark, tmp_path):
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-_events = st.lists(
+_fz_events = st.lists(
     st.tuples(
         st.integers(0, 2),                       # user
         st.sampled_from(["s0", "s1", "s2", "x"]),  # type (x = noise)
@@ -451,7 +451,7 @@ _events = st.lists(
     max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
 )
 @given(
-    _events,
+    _fz_events,
     st.sampled_from([None, 4, 9]),   # within_seconds
     st.sampled_from([None, 3, 7]),   # step_within_seconds
 )
