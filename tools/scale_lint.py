@@ -58,6 +58,82 @@ ALLOWLIST: dict[tuple[str, str], str] = {
 }
 
 
+def _extension_plans(spark, sf_dir):
+    """Plan builders for the headline PYTEST-ONLY operators — the
+    extension surface the registry cap keeps off the driver. Same lint
+    rules; a representative invocation per operator over the testdata
+    tables, so an unbounded pattern sneaking into this surface shows
+    up as a diff + nonzero exit exactly like a registered query."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dialogs import (
+        assemble_dialogs,
+        render_dialogs_with_spans,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.embedding_drift import (
+        embedding_drift_report,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+        agreement_report,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.funnel import funnel
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.preference import (
+        best_of_n,
+        build_preference_pairs,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.privacy import (
+        enforce_k_anonymity,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.sft import (
+        explode_loss_segments,
+        reassemble_sft_records,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    etypes = [
+        r["event_type"]
+        for r in events.select("event_type").distinct().limit(3).collect()
+    ]
+    dialogs = assemble_dialogs(
+        events, gap_seconds=1800, turn_cols=["event_type", "value"]
+    )
+    rendered = render_dialogs_with_spans(
+        dialogs, text_col="value", loss_roles=etypes[:1]
+    )
+    segs = explode_loss_segments(rendered, loss_roles=etypes[:1])
+    seg_tokens = segs.withColumn(
+        "token_ids",
+        F.filter(F.split("seg_text", r"\s+"), lambda p: p != ""),
+    )
+    responses = events.select(
+        F.col("user_id").alias("prompt_id"),
+        F.col("event_type").alias("response"),
+        F.col("value").cast("double").alias("score"),
+        F.col("event_id").alias("response_id"),
+    )
+    return {
+        "ext_funnel": funnel(events, etypes),
+        "ext_dialog_assembly": dialogs,
+        "ext_sft_records": reassemble_sft_records(seg_tokens),
+        "ext_embedding_drift": embedding_drift_report(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            by=["label"],
+        ),
+        "ext_k_anonymity": enforce_k_anonymity(
+            docs, ["lang", "source"], k=5
+        ),
+        "ext_preference_pairs": build_preference_pairs(responses),
+        "ext_best_of_n": best_of_n(responses, k=3),
+        "ext_agreement": agreement_report(
+            docs, "lang", "source", by="source"
+        ),
+    }
+
+
 def lint_plan(plan: str) -> list[str]:
     finds = []
     if "CartesianProduct" in plan:
@@ -95,8 +171,11 @@ def main() -> int:
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
 
     rows, violations = [], []
-    for name, fn in entry.queries().items():
-        df = fn(spark, sf_dir)
+    plans = {
+        name: fn(spark, sf_dir) for name, fn in entry.queries().items()
+    }
+    plans.update(_extension_plans(spark, sf_dir))
+    for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         for kind in lint_plan(plan):
             reason = ALLOWLIST.get((name, kind))
@@ -109,8 +188,11 @@ def main() -> int:
         "",
         f"sf_dir: `{sf_dir}` — flags cartesian products, unpartitioned "
         "windows, and interior global sorts across all "
-        f"{len(entry.queries())} registered queries; every finding needs "
-        "a bounded-operand justification in tools/scale_lint.py.",
+        f"{len(entry.queries())} registered queries PLUS "
+        f"{len(plans) - len(entry.queries())} extension-surface plans "
+        "(ext_*: funnel, dialog/SFT assembly, embedding drift, "
+        "k-anonymity, preference records, agreement); every finding "
+        "needs a bounded-operand justification in tools/scale_lint.py.",
         "",
         "| query | finding | justification |",
         "|---|---|---|",
