@@ -57,8 +57,14 @@ def main() -> None:
     spark = get_spark("plan-report")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from scale_lint import _extension_plans
+
     rows = []
-    for name, fn in entrymod.queries().items():
+    plans = list(entrymod.queries().items()) + [
+        (name, (lambda d: (lambda s_, sf_: d))(df))
+        for name, df in _extension_plans(spark, sf_dir).items()
+    ]
+    for name, fn in plans:
         try:
             df = fn(spark, sf_dir)
             # execute first: AQE only finalizes (and codegen-annotates)
@@ -71,7 +77,8 @@ def main() -> None:
 
     cols = ["exchanges", "broadcasts", "scans", "python_stages", "sorts"]
     out = ["# Plan audit", "", f"sf_dir: `{sf_dir}` (executed AQE-final plans; "
-           "each query ran to completion through the noop sink first)", "",
+           "each query ran to completion through the noop sink first; "
+           "ext_* rows are the extension-surface plans scale_lint builds)", "",
            "| query | " + " | ".join(cols) + " |",
            "|---|" + "---|" * len(cols)]
     for name, a in rows:
