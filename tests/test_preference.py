@@ -64,3 +64,49 @@ def test_best_of_n(spark):
     assert ("p4", 2) not in got
     with pytest.raises(ValueError, match="k must be >= 1"):
         best_of_n(df, k=0)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_resp = st.lists(
+    st.tuples(
+        st.sampled_from(["p0", "p1"]),
+        st.one_of(st.none(), st.sampled_from([0.1, 0.5, 0.5, 0.9])),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_resp, st.sampled_from([0.0, 0.3]))
+def test_preference_pairs_model(spark, resp, margin):
+    """Model check: chosen/rejected equal the Python (score, id)
+    max/min over scored responses; prompts with <2 scored responses or
+    margin <= min_margin never emit; ties resolve identically."""
+    rows = [
+        (p, f"r{i}", s, i) for i, (p, s) in enumerate(resp)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id string, response string, score double, response_id long",
+    )
+    got = {
+        r["prompt_id"]: (r["chosen_id"], r["rejected_id"], r["margin"])
+        for r in build_preference_pairs(df, min_margin=margin).collect()
+    }
+    want = {}
+    for p in {p for p, _ in resp}:
+        scored = [
+            (s, i) for i, (pp, s) in enumerate(resp)
+            if pp == p and s is not None
+        ]
+        if len(scored) < 2:
+            continue
+        best, worst = max(scored), min(scored)
+        m = best[0] - worst[0]
+        if m > margin:
+            want[p] = (best[1], worst[1], round(m, 6))
+    assert got == want, (resp, margin)

@@ -137,3 +137,40 @@ def test_release_pipeline_composition(spark):
     assert (
         released.join(other, "user_id_pseudo").count() == 1
     )
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", None]),   # quasi 1
+        st.integers(0, 2),                        # quasi 2
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(_rows, st.sampled_from([2, 3, 5]))
+def test_k_anonymity_model(spark, rows, k):
+    """Model check: the survivor set is exactly the rows of combos with
+    count >= k (Python recount), and the released frame is k-anonymous
+    by its own recount — for any row multiset including NULL quasi
+    values."""
+    import collections
+
+    df = spark.createDataFrame(
+        [(i, z, y) for i, (z, y) in enumerate(rows)],
+        "row_id long, zip string, birth_year int",
+    )
+    out = enforce_k_anonymity(df, ["zip", "birth_year"], k=k)
+    kept = {r["row_id"] for r in out.collect()}
+    counts = collections.Counter((z, y) for z, y in rows)
+    want = {
+        i for i, (z, y) in enumerate(rows) if counts[(z, y)] >= k
+    }
+    assert kept == want, (rows, k)
+    assert rare_combinations(out, ["zip", "birth_year"], k).count() == 0
