@@ -153,3 +153,63 @@ def test_sft_records_pack_with_masks_intact(spark):
     assert packed_trainable == want_trainable == sorted(
         ["hi", "there", "bye", "now", "ok"]
     )
+
+
+def test_eval_leakage_gate_before_sft_assembly(spark):
+    """The chat-data eval-leakage recipe: rendered dialogs decontaminate
+    against the benchmark set EXACTLY like documents (dialog_text is a
+    document), and the flagged dialog never reaches SFT assembly — its
+    turns containing the benchmark prompt are gone from the training
+    records while clean dialogs pass untouched."""
+    import datetime
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        contamination_report,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    bench_prompt = (
+        "what is the capital of the country directly north of spain"
+    )
+    rows = [
+        (1, base, "user", bench_prompt),           # leaked benchmark item
+        (1, base + datetime.timedelta(minutes=1), "assistant", "paris"),
+        (2, base, "user", "tell me about parquet row groups please"),
+        (2, base + datetime.timedelta(minutes=1), "assistant", "sure"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value string"
+    )
+    rendered = render_dialogs_with_spans(
+        assemble_dialogs(ev, gap_seconds=3600)
+    ).withColumn(
+        "dialog_key",
+        F.concat_ws("/", "user_id", "dialog_id"),
+    )
+    # contamination_report's id/text column names apply to BOTH sides
+    bench = spark.createDataFrame(
+        [("bench/100", bench_prompt)],
+        "dialog_key string, dialog_text string",
+    )
+    hits = contamination_report(
+        rendered, bench, n=8, id_col="dialog_key", text_col="dialog_text"
+    )
+    contaminated = {r["train_doc_id"] for r in hits.collect()}
+    assert contaminated == {"1/0"}
+
+    clean = rendered.join(
+        hits.select(
+            F.col("train_doc_id").alias("dialog_key")
+        ).distinct(),
+        "dialog_key",
+        "left_anti",
+    )
+    segs = explode_loss_segments(clean, loss_roles=["assistant"])
+    tok = segs.withColumn(
+        "token_ids",
+        F.filter(F.split("seg_text", r"\s+"), lambda p: p != ""),
+    )
+    recs = reassemble_sft_records(tok).collect()
+    assert [r["user_id"] for r in recs] == [2]
+    all_tokens = {t for r in recs for t in r["token_ids"]}
+    assert "spain" not in all_tokens and "capital" not in all_tokens
