@@ -128,3 +128,133 @@ def contamination_against_table(
         F.col(id_col).alias("train_doc_id"), "shingle"
     )
     return _collide(tg, spark.table(table))
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) contamination — the paraphrase gap
+# ---------------------------------------------------------------------------
+# The n-gram report above is surface-exact: a benchmark item that was
+# paraphrased, translated, or re-tokenized into the training corpus
+# shares no 8-gram with its source and sails through. The semantic
+# report closes that gap by comparing in embedding space: a training
+# document is *semantically contaminated* by an eval item when their
+# embedding cosine reaches ``tau`` (0.9 is a conservative default for
+# sentence-embedding models; calibrate on a held-out paraphrase set).
+#
+# Scale design (100 TB corpus x benchmark-suite eval set):
+# - ``method="broadcast"`` (exact): the eval side is broadcast with
+#   precomputed norms and the corpus streams past it — ZERO shuffles,
+#   N*E*d multiply-adds. Right when E (eval items) is small, the usual
+#   case for curated suites.
+# - ``method="banded"`` (approximate): both sides hash into
+#   ``similarity.banded_buckets`` LSH bands; corpus rows pay
+#   n_planes*d projection flops instead of E*d comparisons, candidates
+#   come from a broadcast band-bucket join, and only candidates are
+#   exactly rescored. Right when E is large (full suite unions,
+#   E >> n_planes). Recall < 1 like every LSH path: a true pair missed
+#   by all bands is invisible — size (n_planes, rows_per_band) with the
+#   measured curves in similarity.py.
+# Both paths emit the same contract, mirroring the n-gram report:
+# (train_doc_id, eval_doc_id, cos_sim) for pairs at or above tau.
+# Ids are namespaced by side — equal id values on the two sides are
+# different documents and DO compare (no self-pair exclusion).
+
+
+def semantic_contamination_report(
+    train_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    tau: float = 0.90,
+    method: str = "broadcast",
+    n_planes: int = 16,
+    rows_per_band: int = 8,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(train_doc_id, eval_doc_id, cos_sim) — one row per (train, eval)
+    pair whose embedding cosine (rounded to 4 dp, the engine-portable
+    rounding every similarity op here uses) is >= ``tau``.
+
+    ``method="broadcast"`` is exact and shuffle-free; ``method="banded"``
+    is the LSH-prefiltered scale path (requires ``dims``; exact rescoring
+    on candidates, so its rows are always a subset of the exact report).
+    """
+    from ..functions.vectors import cosine_with_norms, norm
+
+    ev = eval_vecs.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.col(vec_col).alias("__evec"),
+        norm(F.col(vec_col)).alias("__en"),
+    )
+    tv = train_vecs.select(
+        F.col(id_col).alias("train_doc_id"),
+        F.col(vec_col).alias("__tvec"),
+        norm(F.col(vec_col)).alias("__tn"),
+    )
+    if method == "broadcast":
+        pairs = tv.crossJoin(F.broadcast(ev))
+    elif method == "banded":
+        if dims is None:
+            raise ValueError(
+                "semantic_contamination_report: method='banded' needs "
+                "dims (the embedding dimension drives the hyperplane "
+                "weights)"
+            )
+        from .similarity import banded_buckets
+
+        tb = banded_buckets(
+            train_vecs, n_planes, rows_per_band, dims, id_col, vec_col
+        ).select(
+            F.col(id_col).alias("train_doc_id"), "band", "bucket"
+        )
+        eb = banded_buckets(
+            eval_vecs, n_planes, rows_per_band, dims, id_col, vec_col
+        ).select(F.col(id_col).alias("eval_doc_id"), "band", "bucket")
+        # any shared (band, bucket) makes a candidate; band union =
+        # recall, dropDuplicates collapses multi-band hits to one pair
+        cand = (
+            tb.join(F.broadcast(eb), ["band", "bucket"])
+            .select("train_doc_id", "eval_doc_id")
+            .dropDuplicates(["train_doc_id", "eval_doc_id"])
+        )
+        pairs = cand.join(tv, "train_doc_id").join(
+            F.broadcast(ev), "eval_doc_id"
+        )
+    else:
+        raise ValueError(
+            f"semantic_contamination_report: unknown method {method!r} "
+            "(broadcast | banded)"
+        )
+    return (
+        pairs.select(
+            "train_doc_id",
+            "eval_doc_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("__tvec"),
+                    F.col("__evec"),
+                    F.col("__tn"),
+                    F.col("__en"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(tau))
+    )
+
+
+def semantically_contaminated_ids(
+    train_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    tau: float = 0.90,
+    **kwargs,
+) -> DataFrame:
+    """Distinct ``train_doc_id`` rows flagged by
+    :func:`semantic_contamination_report` — the anti-join handle, same
+    role the n-gram report's train ids play in the eval-leakage recipe
+    (flagged docs anti-join out of the corpus before tokenization)."""
+    return (
+        semantic_contamination_report(train_vecs, eval_vecs, tau, **kwargs)
+        .select("train_doc_id")
+        .distinct()
+    )
