@@ -383,3 +383,131 @@ def verify_training_shards(
              "data": "unmanifested shard"}
         )
     return mismatches
+
+
+def affected_shards(
+    packed: DataFrame,
+    doc_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(shard) — the distinct shards whose packed layout changes when
+    the given documents are removed (or re-admitted): the erasure
+    blast-radius query.
+
+    Shard assignment is ``pmod(xxhash64(id), n_shards)`` — a pure
+    function of the document id — and packing order inside a shard is
+    md5(id), so removing a document perturbs ONLY its own shard's
+    cumsum; every other shard's sequences are byte-identical on a
+    re-pack. That locality is what makes right-to-erasure over an
+    exported training set a partition rewrite instead of a corpus
+    rewrite: re-pack, re-materialize, and :func:`reexport_shards` just
+    these shards. ``doc_ids`` is the erasure list (tiny by nature) —
+    broadcast, so the packed table never shuffles."""
+    ids = doc_ids.select(id_col).distinct()
+    return packed.join(F.broadcast(ids), id_col).select("shard").distinct()
+
+
+def reexport_shards(
+    sequences: DataFrame,
+    path: str,
+    shards: list[int],
+    fmt: str = "parquet",
+    shard_col: str = "shard",
+    order_col: str = "seq_id",
+) -> DataFrame:
+    """Rewrite ONLY the given shard partitions of an
+    :func:`export_training_shards` artifact and patch their manifest
+    rows — the surgical follow-up to an erasure (or any single-shard
+    fix): unaffected shard files are never opened, their manifest rows
+    (content_hash included) carry over verbatim, and
+    :func:`verify_training_shards` stays green against the patched
+    manifest.
+
+    ``sequences`` is the RE-materialized table (post-erasure re-pack of
+    the same layout); only its rows for ``shards`` are read. A shard
+    whose documents were all erased is removed: its partition directory
+    is deleted (dynamic overwrite never touches partitions it writes no
+    rows for — leaving the stale directory would resurrect erased text
+    on the next read; rename/delete atomicity caveat as per the
+    filesystem note in ``sources/lake.py``) and its manifest row is
+    dropped. ``shards`` is driver-side but bounded by the erasure
+    list's blast radius, never the corpus. Returns the patched
+    manifest (same contract as the exporter's return)."""
+    import json as _json
+    import shutil as _shutil
+    from decimal import Decimal as _Decimal
+    from pathlib import Path as _Path
+
+    if not shards:
+        raise ValueError("reexport_shards: empty shard list")
+    shards = [int(s) for s in shards]
+    manifest_rows = {}
+    for f in _Path(f"{path}/_manifest").glob("part-*"):
+        for line in f.read_text().splitlines():
+            row = _json.loads(line)
+            manifest_rows[int(row["shard"])] = row
+    if not manifest_rows:
+        raise ValueError(
+            f"reexport_shards: no manifest at {path} — export the full "
+            "artifact first (export_training_shards)"
+        )
+    target = sequences.filter(F.col(shard_col).isin(shards)).select(
+        shard_col, order_col, "n_docs", "seq_tokens", "seq_text"
+    )
+    (
+        target.repartition(shard_col)
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(shard_col)
+        .format(fmt)
+        .save(path)
+    )
+    fresh = {
+        int(r["shard"]): r.asDict()
+        for r in target.groupBy(F.col(shard_col).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("seq_tokens").alias("n_tokens"),
+            _content_hash(order_col).alias("content_hash"),
+        )
+        .collect()
+    }
+    for gone in set(shards) - set(fresh):
+        part_dir = _Path(path) / f"{shard_col}={gone}"
+        if part_dir.exists():
+            _shutil.rmtree(part_dir)
+    merged = {
+        s: r
+        for s, r in manifest_rows.items()
+        if s != -1 and s not in shards
+    }
+    merged.update(fresh)
+    rows = [
+        (
+            s,
+            int(r["n_sequences"]),
+            int(r["n_docs"]),
+            int(r["n_tokens"]),
+            _Decimal(int(r["content_hash"])),
+        )
+        for s, r in sorted(merged.items())
+    ]
+    rows.append(
+        (
+            -1,
+            sum(r[1] for r in rows),
+            sum(r[2] for r in rows),
+            sum(r[3] for r in rows),
+            _Decimal(sum(int(r[4]) for r in rows)),
+        )
+    )
+    rows.sort()
+    manifest = sequences.sparkSession.createDataFrame(
+        rows,
+        "shard long, n_sequences long, n_docs long, n_tokens long, "
+        "content_hash decimal(38,0)",
+    )
+    manifest.coalesce(1).write.mode("overwrite").json(f"{path}/_manifest")
+    return manifest
