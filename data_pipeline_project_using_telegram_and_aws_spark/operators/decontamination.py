@@ -258,3 +258,63 @@ def semantically_contaminated_ids(
         .select("train_doc_id")
         .distinct()
     )
+
+
+def build_eval_embedding_table(
+    eval_vecs: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the held-out suite's embeddings with precomputed norms —
+    the incremental layout for :func:`semantic_contamination_report`'s
+    broadcast path, symmetric to :func:`build_eval_gram_table`: norms
+    are computed once per suite version instead of once per daily
+    batch, and the plain unbucketed table is deliberate (the probe
+    reads it whole into a broadcast)."""
+    from ..functions.vectors import norm
+
+    eval_vecs.select(
+        F.col(id_col).alias("eval_doc_id"),
+        F.col(vec_col).alias("__evec"),
+        norm(F.col(vec_col)).alias("__en"),
+    ).write.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def semantic_contamination_against_table(
+    spark,
+    train_vecs: DataFrame,
+    table: str,
+    tau: float = 0.90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Daily-batch semantic contamination against a persisted eval
+    embedding table (:func:`build_eval_embedding_table`): identical
+    output contract to the broadcast path of
+    :func:`semantic_contamination_report`, with the eval side read from
+    the catalog instead of re-normed. The train batch never shuffles."""
+    from ..functions.vectors import cosine_with_norms, norm
+
+    tv = train_vecs.select(
+        F.col(id_col).alias("train_doc_id"),
+        F.col(vec_col).alias("__tvec"),
+        norm(F.col(vec_col)).alias("__tn"),
+    )
+    return (
+        tv.crossJoin(F.broadcast(spark.table(table)))
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("__tvec"),
+                    F.col("__evec"),
+                    F.col("__tn"),
+                    F.col("__en"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(tau))
+    )

@@ -142,3 +142,25 @@ def test_unknown_method_and_missing_dims_raise(spark):
         semantic_contamination_report(
             _df(spark, tr), _df(spark, ev), method="banded"
         ).collect()
+
+
+def test_against_table_matches_inline_report(spark, tmp_path):
+    """The persisted-eval-table probe is the inline broadcast path with
+    the eval side read from the catalog — identical rows."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        build_eval_embedding_table,
+        semantic_contamination_against_table,
+    )
+
+    tr, ev = _vectors()
+    build_eval_embedding_table(_df(spark, ev), "eval_emb_sem_test")
+    try:
+        got = {
+            (r["train_doc_id"], r["eval_doc_id"], r["cos_sim"])
+            for r in semantic_contamination_against_table(
+                spark, _df(spark, tr), "eval_emb_sem_test", tau=TAU
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eval_emb_sem_test")
+    assert got == _numpy_pairs(tr, ev)

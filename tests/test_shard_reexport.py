@@ -146,3 +146,34 @@ def test_reexport_guards(spark, tmp_path):
         reexport_shards(seqs, str(path), [])
     with pytest.raises(ValueError, match="no manifest"):
         reexport_shards(seqs, str(tmp_path / "nowhere"), [0])
+
+
+def test_patched_manifest_equals_from_scratch_export(spark, tmp_path):
+    """The strongest oracle: after an erasure, the selectively patched
+    artifact's manifest must equal, row for row, the manifest of a
+    from-scratch full export of the survivor corpus (hash-stable
+    layout makes the full export the exact twin)."""
+    path = tmp_path / "art"
+    docs, packed, _ = _export(spark, path)
+    by_doc, multi, single = _shard_census(packed)
+    victims = [
+        next(d for d, s in by_doc.items() if s == multi),
+        next(d for d, s in by_doc.items() if s == single),
+    ]
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    repacked = pack_sequences(survivors, BUDGET, n_shards=N_SHARDS)
+    seqs = materialize_sequences(repacked)
+    blast = sorted(
+        r["shard"]
+        for r in affected_shards(
+            packed,
+            spark.createDataFrame([(v,) for v in victims], ["doc_id"]),
+        ).collect()
+    )
+    assert blast == sorted({multi, single})
+    reexport_shards(seqs, str(path), blast)
+
+    fresh_path = tmp_path / "fresh"
+    export_training_shards(seqs, str(fresh_path))
+    assert _manifest_rows(path) == _manifest_rows(fresh_path)
+    assert verify_training_shards(spark, str(path)) == []
