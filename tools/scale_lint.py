@@ -81,6 +81,13 @@ def _extension_plans(spark, sf_dir):
         best_of_n,
         build_preference_pairs,
     )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        semantic_contamination_report,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        affected_shards,
+        pack_sequences,
+    )
     from data_pipeline_project_using_telegram_and_aws_spark.operators.privacy import (
         enforce_k_anonymity,
     )
@@ -130,6 +137,18 @@ def _extension_plans(spark, sf_dir):
         "ext_best_of_n": best_of_n(responses, k=3),
         "ext_agreement": agreement_report(
             docs, "lang", "source", by="source"
+        ),
+        # corpus side streams past the broadcast eval suite — the
+        # BroadcastNestedLoopJoin here is the designed shape (eval is
+        # MB-scale by nature), NOT an unbounded cartesian
+        "ext_semantic_decontamination": semantic_contamination_report(
+            emb.filter(F.col("vec_id") % 97 != 0),
+            emb.filter(F.col("vec_id") % 97 == 0),
+            tau=0.95,
+        ),
+        "ext_affected_shards": affected_shards(
+            pack_sequences(docs, budget=512, id_col="doc_id"),
+            docs.select("doc_id").limit(3),
         ),
     }
 
@@ -191,7 +210,8 @@ def main() -> int:
         f"{len(entry.queries())} registered queries PLUS "
         f"{len(plans) - len(entry.queries())} extension-surface plans "
         "(ext_*: funnel, dialog/SFT assembly, embedding drift, "
-        "k-anonymity, preference records, agreement); every finding "
+        "k-anonymity, preference records, agreement, semantic "
+        "decontamination, erasure blast radius); every finding "
         "needs a bounded-operand justification in tools/scale_lint.py.",
         "",
         "| query | finding | justification |",
