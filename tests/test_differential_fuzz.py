@@ -748,3 +748,119 @@ def test_string_expressions_match_duckdb(spark, col, ops):
     )
     con.close()
     assert got == want, (col, ops)
+
+
+# ---------------------------------------------------------------- axis 9
+# Datetime expression composition: chains of date→date transforms
+# (day/month arithmetic, unit truncation, month-end snap) capped by a
+# date→scalar projector (extract fields, ISO dow/week via the engine's
+# Presto shims, day-diff against a fixed origin, ISO string cast) —
+# the function family this engine shims hardest (datetime_shims.py),
+# and where engines classically drift (week numbering, dow origin,
+# month-arithmetic clamping at month ends).
+
+_DATE_COLS = ["l_shipdate"]  # the testdata lineitem's one date column
+
+_d2d_ops = st.lists(
+    st.tuples(
+        st.sampled_from(
+            [
+                "date_add",
+                "add_months",
+                "trunc_year",
+                "trunc_quarter",
+                "trunc_month",
+                "trunc_week",
+                "last_day",
+            ]
+        ),
+        st.integers(-40, 40),
+    ),
+    min_size=0,
+    max_size=2,
+)
+_dt_projector = st.sampled_from(
+    ["year", "month", "day", "quarter", "week", "isodow", "diff", "iso"]
+)
+
+
+def _apply_spark_dt(col, ops, projector):
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.datetime_shims import (
+        presto_dow,
+        presto_week,
+    )
+
+    e = F.col(col).cast("date")  # testdata stores dates as timestamps
+    for op, n in ops:
+        if op == "date_add":
+            e = F.date_add(e, n)
+        elif op == "add_months":
+            e = F.add_months(e, n)
+        elif op.startswith("trunc_"):
+            e = F.trunc(e, op.removeprefix("trunc_"))
+        elif op == "last_day":
+            e = F.last_day(e)
+    return {
+        "year": lambda: F.year(e),
+        "month": lambda: F.month(e),
+        "day": lambda: F.dayofmonth(e),
+        "quarter": lambda: F.quarter(e),
+        "week": lambda: presto_week(e),
+        "isodow": lambda: presto_dow(e),
+        "diff": lambda: F.datediff(e, F.lit("1995-06-17").cast("date")),
+        "iso": lambda: e.cast("string"),
+    }[projector]()
+
+
+def _apply_duck_dt(col, ops, projector):
+    e = f"cast({col} as date)"
+    for op, n in ops:
+        if op == "date_add":
+            e = f"({e} + {n})"
+        elif op == "add_months":
+            e = f"cast({e} + to_months({n}) as date)"
+        elif op.startswith("trunc_"):
+            unit = op.removeprefix("trunc_")
+            e = f"cast(date_trunc('{unit}', {e}) as date)"
+        elif op == "last_day":
+            e = f"last_day({e})"
+    return {
+        "year": f"year({e})",
+        "month": f"month({e})",
+        "day": f"dayofmonth({e})",
+        "quarter": f"quarter({e})",
+        "week": f"week({e})",
+        "isodow": f"isodow({e})",
+        "diff": f"date_diff('day', DATE '1995-06-17', {e})",
+        "iso": f"cast({e} as varchar)",
+    }[projector]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.sampled_from(_DATE_COLS), _d2d_ops, _dt_projector)
+def test_datetime_expressions_match_duckdb(spark, col, ops, projector):
+    df = load_table(spark, SF_DIR, "lineitem")
+    got = sorted(
+        (r["k"], r["n"])
+        for r in df.select(
+            _apply_spark_dt(col, ops, projector).cast("string").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (str(k), n)
+        for k, n in con.execute(
+            f"select {_apply_duck_dt(col, ops, projector)} as k, "
+            "count(*) as n "
+            f"from read_parquet('{SF_DIR}/lineitem.parquet') group by 1"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (col, ops, projector)
