@@ -177,3 +177,34 @@ def test_patched_manifest_equals_from_scratch_export(spark, tmp_path):
     export_training_shards(seqs, str(fresh_path))
     assert _manifest_rows(path) == _manifest_rows(fresh_path)
     assert verify_training_shards(spark, str(path)) == []
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.sets(st.integers(0, 23), min_size=1, max_size=6))
+def test_random_erasure_sets_patch_to_the_from_scratch_twin(
+    spark, tmp_path_factory, victims
+):
+    """Model check: for ANY erasure set, selective re-export of the
+    blast radius equals a from-scratch export of the survivors."""
+    path = tmp_path_factory.mktemp("re") / "art"
+    docs, packed, _ = _export(spark, path)
+    victims = sorted(victims)
+    vdf = spark.createDataFrame([(v,) for v in victims], ["doc_id"])
+    survivors = docs.join(vdf, "doc_id", "left_anti")
+    repacked = pack_sequences(survivors, BUDGET, n_shards=N_SHARDS)
+    seqs = materialize_sequences(repacked)
+    blast = [
+        r["shard"] for r in affected_shards(packed, vdf).collect()
+    ]
+    reexport_shards(seqs, str(path), blast)
+    fresh = tmp_path_factory.mktemp("re") / "fresh"
+    export_training_shards(seqs, str(fresh))
+    assert _manifest_rows(path) == _manifest_rows(fresh)
+    assert verify_training_shards(spark, str(path)) == []
