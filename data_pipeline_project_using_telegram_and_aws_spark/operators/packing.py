@@ -432,7 +432,15 @@ def reexport_shards(
     filesystem note in ``sources/lake.py``) and its manifest row is
     dropped. ``shards`` is driver-side but bounded by the erasure
     list's blast radius, never the corpus. Returns the patched
-    manifest (same contract as the exporter's return)."""
+    manifest (same contract as the exporter's return).
+
+    Crash window, stated: the partition rewrite and the manifest patch
+    are two steps. A crash between them leaves
+    :func:`verify_training_shards` RED on exactly the rewritten shards
+    (the manifest still carries their old rows) — loud, never silent —
+    and re-running this call with the same arguments converges: the
+    rewrite is a deterministic overwrite and the patch recomputes from
+    the same rows."""
     import json as _json
     import shutil as _shutil
     from decimal import Decimal as _Decimal

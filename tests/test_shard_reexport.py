@@ -208,3 +208,38 @@ def test_random_erasure_sets_patch_to_the_from_scratch_twin(
     export_training_shards(seqs, str(fresh))
     assert _manifest_rows(path) == _manifest_rows(fresh)
     assert verify_training_shards(spark, str(path)) == []
+
+
+def test_crash_between_rewrite_and_manifest_patch_is_loud_and_retryable(
+    spark, tmp_path
+):
+    """The documented crash window: data partitions rewritten but the
+    manifest patch not yet landed -> verify goes red on exactly the
+    rewritten shard, and re-running reexport_shards converges."""
+    path = tmp_path / "art"
+    docs, packed, _ = _export(spark, path)
+    before = _manifest_rows(path)
+    by_doc, multi, _ = _shard_census(packed)
+    victim = next(d for d, s in by_doc.items() if s == multi)
+    survivors = docs.filter(F.col("doc_id") != victim)
+    seqs = materialize_sequences(
+        pack_sequences(survivors, BUDGET, n_shards=N_SHARDS)
+    )
+    reexport_shards(seqs, str(path), [multi])
+
+    # simulate the crash: roll the manifest back to its pre-patch state
+    mdir = Path(path) / "_manifest"
+    for f in mdir.glob("part-*"):
+        f.unlink()
+    (mdir / "part-crash.json").write_text(
+        "\n".join(
+            json.dumps(row)
+            for _, row in sorted(before.items())
+        )
+    )
+    red = verify_training_shards(spark, str(path))
+    assert red and {m["shard"] for m in red} == {multi}
+
+    # the documented recovery: same call, same arguments
+    reexport_shards(seqs, str(path), [multi])
+    assert verify_training_shards(spark, str(path)) == []
