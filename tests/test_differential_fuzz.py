@@ -864,3 +864,113 @@ def test_datetime_expressions_match_duckdb(spark, col, ops, projector):
     )
     con.close()
     assert got == want, (col, ops, projector)
+
+
+# --------------------------------------------------------------- axis 10
+# Numeric expression composition: chains from the shared-semantics
+# arithmetic family — linear ops with literals, floor/ceil/abs,
+# least/greatest, dividend-signed mod on the integer column — grouped
+# and counted. Every op here is an exact IEEE/integer operation both
+# engines evaluate bit-identically, so group keys compare EXACTLY;
+# deliberately excluded: raw double→int casts (Spark truncates,
+# DuckDB rounds half-even — the dialect module's F4 territory) and
+# half-case-sensitive round chains.
+
+_NUM_SRC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_num_ops = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["add", "sub", "mul", "floor", "ceil", "abs", "neg",
+             "least", "greatest"]
+        ),
+        st.sampled_from([0.07, 1.0, 2.5, 13.0, 250.0]),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _apply_spark_num(col, ops, use_mod):
+    e = (
+        (F.col("l_linenumber") % 7).cast("double")
+        if use_mod
+        else F.col(col).cast("double")
+    )
+    for op, v in ops:
+        if op == "add":
+            e = e + F.lit(v)
+        elif op == "sub":
+            e = e - F.lit(v)
+        elif op == "mul":
+            e = e * F.lit(v)
+        elif op == "floor":
+            e = F.floor(e).cast("double")
+        elif op == "ceil":
+            e = F.ceil(e).cast("double")
+        elif op == "abs":
+            e = F.abs(e)
+        elif op == "neg":
+            e = -e
+        elif op == "least":
+            e = F.least(e, F.lit(v))
+        elif op == "greatest":
+            e = F.greatest(e, F.lit(v))
+    return e
+
+
+def _apply_duck_num(col, ops, use_mod):
+    e = (
+        "cast(l_linenumber % 7 as double)"
+        if use_mod
+        else f"cast({col} as double)"
+    )
+    for op, v in ops:
+        if op == "add":
+            e = f"({e} + {v})"
+        elif op == "sub":
+            e = f"({e} - {v})"
+        elif op == "mul":
+            e = f"({e} * {v})"
+        elif op == "floor":
+            e = f"cast(floor({e}) as double)"
+        elif op == "ceil":
+            e = f"cast(ceil({e}) as double)"
+        elif op == "abs":
+            e = f"abs({e})"
+        elif op == "neg":
+            e = f"(-{e})"
+        elif op == "least":
+            e = f"least({e}, {v})"
+        elif op == "greatest":
+            e = f"greatest({e}, {v})"
+    return e
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.sampled_from(_NUM_SRC), _num_ops, st.booleans())
+def test_numeric_expressions_match_duckdb(spark, col, ops, use_mod):
+    df = load_table(spark, SF_DIR, "lineitem")
+    got = sorted(
+        (r["k"], r["n"])
+        for r in df.select(
+            _apply_spark_num(col, ops, use_mod).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"select {_apply_duck_num(col, ops, use_mod)} as k, "
+            "count(*) as n "
+            f"from read_parquet('{SF_DIR}/lineitem.parquet') group by 1"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (col, ops, use_mod)
