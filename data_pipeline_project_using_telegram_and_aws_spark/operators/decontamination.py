@@ -318,3 +318,142 @@ def semantic_contamination_against_table(
         )
         .filter(F.col("cos_sim") >= F.lit(tau))
     )
+
+
+def scrub_contaminated_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits_per_doc: int | None = None,
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping a whole training
+    document that collides with the eval suite (the
+    :func:`contamination_report` → anti-join policy), remove exactly
+    the tokens covered by SOME colliding n-gram and keep the rest —
+    the right call for long documents quoting one benchmark item.
+
+    Output: one row per input document — (id, scrubbed text,
+    n_tokens, n_scrubbed_tokens); clean documents come back
+    byte-identical (split-on-space + join-on-space is the identity),
+    fully contaminated ones with empty text (the
+    ``span_exact_dedup`` shared row contract).
+
+    Plan shape (100 TB): positioned grams are the same codegen'd
+    position-explode ``shingle_rows`` uses (same tokenization, so
+    collisions agree with the report); the eval gram set broadcasts
+    and only COLLIDING (doc, pos) rows survive the join — near zero on
+    a clean corpus. Colliding positions fold row-locally into merged
+    disjoint intervals, and the token filter is one indexed-lambda
+    pass per rebuilt document. The per-doc collect of colliding
+    positions sits behind the house in-plan guard
+    (``scale_rules.collected_group_max_rows``, ~8 B/position), failing
+    loudly with the document named — a pathological doc would be one
+    that embeds millions of distinct eval grams."""
+    toks = F.split(F.col(text_col), " ")
+    pos = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - n + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(
+        " ", *[F.element_at("__toks", F.col("__i") + k) for k in range(n)]
+    )
+    tg = (
+        train.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, "__toks", F.explode(pos).alias("__i"))
+        .select(F.col(id_col).alias("__tid"), "__i", gram.alias("shingle"))
+    )
+    eg = (
+        shingle_rows(eval_docs, n, id_col, text_col, distinct=True)
+        .select("shingle")
+        .distinct()
+    )
+    hits = tg.join(F.broadcast(eg), "shingle").select("__tid", "__i")
+    if max_hits_per_doc is None:
+        from ..functions.scale_rules import collected_group_max_rows
+
+        max_hits_per_doc = collected_group_max_rows(bytes_per_row=8)
+    hits = (
+        hits.withColumn(
+            "__hn", F.count(F.lit(1)).over(Window.partitionBy("__tid"))
+        )
+        .filter(
+            F.assert_true(
+                F.col("__hn") <= F.lit(max_hits_per_doc),
+                F.concat_ws(
+                    " ",
+                    F.lit("scrub_contaminated_spans: document"),
+                    F.col("__tid").cast("string"),
+                    F.lit("has"),
+                    F.col("__hn").cast("string"),
+                    F.lit(
+                        "colliding gram positions > max_hits_per_doc="
+                        f"{max_hits_per_doc}; the per-doc collect "
+                        "materializes the whole group in one task - "
+                        "raise the bound only with the scale_rules."
+                        "collected_group_max_rows cost model in hand"
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("__hn")
+    )
+
+    def _fold(acc, p):
+        last_e = F.when(
+            F.size(acc) > 0, F.element_at(acc, -1)["e"]
+        ).otherwise(F.lit(-1))
+        merged_last = F.array(
+            F.struct(
+                F.element_at(acc, -1)["s"].alias("s"),
+                F.greatest(last_e, p + F.lit(n)).alias("e"),
+            )
+        )
+        return F.when(
+            last_e >= p,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), merged_last),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(p.alias("s"), (p + F.lit(n)).alias("e"))
+                ),
+            )
+        )
+
+    iv = F.aggregate(
+        F.col("__starts"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        _fold,
+    )
+    spans = (
+        hits.groupBy("__tid")
+        .agg(F.array_sort(F.collect_list("__i")).alias("__starts"))
+        .select("__tid", iv.alias("__iv"))
+    )
+    joined = (
+        train.join(spans, F.col(id_col) == F.col("__tid"), "left")
+        .withColumn("__toks", toks)
+        .withColumn(
+            "__iv",
+            F.coalesce(
+                "__iv", F.array().cast("array<struct<s:int,e:int>>")
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__iv"),
+            lambda v: (v["s"] <= i + 1) & (i + 1 < v["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias(
+            "n_scrubbed_tokens"
+        ),
+    )

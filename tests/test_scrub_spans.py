@@ -1,0 +1,104 @@
+"""Span-level (surgical) decontamination: tokens covered by any
+n-gram shared with the eval suite are removed, everything else is
+kept byte-identically — pinned against a plain Python reference on
+deterministic fixtures AND hypothesis-generated low-alphabet corpora
+(forced collisions, overlap merging, full-document coverage)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+    scrub_contaminated_spans,
+)
+
+N = 3
+
+
+def _model(train: dict, eval_texts: list, n: int) -> dict:
+    grams = set()
+    for t in eval_texts:
+        tok = t.split(" ")
+        for i in range(len(tok) - n + 1):
+            grams.add(" ".join(tok[i : i + n]))
+    out = {}
+    for did, t in train.items():
+        tok = t.split(" ")
+        covered = [False] * len(tok)
+        for i in range(len(tok) - n + 1):
+            if " ".join(tok[i : i + n]) in grams:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [w for w, c in zip(tok, covered) if not c]
+        out[did] = (" ".join(kept), len(tok), sum(covered))
+    return out
+
+
+def _run(spark, train: dict, eval_texts: list, n: int = N, **kw) -> dict:
+    tdf = spark.createDataFrame(
+        sorted(train.items()), ["doc_id", "text"]
+    )
+    edf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)],
+        ["doc_id", "text"],
+    )
+    return {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_scrubbed_tokens"])
+        for r in scrub_contaminated_spans(tdf, edf, n=n, **kw).collect()
+    }
+
+
+def test_fixture_shapes(spark):
+    train = {
+        # quotes the eval item mid-document: the quote goes, edges stay
+        0: "intro words here alpha beta gamma delta closing words here",
+        # fully the eval item: scrubs to empty
+        1: "alpha beta gamma delta",
+        # clean: byte-identical, double space preserved
+        2: "totally  unrelated content with no overlap present",
+        # shorter than n tokens: cannot collide
+        3: "al be",
+    }
+    ev = ["alpha beta gamma delta"]
+    got = _run(spark, train, ev)
+    want = _model(train, ev, N)
+    assert got == want
+    assert got[0][0] == "intro words here closing words here"
+    assert got[1] == ("", 4, 4)
+    assert got[2] == (train[2], 8, 0)  # the double space is a token
+    assert got[3] == ("al be", 2, 0)
+
+
+def test_overlapping_hits_merge(spark):
+    # "a b c d e": eval grams cover (a b c) and (c d e) -> whole doc
+    train = {0: "a b c d e"}
+    ev = ["a b c", "c d e"]
+    got = _run(spark, train, ev)
+    assert got == _model(train, ev, N)
+    assert got[0] == ("", 5, 5)
+
+
+_words = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.dictionaries(st.integers(0, 6), _words, min_size=1, max_size=5),
+    st.lists(_words, min_size=1, max_size=3),
+)
+def test_scrub_matches_python_model(spark, train, eval_texts):
+    assert _run(spark, train, eval_texts) == _model(train, eval_texts, N)
+
+
+def test_hit_guard_names_the_document(spark):
+    train = {7: " ".join(["x"] * 40)}
+    ev = ["x x x"]
+    with pytest.raises(Exception, match="document 7 has"):
+        _run(spark, train, ev, max_hits_per_doc=3)

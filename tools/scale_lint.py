@@ -82,6 +82,7 @@ def _extension_plans(spark, sf_dir):
         build_preference_pairs,
     )
     from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        scrub_contaminated_spans,
         semantic_contamination_report,
     )
     from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
@@ -149,6 +150,9 @@ def _extension_plans(spark, sf_dir):
         "ext_affected_shards": affected_shards(
             pack_sequences(docs, budget=512, id_col="doc_id"),
             docs.select("doc_id").limit(3),
+        ),
+        "ext_scrub_spans": scrub_contaminated_spans(
+            docs, docs.limit(5), n=8
         ),
     }
 
