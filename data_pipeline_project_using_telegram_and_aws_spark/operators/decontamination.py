@@ -322,17 +322,21 @@ def semantic_contamination_against_table(
 
 def scrub_contaminated_spans(
     train: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None,
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hits_per_doc: int | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Surgical decontamination: instead of dropping a whole training
     document that collides with the eval suite (the
     :func:`contamination_report` → anti-join policy), remove exactly
     the tokens covered by SOME colliding n-gram and keep the rest —
     the right call for long documents quoting one benchmark item.
+    ``eval_grams`` (a frame with a ``shingle`` column — e.g. the
+    persisted :func:`build_eval_gram_table` table) substitutes for
+    re-shingling ``eval_docs``, the incremental daily-batch layout.
 
     Output: one row per input document — (id, scrubbed text,
     n_tokens, n_scrubbed_tokens); clean documents come back
@@ -364,11 +368,21 @@ def scrub_contaminated_spans(
         .select(id_col, "__toks", F.explode(pos).alias("__i"))
         .select(F.col(id_col).alias("__tid"), "__i", gram.alias("shingle"))
     )
-    eg = (
-        shingle_rows(eval_docs, n, id_col, text_col, distinct=True)
-        .select("shingle")
-        .distinct()
-    )
+    if eval_grams is not None:
+        # the incremental layout: a persisted gram table
+        # (build_eval_gram_table / spark.table) — grams MUST come from
+        # the same n and shingle_rows tokenization or nothing collides
+        eg = eval_grams.select("shingle").distinct()
+    elif eval_docs is not None:
+        eg = (
+            shingle_rows(eval_docs, n, id_col, text_col, distinct=True)
+            .select("shingle")
+            .distinct()
+        )
+    else:
+        raise ValueError(
+            "scrub_contaminated_spans: pass eval_docs or eval_grams"
+        )
     hits = tg.join(F.broadcast(eg), "shingle").select("__tid", "__i")
     if max_hits_per_doc is None:
         from ..functions.scale_rules import collected_group_max_rows

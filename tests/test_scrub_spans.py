@@ -102,3 +102,46 @@ def test_hit_guard_names_the_document(spark):
     ev = ["x x x"]
     with pytest.raises(Exception, match="document 7 has"):
         _run(spark, train, ev, max_hits_per_doc=3)
+
+
+def test_persisted_gram_table_scrubs_identically(spark):
+    """The incremental layout: scrubbing against the persisted eval
+    gram table equals scrubbing against the eval docs themselves."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        build_eval_gram_table,
+    )
+
+    train = {
+        0: "intro words here alpha beta gamma delta closing words here",
+        1: "clean document entirely",
+    }
+    ev = ["alpha beta gamma delta"]
+    tdf = spark.createDataFrame(sorted(train.items()), ["doc_id", "text"])
+    edf = spark.createDataFrame(
+        [(100, ev[0])], ["doc_id", "text"]
+    )
+    build_eval_gram_table(edf, "eval_grams_scrub_test", n=N)
+    try:
+        via_table = {
+            r["doc_id"]: (r["text"], r["n_scrubbed_tokens"])
+            for r in scrub_contaminated_spans(
+                tdf,
+                None,
+                n=N,
+                eval_grams=spark.table("eval_grams_scrub_test"),
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eval_grams_scrub_test")
+    via_docs = {
+        r["doc_id"]: (r["text"], r["n_scrubbed_tokens"])
+        for r in scrub_contaminated_spans(tdf, edf, n=N).collect()
+    }
+    assert via_table == via_docs
+    assert via_table[0][1] == 4 and via_table[1][1] == 0
+
+
+def test_neither_eval_side_raises(spark):
+    tdf = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="eval_docs or eval_grams"):
+        scrub_contaminated_spans(tdf, None)
