@@ -174,3 +174,112 @@ def test_k_anonymity_model(spark, rows, k):
     }
     assert kept == want, (rows, k)
     assert rare_combinations(out, ["zip", "birth_year"], k).count() == 0
+
+
+def test_sensitive_diversity_audit(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.privacy import (
+        sensitive_diversity_audit,
+    )
+
+    rows = [
+        # homogeneous: 3 members, one sensitive value
+        ("10001", 1990, "flu"),
+        ("10001", 1990, "flu"),
+        ("10001", 1990, "flu"),
+        # diverse: two values
+        ("10002", 1991, "flu"),
+        ("10002", 1991, "cold"),
+        # NULL sensitive counts as a value: {NULL, flu} = 2 values
+        ("10003", 1992, None),
+        ("10003", 1992, "flu"),
+        # all-NULL sensitive: one value -> homogeneous
+        (None, 1990, None),
+        (None, 1990, None),
+    ]
+    df = spark.createDataFrame(rows, "zip string, birth_year int, dx string")
+    got = {
+        (r["zip"], r["birth_year"]): r["n_sensitive_values"]
+        for r in sensitive_diversity_audit(
+            df, ["zip", "birth_year"], "dx", l=2
+        ).collect()
+    }
+    assert got == {("10001", 1990): 1, (None, 1990): 1}
+    # at l=3 the two-value groups are flagged too
+    got3 = {
+        (r["zip"], r["birth_year"])
+        for r in sensitive_diversity_audit(
+            df, ["zip", "birth_year"], "dx", l=3
+        ).collect()
+    }
+    assert got3 == {
+        ("10001", 1990), ("10002", 1991), ("10003", 1992), (None, 1990)
+    }
+    with pytest.raises(ValueError, match="l must be >= 2"):
+        sensitive_diversity_audit(df, ["zip"], "dx", l=1)
+
+
+def test_release_differencing_audit(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.privacy import (
+        release_differencing_audit,
+    )
+
+    a = spark.createDataFrame(ROWS, SCHEMA)
+    # drop ONE member of the 10001 cohort and the whole 10003
+    # singleton; everything else identical
+    b = a.filter(
+        ~((F.col("zip") == "10001") & (F.col("payload") == "a"))
+    ).filter(F.coalesce(F.col("zip"), F.lit("?")) != "10003")
+    got = {
+        (r["zip"], r["birth_year"]): (r["n_a"], r["n_b"], r["n_diff"])
+        for r in release_differencing_audit(
+            a, b, ["zip", "birth_year"], k=3
+        ).collect()
+    }
+    # 10001: 3 vs 2 -> the dropped member is isolated by subtraction;
+    # 10003: 1 vs 0 -> a one-sided combo audits the same way;
+    # NULL zip and 10002 count equal on both sides -> silent
+    assert got == {
+        ("10001", 1990): (3, 2, 1),
+        ("10003", 1992): (1, 0, 1),
+    }
+    # identical releases difference to nothing
+    assert (
+        release_differencing_audit(
+            a, a, ["zip", "birth_year"], k=5
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        release_differencing_audit(a, b, ["zip"], k=1)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_rows, _rows, st.sampled_from([2, 3]))
+def test_release_differencing_model(spark, rows_a, rows_b, k):
+    from collections import Counter
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.privacy import (
+        release_differencing_audit,
+    )
+
+    two_col = "zip string, birth_year int"
+    a = spark.createDataFrame(rows_a, two_col)
+    b = spark.createDataFrame(rows_b, two_col)
+    got = {
+        (r["zip"], r["birth_year"]): (r["n_a"], r["n_b"], r["n_diff"])
+        for r in release_differencing_audit(
+            a, b, ["zip", "birth_year"], k=k
+        ).collect()
+    }
+    ca = Counter(rows_a)
+    cb = Counter(rows_b)
+    want = {}
+    for combo in set(ca) | set(cb):
+        d = abs(ca.get(combo, 0) - cb.get(combo, 0))
+        if 0 < d < k:
+            want[combo] = (ca.get(combo, 0), cb.get(combo, 0), d)
+    assert got == want
