@@ -338,11 +338,13 @@ def scrub_contaminated_spans(
     persisted :func:`build_eval_gram_table` table) substitutes for
     re-shingling ``eval_docs``, the incremental daily-batch layout.
 
-    Output: one row per input document — (id, scrubbed text,
-    n_tokens, n_scrubbed_tokens); clean documents come back
-    byte-identical (split-on-space + join-on-space is the identity),
-    fully contaminated ones with empty text (the
-    ``span_exact_dedup`` shared row contract).
+    Output: one row per input document — ALL input columns pass
+    through (pipeline-stage friendly) with ``text_col`` replaced by
+    the scrubbed text, plus ``n_tokens`` and ``n_scrubbed_tokens``
+    appended (those two names must not already be input columns).
+    Clean documents come back byte-identical (split-on-space +
+    join-on-space is the identity), fully contaminated ones with
+    empty text (the ``span_exact_dedup`` shared row contract).
 
     Plan shape (100 TB): positioned grams are the same codegen'd
     position-explode ``shingle_rows`` uses (same tokenization, so
@@ -463,9 +465,14 @@ def scrub_contaminated_spans(
             lambda v: (v["s"] <= i + 1) & (i + 1 < v["e"]),
         ),
     )
+    passthrough = [
+        F.array_join(kept, " ").alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in train.columns
+    ]
     return joined.select(
-        F.col(id_col),
-        F.array_join(kept, " ").alias(text_col),
+        *passthrough,
         F.size("__toks").cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("long").alias(
             "n_scrubbed_tokens"

@@ -219,3 +219,115 @@ def test_front_door_through_to_packed_sequences(spark, tmp_path):
         1, 2, 5,
     }
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_front_door_with_decontamination_scrub(spark, tmp_path):
+    """The four-stage streaming front door: contract gate -> dedup
+    ingest -> span-level decontamination scrub -> packing. A document
+    quoting a benchmark item is NOT dropped - its quoted span is cut
+    and its clean tokens still reach the packed sequences; no eval
+    n-gram survives into the training artifact; token mass conserves
+    from the scrubbed zone into the sequences."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        build_eval_gram_table,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.dedup_ingest import (
+        start_dedup_ingest_stream,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.pack_stream import (
+        read_packed_dataset,
+        start_packing_stream,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.scrub_stream import (
+        start_scrub_stream,
+    )
+
+    table = "front_door_scrub_idx"
+    grams = "front_door_scrub_grams"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    src = tmp_path / "src"
+    src.mkdir()
+    gated = str(tmp_path / "gated")
+    quar = str(tmp_path / "quar")
+    good = str(tmp_path / "good")
+    reject = str(tmp_path / "reject")
+    scrubbed = str(tmp_path / "scrubbed")
+    sstats = str(tmp_path / "scrub_stats")
+    packed = str(tmp_path / "packed")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    bench = "what is the capital of atlantis"
+    rows = [
+        (1, "en", f"intro words {bench} closing words"),  # quotes eval
+        (2, "en", "totally clean document body"),
+        (3, "en", "totally clean document body"),          # dup
+        (None, "en", "poisoned text"),                     # violation
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    build_eval_gram_table(
+        spark.createDataFrame([(100, bench)], ["doc_id", "text"]),
+        grams,
+        n=3,
+    )
+    try:
+        start_contract_gate_stream(
+            spark, str(src) + "/*", schema,
+            [{"rule": "not_null", "col": "doc_id"}],
+            gated, quar, str(tmp_path / "ck1"),
+        ).awaitTermination(120)
+        start_dedup_ingest_stream(
+            spark, gated + "/*", schema, table, good, reject,
+            str(tmp_path / "ck2"), buckets=4,
+        ).awaitTermination(120)
+        good_schema = T.StructType(
+            schema.fields + [T.StructField("ingest_batch", T.LongType())]
+        )
+        start_scrub_stream(
+            spark, good + "/*", good_schema, grams, scrubbed,
+            str(tmp_path / "ck3"), stats_path=sstats, n=3,
+        ).awaitTermination(120)
+        scrub_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("n_scrubbed_tokens", T.LongType()),
+                T.StructField("ingest_batch", T.LongType()),
+            ]
+        )
+        start_packing_stream(
+            spark, scrubbed + "/*", scrub_schema, packed, budget=8,
+            n_shards=2, checkpoint_dir=str(tmp_path / "ck4"),
+        ).awaitTermination(120)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {grams}")
+
+    seqs = read_packed_dataset(spark, packed).collect()
+    all_text = " ".join(r["seq_text"] for r in seqs)
+    # no benchmark n-gram reaches the artifact; the quoting doc's
+    # clean tokens still do
+    assert bench not in all_text
+    assert "capital" not in all_text  # every covered token is gone
+    assert "intro words" in all_text and "closing words" in all_text
+    assert all_text.count("totally clean document body") == 1
+    assert "poisoned" not in all_text
+    # token conservation: scrubbed zone -> sequences
+    sc = spark.read.parquet(scrubbed)
+    scrubbed_tokens = (
+        sc.select(F.size(F.split("text", " ")).alias("tk"))
+        .agg(F.sum("tk")).collect()[0][0]
+    )
+    assert sum(r["seq_tokens"] for r in seqs) == scrubbed_tokens
+    # the stats row says exactly one doc was scrubbed, 5 tokens cut
+    st_row = spark.read.parquet(sstats).collect()[0]
+    # two docs reach the scrub stage (the dup rejected upstream)
+    assert st_row["n_docs"] == 2 and st_row["n_docs_scrubbed"] == 1
+    assert st_row["n_scrubbed_tokens"] == 6  # the whole quoted item
