@@ -331,3 +331,58 @@ def test_front_door_with_decontamination_scrub(spark, tmp_path):
     # two docs reach the scrub stage (the dup rejected upstream)
     assert st_row["n_docs"] == 2 and st_row["n_docs_scrubbed"] == 1
     assert st_row["n_scrubbed_tokens"] == 6  # the whole quoted item
+
+
+def test_scrub_stream_resumes_incrementally(spark, tmp_path):
+    """Checkpoint resume: a second availableNow run under the same
+    checkpoint processes only the newly arrived file; both batches'
+    partitions coexist and earlier output is untouched."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        build_eval_gram_table,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.scrub_stream import (
+        start_scrub_stream,
+    )
+
+    grams = "scrub_resume_grams"
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "scrubbed")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    build_eval_gram_table(
+        spark.createDataFrame([(100, "a b c")], ["doc_id", "text"]),
+        grams,
+        n=3,
+    )
+    try:
+        spark.createDataFrame(
+            [(1, "x a b c y"), (2, "clean one")], schema
+        ).coalesce(1).write.parquet(str(src / "f0.parquet"))
+        start_scrub_stream(
+            spark, str(src) + "/*", schema, grams, out, ck, n=3
+        ).awaitTermination(120)
+        first = {
+            (r["doc_id"], r["text"], r["ingest_batch"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert first == {(1, "x y", 0), (2, "clean one", 0)}
+
+        spark.createDataFrame(
+            [(3, "later a b c doc")], schema
+        ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+        start_scrub_stream(
+            spark, str(src) + "/*", schema, grams, out, ck, n=3
+        ).awaitTermination(120)
+        got = {
+            (r["doc_id"], r["text"], r["ingest_batch"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == first | {(3, "later doc", 1)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {grams}")
