@@ -974,3 +974,82 @@ def test_numeric_expressions_match_duckdb(spark, col, ops, use_mod):
     )
     con.close()
     assert got == want, (col, ops, use_mod)
+
+
+# --------------------------------------------------------------- axis 11
+# Conditional / three-valued-logic composition: chains of CASE WHEN
+# (with predicates that go NULL), NULLIF (introduces NULLs), COALESCE
+# (clears them), and IS NULL dispatch over a double seed -- the
+# null-propagation rules where engines classically drift (a NULL
+# predicate must take the ELSE branch in both engines; NULLIF equality
+# on doubles is exact in both). All arithmetic is exact IEEE, so group
+# keys compare exactly; NULL keys group on both sides.
+
+_cond_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["case_lt", "nullif", "coalesce", "isnull_case"]),
+        st.sampled_from([0.02, 0.05, 1.0, 3.0, 25.0]),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _apply_spark_cond(col, ops):
+    e = F.col(col).cast("double")
+    for op, v in ops:
+        if op == "case_lt":
+            # predicate over the CURRENT value: NULL < v is NULL ->
+            # ELSE branch in both engines
+            e = F.when(e < F.lit(v), e + F.lit(1.0)).otherwise(
+                e * F.lit(2.0)
+            )
+        elif op == "nullif":
+            e = F.nullif(e, F.lit(v))
+        elif op == "coalesce":
+            e = F.coalesce(e, F.lit(v))
+        elif op == "isnull_case":
+            e = F.when(e.isNull(), F.lit(-1.0)).otherwise(e)
+    return e
+
+
+def _apply_duck_cond(col, ops):
+    e = f"cast({col} as double)"
+    for op, v in ops:
+        if op == "case_lt":
+            e = f"(case when {e} < {v} then {e} + 1.0 else {e} * 2.0 end)"
+        elif op == "nullif":
+            e = f"nullif({e}, {v})"
+        elif op == "coalesce":
+            e = f"coalesce({e}, {v})"
+        elif op == "isnull_case":
+            e = f"(case when {e} is null then -1.0 else {e} end)"
+    return e
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.sampled_from(["l_quantity", "l_discount", "l_tax"]), _cond_ops)
+def test_conditional_expressions_match_duckdb(spark, col, ops):
+    df = load_table(spark, SF_DIR, "lineitem")
+    got = [
+        ((r["k"],), r["n"])
+        for r in df.select(_apply_spark_cond(col, ops).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        ((k,), n)
+        for k, n in con.execute(
+            f"select {_apply_duck_cond(col, ops)} as k, count(*) as n "
+            f"from read_parquet('{SF_DIR}/lineitem.parquet') group by 1"
+        ).fetchall()
+    ]
+    con.close()
+    # NULL keys sort via the tuple wrapper repr; compare as multisets
+    assert sorted(map(repr, got)) == sorted(map(repr, want)), (col, ops)
