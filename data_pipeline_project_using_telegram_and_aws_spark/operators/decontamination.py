@@ -357,6 +357,13 @@ def scrub_contaminated_spans(
     (``scale_rules.collected_group_max_rows``, ~8 B/position), failing
     loudly with the document named — a pathological doc would be one
     that embeds millions of distinct eval grams."""
+    clash = {"n_tokens", "n_scrubbed_tokens"} & set(train.columns)
+    if clash:
+        raise ValueError(
+            "scrub_contaminated_spans: input already has "
+            f"{sorted(clash)} - the scrub appends those counter "
+            "columns; rename the input's first"
+        )
     toks = F.split(F.col(text_col), " ")
     pos = F.when(
         F.size("__toks") >= n,

@@ -145,3 +145,12 @@ def test_neither_eval_side_raises(spark):
     tdf = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="eval_docs or eval_grams"):
         scrub_contaminated_spans(tdf, None)
+
+
+def test_counter_column_clash_raises(spark):
+    tdf = spark.createDataFrame(
+        [(0, "x", 1)], ["doc_id", "text", "n_tokens"]
+    )
+    edf = spark.createDataFrame([(1, "y")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_tokens"):
+        scrub_contaminated_spans(tdf, edf)
