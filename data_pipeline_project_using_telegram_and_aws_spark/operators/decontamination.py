@@ -485,3 +485,82 @@ def scrub_contaminated_spans(
             "n_scrubbed_tokens"
         ),
     )
+
+
+def decontaminate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    policy: str = "drop",
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits_per_doc: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call decontamination with the curation-style audit contract:
+    returns ``(kept, ledger)``, ledger = one row per AFFECTED document
+    (doc_id, stage, reason).
+
+    - ``policy="drop"`` (the GPT-3/PaLM appendix policy): any document
+      sharing an n-gram with the eval suite is removed; ledger stage
+      ``contamination`` carries the worst (eval_doc, contamination)
+      pair. ``kept`` ids + ledger ids partition the input ids.
+    - ``policy="scrub"`` (the surgical policy): documents are KEPT
+      with the colliding token spans cut
+      (:func:`scrub_contaminated_spans`); ledger stage ``scrub``
+      records scrubbed/total token counts. ``kept`` ids equal the
+      input ids; only its ``text_col`` differs.
+
+    Both paths reuse the broadcast-gram machinery above (the corpus
+    never shuffles to discover collisions); ``kept`` preserves the
+    input schema either way."""
+    if policy == "drop":
+        report = contamination_report(docs, eval_docs, n, id_col, text_col)
+        worst = (
+            report.groupBy("train_doc_id")
+            .agg(
+                F.max(
+                    F.struct("contamination", "eval_doc_id")
+                ).alias("__w")
+            )
+            .select(
+                F.col("train_doc_id").alias(id_col),
+                F.concat_ws(
+                    " ",
+                    F.lit("eval_doc"),
+                    F.col("__w.eval_doc_id").cast("string"),
+                    F.lit("contamination"),
+                    F.col("__w.contamination").cast("string"),
+                ).alias("reason"),
+            )
+        )
+        ledger = worst.select(
+            id_col, F.lit("contamination").alias("stage"), "reason"
+        )
+        kept = docs.join(
+            worst.select(id_col), id_col, "left_anti"
+        )
+        return kept, ledger
+    if policy == "scrub":
+        scrubbed = scrub_contaminated_spans(
+            docs, eval_docs, n, id_col, text_col, max_hits_per_doc
+        )
+        ledger = (
+            scrubbed.filter(F.col("n_scrubbed_tokens") > 0)
+            .select(
+                id_col,
+                F.lit("scrub").alias("stage"),
+                F.concat_ws(
+                    " ",
+                    F.lit("scrubbed"),
+                    F.col("n_scrubbed_tokens").cast("string"),
+                    F.lit("of"),
+                    F.col("n_tokens").cast("string"),
+                    F.lit("tokens"),
+                ).alias("reason"),
+            )
+        )
+        kept = scrubbed.drop("n_tokens", "n_scrubbed_tokens")
+        return kept, ledger
+    raise ValueError(
+        f"decontaminate_corpus: unknown policy {policy!r} (drop | scrub)"
+    )

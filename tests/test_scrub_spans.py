@@ -154,3 +154,44 @@ def test_counter_column_clash_raises(spark):
     edf = spark.createDataFrame([(1, "y")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="n_tokens"):
         scrub_contaminated_spans(tdf, edf)
+
+
+def test_decontaminate_corpus_policies(spark):
+    """The one-call wrapper: drop partitions the ids with a worst-pair
+    reason; scrub keeps every id with only the text changed; both
+    ledgers name only affected docs."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.decontamination import (
+        decontaminate_corpus,
+    )
+
+    train = {
+        0: "intro words here alpha beta gamma delta closing words here",
+        1: "alpha beta gamma delta",
+        2: "totally unrelated content with no overlap present",
+    }
+    tdf = spark.createDataFrame(sorted(train.items()), ["doc_id", "text"])
+    edf = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+
+    kept, ledger = decontaminate_corpus(tdf, edf, policy="drop", n=N)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    led = {r["doc_id"]: (r["stage"], r["reason"]) for r in ledger.collect()}
+    assert kept_ids == {2}
+    assert set(led) == {0, 1}
+    assert led[1][0] == "contamination"
+    assert "eval_doc 100" in led[1][1] and "contamination 1.0" in led[1][1]
+    assert kept.columns == tdf.columns
+
+    kept2, ledger2 = decontaminate_corpus(tdf, edf, policy="scrub", n=N)
+    rows = {r["doc_id"]: r["text"] for r in kept2.collect()}
+    led2 = {r["doc_id"]: r["reason"] for r in ledger2.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0] == "intro words here closing words here"
+    assert rows[1] == "" and rows[2] == train[2]
+    assert set(led2) == {0, 1}
+    assert led2[0] == "scrubbed 4 of 10 tokens"
+    assert kept2.columns == tdf.columns
+
+    with pytest.raises(ValueError, match="unknown policy"):
+        decontaminate_corpus(tdf, edf, policy="quarantine")
