@@ -41,6 +41,7 @@ def audit(plan: str) -> dict[str, int]:
             for l in lines
             if "ArrowEvalPython" in l
             or "MapInPandas" in l
+            or "FlatMapGroupsInPandas" in l
             or "BatchEvalPython" in l
         ),
         "sorts": sum(1 for l in lines if re.search(r"\bSort\b", l) and "SortMerge" not in l),

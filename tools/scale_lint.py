@@ -96,6 +96,16 @@ def _extension_plans(spark, sf_dir):
         explode_loss_segments,
         reassemble_sft_records,
     )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dsir import (
+        dsir_importance,
+        dsir_log_ratios,
+        dsir_select,
+        hashed_ngram_profile,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.hybrid import (
+        mmr_rerank,
+        rrf_fuse,
+    )
     from data_pipeline_project_using_telegram_and_aws_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
@@ -154,6 +164,62 @@ def _extension_plans(spark, sf_dir):
         "ext_scrub_spans": scrub_contaminated_spans(
             docs, docs.limit(5), n=8
         ),
+        **_hybrid_and_dsir_plans(
+            F,
+            docs,
+            emb,
+            rrf_fuse,
+            mmr_rerank,
+            hashed_ngram_profile,
+            dsir_log_ratios,
+            dsir_importance,
+            dsir_select,
+        ),
+    }
+
+
+def _hybrid_and_dsir_plans(
+    F,
+    docs,
+    emb,
+    rrf_fuse,
+    mmr_rerank,
+    hashed_ngram_profile,
+    dsir_log_ratios,
+    dsir_importance,
+    dsir_select,
+):
+    from pyspark.sql import Window
+
+    # two per-language ranked lists (the plan shape retrieval heads
+    # emit) fused by RRF; MMR over per-label embedding candidates
+    w1 = Window.partitionBy("lang").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+    lists = [
+        docs.select(
+            F.col("lang").alias("query_id"),
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+        ).filter(F.col("rank") <= 20)
+        for w in (w1, w2)
+    ]
+    cands = emb.select(
+        F.col("label").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        (F.col("vec_id") % 100 / 100.0).alias("score"),
+        "embedding",
+    )
+    ratios = dsir_log_ratios(
+        hashed_ngram_profile(docs.limit(50)), hashed_ngram_profile(docs)
+    )
+    scored = dsir_importance(docs, ratios)
+    return {
+        "ext_rrf_fusion": rrf_fuse(lists, top=10),
+        "ext_mmr_rerank": mmr_rerank(cands, select_k=5),
+        "ext_dsir_importance": scored,
+        "ext_dsir_select": dsir_select(scored, n=100),
     }
 
 
@@ -215,7 +281,8 @@ def main() -> int:
         f"{len(plans) - len(entry.queries())} extension-surface plans "
         "(ext_*: funnel, dialog/SFT assembly, embedding drift, "
         "k-anonymity, preference records, agreement, semantic "
-        "decontamination, erasure blast radius); every finding "
+        "decontamination, erasure blast radius, RRF fusion, MMR "
+        "rerank, DSIR scoring+selection); every finding "
         "needs a bounded-operand justification in tools/scale_lint.py.",
         "",
         "| query | finding | justification |",
