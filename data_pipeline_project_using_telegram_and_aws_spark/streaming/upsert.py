@@ -36,6 +36,8 @@ Constraints, stated loudly:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -73,14 +75,29 @@ def upsert_batch(
     # An existing table with zero __bucket= dirs is the EMPTY state
     # (every key tombstoned by a prior batch; a zero-row marker file
     # holds the schema so readers keep working). The next merge starts
-    # from scratch: clear the marker and take the bootstrap path.
+    # from scratch: clear the marker and take the bootstrap path — but
+    # carry the marker's SCHEMA over: a column once introduced exists
+    # for every later row (the pinned evolution contract), even when
+    # the batch that introduced it was all-tombstones and nothing but
+    # the marker ever recorded it.
+    marker_fields = []
     if os.path.exists(table_path) and not any(
         Path(table_path).glob("__bucket=*")
     ):
+        try:
+            marker_fields = list(
+                spark.read.parquet(table_path).schema.fields
+            )
+        except Exception:
+            # a crash between bucket cleanup and marker write can leave
+            # an unreadable husk; recover as before (schema already
+            # lost at crash time, not here)
+            marker_fields = []
         shutil.rmtree(table_path)
 
     if not os.path.exists(table_path):
         out = latest_snapshot(staged, keys, seq_col, delete_col)
+        out = _union_marker_fields(out, marker_fields)
         out = out.localCheckpoint(eager=True)
         if out.isEmpty():
             # all-tombstone first batch: land the schema marker, not a
@@ -94,6 +111,7 @@ def upsert_batch(
                 .partitionBy("__bucket")
                 .parquet(table_path)
             )
+        _write_schema_marker(spark, out.schema, table_path)
         if changefeed_path is not None:
             _emit_changefeed(
                 spark.createDataFrame([], out.drop("__bucket").schema),
@@ -114,6 +132,12 @@ def upsert_batch(
         spark.read.option("mergeSchema", "true")
         .parquet(table_path)
         .filter(F.col("__bucket").isin(affected))
+    )
+    # union in the durable schema marker: columns no surviving FILE
+    # carries (evolved-in by an all-tombstone batch) still exist —
+    # and flow into merged, keeping the marker's record monotone
+    existing = _union_marker_fields(
+        existing, _schema_marker_fields(spark, table_path)
     )
     if delete_col is not None and delete_col not in existing.columns:
         # stored rows are post-tombstone survivors: not deleted
@@ -173,11 +197,58 @@ def upsert_batch(
         # (rename-atomicity caveat: sources/lake.py filesystem note)
         shutil.rmtree(table_path)
         _write_empty_marker(merged, table_path)
+    _write_schema_marker(spark, merged.schema, table_path)
     if changefeed_path is not None:
         _emit_changefeed(
             before, merged.drop("__bucket"), keys, changefeed_path,
             batch_id,
         )
+
+
+def _write_schema_marker(
+    spark: SparkSession, schema, table_path: str
+) -> None:
+    """Persist the table's evolved schema as a zero-row parquet under
+    ``<table>/_schema`` — an underscore path, so Spark's data listing
+    (and partition discovery) never sees it. Needed because schema
+    evolution must be MONOTONE over the table's life while the data
+    files are not: a column introduced by a batch whose carrying rows
+    were all merged away (tombstoned, or superseded before any rewrite
+    of an untouched bucket) exists in no surviving file, yet the
+    pinned contract says a column once introduced exists for every
+    later row. Writers refresh it after every merge from the merged
+    union schema (which itself unions the previous marker, so the
+    record never narrows); readers union its fields in as NULL columns.
+    Crash caveat (same class as the POSIX note in sources/lake.py): a
+    crash between the data write and this refresh loses only columns
+    carried by NO file — columns in any surviving file re-enter the
+    marker at the next merge via the mergeSchema read."""
+    (
+        spark.createDataFrame([], schema)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(table_path, "_schema"))
+    )
+
+
+def _schema_marker_fields(spark: SparkSession, table_path: str) -> list:
+    p = os.path.join(table_path, "_schema")
+    if not os.path.exists(p):
+        return []
+    try:
+        return list(spark.read.parquet(p).schema.fields)
+    except Exception:
+        # half-written marker after a crash: recoverable (docstring)
+        return []
+
+
+def _union_marker_fields(
+    df: DataFrame, fields: list, exclude: tuple = ()
+) -> DataFrame:
+    for f in fields:
+        if f.name not in df.columns and f.name not in exclude:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 
 
 def _write_empty_marker(template: DataFrame, table_path: str) -> None:
@@ -249,12 +320,12 @@ def start_upsert_stream(
 def read_current(spark: SparkSession, table_path: str) -> DataFrame:
     """The current state (bucket column dropped). mergeSchema: after a
     schema evolution, untouched buckets lack the new columns — the
-    union schema surfaces them as NULL there."""
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(table_path)
-        .drop("__bucket")
-    )
+    union schema surfaces them as NULL there; the ``_schema`` marker
+    adds columns no surviving file carries at all."""
+    return _union_marker_fields(
+        spark.read.option("mergeSchema", "true").parquet(table_path),
+        _schema_marker_fields(spark, table_path),
+    ).drop("__bucket")
 
 
 def lookup(
@@ -272,7 +343,10 @@ def lookup(
     prunes row groups inside the bucket via parquet stats."""
     if len(keys) != len(values):
         raise ValueError("lookup: one value per key column")
-    table = spark.read.option("mergeSchema", "true").parquet(table_path)
+    table = _union_marker_fields(
+        spark.read.option("mergeSchema", "true").parquet(table_path),
+        _schema_marker_fields(spark, table_path),
+    )
     dtypes = dict(table.dtypes)
     # xxhash64 is TYPE-sensitive: hash the literals at the stored
     # column types or the bucket comes out different from the writer's

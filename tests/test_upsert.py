@@ -539,3 +539,69 @@ def test_right_to_erasure_recipe(spark, tmp_path):
     )
     assert read_current(spark, path).filter("user_id = 7").count() == 0
     assert read_changefeed(spark, feed).count() == 31  # 30 adds + 1 removal
+
+
+def test_columns_introduced_by_all_tombstone_batch_survive_empty_state(
+    spark, tmp_path
+):
+    """The hypothesis falsifier pinned: insert → an EVOLVED batch that
+    tombstones the table's last key (columns c1/c2 exist only in the
+    empty-state marker's schema) → re-insert under the base schema.
+    The bootstrap over the marker must carry the marker's schema
+    forward — a column once introduced exists for every later row."""
+    path = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(0, 1, 1.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    evolved = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField(c, T.DoubleType()) for c in ("c1", "c2")]
+    )
+    upsert_batch(
+        spark.createDataFrame([(0, 2, None, True, 7.0, 8.0)], evolved),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    # empty state: marker schema carries c1/c2
+    assert read_current(spark, path).count() == 0
+    upsert_batch(
+        _batch(spark, [(0, 3, 3.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    cur = read_current(spark, path)
+    assert {"c1", "c2"} <= set(cur.columns)
+    row = cur.collect()[0]
+    assert (row["balance"], row["c1"], row["c2"]) == (3.0, None, None)
+
+
+def test_columns_introduced_by_noop_delete_batch_survive(spark, tmp_path):
+    """Second falsifier pinned: the evolved batch deletes a key that
+    doesn't exist (different bucket than the stored row), so its merge
+    output is EMPTY and no data file ever carries c1 — only the
+    durable `_schema` marker records it. read_current and lookup must
+    still surface c1 as NULL on the untouched row."""
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.upsert import lookup
+
+    path = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(4, 1, 1.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("c1", T.DoubleType())]
+    )
+    upsert_batch(
+        spark.createDataFrame([(0, 2, None, True, 7.0)], evolved),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    cur = read_current(spark, path)
+    assert "c1" in cur.columns
+    assert [(r["user_id"], r["c1"]) for r in cur.collect()] == [(4, None)]
+    hit = lookup(spark, path, ["user_id"], [4], n_buckets=4)
+    assert "c1" in hit.columns and hit.count() == 1
+    # and a later merge of the stored bucket KEEPS the marker monotone
+    upsert_batch(
+        _batch(spark, [(4, 3, 3.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    assert "c1" in read_current(spark, path).columns
