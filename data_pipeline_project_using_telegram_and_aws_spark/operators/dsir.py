@@ -93,6 +93,17 @@ def hashed_ngram_profile(
     )
 
 
+def merge_ngram_profiles(profiles: DataFrame) -> DataFrame:
+    """Sum-merge (bucket, cnt) profile rows from any number of
+    corpora/batches — hashed-n-gram counts are plain additive counters,
+    so the merged profile is EXACTLY the profile of the concatenated
+    corpus (no estimator error, unlike the sketch ledgers). This is
+    what makes the raw-corpus side of DSIR incrementally maintainable:
+    `streaming/stat_ledgers.start_ngram_profile_ledger_stream` lands
+    one profile per micro-batch and reads merge through here."""
+    return profiles.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def dsir_log_ratios(
     target_profile: DataFrame,
     raw_profile: DataFrame,

@@ -228,6 +228,73 @@ def counts_in_range(
     )
 
 
+def start_ngram_profile_ledger_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ledger_path: str,
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    salt: str = "dsir",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source stream → per-batch hashed-n-gram profile rows
+    (`operators/dsir.hashed_ngram_profile`) in the ledger: the
+    raw-corpus side of DSIR maintained incrementally over a growing
+    corpus. Counts are ADDITIVE, so unlike the sketch ledgers the
+    merged read is exact — and like the cms ledger, re-delivery is
+    handled by the ingest_batch partition overwrite (a replayed batch
+    rewrites ITS partition, never double-lands). ``n_buckets``/``salt``
+    define the feature space and must match the target profile's."""
+    from ..operators.dsir import DEFAULT_N_BUCKETS, hashed_ngram_profile
+
+    nb = DEFAULT_N_BUCKETS if n_buckets is None else int(n_buckets)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _land(
+            hashed_ngram_profile(
+                batch, n_buckets=nb, text_col=text_col, salt=salt
+            ),
+            batch_id,
+            ledger_path,
+        )
+
+    return _start(
+        spark, source_dir, schema, sink, checkpoint_dir, available_now
+    )
+
+
+def profile_so_far(spark: SparkSession, ledger_path: str) -> DataFrame:
+    """(bucket, cnt) — the exact profile of everything ingested so
+    far: one ledger-sized sum (ledger rows ≤ batches × n_buckets).
+    Feed it to `operators/dsir.dsir_log_ratios` as the raw side to
+    refresh importance scoring against the corpus's current state."""
+    from ..operators.dsir import merge_ngram_profiles
+
+    return merge_ngram_profiles(
+        read_ledger(spark, ledger_path).drop("ingest_batch")
+    )
+
+
+def profile_in_range(
+    spark: SparkSession, ledger_path: str, since_batch: int
+) -> DataFrame:
+    """The profile of RECENT history only (``ingest_batch >
+    since_batch``) — e.g. a drifted-raw-distribution probe against the
+    all-time profile. Horizon contract as `counts_in_range`: raises if
+    compaction folded any partition the range needs."""
+    from ..operators.dsir import merge_ngram_profiles
+    from .ledger_compaction import require_unfolded_range
+
+    require_unfolded_range(ledger_path, since_batch, "profile_in_range")
+    return merge_ngram_profiles(
+        read_ledger(spark, ledger_path)
+        .filter(F.col("ingest_batch") > since_batch)
+        .drop("ingest_batch")
+    )
+
+
 def compact_stat_ledger(
     spark: SparkSession,
     ledger_path: str,
@@ -240,12 +307,13 @@ def compact_stat_ledger(
     through_batch`` into ONE baseline row set under ``ingest_batch =
     -1`` — `sketch_ledger.compact_ledger` for these ledgers.
     ``kind``: ``"quantile"`` (bottom-k sample union — estimate
-    provably unchanged) or ``"cms"`` (counter sums). The maintenance-
-    window contract from the module docstring applies, and binds
-    HARDER for cms: a batch id folded away no longer owns a partition,
-    so an at-least-once re-delivery would double-count its counters —
-    compact only with the stream stopped and the checkpoint committed
-    past ``through_batch``.
+    provably unchanged), ``"cms"`` (counter sums), or ``"ngram"``
+    (hashed-n-gram profile sums — exact, fold changes no read). The
+    maintenance-window contract from the module docstring applies, and
+    binds HARDER for cms and ngram: a batch id folded away no longer
+    owns a partition, so an at-least-once re-delivery would
+    double-count its counters — compact only with the stream stopped
+    and the checkpoint committed past ``through_batch``.
 
     Crash consistency: commits via `ledger_compaction` (staged
     baseline + ``_compacted_through`` marker, one atomic directory
@@ -256,8 +324,10 @@ def compact_stat_ledger(
     had a crash window where the folded counters lived in BOTH the
     baseline and their surviving partitions and every later merge
     summed them twice, silently, forever."""
-    if kind not in ("quantile", "cms"):
-        raise ValueError("compact_stat_ledger: kind must be quantile | cms")
+    if kind not in ("quantile", "cms", "ngram"):
+        raise ValueError(
+            "compact_stat_ledger: kind must be quantile | cms | ngram"
+        )
     sweep_stragglers(ledger_path)
     ledger = read_ledger(spark, ledger_path)
     fold = ledger.filter(
@@ -271,6 +341,10 @@ def compact_stat_ledger(
     )
     if kind == "quantile":
         baseline = merge_quantile_ledger(old, by=by, k=k)
+    elif kind == "ngram":
+        from ..operators.dsir import merge_ngram_profiles
+
+        baseline = merge_ngram_profiles(old)
     else:
         baseline = merge_cms_ledger(old, by=by)
     commit_baseline(baseline, ledger_path, through_batch)

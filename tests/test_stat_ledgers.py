@@ -396,3 +396,113 @@ def test_range_reads_match_suffix_rebuilds(spark, tmp_path):
         .collect()[0]["sample"]
         == q_want["sample"]
     )
+
+
+_NGRAM_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _ngram_docs(spark, rows):
+    return spark.createDataFrame(rows, _NGRAM_DOCS_SCHEMA)
+
+
+def test_ngram_profile_stream_matches_batch_build(spark, tmp_path):
+    """Streamed per-batch profiles sum-merge to EXACTLY the one-pass
+    profile of the whole corpus (additive counters, no estimator), and
+    the merged profile drives a DSIR ratio refresh identical to the
+    batch path."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dsir import (
+        dsir_log_ratios,
+        hashed_ngram_profile,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        profile_so_far,
+        start_ngram_profile_ledger_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    led = str(tmp_path / "led")
+    a = [(1, "spark shuffle exchange"), (2, "catalyst pushes filters")]
+    b = [(3, "spark shuffle again"), (4, "pasta with garlic")]
+    _ngram_docs(spark, a).coalesce(1).write.parquet(str(src / "a.parquet"))
+    _ngram_docs(spark, b).coalesce(1).write.parquet(str(src / "b.parquet"))
+    start_ngram_profile_ledger_stream(
+        spark, str(src) + "/*", _NGRAM_DOCS_SCHEMA, led,
+        n_buckets=128, checkpoint_dir=str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+
+    got = {r.bucket: r.cnt for r in profile_so_far(spark, led).collect()}
+    want = {
+        r.bucket: r.cnt
+        for r in hashed_ngram_profile(
+            _ngram_docs(spark, a + b), n_buckets=128
+        ).collect()
+    }
+    assert got == want
+
+    tgt = hashed_ngram_profile(
+        _ngram_docs(spark, [(9, "spark spark shuffle")]), n_buckets=128
+    )
+    streamed = {
+        r.bucket: r.log_ratio
+        for r in dsir_log_ratios(
+            tgt, profile_so_far(spark, led), n_buckets=128
+        ).collect()
+    }
+    batch = {
+        r.bucket: r.log_ratio
+        for r in dsir_log_ratios(
+            tgt,
+            hashed_ngram_profile(_ngram_docs(spark, a + b), n_buckets=128),
+            n_buckets=128,
+        ).collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for k in batch:
+        assert abs(streamed[k] - batch[k]) < 1e-12
+
+
+def test_ngram_profile_compaction_preserves_profile(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        compact_stat_ledger,
+        profile_in_range,
+        profile_so_far,
+        start_ngram_profile_ledger_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    led = str(tmp_path / "led")
+    for i, text in enumerate(
+        ["alpha beta gamma", "beta beta delta", "gamma alpha"]
+    ):
+        _ngram_docs(spark, [(i, text)]).coalesce(1).write.parquet(
+            str(src / f"f{i}.parquet")
+        )
+    start_ngram_profile_ledger_stream(
+        spark, str(src) + "/*", _NGRAM_DOCS_SCHEMA, led,
+        n_buckets=64, checkpoint_dir=str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+
+    before = {r.bucket: r.cnt for r in profile_so_far(spark, led).collect()}
+    recent = {
+        r.bucket: r.cnt for r in profile_in_range(spark, led, 0).collect()
+    }
+    compact_stat_ledger(spark, led, through_batch=0, kind="ngram")
+    after = {r.bucket: r.cnt for r in profile_so_far(spark, led).collect()}
+    assert after == before  # fold changes no read
+    # the unfolded suffix still reads; a range needing batch 0 raises
+    assert {
+        r.bucket: r.cnt for r in profile_in_range(spark, led, 0).collect()
+    } == recent
+    with _pytest.raises(ValueError, match="profile_in_range"):
+        profile_in_range(spark, led, -1).collect()
+    with _pytest.raises(ValueError, match="quantile | cms | ngram"):
+        compact_stat_ledger(spark, led, through_batch=1, kind="bogus")
