@@ -1053,3 +1053,77 @@ def test_conditional_expressions_match_duckdb(spark, col, ops):
     con.close()
     # NULL keys sort via the tuple wrapper repr; compare as multisets
     assert sorted(map(repr, got)) == sorted(map(repr, want)), (col, ops)
+
+
+# --------------------------------------------------------------- axis 12
+# ORDER BY with NULL-bearing keys: explicit NULLS FIRST/LAST in both
+# engines (their DEFAULTS disagree — Spark ASC=NULLS FIRST, DuckDB
+# ASC=NULLS LAST — so only the explicit form has shared semantics),
+# full-ordering row_number assignment AND the ordered-LIMIT head (the
+# TakeOrderedAndProject path every top-k tail in the engine rides).
+_ord_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.sampled_from([-1.5, 0.0, 2.25])),
+    ),
+    min_size=1,
+    max_size=12,
+)
+_dirs = st.tuples(st.booleans(), st.booleans())  # (desc?, nulls_last?)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=_ord_rows, d1=_dirs, d2=_dirs, k=st.integers(1, 6))
+def test_null_ordering_and_limit_match_duckdb(spark, rows, d1, d2, k):
+    data = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k1 long, k2 double")
+
+    def scol(name, desc, nl):
+        c = F.col(name)
+        if desc:
+            return c.desc_nulls_last() if nl else c.desc_nulls_first()
+        return c.asc_nulls_last() if nl else c.asc_nulls_first()
+
+    def ssql(name, desc, nl):
+        return (
+            f"{name} {'desc' if desc else 'asc'} "
+            f"nulls {'last' if nl else 'first'}"
+        )
+
+    order_cols = [scol("k1", *d1), scol("k2", *d2), F.col("id").asc()]
+    order_sql = f"{ssql('k1', *d1)}, {ssql('k2', *d2)}, id asc"
+
+    from pyspark.sql import Window
+
+    got_rn = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order_cols))
+        ).collect()
+    }
+    got_head = [r["id"] for r in df.orderBy(*order_cols).limit(k).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "create table t(id bigint, k1 bigint, k2 double)"
+    )
+    con.executemany("insert into t values (?, ?, ?)", data)
+    want_rn = dict(
+        con.execute(
+            f"select id, row_number() over (order by {order_sql}) "
+            "from t"
+        ).fetchall()
+    )
+    want_head = [
+        r[0]
+        for r in con.execute(
+            f"select id from t order by {order_sql} limit {k}"
+        ).fetchall()
+    ]
+    con.close()
+    assert got_rn == want_rn
+    assert got_head == want_head
