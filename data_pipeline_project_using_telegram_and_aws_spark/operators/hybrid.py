@@ -97,9 +97,13 @@ def rrf_fuse(
     of such lists, ``rank`` the fused per-query position (dense from 1,
     ties broken by doc id). ``top=None`` keeps every fused candidate.
 
-    Each input needs (query_id, doc_id, rank) with rank ≥ 1 per query —
-    exactly what ``bm25_scores`` and ``brute_force_topk``/``ivf_topk``
-    emit (rename their rank columns to ``rank_col`` if they differ).
+    Each input needs (query_id, doc_id, rank) with rank ≥ 1 and ONE row
+    per (query, doc) — exactly what ``bm25_scores`` and
+    ``brute_force_topk``/``ivf_topk`` emit (rename their rank columns
+    to ``rank_col`` if they differ). A list that repeats a (query, doc)
+    pair would contribute twice and inflate ``n_lists``; retriever
+    heads never do, so the precondition is stated, not paid for with a
+    dedup shuffle.
     Rank-only fusion: BM25's unbounded scores and cosine's [−1, 1] need
     no calibration, which is why RRF is the robust default; use
     :func:`normalized_score_fuse` when score margins should count.
@@ -151,7 +155,9 @@ def normalized_score_fuse(
     crediting presence), then ``fused_score = Σ_i w_i · norm_i``.
 
     Score-aware where :func:`rrf_fuse` is rank-only: a candidate that
-    wins its list by a wide margin keeps that margin. The cost is
+    wins its list by a wide margin keeps that margin. A NULL score
+    contributes nothing to the weighted sum (SQL sum semantics) while
+    the row still counts toward ``n_lists`` — present, abstaining. The cost is
     calibration sensitivity — min-max is per-query-slice, so one
     outlier score compresses the rest of its slice; prefer RRF unless
     the score scales are trusted. ``score_cols`` names each list's
@@ -234,7 +240,11 @@ def mmr_rerank(
     next), so each query's candidate head runs through one NumPy greedy
     loop inside ``applyInPandas`` — the package's one batch Python
     stage, and an honest one: O(select_k · n · dims) vectorized work
-    over a top-``top`` head, not a corpus. An in-plan bounded-operand
+    over a top-``top`` head, not a corpus. Candidates with a NULL
+    embedding are dropped before selection (no geometry, no diversity
+    claim — the `preference.py` NULL-as-abstention stance), as are
+    NULL relevance scores; a zero vector participates with
+    similarity 0 to everything. An in-plan bounded-operand
     guard (count-window + assert_true, the funnel/dialogs pattern —
     embedding rows are ~4·dims B wide, far heavier than funnel events)
     fails loudly with the query named before any head materializes in
@@ -251,7 +261,9 @@ def mmr_rerank(
             bytes_per_row=4 * 768
         )
     bound = int(max_candidates_per_query)
-    slim = candidates.select(
+    slim = candidates.filter(
+        F.col(vec_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
         F.col(query_id_col),
         F.col(id_col),
         F.col(score_col).cast("double").alias("__score"),

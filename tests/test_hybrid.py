@@ -351,3 +351,29 @@ def test_end_to_end_bm25_plus_ann_fusion(spark):
     fused = rrf_fuse([lex, sem], top=2).collect()
     assert [r.doc_id for r in fused] == [1, 2]  # both-list docs win
     assert all(r.n_lists == 2 for r in fused)
+
+
+def test_mmr_null_embedding_and_score_are_abstentions(spark):
+    rows = spark.createDataFrame(
+        [
+            (10, 1, 1.0, [1.0, 0.0]),
+            (10, 2, None, [0.0, 1.0]),   # NULL score: dropped
+            (10, 3, 0.5, None),          # NULL embedding: dropped
+            (10, 4, 0.4, [0.0, 1.0]),
+        ],
+        "query_id long, doc_id long, score double, embedding array<double>",
+    )
+    got = [r.doc_id for r in mmr_rerank(rows, select_k=3).collect()]
+    assert got == [1, 4]  # only the fully-specified candidates compete
+
+
+def test_mmr_zero_vector_participates(spark):
+    rows = spark.createDataFrame(
+        [
+            (10, 1, 1.0, [1.0, 0.0]),
+            (10, 2, 0.9, [0.0, 0.0]),  # zero vector: similarity 0
+        ],
+        "query_id long, doc_id long, score double, embedding array<double>",
+    )
+    got = [r.doc_id for r in mmr_rerank(rows, select_k=2).collect()]
+    assert got == [1, 2]

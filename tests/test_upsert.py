@@ -605,3 +605,37 @@ def test_columns_introduced_by_noop_delete_batch_survive(spark, tmp_path):
         path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
     )
     assert "c1" in read_current(spark, path).columns
+
+
+def test_schema_marker_loss_degrades_readably_and_self_heals(
+    spark, tmp_path
+):
+    """The documented crash caveat pinned: losing `_schema` (crash
+    between data write and marker refresh) degrades reads to the
+    file-union schema — columns carried by no file disappear, nothing
+    errors — and the next merge rebuilds a valid marker so subsequent
+    evolution keeps working."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(4, 1, 1.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("c1", T.DoubleType())]
+    )
+    upsert_batch(
+        spark.createDataFrame([(0, 2, None, True, 7.0)], evolved),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    assert "c1" in read_current(spark, path).columns
+    shutil.rmtree(os.path.join(path, "_schema"))  # simulated crash loss
+    cur = read_current(spark, path)  # degraded, not broken
+    assert "c1" not in cur.columns and cur.count() == 1
+    upsert_batch(
+        _batch(spark, [(5, 3, 3.0, False)]),
+        path, ["user_id"], "seq", n_buckets=4, delete_col="deleted",
+    )
+    assert os.path.exists(os.path.join(path, "_schema"))
+    assert read_current(spark, path).count() == 2
