@@ -240,3 +240,46 @@ def test_importance_python_model_fuzz(spark, texts, tgt):
         assert got[i] == pytest.approx(
             _py_score(t, want_ratios), abs=1e-5
         )
+
+
+def test_dsir_selection_shifts_sample_toward_target(spark):
+    """The paper's headline property on a separable fixture: a corpus
+    half spark-themed / half cooking-themed, a spark-themed target —
+    DSIR-selected documents are overwhelmingly the target-like half,
+    while the same-size uniform hash sample stays mixed."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.splits import (
+        deterministic_take_per_group,
+    )
+    import pyspark.sql.functions as F
+
+    a_words = ["spark", "shuffle", "catalyst", "exchange", "broadcast"]
+    b_words = ["pasta", "garlic", "butter", "oven", "basil"]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(a_words[(i + j) % 5] for j in range(6))))
+    for i in range(30, 60):
+        rows.append((i, " ".join(b_words[(i + j) % 5] for j in range(6))))
+    corpus = _docs(spark, rows)
+    target = _docs(
+        spark, [(100 + i, " ".join(a_words)) for i in range(3)]
+    )
+    ratios = dsir_log_ratios(
+        hashed_ngram_profile(target, n_buckets=B),
+        hashed_ngram_profile(corpus, n_buckets=B),
+        n_buckets=B,
+    )
+    scored = dsir_importance(corpus, ratios, n_buckets=B)
+    picked = [r.doc_id for r in dsir_select(scored, n=20).collect()]
+    n_target_like = sum(1 for d in picked if d < 30)
+    assert len(picked) == 20
+    assert n_target_like >= 18  # log-weight gap dwarfs Gumbel noise
+    # the uniform hash sample of the same size stays mixed
+    uniform = [
+        r.doc_id
+        for r in deterministic_take_per_group(
+            corpus.withColumn("g", F.lit(1)), "g", 20
+        ).collect()
+    ]
+    n_uniform_target_like = sum(1 for d in uniform if d < 30)
+    assert 4 <= n_uniform_target_like <= 16
+    assert n_target_like > n_uniform_target_like

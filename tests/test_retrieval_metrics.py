@@ -168,3 +168,55 @@ def test_python_model_fuzz(spark, res, qrels, k):
     for q, m in want.items():
         for name, v in m.items():
             assert got[q][name] == pytest.approx(v, abs=1e-6), (q, name)
+
+
+def test_measures_ivf_recall_against_brute_force_oracle(spark):
+    """The evaluator in anger: brute-force top-k as the qrels, IVF as
+    the system under test — summary recall@k must equal the
+    independently computed overlap fraction, and probing EVERY list
+    must push recall to exactly 1.0 (IVF with full probes IS brute
+    force on these lists)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 5
+    queries = emb.filter(F.col("vec_id") < 4)
+    truth = brute_force_topk(emb, queries, k=k).select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    ivf = ivf_topk(
+        emb, n_centroids=8, n_queries=4, nprobe=2, k=k
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("ivf_rank").alias("rank"),
+    )
+    got = retrieval_metrics_summary(ivf, truth, k=k).collect()[0]
+    truth_sets = {}
+    for r in truth.collect():
+        truth_sets.setdefault(r.query_id, set()).add(r.doc_id)
+    ivf_sets = {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.doc_id)
+    want_recall = sum(
+        len(truth_sets[q] & ivf_sets.get(q, set())) / len(truth_sets[q])
+        for q in truth_sets
+    ) / len(truth_sets)
+    assert got.n_queries == 4
+    assert got.recall == pytest.approx(round(want_recall, 4), abs=1e-4)
+    full = ivf_topk(emb, n_centroids=8, n_queries=4, nprobe=8, k=k).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("ivf_rank").alias("rank"),
+    )
+    full_row = retrieval_metrics_summary(full, truth, k=k).collect()[0]
+    assert full_row.recall == pytest.approx(1.0)
+    assert full_row.ndcg == pytest.approx(1.0)
