@@ -377,3 +377,19 @@ def test_mmr_zero_vector_participates(spark):
     )
     got = [r.doc_id for r in mmr_rerank(rows, select_k=2).collect()]
     assert got == [1, 2]
+
+
+def test_mmr_plan_guard_shares_the_group_exchange(spark):
+    rows = [(10, i, 1.0 - i * 0.1, [1.0, 0.0]) for i in range(4)]
+    plan = (
+        mmr_rerank(_cands(spark, rows), select_k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("+- Window") == 1  # the bounded-operand guard
+    # guard window + groupBy-applyInPandas cluster on the same key:
+    # ONE hash exchange; the second Exchange is the presentation sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") == 2
