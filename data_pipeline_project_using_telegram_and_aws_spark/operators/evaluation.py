@@ -267,3 +267,77 @@ def agreement_report(
         ).alias("kappa"),
     )
     return out
+
+
+def distinct_ngram_report(
+    docs: DataFrame,
+    ns: tuple = (1, 2, 3),
+    by: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(…by, n, n_grams, n_distinct, distinct_ratio) — distinct-n
+    diversity per corpus slice: the fraction of n-gram OCCURRENCES that
+    are distinct types (Li et al. 2016's distinct-1/2; the standard
+    mode-collapse read for synthetic/generated corpora, where
+    perplexity-style quality scores stay flat while the generator
+    repeats itself). A slice of identical documents scores near 0; a
+    slice of fresh text stays high. ``distinct_ratio`` is rounded to
+    6 dp; slices with no n-grams (every text shorter than n) report a
+    0-gram row with NULL ratio rather than disappearing — "no
+    evidence" and "no diversity" are different claims.
+
+    Scale shape: per n, one explode + one (slice, gram)-keyed
+    aggregation and one slice-keyed rollup — the exact-type count is a
+    count-distinct, paid deliberately (diversity ratios are compared
+    across slices and releases, so sketch error would eat the signal);
+    results for all ``ns`` union into one report. No Python."""
+    keys = list(by or [])
+    slices = (
+        docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nd"))
+        if keys
+        else docs.agg(F.count(F.lit(1)).alias("__nd"))
+    ).drop("__nd")
+    out = None
+    for n in ns:
+        toks = F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != ""
+        )
+        pos = F.when(
+            F.size("__toks") >= int(n),
+            F.sequence(F.lit(1), F.size("__toks") - int(n) + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.concat_ws(
+            " ",
+            *[F.element_at("__toks", F.col("__i") + k) for k in range(int(n))],
+        )
+        g = (
+            docs.select(*keys, toks.alias("__toks"))
+            .select(*keys, "__toks", F.explode(pos).alias("__i"))
+            .select(*keys, gram.alias("__gram"))
+        )
+        agg = (
+            g.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count_distinct("__gram").alias("n_distinct"),
+            )
+            if keys
+            else g.agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count_distinct("__gram").alias("n_distinct"),
+            )
+        )
+        # left join from the slice list keeps gramless slices visible
+        row = (
+            slices.join(agg, keys, "left") if keys else agg
+        ).select(
+            *keys,
+            F.lit(int(n)).alias("n"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_distinct") / F.col("n_grams"), 6),
+            ).alias("distinct_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -202,3 +202,51 @@ def test_agreement_report_kappa(spark):
     # alphabet guard: 3 distinct labels with max_labels=1 -> >1 cell
     with pytest.raises(Exception, match="distinct label pairs"):
         agreement_report(df, "a", "b", by="slice", max_labels=1).collect()
+
+
+def test_distinct_ngram_report_matches_counter_model(spark):
+    from collections import Counter
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+        distinct_ngram_report,
+    )
+
+    rows = [
+        ("gen", "the cat sat"),
+        ("gen", "the cat sat"),        # generator repeating itself
+        ("gen", "the cat sat again"),
+        ("ref", "a fresh sentence here"),
+        ("ref", "another fresh one entirely"),
+        ("tiny", "x"),                  # no bigrams/trigrams
+    ]
+    df = spark.createDataFrame(rows, ["src", "text"])
+    got = {
+        (r.src, r.n): (r.n_grams, r.n_distinct, r.distinct_ratio)
+        for r in distinct_ngram_report(df, ns=(1, 2), by=["src"]).collect()
+    }
+
+    def model(texts, n):
+        c = Counter()
+        for t in texts:
+            toks = t.split()
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i : i + n])] += 1
+        total = sum(c.values())
+        return (total, len(c), round(len(c) / total, 6) if total else None)
+
+    by_src = {}
+    for s, t in rows:
+        by_src.setdefault(s, []).append(t)
+    for s, texts in by_src.items():
+        for n in (1, 2):
+            assert got[(s, n)] == model(texts, n), (s, n)
+    # the repeating slice is measurably less diverse than the fresh one
+    assert got[("gen", 2)][2] < got[("ref", 2)][2] == 1.0
+    # gramless slice visible with NULL ratio, not absent
+    assert got[("tiny", 2)] == (0, 0, None)
+    # unsliced mode: one row per n over the whole corpus
+    whole = {
+        r.n: r.n_grams
+        for r in distinct_ngram_report(df, ns=(1, 2)).collect()
+    }
+    assert whole[1] == sum(len(t.split()) for _, t in rows)
