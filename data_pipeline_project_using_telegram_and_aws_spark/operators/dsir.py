@@ -231,6 +231,7 @@ def dsir_select(
     logw_col: str = "dsir_logw",
     id_col: str = "doc_id",
     salt: str = "dsir-select",
+    group_col: str | None = None,
 ) -> DataFrame:
     """``n`` documents sampled without replacement with probability
     proportional to ``exp(logw_col)``, never leaving log space: Gumbel
@@ -240,8 +241,18 @@ def dsir_select(
     rerun-, layout-, and engine-stable, like every sampler in this
     package. NULL log weights drop — no evidence, no mass.
 
-    One projection + a global top-n (``TakeOrderedAndProject``); no
-    global sort, no shuffle beyond the top-n collect tree."""
+    ``group_col``: per-group budgets instead of one global draw — ``n``
+    per group (source, language, domain), the mixture-quota form of
+    DSIR (global selection lets one target-adjacent domain crowd out
+    every other; per-group budgets compose with
+    `splits.weighted_mixture` policy). Same key, same determinism —
+    the global draw restricted to a group equals the group's own draw
+    only in distribution, not row-for-row, so pick the form the recipe
+    needs and keep it.
+
+    One projection + a global top-n (``TakeOrderedAndProject`` — no
+    global sort materializes) or, grouped, one group-keyed rank
+    window."""
     if n <= 0:
         raise ValueError("dsir_select: n must be > 0")
     from .splits import hash_fraction
@@ -251,12 +262,24 @@ def dsir_select(
     u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
     gumbel = -F.log(-F.log(u))
     key = F.col(logw_col) + gumbel
+    live = scored.filter(F.col(logw_col).isNotNull()).withColumn(
+        "__gk", key
+    )
+    if group_col is None:
+        return (
+            live.orderBy(F.desc("__gk"), F.asc(id_col))
+            .limit(int(n))
+            .drop("__gk")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__gk"), F.asc(id_col)
+    )
     return (
-        scored.filter(F.col(logw_col).isNotNull())
-        .withColumn("__gk", key)
-        .orderBy(F.desc("__gk"), F.asc(id_col))
-        .limit(int(n))
-        .drop("__gk")
+        live.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(n))
+        .drop("__gk", "__rk")
     )
 
 

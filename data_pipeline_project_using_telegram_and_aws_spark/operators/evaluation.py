@@ -274,6 +274,7 @@ def distinct_ngram_report(
     ns: tuple = (1, 2, 3),
     by: list[str] | None = None,
     text_col: str = "text",
+    exact: bool = True,
 ) -> DataFrame:
     """(…by, n, n_grams, n_distinct, distinct_ratio) — distinct-n
     diversity per corpus slice: the fraction of n-gram OCCURRENCES that
@@ -290,7 +291,11 @@ def distinct_ngram_report(
     aggregation and one slice-keyed rollup — the exact-type count is a
     count-distinct, paid deliberately (diversity ratios are compared
     across slices and releases, so sketch error would eat the signal);
-    results for all ``ns`` union into one report. No Python."""
+    results for all ``ns`` union into one report. No Python.
+    ``exact=False`` is the 100 TB dial: ``approx_count_distinct`` at
+    its documented ~2% rsd replaces the distinct expansion with an
+    HLL partial-agg — use it for in-flight monitoring, keep ``exact``
+    for anything a release decision reads."""
     keys = list(by or [])
     slices = (
         docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nd"))
@@ -315,15 +320,20 @@ def distinct_ngram_report(
             .select(*keys, "__toks", F.explode(pos).alias("__i"))
             .select(*keys, gram.alias("__gram"))
         )
+        dcount = (
+            F.count_distinct("__gram")
+            if exact
+            else F.approx_count_distinct("__gram")
+        )
         agg = (
             g.groupBy(*keys).agg(
                 F.count(F.lit(1)).alias("n_grams"),
-                F.count_distinct("__gram").alias("n_distinct"),
+                dcount.alias("n_distinct"),
             )
             if keys
             else g.agg(
                 F.count(F.lit(1)).alias("n_grams"),
-                F.count_distinct("__gram").alias("n_distinct"),
+                dcount.alias("n_distinct"),
             )
         )
         # left join from the slice list keeps gramless slices visible

@@ -283,3 +283,30 @@ def test_dsir_selection_shifts_sample_toward_target(spark):
     n_uniform_target_like = sum(1 for d in uniform if d < 30)
     assert 4 <= n_uniform_target_like <= 16
     assert n_target_like > n_uniform_target_like
+
+
+def test_select_per_group_budgets(spark):
+    scored = spark.createDataFrame(
+        [(i, float(i % 7), "a" if i < 25 else "b") for i in range(40)],
+        ["doc_id", "dsir_logw", "src"],
+    )
+    got = dsir_select(scored, n=5, group_col="src").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, []).append(r.doc_id)
+    assert {s: len(v) for s, v in by_src.items()} == {"a": 5, "b": 5}
+    # per-group draw = the group's own Gumbel top-n (same key)
+    for src, lo, hi in (("a", 0, 25), ("b", 25, 40)):
+        keys = sorted(
+            ((python_gumbel_key(float(i % 7), i), -i) for i in range(lo, hi)),
+            reverse=True,
+        )
+        assert sorted(by_src[src]) == sorted(-k[1] for k in keys[:5])
+    # layout-stability holds for the grouped form too
+    again = {
+        (r.src, r.doc_id)
+        for r in dsir_select(
+            scored.repartition(9), n=5, group_col="src"
+        ).collect()
+    }
+    assert again == {(r.src, r.doc_id) for r in got}

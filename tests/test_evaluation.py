@@ -250,3 +250,20 @@ def test_distinct_ngram_report_matches_counter_model(spark):
         for r in distinct_ngram_report(df, ns=(1, 2)).collect()
     }
     assert whole[1] == sum(len(t.split()) for _, t in rows)
+
+
+def test_distinct_ngram_report_approx_dial(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+        distinct_ngram_report,
+    )
+
+    df = spark.createDataFrame(
+        [(0, f"w{i} w{i+1} w{i+2}") for i in range(200)], ["g", "text"]
+    ).drop("g")
+    ex = {r.n: r.n_distinct for r in distinct_ngram_report(df, ns=(1,)).collect()}
+    ap = {
+        r.n: r.n_distinct
+        for r in distinct_ngram_report(df, ns=(1,), exact=False).collect()
+    }
+    assert ex[1] == 202  # w0..w201 exactly
+    assert abs(ap[1] - ex[1]) / ex[1] < 0.1  # HLL within its rsd regime
