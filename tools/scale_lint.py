@@ -205,12 +205,22 @@ def _hybrid_and_dsir_plans(
         ).filter(F.col("rank") <= 20)
         for w in (w1, w2)
     ]
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.evaluation import (
+        distinct_ngram_report,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval_metrics import (
+        retrieval_metrics,
+    )
+
     cands = emb.select(
         F.col("label").alias("query_id"),
         F.col("vec_id").alias("doc_id"),
         (F.col("vec_id") % 100 / 100.0).alias("score"),
         "embedding",
     )
+    qrels = docs.select(
+        F.col("lang").alias("query_id"), "doc_id"
+    ).limit(200)
     ratios = dsir_log_ratios(
         hashed_ngram_profile(docs.limit(50)), hashed_ngram_profile(docs)
     )
@@ -220,6 +230,12 @@ def _hybrid_and_dsir_plans(
         "ext_mmr_rerank": mmr_rerank(cands, select_k=5),
         "ext_dsir_importance": scored,
         "ext_dsir_select": dsir_select(scored, n=100),
+        "ext_retrieval_metrics": retrieval_metrics(
+            lists[0], qrels, k=10
+        ),
+        "ext_distinct_ngrams": distinct_ngram_report(
+            docs, ns=(1, 2), by=["lang"]
+        ),
     }
 
 
