@@ -132,3 +132,85 @@ def test_checkpoint_resume_processes_only_new_files(
     assert first <= after  # old partitions untouched
     assert {d for d, _ in after} == {1, 2, 3, 4}
     assert len({b for _, b in after}) == 2  # new file = new batch only
+
+
+def test_incremental_dsir_recipe_end_to_end(spark, tmp_path):
+    """The documented refresh loop across all the DSIR pieces: raw
+    docs stream into the ngram profile LEDGER; a ratio table is built
+    from profile_so_far + the target profile; the GATE stream scores a
+    fresh feed against that frozen table; grouped Gumbel selection
+    draws per-source budgets from the scored zone. Scores through the
+    whole loop equal the one-shot batch path."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_select,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers import (
+        profile_so_far,
+        start_ngram_profile_ledger_stream,
+    )
+
+    raw_src = tmp_path / "raw"
+    raw_src.mkdir()
+    led = str(tmp_path / "led")
+    _docs(spark, BATCH_A).coalesce(1).write.parquet(
+        str(raw_src / "a.parquet")
+    )
+    _docs(spark, BATCH_B).coalesce(1).write.parquet(
+        str(raw_src / "b.parquet")
+    )
+    start_ngram_profile_ledger_stream(
+        spark, str(raw_src) + "/*", DOCS_SCHEMA, led, n_buckets=B,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    ).awaitTermination(120)
+
+    target = _docs(spark, [(100, "spark shuffle broadcast join")])
+    table = "dsir_recipe_test_ratios"
+    build_ratio_table(
+        hashed_ngram_profile(target, n_buckets=B),
+        profile_so_far(spark, led),
+        table,
+        n_buckets=B,
+    )
+    try:
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        out = str(tmp_path / "scored")
+        fresh = [(11, "spark shuffle tricks"), (12, "garlic pasta oven")]
+        _docs(spark, fresh).coalesce(1).write.parquet(
+            str(feed / "f.parquet")
+        )
+        start_dsir_gate_stream(
+            spark, str(feed) + "/*", DOCS_SCHEMA, table, out,
+            str(tmp_path / "ck2"), n_buckets=B,
+        ).awaitTermination(120)
+        got = {
+            r.doc_id: r.dsir_logw
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r.doc_id: r.dsir_logw
+            for r in dsir_importance(
+                _docs(spark, fresh),
+                dsir_log_ratios(
+                    hashed_ngram_profile(target, n_buckets=B),
+                    hashed_ngram_profile(
+                        _docs(spark, BATCH_A + BATCH_B), n_buckets=B
+                    ),
+                    n_buckets=B,
+                ),
+                n_buckets=B,
+            ).collect()
+        }
+        assert got == want
+        assert got[11] > got[12]
+        picked = dsir_select(
+            spark.read.parquet(out).withColumn(
+                "src", (F.col("doc_id") % 2).cast("string")
+            ),
+            n=1,
+            group_col="src",
+        ).collect()
+        assert len(picked) == 2  # one per source budget
+    finally:
+        spark.sql(f"drop table if exists {table}")

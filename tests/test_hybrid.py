@@ -393,3 +393,49 @@ def test_mmr_plan_guard_shares_the_group_exchange(spark):
     # ONE hash exchange; the second Exchange is the presentation sort
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange") == 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # query
+            st.integers(0, 1),  # list index
+            st.integers(0, 5),  # doc
+            st.floats(-2, 2).map(lambda x: round(x, 3)),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+def test_normalized_score_fuse_python_model(spark, data):
+    """Random scored lists vs an independent min-max + CombSUM model."""
+    rows = {0: [], 1: []}
+    for q, li, d, s in data:
+        rows[li].append((q, d, s))
+    # placeholder rows keep empty frames constructible; model them too
+    for li in (0, 1):
+        if not rows[li]:
+            rows[li].append((9, 9, 1.0))
+    lists = [_scored(spark, rows[li]) for li in (0, 1)]
+    got = {
+        (r.query_id, r.doc_id): (r.fused_score, r.n_lists)
+        for r in normalized_score_fuse(lists, top=None).collect()
+    }
+    model: dict[tuple[int, int], list[float]] = {}
+    for li in (0, 1):
+        by_q: dict[int, list] = {}
+        for q, d, s in rows[li]:
+            by_q.setdefault(q, []).append((d, s))
+        for q, pairs in by_q.items():
+            scores = [s for _, s in pairs]
+            lo, hi = min(scores), max(scores)
+            for d, s in pairs:
+                norm = 1.0 if hi == lo else (s - lo) / (hi - lo)
+                model.setdefault((q, d), []).append(norm)
+    want = {qd: (round(sum(v), 6), len(v)) for qd, v in model.items()}
+    assert set(got) == set(want)
+    for qd in want:
+        assert got[qd][0] == pytest.approx(want[qd][0], abs=1e-6), qd
+        assert got[qd][1] == want[qd][1]
