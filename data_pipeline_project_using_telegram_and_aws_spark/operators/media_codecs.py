@@ -1,0 +1,218 @@
+"""Pure-NumPy image codecs for UNCOMPRESSED containers — the real
+decoders this container CAN run: binary PPM (P6) and 24-bit
+uncompressed BMP need no PIL/ffmpeg, just header parsing and a byte
+reshape. They plug into `multimodal.py`'s injection points
+(``extract_media_features(decoder=numpy_image_decoder)``,
+``resize_media(resizer=numpy_resize_batch)``), upgrading that module's
+story from "deterministic fake, real plumbing" to "real decode for
+uncompressed formats, library-injection for compressed ones" — the
+environment gate now covers only what genuinely needs external codecs
+(JPEG/PNG entropy coding, video).
+
+Formats, exactly as published:
+- PPM P6 (Netpbm): ASCII header ``P6 <w> <h> <maxval>`` with
+  ``#``-comments, one whitespace after maxval, then ``w·h·3`` raw RGB
+  bytes (maxval ≤ 255 supported here).
+- BMP (Windows V3+): 14-byte file header (``BM``, pixel-array offset at
+  byte 10) + BITMAPINFOHEADER (width/height/bpp/compression at fixed
+  offsets); 24 bpp, BI_RGB (uncompressed) only; rows bottom-up, BGR,
+  padded to 4-byte boundaries.
+
+Failure stance: decoders RAISE naming the media id and the leading
+bytes — a corrupt or unsupported container in a curation pipeline is a
+data defect to surface, not a row to silently null (`contracts.py`
+doctrine). Callers wanting quarantine semantics filter on
+``sniff_format`` first — that is a projection, not a decode.
+
+Features (the 8-dim vector, matching MEDIA_FEATURE_SCHEMA): per-channel
+mean and std over the decoded pixels (6), luma mean (Rec.601), and
+aspect ratio — all rounded to 6 dp so feature hashes reproduce across
+runs, engines, and BLAS builds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .multimodal import MEDIA_FEATURE_SCHEMA, RESIZED_SCHEMA
+
+
+def sniff_format(raw: bytes) -> str | None:
+    """'ppm' | 'bmp' | None — magic-byte dispatch, no decode."""
+    if raw[:2] == b"P6":
+        return "ppm"
+    if raw[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM bytes (the inverse of
+    :func:`decode_ppm`; what :func:`numpy_resize_batch` re-encodes
+    with, so resized payloads stay self-describing)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on any
+    header/payload defect, quoting what it saw."""
+    if raw[:2] != b"P6":
+        raise ValueError(f"not a P6 ppm (leading bytes {raw[:2]!r})")
+    # header = three ASCII fields with #-comments; exactly one
+    # whitespace byte separates maxval from the pixel payload
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        if i >= len(raw):
+            raise ValueError("ppm header truncated")
+        c = raw[i : i + 1]
+        if c == b"#":
+            while i < len(raw) and raw[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(raw) and raw[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(raw[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad ppm header byte {c!r} at offset {i}")
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"ppm maxval {maxval} > 255 unsupported")
+    i += 1  # the single whitespace after maxval
+    need = w * h * 3
+    pixels = raw[i : i + need]
+    if len(pixels) != need:
+        raise ValueError(
+            f"ppm payload {len(pixels)} bytes, header promises {need}"
+        )
+    return np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB (rows un-flipped,
+    BGR→RGB). Raises ValueError for compressed/other-depth BMPs."""
+    if raw[:2] != b"BM":
+        raise ValueError(f"not a bmp (leading bytes {raw[:2]!r})")
+    if len(raw) < 54:
+        raise ValueError("bmp header truncated")
+    offset = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"bmp bpp={bpp} compression={compression}: only 24-bit "
+            "BI_RGB is decodable without external codecs"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError(f"bmp dimensions {w}x{h} unsupported")
+    flip = h > 0  # positive height = bottom-up rows, the common case
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    need = stride * h
+    body = raw[offset : offset + need]
+    if len(body) != need:
+        raise ValueError(
+            f"bmp pixel array {len(body)} bytes, header promises {need}"
+        )
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def _decode(raw: bytes):
+    kind = sniff_format(raw)
+    if kind == "ppm":
+        return decode_ppm(raw)
+    if kind == "bmp":
+        return decode_bmp(raw)
+    raise ValueError(
+        f"undecodable container (leading bytes {raw[:8]!r}): this "
+        "environment decodes uncompressed ppm/bmp only - inject a "
+        "PIL/ffmpeg decoder for compressed formats"
+    )
+
+
+def numpy_image_decoder(batch: pd.DataFrame) -> pd.DataFrame:
+    """A REAL `multimodal.BatchDecoder`: decode ppm/bmp bytes and emit
+    MEDIA_FEATURE_SCHEMA rows (per-channel mean/std, luma, aspect —
+    module docstring). Raises on the first undecodable row, naming it."""
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        try:
+            px = _decode(raw)
+        except ValueError as e:
+            raise ValueError(f"media_id={media_id}: {e}") from e
+        h, w = px.shape[:2]
+        f = px.reshape(-1, 3).astype(np.float64) / 255.0
+        means, stds = f.mean(axis=0), f.std(axis=0)
+        luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+        feature = [
+            *(float(m) for m in means),
+            *(float(s) for s in stds),
+            float(luma),
+            float(w) / float(h),
+        ]
+        out.append(
+            {
+                "media_id": media_id,
+                "n_bytes": len(raw),
+                "content_hash": hashlib.md5(raw).hexdigest(),
+                "width": int(w),
+                "height": int(h),
+                "n_frames": 1,
+                "feature": [round(x, 6) for x in feature],
+            }
+        )
+    return pd.DataFrame(
+        out, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+    )
+
+
+def numpy_resize_batch(
+    batch: pd.DataFrame, width: int, height: int
+) -> pd.DataFrame:
+    """A REAL `multimodal` resizer: nearest-neighbor resample (pure
+    index arithmetic — deterministic, no interpolation-kernel variance
+    across BLAS builds) re-encoded as PPM, so the resized payload is
+    itself decodable by this module. RESIZED_SCHEMA rows."""
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        try:
+            px = _decode(raw)
+        except ValueError as e:
+            raise ValueError(f"media_id={media_id}: {e}") from e
+        h, w = px.shape[:2]
+        # nearest-neighbor: pixel centers mapped back to source grid
+        ys = np.minimum(
+            ((np.arange(height) + 0.5) * h / height).astype(np.int64),
+            h - 1,
+        )
+        xs = np.minimum(
+            ((np.arange(width) + 0.5) * w / width).astype(np.int64),
+            w - 1,
+        )
+        resized = px[ys][:, xs]
+        out.append(
+            {
+                "media_id": media_id,
+                "width": int(width),
+                "height": int(height),
+                "resized": encode_ppm(resized),
+            }
+        )
+    return pd.DataFrame(
+        out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+    )

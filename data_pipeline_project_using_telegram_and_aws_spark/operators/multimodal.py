@@ -4,12 +4,17 @@ Model: media rides in an opaque ``binary`` column next to typed metadata
 (``media_type``, byte size, content hash) — the same two-timeline idea as
 the lake's raw zone: keep original bytes, extract features alongside.
 
-The *decode* step (PIL / torchaudio / ffmpeg) is STUBBED — those libraries
-are not in this container. ``decode_media_batch`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake decode derived from the bytes (stable across runs /
-engines), so the Spark-side plumbing — schema, Arrow batching,
-``mapInPandas`` signature, partition balance — is real and tested.
+The *decode* step for COMPRESSED containers (PIL / torchaudio / ffmpeg)
+is STUBBED — those libraries are not in this container.
+``decode_media_batch`` raises ``NotImplementedError`` unless
+``fake=True``, in which case it produces a deterministic fake decode
+derived from the bytes (stable across runs / engines), so the
+Spark-side plumbing — schema, Arrow batching, ``mapInPandas``
+signature, partition balance — is real and tested. UNCOMPRESSED
+containers decode for real: `media_codecs.py` ships pure-NumPy ppm/bmp
+decode, feature extraction, and nearest-neighbor resize that plug into
+the ``decoder=``/``resizer=`` injection points below — the environment
+gate covers only formats that genuinely need external codecs.
 
 Scale notes: media bytes dominate row size, so the decode stage
 repartitions by a hash of the id to balance batches, projects only

@@ -1,0 +1,131 @@
+"""Pure-NumPy media codecs (operators/media_codecs.py): hand-built PPM
+and BMP bytes decode to exact pixels, features match independent
+arithmetic, the Spark mapInPandas plumbing runs them end to end, and
+undecodable containers fail loudly naming the row."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+    decode_bmp,
+    decode_ppm,
+    encode_ppm,
+    numpy_image_decoder,
+    numpy_resize_batch,
+    sniff_format,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+    extract_media_features,
+    resize_media,
+)
+
+# a 2x2 image: red, green / blue, white (RGB rows top-down)
+PIXELS = np.array(
+    [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [255, 255, 255]],
+    ],
+    dtype=np.uint8,
+)
+
+
+def _ppm_bytes() -> bytes:
+    # hand-assembled, with a comment line the parser must skip
+    return (
+        b"P6\n# hand-built fixture\n2 2\n255\n" + PIXELS.tobytes()
+    )
+
+
+def _bmp_bytes() -> bytes:
+    # 24bpp BI_RGB, stride 8 (2*3 padded to 4), rows bottom-up, BGR
+    def row(px):
+        return b"".join(bytes([b, g, r]) for r, g, b in px) + b"\x00\x00"
+
+    body = row(PIXELS[1]) + row(PIXELS[0])  # bottom row first
+    header = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel array offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + (2).to_bytes(4, "little", signed=True)  # width
+        + (2).to_bytes(4, "little", signed=True)  # height (bottom-up)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
+    )
+    return header + body
+
+
+def test_ppm_and_bmp_decode_to_identical_pixels():
+    assert sniff_format(_ppm_bytes()) == "ppm"
+    assert sniff_format(_bmp_bytes()) == "bmp"
+    assert sniff_format(b"\xff\xd8\xff") is None  # jpeg magic
+    np.testing.assert_array_equal(decode_ppm(_ppm_bytes()), PIXELS)
+    np.testing.assert_array_equal(decode_bmp(_bmp_bytes()), PIXELS)
+    # encode→decode round trip is the identity
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(PIXELS)), PIXELS)
+
+
+def test_decoder_failures_are_loud():
+    with pytest.raises(ValueError, match="payload"):
+        decode_ppm(b"P6\n2 2\n255\n\x00")  # truncated body
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    bad_bpp = bytearray(_bmp_bytes())
+    bad_bpp[28] = 8
+    with pytest.raises(ValueError, match="only 24-bit"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_real_decoder_through_spark_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes())), (2, bytearray(_bmp_bytes()))],
+        "media_id long, media binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(
+            df, decoder=numpy_image_decoder
+        ).collect()
+    }
+    # identical pixels -> identical features across containers
+    f = np.array(PIXELS.reshape(-1, 3), dtype=np.float64) / 255.0
+    want_means = f.mean(axis=0)
+    want_luma = round(
+        0.299 * want_means[0] + 0.587 * want_means[1] + 0.114 * want_means[2],
+        6,
+    )
+    for mid in (1, 2):
+        r = rows[mid]
+        assert (r.width, r.height, r.n_frames) == (2, 2, 1)
+        assert r.feature[0] == pytest.approx(round(want_means[0], 6))
+        assert r.feature[6] == pytest.approx(want_luma)
+        assert r.feature[7] == pytest.approx(1.0)  # aspect
+    assert rows[1].feature == rows[2].feature
+
+
+def test_real_resize_through_spark_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes()))], "media_id long, media binary"
+    )
+    out = resize_media(
+        df, width=4, height=2, resizer=numpy_resize_batch
+    ).collect()[0]
+    assert (out.width, out.height) == (4, 2)
+    resized = decode_ppm(bytes(out.resized))
+    # nearest-neighbor doubling along x: each source column repeats
+    want = PIXELS[:, [0, 0, 1, 1]]
+    np.testing.assert_array_equal(resized, want)
+
+
+def test_undecodable_row_fails_naming_the_id(spark):
+    df = spark.createDataFrame(
+        [(7, bytearray(b"\xff\xd8\xffjpegish"))],
+        "media_id long, media binary",
+    )
+    with pytest.raises(Exception, match="media_id=7"):
+        extract_media_features(df, decoder=numpy_image_decoder).collect()
