@@ -1,7 +1,7 @@
-"""Pure-NumPy image codecs for UNCOMPRESSED containers — the real
-decoders this container CAN run: binary PPM (P6) and 24-bit
-uncompressed BMP need no PIL/ffmpeg, just header parsing and a byte
-reshape. They plug into `multimodal.py`'s injection points
+"""Pure-NumPy media codecs for UNCOMPRESSED containers — the real
+decoders this container CAN run: binary PPM (P6), 24-bit uncompressed
+BMP, and RIFF/WAVE integer PCM need no PIL/ffmpeg, just header parsing
+and a byte reshape. They plug into `multimodal.py`'s injection points
 (``extract_media_features(decoder=numpy_image_decoder)``,
 ``resize_media(resizer=numpy_resize_batch)``), upgrading that module's
 story from "deterministic fake, real plumbing" to "real decode for
@@ -216,3 +216,127 @@ def numpy_resize_batch(
     return pd.DataFrame(
         out, columns=[f.name for f in RESIZED_SCHEMA.fields]
     )
+
+
+# --------------------------------------------------------------- audio
+
+AUDIO_FEATURE_SCHEMA_DDL = (
+    "media_id long, n_bytes long, content_hash string, "
+    "sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, feature array<float>"
+)
+
+
+def decode_wav(raw: bytes):
+    """RIFF/WAVE PCM (8- or 16-bit integer, format tag 1) →
+    (sample_rate, (n_samples, n_channels) float64 array in [-1, 1]).
+    Chunk-walks the container properly (fmt /data may be preceded by
+    LIST/fact chunks); raises ValueError naming anything it cannot
+    honor — compressed format tags need ffmpeg, not this module."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"not a riff/wave (leading bytes {raw[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wave missing fmt /data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"wave format tag={tag} bits={bits}: only integer PCM "
+            "8/16-bit decodes without external codecs"
+        )
+    if channels < 1 or rate < 1:
+        raise ValueError(f"wave channels={channels} rate={rate} invalid")
+    width = bits // 8
+    n = len(data) // (width * channels)
+    data = data[: n * width * channels]
+    if bits == 16:
+        samples = (
+            np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        )
+    else:  # 8-bit wav is UNSIGNED, midpoint 128
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    return rate, samples.reshape(n, channels)
+
+
+def numpy_audio_decoder(batch: pd.DataFrame) -> pd.DataFrame:
+    """Real WAV decode → AUDIO_FEATURE_SCHEMA_DDL rows. Features
+    (8-dim, 6-dp rounded): rms, peak, mean zero-crossing rate, and DC
+    offset, each channel-averaged, then duration, channel count,
+    sample rate (kHz), and a silence fraction (|x| < 1e-3)."""
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        try:
+            rate, x = decode_wav(raw)
+        except ValueError as e:
+            raise ValueError(f"media_id={media_id}: {e}") from e
+        n = x.shape[0]
+        if n == 0:
+            raise ValueError(f"media_id={media_id}: wave has no samples")
+        rms = float(np.sqrt((x**2).mean()))
+        peak = float(np.abs(x).max())
+        zcr = float(
+            (np.sign(x[1:]) != np.sign(x[:-1])).mean()
+        ) if n > 1 else 0.0
+        dc = float(x.mean())
+        silence = float((np.abs(x) < 1e-3).mean())
+        duration = n / rate
+        feature = [
+            rms, peak, zcr, dc,
+            duration, float(x.shape[1]), rate / 1000.0, silence,
+        ]
+        out.append(
+            {
+                "media_id": media_id,
+                "n_bytes": len(raw),
+                "content_hash": hashlib.md5(raw).hexdigest(),
+                "sample_rate": int(rate),
+                "n_channels": int(x.shape[1]),
+                "n_samples": int(n),
+                "duration_s": round(duration, 6),
+                "feature": [round(v, 6) for v in feature],
+            }
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "media_id", "n_bytes", "content_hash", "sample_rate",
+            "n_channels", "n_samples", "duration_s", "feature",
+        ],
+    )
+
+
+def extract_audio_features(
+    df, id_col: str = "media_id", media_col: str = "media"
+):
+    """Distributed WAV feature extraction — the audio twin of
+    `multimodal.extract_media_features`, same slim-projection
+    ``mapInPandas`` plumbing (only (id, bytes) enters Python; bytes
+    never touch the driver), emitting AUDIO_FEATURE_SCHEMA_DDL rows."""
+    from pyspark.sql import functions as F
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    )
+
+    def run(batches):
+        for batch in batches:
+            if len(batch):
+                yield numpy_audio_decoder(batch)
+
+    return slim.mapInPandas(run, AUDIO_FEATURE_SCHEMA_DDL)

@@ -129,3 +129,97 @@ def test_undecodable_row_fails_naming_the_id(spark):
     )
     with pytest.raises(Exception, match="media_id=7"):
         extract_media_features(df, decoder=numpy_image_decoder).collect()
+
+
+# --------------------------------------------------------------- audio
+
+
+def _wav_bytes(bits=16, rate=8000, channels=1, samples=None) -> bytes:
+    import struct
+
+    if samples is None:
+        # one full period of a square wave at rate/8 Hz, 16 samples
+        samples = ([0.5] * 4 + [-0.5] * 4) * 2
+    if bits == 16:
+        body = b"".join(
+            struct.pack("<h", int(s * 32768)) for s in samples
+            for _ in range(channels)
+        )
+    else:
+        body = bytes(
+            int(s * 128) + 128 for s in samples for _ in range(channels)
+        )
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"  # skipped chunk
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decode_matches_hand_arithmetic():
+    import numpy as np
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        decode_wav,
+    )
+
+    rate, x = decode_wav(_wav_bytes())
+    assert rate == 8000 and x.shape == (16, 1)
+    np.testing.assert_allclose(
+        x[:, 0], ([0.5] * 4 + [-0.5] * 4) * 2, atol=1e-3
+    )
+    # 8-bit unsigned path
+    rate8, x8 = decode_wav(_wav_bytes(bits=8))
+    np.testing.assert_allclose(
+        x8[:, 0], ([0.5] * 4 + [-0.5] * 4) * 2, atol=1e-2
+    )
+    # stereo interleave
+    _, x2 = decode_wav(_wav_bytes(channels=2))
+    assert x2.shape == (16, 2)
+    np.testing.assert_allclose(x2[:, 0], x2[:, 1])
+
+
+def test_wav_failures_are_loud():
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        decode_wav,
+    )
+
+    with pytest.raises(ValueError, match="not a riff"):
+        decode_wav(b"OggS compressed audio")
+    # format tag 85 = mp3-in-wav: needs ffmpeg
+    raw = bytearray(_wav_bytes())
+    raw[20] = 85
+    with pytest.raises(ValueError, match="only integer PCM"):
+        decode_wav(bytes(raw))
+
+
+def test_audio_features_through_spark_plumbing(spark):
+    import math
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes()))], "media_id long, media binary"
+    )
+    r = extract_audio_features(df).collect()[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, 16)
+    assert r.duration_s == pytest.approx(16 / 8000)
+    # square wave at ±0.5: rms ≈ 0.5, peak ≈ 0.5, dc ≈ 0,
+    # 3 sign flips over 15 transitions
+    assert r.feature[0] == pytest.approx(0.5, abs=1e-3)   # rms
+    assert r.feature[1] == pytest.approx(0.5, abs=1e-3)   # peak
+    assert r.feature[2] == pytest.approx(3 / 15, abs=1e-6)  # zcr
+    assert abs(r.feature[3]) < 1e-3                        # dc
+    assert r.feature[7] == 0.0                             # silence frac
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"OggS..."))], "media_id long, media binary"
+    )
+    with pytest.raises(Exception, match="media_id=9"):
+        extract_audio_features(bad).collect()
