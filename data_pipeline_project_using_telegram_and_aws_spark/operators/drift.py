@@ -219,3 +219,87 @@ def categorical_drift_report(
             for r in movers
         ],
     }
+
+
+def ks_from_quantile_ledgers(
+    a: DataFrame,
+    b: DataFrame,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """(…by, ks, n_a, n_b, d_crit_95, drifted) — the two-sample
+    Kolmogorov-Smirnov statistic between two `quantile_sketch.
+    quantile_ledger` rows per group: ``sup_x |F_a(x) − F_b(x)|`` over
+    the ledgers' uniform samples (the bottom-k-by-hash-die sample IS a
+    simple random sample of the group's values, so the sample ECDFs
+    estimate the population ones). Where `psi_report` needs the raw
+    rows twice and a binning choice, this reads two ALREADY-MAINTAINED
+    ledgers — the day-over-day shape check at ledger price, binless and
+    scale-invariant.
+
+    ``d_crit_95`` is the asymptotic 95% two-sample critical value
+    ``1.358·√((n_a+n_b)/(n_a·n_b))`` with the SAMPLE sizes (≤ k), and
+    ``drifted = ks > d_crit_95`` — both stated as estimates: with
+    groups larger than k the test's resolution is the sample's, not
+    the population's (the operator answers "did the shape move more
+    than these two k-samples can explain by chance"). Groups present
+    in only one ledger report NULL ks (no comparison, not "no drift").
+
+    Ties are handled exactly (RANGE frame: the CDF gap is evaluated
+    with all equal values consumed on both sides). Plan: two
+    ledger-row explodes (≤ 2k rows per group), ONE group-keyed window
+    exchange that the final aggregation reuses, no Python."""
+    from pyspark.sql import Window
+
+    keys = list(by or [])
+
+    def _side(led: DataFrame, tag: str) -> DataFrame:
+        vals = F.transform(F.col("sample"), lambda s: s["v"])
+        return led.select(
+            *keys, F.explode(vals).alias("__v"), F.lit(tag).alias("__s")
+        )
+
+    u = _side(a, "a").unionByName(_side(b, "b"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*keys)
+    cum_a = F.sum(F.when(F.col("__s") == "a", 1).otherwise(0)).over(w)
+    cum_b = F.sum(F.when(F.col("__s") == "b", 1).otherwise(0)).over(w)
+    n_a = F.sum(F.when(F.col("__s") == "a", 1).otherwise(0)).over(wg)
+    n_b = F.sum(F.when(F.col("__s") == "b", 1).otherwise(0)).over(wg)
+    stepped = u.select(
+        *keys,
+        n_a.alias("__na"),
+        n_b.alias("__nb"),
+        F.when(
+            (n_a > 0) & (n_b > 0),
+            F.abs(cum_a / n_a - cum_b / n_b),
+        ).alias("__gap"),
+    )
+    agg = stepped.groupBy(*keys).agg(
+        F.round(F.max("__gap"), 6).alias("ks"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    d_crit = F.round(
+        1.358
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return agg.select(
+        *keys,
+        "ks",
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), d_crit).alias(
+            "d_crit_95"
+        ),
+        F.when(
+            F.col("ks").isNotNull(),
+            F.col("ks") > d_crit,
+        ).alias("drifted"),
+    )

@@ -154,3 +154,90 @@ def test_categorical_nulls_and_vanished(spark):
     assert rep["js_divergence"] > 0.05
     with pytest.raises(ValueError, match="empty"):
         categorical_drift_report(base, cur.limit(0), "cat")
+
+
+# ------------------------------------------- KS from quantile ledgers
+
+
+def _py_ks(xs, ys):
+    pts = sorted(set(xs) | set(ys))
+    n, m = len(xs), len(ys)
+    return max(
+        abs(
+            sum(1 for v in xs if v <= p) / n
+            - sum(1 for v in ys if v <= p) / m
+        )
+        for p in pts
+    )
+
+
+def _ledger(spark, rows, by=None):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.quantile_sketch import (
+        quantile_ledger,
+    )
+
+    cols = (by or []) + ["doc_id", "x"]
+    df = spark.createDataFrame(rows, cols)
+    return quantile_ledger(df, "x", "doc_id", by=by, k=64)
+
+
+def test_ks_exact_when_samples_cover_groups(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        ks_from_quantile_ledgers,
+    )
+
+    xs = [1.0, 2.0, 2.0, 3.0, 10.0]
+    ys = [2.0, 3.0, 4.0, 4.0]
+    a = _ledger(spark, [(i, v) for i, v in enumerate(xs)])
+    b = _ledger(spark, [(i, v) for i, v in enumerate(ys)])
+    row = ks_from_quantile_ledgers(a, b).collect()[0]
+    # k=64 >= n: ledger samples ARE the data -> KS is exact, ties incl.
+    assert row.ks == pytest.approx(round(_py_ks(xs, ys), 6))
+    assert (row.n_a, row.n_b) == (5, 4)
+    assert row.d_crit_95 == pytest.approx(
+        round(1.358 * math.sqrt(9 / 20), 6)
+    )
+
+
+def test_ks_identical_zero_and_shift_drifts(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        ks_from_quantile_ledgers,
+    )
+
+    base = [(i, float(i % 40)) for i in range(60)]
+    same = ks_from_quantile_ledgers(
+        _ledger(spark, base), _ledger(spark, base)
+    ).collect()[0]
+    assert same.ks == 0.0 and same.drifted is False
+    shifted = [(i, float(i % 40) + 100.0) for i in range(60)]
+    far = ks_from_quantile_ledgers(
+        _ledger(spark, base), _ledger(spark, shifted)
+    ).collect()[0]
+    assert far.ks == 1.0 and far.drifted is True
+
+
+def test_ks_by_group_and_one_sided_groups(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        ks_from_quantile_ledgers,
+    )
+
+    a = _ledger(
+        spark,
+        [("g1", i, float(i)) for i in range(8)]
+        + [("only_a", i, 1.0) for i in range(3)],
+        by=["grp"],
+    )
+    b = _ledger(
+        spark,
+        [("g1", i, float(i) + 0.5) for i in range(8)],
+        by=["grp"],
+    )
+    rows = {
+        r.grp: r for r in ks_from_quantile_ledgers(a, b, by=["grp"]).collect()
+    }
+    want = _py_ks(
+        [float(i) for i in range(8)], [float(i) + 0.5 for i in range(8)]
+    )
+    assert rows["g1"].ks == pytest.approx(round(want, 6))
+    assert rows["only_a"].ks is None  # no comparison, not "no drift"
+    assert rows["only_a"].drifted is None
