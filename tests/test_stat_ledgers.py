@@ -506,3 +506,59 @@ def test_ngram_profile_compaction_preserves_profile(spark, tmp_path):
         profile_in_range(spark, led, -1).collect()
     with _pytest.raises(ValueError, match="quantile | cms | ngram"):
         compact_stat_ledger(spark, led, through_batch=1, kind="bogus")
+
+
+def test_ks_baseline_vs_recent_over_streamed_ledger(spark, tmp_path):
+    """The day-over-day shape check composed from maintained pieces:
+    stream two batches into the quantile ledger (the second shifted),
+    then KS baseline-slice vs recent-slice — drift flagged without
+    ever re-reading the raw rows."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        ks_from_quantile_ledgers,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.quantile_sketch import (
+        merge_quantile_ledger,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.ledger_compaction import (
+        read_ledger,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    led = str(tmp_path / "led")
+    base = _chunk(spark, 0, 1500)
+    shifted = _chunk(spark, 5000, 1500).withColumn(
+        "x", F.col("x") + 1000.0
+    )
+    base.coalesce(1).write.parquet(str(src / "a.parquet"))
+    start_quantile_ledger_stream(
+        spark, str(src) + "/*", SCHEMA, led, "x", "doc_id", k=256,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+    shifted.coalesce(1).write.parquet(str(src / "b.parquet"))
+    start_quantile_ledger_stream(
+        spark, str(src) + "/*", SCHEMA, led, "x", "doc_id", k=256,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).awaitTermination(120)
+
+    ledger = read_ledger(spark, led)
+    slice_of = lambda pred: merge_quantile_ledger(
+        ledger.filter(pred).drop("ingest_batch"), k=256
+    )
+    batches = sorted(
+        r.ingest_batch
+        for r in ledger.select("ingest_batch").distinct().collect()
+    )
+    assert len(batches) == 2
+    first, last = batches
+    row = ks_from_quantile_ledgers(
+        slice_of(F.col("ingest_batch") == first),
+        slice_of(F.col("ingest_batch") == last),
+    ).collect()[0]
+    assert row.drifted is True and row.ks > 0.9
+    # a no-shift control: baseline vs itself
+    same = ks_from_quantile_ledgers(
+        slice_of(F.col("ingest_batch") == first),
+        slice_of(F.col("ingest_batch") == first),
+    ).collect()[0]
+    assert same.ks == 0.0 and same.drifted is False

@@ -236,7 +236,30 @@ def _hybrid_and_dsir_plans(
         "ext_distinct_ngrams": distinct_ngram_report(
             docs, ns=(1, 2), by=["lang"]
         ),
+        "ext_ks_drift": _ks_plan(F, docs),
     }
+
+
+def _ks_plan(F, docs):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        ks_from_quantile_ledgers,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.quantile_sketch import (
+        quantile_ledger,
+    )
+
+    halves = [
+        quantile_ledger(
+            docs.filter(F.col("doc_id") % 2 == i).withColumn(
+                "len", F.length("text").cast("double")
+            ),
+            "len",
+            "doc_id",
+            by=["lang"],
+        )
+        for i in (0, 1)
+    ]
+    return ks_from_quantile_ledgers(halves[0], halves[1], by=["lang"])
 
 
 def lint_plan(plan: str) -> list[str]:
