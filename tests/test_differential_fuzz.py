@@ -1127,3 +1127,78 @@ def test_null_ordering_and_limit_match_duckdb(spark, rows, d1, d2, k):
     con.close()
     assert got_rn == want_rn
     assert got_head == want_head
+
+
+# --------------------------------------------------------------- axis 13
+# Higher-order array functions: Spark transform/filter/reverse chains
+# capped by an exact-integer fold, vs DuckDB's list_* family over the
+# same generated lists (sequence(1, n) ≡ range(1, n+1)). Exact integer
+# arithmetic only, so results compare with ==; the one known semantic
+# gap — empty-list sum (Spark fold seeds 0, DuckDB list_sum yields
+# NULL) — is normalized with COALESCE on the DuckDB side, and empty
+# lists ARE generated (n=0 rows survive the filters).
+_hof_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("transform"), st.integers(1, 3), st.integers(-2, 2)
+        ),
+        st.tuples(st.just("filter"), st.integers(2, 4), st.integers(0, 3)),
+        st.tuples(st.just("reverse"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(ops=_hof_ops, terminal=st.sampled_from(["sum", "size", "first"]))
+def test_array_hof_chains_match_duckdb(spark, ops, terminal):
+    # deterministic row subset (a LIMIT would pick engine-dependent rows)
+    df = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    ).filter(F.col("l_orderkey") % 7 == 0)
+
+    arr = F.sequence(F.lit(1), F.col("l_linenumber").cast("int"))
+    parts = ["range(1, l_linenumber::int + 1)"]
+    for kind, a, b in ops:
+        if kind == "transform":
+            arr = F.transform(arr, lambda x: x * a + b)
+            parts.append(f"list_transform(%s, x -> x*{a}+{b})")
+        elif kind == "filter":
+            arr = F.filter(arr, lambda x: x % a == b)
+            parts.append(f"list_filter(%s, x -> x%%{a}={b})")
+        else:
+            arr = F.reverse(arr)
+            parts.append("list_reverse(%s)")
+    sql_arr = parts[0]
+    for p in parts[1:]:
+        sql_arr = p % sql_arr
+    if terminal == "sum":
+        out = F.aggregate(arr, F.lit(0), lambda acc, x: acc + x)
+        sql_out = f"coalesce(list_sum({sql_arr}), 0)"
+    elif terminal == "size":
+        out = F.size(arr)
+        sql_out = f"len({sql_arr})"
+    else:  # first element; NULL on empty in both engines
+        out = F.get(arr, 0)
+        sql_out = f"list_extract({sql_arr}, 1)"
+
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["x"])
+        for r in df.withColumn("x", out.cast("long")).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            f"select l_orderkey, l_linenumber, ({sql_out})::bigint as x "
+            f"from read_parquet('{SF_DIR}/lineitem.parquet') "
+            "where l_orderkey % 7 = 0"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
