@@ -340,3 +340,75 @@ def extract_audio_features(
                 yield numpy_audio_decoder(batch)
 
     return slim.mapInPandas(run, AUDIO_FEATURE_SCHEMA_DDL)
+
+
+AUDIO_FRAME_SCHEMA_DDL = (
+    "media_id long, frame_index int, n_frames int, "
+    "start_s double, rms double, peak double"
+)
+
+
+def audio_frame_energies(
+    df,
+    frame_ms: int = 25,
+    id_col: str = "media_id",
+    media_col: str = "media",
+):
+    """Per-frame energy rows over WAV binaries — the audio twin of
+    `multimodal.sample_frames`'s 1→N decode shape: each media row
+    yields one row per non-overlapping ``frame_ms`` window (final
+    partial window kept) with rms and peak over the window,
+    channel-pooled, 6-dp rounded. Silence trimming / voice-activity
+    gating is then a plain FILTER on these rows (rms below a floor),
+    composing with every downstream operator instead of hiding a
+    policy inside the decoder. Same slim-projection ``mapInPandas``
+    plumbing; raises naming the media id on undecodable bytes."""
+    from pyspark.sql import functions as F
+
+    if frame_ms <= 0:
+        raise ValueError(f"audio_frame_energies: frame_ms={frame_ms}")
+
+    def _frames(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for media_id, media in zip(batch["media_id"], batch["media"]):
+            raw = bytes(media) if media is not None else b""
+            try:
+                rate, x = decode_wav(raw)
+            except ValueError as e:
+                raise ValueError(f"media_id={media_id}: {e}") from e
+            hop = max(1, rate * frame_ms // 1000)
+            n = x.shape[0]
+            n_frames = max(1, -(-n // hop))
+            for i in range(n_frames):
+                seg = x[i * hop : (i + 1) * hop]
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "frame_index": i,
+                        "n_frames": n_frames,
+                        "start_s": round(i * hop / rate, 6),
+                        "rms": round(
+                            float(np.sqrt((seg**2).mean())), 6
+                        ),
+                        "peak": round(float(np.abs(seg).max()), 6),
+                    }
+                )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "frame_index", "n_frames",
+                "start_s", "rms", "peak",
+            ],
+        )
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    )
+
+    def run(batches):
+        for batch in batches:
+            if len(batch):
+                yield _frames(batch)
+
+    return slim.mapInPandas(run, AUDIO_FRAME_SCHEMA_DDL)

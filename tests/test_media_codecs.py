@@ -223,3 +223,30 @@ def test_audio_features_through_spark_plumbing(spark):
     )
     with pytest.raises(Exception, match="media_id=9"):
         extract_audio_features(bad).collect()
+
+
+def test_audio_frame_energies_localize_silence(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        audio_frame_energies,
+    )
+
+    # 3 frames at 8000 Hz / 25 ms = 200 samples each: loud, SILENT, loud
+    samples = [0.5] * 200 + [0.0] * 200 + [-0.5] * 200
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(samples=samples)))],
+        "media_id long, media binary",
+    )
+    rows = sorted(
+        audio_frame_energies(df, frame_ms=25).collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [r.n_frames for r in rows] == [3, 3, 3]
+    assert [r.start_s for r in rows] == [0.0, 0.025, 0.05]
+    assert rows[0].rms == pytest.approx(0.5, abs=1e-3)
+    assert rows[1].rms == pytest.approx(0.0, abs=1e-4)  # the silent frame
+    assert rows[2].peak == pytest.approx(0.5, abs=1e-3)
+    # the VAD-style composition: silence trimming is a plain filter
+    kept = audio_frame_energies(df, frame_ms=25).filter("rms > 0.01")
+    assert sorted(r.frame_index for r in kept.collect()) == [0, 2]
+    with pytest.raises(ValueError, match="frame_ms"):
+        audio_frame_energies(df, frame_ms=0)
