@@ -352,3 +352,77 @@ def mmr_rerank(
         .applyInPandas(_select, schema=out_schema)
         .orderBy(query_id_col, "rank")
     )
+
+
+def hybrid_search_from_tables(
+    spark,
+    queries: DataFrame,
+    stats: DataFrame,
+    assignments_table: str,
+    centroids: DataFrame,
+    top: int = 10,
+    nprobe: int = 2,
+    k: int = RRF_K,
+    weights: Sequence[float] | None = None,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    vec_col: str = "embedding",
+    probe_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """One-call hybrid retrieval over the two PERSISTED serving
+    layouts: BM25 against a `retrieval.corpus_term_stats` table
+    (broadcast join + bounded aggregation — zero corpus shuffles) and
+    cosine against a `similarity.build_ivf_assignments_table` bucketed
+    index (broadcast probes + bucket-pruned lists scan), fused by
+    :func:`rrf_fuse`. ``queries`` carries BOTH modalities:
+    (query_id, query_text, embedding).
+
+    This is glue by design — each head keeps its own serving story and
+    dials (``probe_ids`` forwards the bucket-pruning literals; see
+    `ivf_topk_from_table`); the composition exists so the serving path
+    has the same one-call shape as the inline test path, and is pinned
+    equal to hand-wiring the heads. Corpus-side work stays inside the
+    two heads; fusion adds one hash exchange over |queries|·2·top rows.
+
+    The ANN head keys on the index's ``vec_id`` — pass ``id_col`` as
+    the name BOTH heads' doc ids should fuse under. Note the head's
+    self-exclusion semantics ride along: a query whose id EQUALS an
+    indexed vec_id excludes that one document from its ANN list (the
+    kNN-self-join convention) — give external queries ids disjoint
+    from the corpus."""
+    from .retrieval import bm25_scores
+    from .similarity import ivf_topk_from_table
+
+    lex = bm25_scores(
+        None,
+        queries.select(query_id_col, query_text_col),
+        top=top,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        stats=stats,
+    )
+    sem = ivf_topk_from_table(
+        spark,
+        assignments_table,
+        queries.select(
+            F.col(query_id_col).alias("vec_id"), F.col(vec_col)
+        ),
+        centroids,
+        nprobe=nprobe,
+        k=top,
+        probe_ids=list(probe_ids) if probe_ids is not None else None,
+    ).select(
+        query_id_col,
+        F.col("vec_id").alias(id_col),
+        F.col("ivf_rank").alias("rank"),
+    )
+    return rrf_fuse(
+        [lex, sem],
+        k=k,
+        top=top,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        weights=weights,
+    )

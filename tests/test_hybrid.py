@@ -439,3 +439,75 @@ def test_normalized_score_fuse_python_model(spark, data):
     for qd in want:
         assert got[qd][0] == pytest.approx(want[qd][0], abs=1e-6), qd
         assert got[qd][1] == want[qd][1]
+
+
+def test_hybrid_search_from_tables_matches_hand_wiring(spark):
+    """The one-call serving composition equals hand-wiring the two
+    persisted heads into rrf_fuse."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.hybrid import (
+        hybrid_search_from_tables,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval import (
+        bm25_scores,
+        corpus_term_stats,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        ivf_topk_from_table,
+        train_centroids_lloyd,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_assignments_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle tuning guide", [0.9, 0.1]),
+            (2, "spark join strategies", [0.7, 0.3]),
+            (3, "cooking pasta at home", [0.0, 1.0]),
+            (4, "spark shuffle deep dive", [0.8, 0.2]),
+        ],
+        ["doc_id", "text", "embedding"],
+    )
+    stats = corpus_term_stats(docs)
+    emb = docs.select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents = train_centroids_lloyd(emb, k=2, iters=3)
+    table = "hybrid_serving_test_idx"
+    build_ivf_assignments_table(emb, cents, table, buckets=2)
+    try:
+        queries = spark.createDataFrame(
+            [(100, "spark shuffle", [1.0, 0.0])],
+            ["query_id", "query_text", "embedding"],
+        )
+        got = hybrid_search_from_tables(
+            spark, queries, stats, table, cents, top=3
+        ).collect()
+        lex = bm25_scores(
+            None,
+            queries.select("query_id", "query_text"),
+            top=3,
+            stats=stats,
+        )
+        sem = ivf_topk_from_table(
+            spark,
+            table,
+            queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+            cents,
+            nprobe=2,
+            k=3,
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("ivf_rank").alias("rank"),
+        )
+        want = rrf_fuse([lex, sem], top=3).collect()
+        assert [(r.doc_id, r.rrf, r.rank) for r in got] == [
+            (r.doc_id, r.rrf, r.rank) for r in want
+        ]
+        assert len(got) == 3
+        # the both-list docs (spark+shuffle lexically, near [1,0]
+        # geometrically) outrank the single-list one
+        assert got[0].n_lists == 2
+    finally:
+        spark.sql(f"drop table if exists {table}")
