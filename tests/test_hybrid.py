@@ -511,3 +511,62 @@ def test_hybrid_search_from_tables_matches_hand_wiring(spark):
         assert got[0].n_lists == 2
     finally:
         spark.sql(f"drop table if exists {table}")
+
+
+def test_full_retrieval_story_serving_to_mmr(spark):
+    """Persisted hybrid search → attach embeddings → MMR diversity
+    rerank of the fused head: the module's whole pipeline in one pinned
+    composition. Two near-identical spark-shuffle docs win the fusion;
+    MMR keeps one of them and promotes the diverse join doc."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.hybrid import (
+        hybrid_search_from_tables,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval import (
+        corpus_term_stats,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_assignments_table,
+        train_centroids_lloyd,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle tuning guide", [0.9, 0.1]),
+            (4, "spark shuffle deep dive", [0.89, 0.11]),
+            (2, "spark join strategies", [0.1, 0.9]),
+            (3, "cooking pasta at home", [0.0, 1.0]),
+        ],
+        ["doc_id", "text", "embedding"],
+    )
+    emb = docs.select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents = train_centroids_lloyd(emb, k=2, iters=3)
+    table = "hybrid_story_test_idx"
+    build_ivf_assignments_table(emb, cents, table, buckets=2)
+    try:
+        queries = spark.createDataFrame(
+            [(100, "spark shuffle", [0.8, 0.2])],
+            ["query_id", "query_text", "embedding"],
+        )
+        fused = hybrid_search_from_tables(
+            spark, queries, corpus_term_stats(docs), table, cents,
+            top=3, nprobe=2,
+        )
+        fused_order = [r.doc_id for r in fused.collect()]
+        assert set(fused_order) >= {1, 4}  # both twins reach the head
+        cands = fused.join(
+            docs.select("doc_id", "embedding"), "doc_id"
+        ).select("query_id", "doc_id", F.col("rrf").alias("score"),
+                 "embedding")
+        picked = [
+            r.doc_id
+            for r in mmr_rerank(cands, select_k=2, lambda_=0.3).collect()
+        ]
+        assert len(picked) == 2
+        # first pick = the fusion winner (pure-relevance argmax) ...
+        assert picked[0] == fused_order[0]
+        # ... and MMR never keeps BOTH near-twin shuffle docs
+        assert not {1, 4} <= set(picked)
+    finally:
+        spark.sql(f"drop table if exists {table}")
