@@ -241,3 +241,29 @@ def test_ks_by_group_and_one_sided_groups(spark):
     assert rows["g1"].ks == pytest.approx(round(want, 6))
     assert rows["only_a"].ks is None  # no comparison, not "no drift"
     assert rows["only_a"].drifted is None
+
+
+def test_ks_python_model_fuzz(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.drift import (
+        ks_from_quantile_ledgers,
+    )
+
+    vals = st.lists(
+        st.integers(0, 6).map(float), min_size=1, max_size=20
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(xs=vals, ys=vals)
+    def run(xs, ys):
+        # k=64 >= n on both sides: the ledger samples ARE the data, so
+        # the operator must equal the exact two-sample KS (ties heavy
+        # by construction — integers 0..6)
+        a = _ledger(spark, [(i, v) for i, v in enumerate(xs)])
+        b = _ledger(spark, [(i, v) for i, v in enumerate(ys)])
+        row = ks_from_quantile_ledgers(a, b).collect()[0]
+        assert row.ks == pytest.approx(round(_py_ks(xs, ys), 6))
+        assert (row.n_a, row.n_b) == (len(xs), len(ys))
+
+    run()
