@@ -191,6 +191,7 @@ def dsir_importance(
     n_buckets: int = DEFAULT_N_BUCKETS,
     salt: str = "dsir",
     out_col: str = "dsir_logw",
+    normalize: str = "none",
 ) -> DataFrame:
     """The corpus with ``out_col`` appended: each document's log
     importance weight ``Σ_grams log_ratio(bucket(gram))`` — the log of
@@ -199,10 +200,26 @@ def dsir_importance(
     0.0 (an empty product favors neither side). Rounded to 6 dp so
     downstream selections reproduce across layouts.
 
+    ``normalize``: the length-bias dial, stated because the sum form
+    has one. ``"none"`` (default) is the paper's estimator — the
+    likelihood ratio of the whole document, so a long document with a
+    mild per-gram tilt can out-weigh a short one with a strong tilt
+    (correct importance-sampling math: it IS more evidence). ``"per_
+    gram"`` divides by the gram count — the average per-gram log
+    ratio, a length-free "how target-flavored is this text" score for
+    gating/ranking uses where document length should not vote
+    (gramless documents still score 0.0). Use per_gram for threshold
+    gates, none for `dsir_select`'s sampling weights.
+
     ``salt`` and ``n_buckets`` MUST match the profile build — they
     define the feature space. Plan: explode → broadcast-join the
     ``n_buckets``-row table → id-keyed sum (partial aggregation
     upstream of the exchange) → left join back onto the input row."""
+    if normalize not in ("none", "per_gram"):
+        raise ValueError(
+            f"dsir_importance: normalize={normalize!r} must be "
+            "'none' | 'per_gram'"
+        )
     scores = (
         corpus.select(
             F.col(id_col),
@@ -214,14 +231,20 @@ def dsir_importance(
         )
         .join(F.broadcast(log_ratios), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("log_ratio").alias("__lw"))
+        .agg(
+            F.sum("log_ratio").alias("__lw"),
+            F.count(F.lit(1)).alias("__ng"),
+        )
+    )
+    raw = (
+        F.col("__lw")
+        if normalize == "none"
+        else F.col("__lw") / F.col("__ng")
     )
     return (
         corpus.join(scores, id_col, "left")
-        .withColumn(
-            out_col, F.round(F.coalesce(F.col("__lw"), F.lit(0.0)), 6)
-        )
-        .drop("__lw")
+        .withColumn(out_col, F.round(F.coalesce(raw, F.lit(0.0)), 6))
+        .drop("__lw", "__ng")
     )
 
 

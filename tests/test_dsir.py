@@ -310,3 +310,42 @@ def test_select_per_group_budgets(spark):
         ).collect()
     }
     assert again == {(r.src, r.doc_id) for r in got}
+
+
+def test_per_gram_normalization_removes_length_bias(spark):
+    # doc 20 = ONE strongly target-flavored gram repeated twice; doc 21
+    # = the same flavor but 5x longer. Sum form scores the long doc
+    # higher (more evidence); per_gram scores them equal (same flavor).
+    t = hashed_ngram_profile(
+        _docs(spark, [(0, "alpha alpha")]), n_buckets=B
+    )
+    r = hashed_ngram_profile(
+        _docs(spark, [(0, "alpha beta gamma delta")]), n_buckets=B
+    )
+    ratios = dsir_log_ratios(t, r, n_buckets=B)
+    corpus = _docs(
+        spark, [(20, "alpha alpha"), (21, "alpha " * 10), (22, "")]
+    )
+    summed = {
+        row.doc_id: row.dsir_logw
+        for row in dsir_importance(corpus, ratios, n_buckets=B).collect()
+    }
+    per_gram = {
+        row.doc_id: row.dsir_logw
+        for row in dsir_importance(
+            corpus, ratios, n_buckets=B, normalize="per_gram"
+        ).collect()
+    }
+    assert summed[21] > summed[20]  # length is evidence in sum form
+    # per-gram: each doc's mean log ratio, independently recomputed
+    want_ratios = _py_ratios(
+        _py_profile(["alpha alpha"]),
+        _py_profile(["alpha beta gamma delta"]),
+    )
+    for d, text in [(20, "alpha alpha"), (21, ("alpha " * 10).strip())]:
+        grams = _py_grams(text)
+        want = sum(want_ratios[_py_bucket(g)] for g in grams) / len(grams)
+        assert per_gram[d] == pytest.approx(want, abs=1e-5)
+    assert per_gram[22] == 0.0  # gramless still scores 0
+    with pytest.raises(ValueError, match="normalize"):
+        dsir_importance(corpus, ratios, n_buckets=B, normalize="bogus")
