@@ -171,3 +171,19 @@ def bm25_rowlocal_max_terms() -> int:
     32 sits inside the measured win region on both corpora with margin
     under the crossover; larger query sets take the explode path."""
     return 32
+
+
+def dsir_rowlocal_max_buckets(max_literal_bytes: int = 2 * 1024 * 1024) -> int:
+    """Bucket-space bound for `operators/dsir.dsir_importance`'s
+    ``method="rowlocal"`` — the zero-shuffle path that embeds the
+    ratio table as a flat array literal in the plan. The literal costs
+    8 B per bucket in every serialized plan/task closure, so the bound
+    caps it at ``max_literal_bytes`` (default 2 MiB ≈ 262k buckets —
+    26× the paper's 10k feature space, far below anything that strains
+    task serialization). The rowlocal-vs-join choice itself is a
+    measured CPU-vs-shuffle trade (join is ~3.8× faster in-core at
+    sf0.1 — interpreted HOF fold vs codegen'd explode+join — but
+    shuffles the whole corpus on id; BENCH_NOTES has the probe);
+    this bound only guards the literal's size once rowlocal is
+    chosen."""
+    return max_literal_bytes // 8

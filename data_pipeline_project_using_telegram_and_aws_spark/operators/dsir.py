@@ -192,6 +192,7 @@ def dsir_importance(
     salt: str = "dsir",
     out_col: str = "dsir_logw",
     normalize: str = "none",
+    method: str = "join",
 ) -> DataFrame:
     """The corpus with ``out_col`` appended: each document's log
     importance weight ``Σ_grams log_ratio(bucket(gram))`` — the log of
@@ -212,13 +213,79 @@ def dsir_importance(
     gates, none for `dsir_select`'s sampling weights.
 
     ``salt`` and ``n_buckets`` MUST match the profile build — they
-    define the feature space. Plan: explode → broadcast-join the
-    ``n_buckets``-row table → id-keyed sum (partial aggregation
-    upstream of the exchange) → left join back onto the input row."""
+    define the feature space.
+
+    ``method`` — a CPU-vs-shuffle trade, stated with its measurement:
+    - ``"join"`` (default): explode → broadcast-join the ratio table →
+      id-keyed sum → left join back onto the input row. Everything
+      rides whole-stage codegen; the price is that the final join-back
+      shuffles the WHOLE corpus on id. Measured 3.8× faster in-core
+      than rowlocal at sf0.1 (BENCH_NOTES) — the default because CPU
+      is the binding constraint on the test rig and most clusters.
+    - ``"rowlocal"``: collect the ratio table into ONE flat
+      ``n_buckets``-double array literal (control-plane by
+      construction — the table is n_buckets rows, the same data the
+      join path broadcasts) and fold each row's grams against it
+      (``aggregate`` + ``element_at``). ZERO shuffle, zero joins, zero
+      Python — the whole operator is a projection (plan pinned) — at
+      ~3.8× the per-gram CPU (higher-order folds evaluate interpreted,
+      the explode path's crc32+join is codegen'd). Choose it when
+      shuffle capacity, not CPU, binds: a 100 TB corpus whose id-sort
+      would dominate the job, or a corpus about to be scanned anyway
+      where the score should piggyback on the scan. Guarded by
+      `scale_rules.dsir_rowlocal_max_buckets` (2 MiB of plan literal).
+    Both paths produce identical values (pinned)."""
     if normalize not in ("none", "per_gram"):
         raise ValueError(
             f"dsir_importance: normalize={normalize!r} must be "
             "'none' | 'per_gram'"
+        )
+    if method == "auto":  # legacy alias for the default
+        method = "join"
+    if method not in ("rowlocal", "join"):
+        raise ValueError(
+            f"dsir_importance: method={method!r} must be "
+            "'join' | 'rowlocal'"
+        )
+    if method == "rowlocal":
+        from ..functions.scale_rules import dsir_rowlocal_max_buckets
+
+        if n_buckets > dsir_rowlocal_max_buckets():
+            raise ValueError(
+                f"dsir_importance: n_buckets={n_buckets} exceeds the "
+                "rowlocal literal bound "
+                f"{dsir_rowlocal_max_buckets()} - use method='join' "
+                "(scale_rules.dsir_rowlocal_max_buckets has the cost "
+                "model)"
+            )
+        ordered = (
+            log_ratios.orderBy("bucket")
+            .select("bucket", "log_ratio")
+            .collect()
+        )
+        if len(ordered) != n_buckets or any(
+            r["bucket"] != i for i, r in enumerate(ordered)
+        ):
+            raise ValueError(
+                "dsir_importance: log_ratios must be the densified "
+                f"[0, {n_buckets}) table dsir_log_ratios builds - got "
+                f"{len(ordered)} rows"
+            )
+        arr = F.lit([float(r["log_ratio"]) for r in ordered])
+        grams = _grams(text_col)
+        total = F.aggregate(
+            grams,
+            F.lit(0.0),
+            lambda acc, g: acc
+            + F.element_at(arr, (_bucket(g, n_buckets, salt) + 1).cast("int")),
+        )
+        raw = (
+            total
+            if normalize == "none"
+            else F.when(F.size(grams) > 0, total / F.size(grams))
+        )
+        return corpus.withColumn(
+            out_col, F.round(F.coalesce(raw, F.lit(0.0)), 6)
         )
     scores = (
         corpus.select(

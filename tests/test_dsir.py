@@ -349,3 +349,61 @@ def test_per_gram_normalization_removes_length_bias(spark):
     assert per_gram[22] == 0.0  # gramless still scores 0
     with pytest.raises(ValueError, match="normalize"):
         dsir_importance(corpus, ratios, n_buckets=B, normalize="bogus")
+
+
+def test_rowlocal_and_join_paths_agree_and_rowlocal_is_shuffle_free(
+    spark,
+):
+    t = hashed_ngram_profile(
+        _docs(spark, list(enumerate(TARGET))), n_buckets=B
+    )
+    r = hashed_ngram_profile(_docs(spark, RAW), n_buckets=B)
+    ratios = dsir_log_ratios(t, r, n_buckets=B)
+    corpus = _docs(spark, RAW)
+    for norm_mode in ("none", "per_gram"):
+        a = {
+            row.doc_id: row.dsir_logw
+            for row in dsir_importance(
+                corpus, ratios, n_buckets=B, normalize=norm_mode,
+                method="rowlocal",
+            ).collect()
+        }
+        b = {
+            row.doc_id: row.dsir_logw
+            for row in dsir_importance(
+                corpus, ratios, n_buckets=B, normalize=norm_mode,
+                method="join",
+            ).collect()
+        }
+        for d in a:
+            assert a[d] == pytest.approx(b[d], abs=2e-6), (d, norm_mode)
+    # the rowlocal plan is a pure projection: no shuffle, no join
+    plan = (
+        dsir_importance(corpus, ratios, n_buckets=B, method="rowlocal")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    # the literal-size guard admits paper-scale bucket counts and
+    # rejects spaces too big to embed
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
+        dsir_rowlocal_max_buckets,
+    )
+
+    assert dsir_rowlocal_max_buckets() >= 10_000
+    with pytest.raises(ValueError, match="rowlocal literal bound"):
+        dsir_importance(
+            corpus,
+            ratios,
+            n_buckets=dsir_rowlocal_max_buckets() + 1,
+            method="rowlocal",
+        )
+    with pytest.raises(ValueError, match="method"):
+        dsir_importance(corpus, ratios, n_buckets=B, method="bogus")
+    with pytest.raises(ValueError, match="densified"):
+        dsir_importance(
+            corpus, ratios.limit(B - 1), n_buckets=B, method="rowlocal"
+        )
