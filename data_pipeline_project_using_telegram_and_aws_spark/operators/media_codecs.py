@@ -1,13 +1,15 @@
-"""Pure-NumPy media codecs for UNCOMPRESSED containers — the real
-decoders this container CAN run: binary PPM (P6), 24-bit uncompressed
-BMP, and RIFF/WAVE integer PCM need no PIL/ffmpeg, just header parsing
-and a byte reshape. They plug into `multimodal.py`'s injection points
-(``extract_media_features(decoder=numpy_image_decoder)``,
+"""Pure-NumPy media codecs — the real decoders this container CAN run:
+binary PPM (P6), 24-bit uncompressed BMP, RIFF/WAVE integer PCM, and —
+because PNG's only compression is DEFLATE, which stdlib ``zlib``
+speaks — 8-bit non-interlaced PNG (grayscale / gray+alpha / RGB /
+RGBA). No PIL/ffmpeg needed: header parsing, ``zlib.decompress``, and
+NumPy per-row unfiltering. They plug into `multimodal.py`'s injection
+points (``extract_media_features(decoder=numpy_image_decoder)``,
 ``resize_media(resizer=numpy_resize_batch)``), upgrading that module's
 story from "deterministic fake, real plumbing" to "real decode for
-uncompressed formats, library-injection for compressed ones" — the
+zlib-or-simpler containers, library-injection for the rest" — the
 environment gate now covers only what genuinely needs external codecs
-(JPEG/PNG entropy coding, video).
+(JPEG/MP3 entropy coding, video).
 
 Formats, exactly as published:
 - PPM P6 (Netpbm): ASCII header ``P6 <w> <h> <maxval>`` with
@@ -17,6 +19,12 @@ Formats, exactly as published:
   byte 10) + BITMAPINFOHEADER (width/height/bpp/compression at fixed
   offsets); 24 bpp, BI_RGB (uncompressed) only; rows bottom-up, BGR,
   padded to 4-byte boundaries.
+- PNG (RFC 2083): 8-byte signature, then length/type/data/CRC32
+  chunks; IHDR geometry, IDAT chunks concatenate into ONE zlib stream
+  of ``h`` scanlines, each a filter-type byte + ``w·channels`` filtered
+  bytes (filter types 0-4: None/Sub/Up/Average/Paeth). Bit depth 8,
+  color types 0/2/4/6, interlace 0 only — Adam7, 16-bit, and palette
+  PNGs are rejected loudly, never approximated.
 
 Failure stance: decoders RAISE naming the media id and the leading
 bytes — a corrupt or unsupported container in a curation pipeline is a
@@ -33,19 +41,24 @@ runs, engines, and BLAS builds.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
 
 from .multimodal import MEDIA_FEATURE_SCHEMA, RESIZED_SCHEMA
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff_format(raw: bytes) -> str | None:
-    """'ppm' | 'bmp' | None — magic-byte dispatch, no decode."""
+    """'ppm' | 'bmp' | 'png' | None — magic-byte dispatch, no decode."""
     if raw[:2] == b"P6":
         return "ppm"
     if raw[:2] == b"BM":
         return "bmp"
+    if raw[:8] == _PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -130,28 +143,222 @@ def decode_bmp(raw: bytes) -> np.ndarray:
     return rgb[::-1] if flip else rgb
 
 
+# ---------------------------------------------------------------- png
+
+# IHDR color type → channel count (type 3 = palette, deliberately
+# absent: a palette decode without tRNS handling would silently drop
+# transparency, and with it would no longer be "8-bit samples in, 8-bit
+# samples out" — reject loudly instead).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c∈{1,2,3,4}) uint8 → PNG bytes (bit depth 8,
+    non-interlaced, every scanline filter type 0, one IDAT). The
+    inverse of :func:`decode_png` — what fixtures and round-trip tests
+    build with; real encoders may pick smarter per-row filters, which
+    :func:`decode_png` handles regardless."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"encode_png: {c} channels unsupported")
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    scanlines = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + crc.to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth_unfilter(row, prev, bpp, filt_type):
+    """Sequential unfilter for Average (3) and Paeth (4): each byte
+    depends on the byte ``bpp`` to its LEFT in the same reconstructed
+    row, so the x-axis is an inherent data dependence — pure-Python
+    ints here, NumPy would pay per-element dispatch for no
+    vectorization. Rows stay independent of everything but ``prev``."""
+    out = [0] * len(row)
+    if filt_type == 3:
+        for x in range(len(row)):
+            a = out[x - bpp] if x >= bpp else 0
+            out[x] = (row[x] + (a + prev[x]) // 2) % 256
+    else:  # 4
+        for x in range(len(row)):
+            a = out[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (row[x] + pr) % 256
+    return out
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, channels) uint8 (channels
+    1/2/3/4 for grayscale / gray+alpha / RGB / RGBA). Pure stdlib
+    ``zlib`` + NumPy: chunk walk with per-chunk CRC32 verification,
+    one ``zlib.decompress`` over the concatenated IDAT stream, then
+    per-scanline unfiltering (None/Up/Sub vectorized — Sub is a
+    mod-256 cumulative sum over ``bpp`` lanes; Average/Paeth are
+    sequential by data dependence). Raises ValueError quoting exactly
+    what it cannot honor: bad signature, truncated or CRC-corrupt
+    chunks, Adam7 interlace, 16-bit depth, palette color, bad inflate,
+    scanline-count mismatch, unknown filter types."""
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError(f"not a png (leading bytes {raw[:8]!r})")
+    pos, ihdr, idat, saw_iend = 8, None, [], False
+    while pos + 8 <= len(raw):
+        size = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        end = pos + 12 + size
+        if end > len(raw):
+            raise ValueError(
+                f"png {ctype!r} chunk truncated at offset {pos}"
+            )
+        data = raw[pos + 8 : pos + 8 + size]
+        crc = int.from_bytes(raw[pos + 8 + size : end], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                f"png {ctype!r} chunk crc mismatch at offset {pos}"
+            )
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos = end
+    if not saw_iend:  # the spec-mandated terminator: absent = truncated
+        raise ValueError("png truncated: no IEND chunk")
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("png missing or malformed IHDR chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, compression, filter_method, interlace = ihdr[8:13]
+    if interlace != 0:
+        raise ValueError(
+            "png Adam7 interlace unsupported - re-encode non-interlaced"
+        )
+    if depth != 8:
+        raise ValueError(f"png bit depth {depth} unsupported (8 only)")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(
+            f"png color type {color_type} unsupported "
+            "(grayscale/gray+alpha/rgb/rgba only; palette rejected)"
+        )
+    if compression != 0 or filter_method != 0:
+        raise ValueError(
+            f"png compression={compression} filter_method="
+            f"{filter_method}: only 0/0 exist in the spec"
+        )
+    if w < 1 or h < 1:
+        raise ValueError(f"png dimensions {w}x{h} invalid")
+    if not idat:
+        raise ValueError("png has no IDAT chunk")
+    try:
+        body = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"png idat inflate failed: {e}") from e
+    rowbytes = w * channels
+    if len(body) != h * (1 + rowbytes):
+        raise ValueError(
+            f"png scanlines {len(body)} bytes, header promises "
+            f"{h * (1 + rowbytes)}"
+        )
+    scan = np.frombuffer(body, dtype=np.uint8).reshape(h, 1 + rowbytes)
+    filt_types = scan[:, 0]
+    rows = scan[:, 1:].astype(np.int64)
+    bpp = channels  # bytes per pixel at depth 8
+    recon = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(h):
+        t = int(filt_types[y])
+        row = rows[y]
+        if t == 0:
+            cur = row
+        elif t == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif t == 2:  # Up: recon[x] = filt[x] + prev[x]
+            cur = (row + prev) % 256
+        elif t in (3, 4):
+            cur = np.array(
+                _paeth_unfilter(row.tolist(), prev.tolist(), bpp, t),
+                dtype=np.int64,
+            )
+        else:
+            raise ValueError(f"png filter type {t} at scanline {y}")
+        recon[y] = cur
+        prev = cur
+    return recon.reshape(h, w, channels)
+
+
+def to_rgb(px: np.ndarray) -> np.ndarray:
+    """Normalize any decoded pixel array to (h, w, 3) RGB: grayscale
+    replicates, alpha is DROPPED (a channel-projection policy, stated
+    here once — compositing against a background is an upstream
+    transform, not a decode concern)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    c = px.shape[2]
+    if c == 3:
+        return px
+    if c == 4:
+        return px[:, :, :3]
+    if c == 1:
+        return np.repeat(px, 3, axis=2)
+    if c == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    raise ValueError(f"pixel array with {c} channels unsupported")
+
+
 def _decode(raw: bytes):
     kind = sniff_format(raw)
     if kind == "ppm":
         return decode_ppm(raw)
     if kind == "bmp":
         return decode_bmp(raw)
+    if kind == "png":
+        return decode_png(raw)
     raise ValueError(
         f"undecodable container (leading bytes {raw[:8]!r}): this "
-        "environment decodes uncompressed ppm/bmp only - inject a "
-        "PIL/ffmpeg decoder for compressed formats"
+        "environment decodes ppm/bmp/png only - inject a "
+        "PIL/ffmpeg decoder for other compressed formats"
     )
 
 
 def numpy_image_decoder(batch: pd.DataFrame) -> pd.DataFrame:
-    """A REAL `multimodal.BatchDecoder`: decode ppm/bmp bytes and emit
-    MEDIA_FEATURE_SCHEMA rows (per-channel mean/std, luma, aspect —
-    module docstring). Raises on the first undecodable row, naming it."""
+    """A REAL `multimodal.BatchDecoder`: decode ppm/bmp/png bytes and
+    emit MEDIA_FEATURE_SCHEMA rows (per-channel mean/std, luma, aspect
+    — module docstring). Features are computed in RGB via
+    :func:`to_rgb` (grayscale replicates, alpha dropped) so the same
+    image reads identically across containers. Raises on the first
+    undecodable row, naming it."""
     out = []
     for media_id, media in zip(batch["media_id"], batch["media"]):
         raw = bytes(media) if media is not None else b""
         try:
-            px = _decode(raw)
+            px = to_rgb(_decode(raw))
         except ValueError as e:
             raise ValueError(f"media_id={media_id}: {e}") from e
         h, w = px.shape[:2]
@@ -186,12 +393,13 @@ def numpy_resize_batch(
     """A REAL `multimodal` resizer: nearest-neighbor resample (pure
     index arithmetic — deterministic, no interpolation-kernel variance
     across BLAS builds) re-encoded as PPM, so the resized payload is
-    itself decodable by this module. RESIZED_SCHEMA rows."""
+    itself decodable by this module. Inputs are normalized to RGB via
+    :func:`to_rgb` first (PPM is RGB-only). RESIZED_SCHEMA rows."""
     out = []
     for media_id, media in zip(batch["media_id"], batch["media"]):
         raw = bytes(media) if media is not None else b""
         try:
-            px = _decode(raw)
+            px = to_rgb(_decode(raw))
         except ValueError as e:
             raise ValueError(f"media_id={media_id}: {e}") from e
         h, w = px.shape[:2]

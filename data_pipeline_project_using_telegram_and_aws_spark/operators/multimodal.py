@@ -10,11 +10,13 @@ is STUBBED — those libraries are not in this container.
 ``fake=True``, in which case it produces a deterministic fake decode
 derived from the bytes (stable across runs / engines), so the
 Spark-side plumbing — schema, Arrow batching, ``mapInPandas``
-signature, partition balance — is real and tested. UNCOMPRESSED
-containers decode for real: `media_codecs.py` ships pure-NumPy ppm/bmp
-decode, feature extraction, and nearest-neighbor resize that plug into
-the ``decoder=``/``resizer=`` injection points below — the environment
-gate covers only formats that genuinely need external codecs.
+signature, partition balance — is real and tested. Zlib-or-simpler
+containers decode for real: `media_codecs.py` ships pure-NumPy
+ppm/bmp/png decode (PNG via stdlib zlib inflate + per-row
+unfiltering), feature extraction, and nearest-neighbor resize that
+plug into the ``decoder=``/``resizer=`` injection points below — the
+environment gate covers only formats that genuinely need external
+entropy codecs (JPEG/MP3/video).
 
 Scale notes: media bytes dominate row size, so the decode stage
 repartitions by a hash of the id to balance batches, projects only

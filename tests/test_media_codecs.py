@@ -250,3 +250,206 @@ def test_audio_frame_energies_localize_silence(spark):
     assert sorted(r.frame_index for r in kept.collect()) == [0, 2]
     with pytest.raises(ValueError, match="frame_ms"):
         audio_frame_energies(df, frame_ms=0)
+
+
+# ----------------------------------------------------------------- png
+# Oracle strategy: the tests implement the FORWARD filter pass (RFC
+# 2083 §6) in independent pure Python and hand-assemble the chunk
+# framing, so decode_png is checked against the spec, not against
+# encode_png (which is itself pinned by a separate round trip).
+
+import zlib as _zlib
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+    decode_png,
+    encode_png,
+    to_rgb,
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = _zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return (
+        len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+    )
+
+
+def _png_assemble(
+    w, h, color_type, scanlines, *, depth=8, interlace=0, split_idat=False
+) -> bytes:
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([depth, color_type, 0, 0, interlace])
+    )
+    z = _zlib.compress(scanlines)
+    if split_idat:  # IDAT chunks must concatenate into ONE zlib stream
+        mid = len(z) // 2
+        idat = _png_chunk(b"IDAT", z[:mid]) + _png_chunk(b"IDAT", z[mid:])
+    else:
+        idat = _png_chunk(b"IDAT", z)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + idat
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_forward_filter(px: np.ndarray, ftypes) -> bytes:
+    """Independent forward filter: pixels + per-row filter types →
+    scanline bytes (filter byte + filtered row), pure-Python ints."""
+    h, w, c = px.shape
+    bpp = c
+    out = bytearray()
+    prev = [0] * (w * c)
+    for y, t in zip(range(h), ftypes):
+        raw = [int(v) for v in px[y].reshape(-1)]
+        n = len(raw)
+        if t == 0:
+            filt = raw
+        elif t == 1:
+            filt = [
+                (raw[x] - (raw[x - bpp] if x >= bpp else 0)) % 256
+                for x in range(n)
+            ]
+        elif t == 2:
+            filt = [(raw[x] - prev[x]) % 256 for x in range(n)]
+        elif t == 3:
+            filt = [
+                (
+                    raw[x]
+                    - ((raw[x - bpp] if x >= bpp else 0) + prev[x]) // 2
+                )
+                % 256
+                for x in range(n)
+            ]
+        else:  # 4, Paeth
+            filt = []
+            for x in range(n):
+                a = raw[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                filt.append((raw[x] - pr) % 256)
+        out += bytes([t]) + bytes(filt)
+        prev = raw
+    return bytes(out)
+
+
+def test_png_hand_assembled_matches_ppm_twin():
+    scan = _png_forward_filter(PIXELS, [0, 0])
+    png = _png_assemble(2, 2, 2, scan)
+    assert sniff_format(png) == "png"
+    np.testing.assert_array_equal(decode_png(png), PIXELS)
+    # the PPM twin of the same pixels decodes byte-identically
+    np.testing.assert_array_equal(
+        to_rgb(decode_png(png)), decode_ppm(_ppm_bytes())
+    )
+    # IDAT split across two chunks is still one zlib stream
+    np.testing.assert_array_equal(
+        decode_png(_png_assemble(2, 2, 2, scan, split_idat=True)), PIXELS
+    )
+
+
+def test_png_every_filter_type_against_forward_oracle():
+    rng = np.random.default_rng(7)
+    for channels, color_type in ((1, 0), (2, 4), (3, 2), (4, 6)):
+        px = rng.integers(
+            0, 256, size=(5, 4, channels), dtype=np.uint8
+        )
+        # one row per filter type, incl. Paeth after a real prev row
+        scan = _png_forward_filter(px, [0, 1, 2, 3, 4])
+        got = decode_png(_png_assemble(4, 5, color_type, scan))
+        np.testing.assert_array_equal(got, px)
+
+
+def test_png_encode_decode_roundtrip():
+    rng = np.random.default_rng(11)
+    for channels in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(3, 6, channels), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(px)), px)
+    # 2-D grayscale input normalizes to (h, w, 1)
+    flat = rng.integers(0, 256, size=(3, 6), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(flat)), flat[:, :, None]
+    )
+
+
+def test_png_failures_are_loud():
+    scan = _png_forward_filter(PIXELS, [0, 0])
+    good = _png_assemble(2, 2, 2, scan)
+    # flip one byte inside IDAT payload -> crc mismatch naming the chunk
+    idat_at = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="crc mismatch"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(_png_assemble(2, 2, 2, scan, interlace=1))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_png_assemble(2, 2, 2, scan, depth=16))
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(_png_assemble(2, 2, 3, scan))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])  # cut mid-IEND -> no terminator
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[: idat_at + 10])  # cut mid-IDAT payload
+    # valid framing, garbage zlib stream
+    bad_idat = (
+        good[: idat_at - 4]
+        + _png_chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate"):
+        decode_png(bad_idat)
+    # scanline count disagrees with IHDR geometry
+    with pytest.raises(ValueError, match="promises"):
+        decode_png(_png_assemble(2, 3, 2, scan))
+    # unknown filter type on a scanline
+    bad_filter = bytes([9]) + scan[1 : 1 + 6] + scan[7:]
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png(_png_assemble(2, 2, 2, bad_filter))
+
+
+def test_png_through_spark_plumbing(spark):
+    rgb = _png_assemble(2, 2, 2, _png_forward_filter(PIXELS, [0, 1]))
+    # RGBA twin: same colors, varying alpha -> identical features
+    # (alpha is a documented channel projection, not a blend)
+    rgba_px = np.dstack(
+        [PIXELS, np.array([[0, 64], [128, 255]], dtype=np.uint8)]
+    )
+    rgba = encode_png(rgba_px)
+    gray_px = np.full((2, 2, 1), 77, dtype=np.uint8)
+    gray = encode_png(gray_px)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_ppm_bytes())),
+            (2, bytearray(rgb)),
+            (3, bytearray(rgba)),
+            (4, bytearray(gray)),
+        ],
+        "media_id long, media binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(
+            df, decoder=numpy_image_decoder
+        ).collect()
+    }
+    # containers with the same RGB pixels read the same features
+    assert rows[1].feature == rows[2].feature == rows[3].feature
+    # grayscale replicates: all three channel means equal 77/255
+    g = rows[4]
+    assert g.feature[0] == g.feature[1] == g.feature[2]
+    assert g.feature[0] == pytest.approx(round(77 / 255.0, 6))
+    # png rows resize through the shared resizer too (re-encoded as ppm)
+    out = resize_media(
+        df.where("media_id = 2"), width=1, height=1,
+        resizer=numpy_resize_batch,
+    ).collect()[0]
+    np.testing.assert_array_equal(
+        decode_ppm(bytes(out.resized)), PIXELS[1:2, 1:2]
+    )
