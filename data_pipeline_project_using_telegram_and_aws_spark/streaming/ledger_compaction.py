@@ -39,10 +39,31 @@ reader can never kill a live compactor's staging. Compactors
 dead predecessor's leftovers on entry: staging present → the commit
 never happened, discard; trash present with a live baseline → a
 committed swap's leftover old baseline, discard. Every recovery
-restores the exact pre- or post-commit answer. The directory renames
-carry the same POSIX-atomicity assumption every swap in this repo
-states (`sources/lake.py` — on an object store, replace the rename
-pair with a manifest-pointer update, the Iceberg/Delta commit model).
+restores the exact pre- or post-commit answer.
+
+TWO commit modes behind the same API (``commit_baseline(mode=)``):
+
+- ``mode="rename"`` (default): the directory-swap protocol above. Its
+  atomicity rests on directory rename — true on POSIX and HDFS, FALSE
+  on object stores (`sources/lake.py`'s note), where "rename" is a
+  non-atomic per-object copy-then-delete.
+- ``mode="manifest"``: the object-store-safe path, the Iceberg/Delta
+  commit model implemented here for real. The baseline is written to a
+  fresh uniquely-versioned directory (``.baseline_v{n}`` —
+  dot-prefixed, invisible to Spark's listing of the ledger root) that
+  no live name ever points at mid-write; the COMMIT POINT is one
+  atomic replace of a small ``_baseline_manifest`` file naming the
+  current directory and the folded-through horizon. On a real object
+  store that replace is a single-key PUT (atomic per object on S3/GCS)
+  or a catalog swap; locally ``os.replace`` models it exactly.
+  Readers resolve the pointer and never depend on a directory rename;
+  there is NO mid-swap crash state at all — a crash leaves either the
+  old manifest (old baseline, old horizon) or the new one. Stale
+  versioned dirs and a dead run's ``.tmp`` manifest are unreferenced
+  garbage, swept by the next compactor. Migration is one-way: the
+  first manifest commit folds and then retires the rename-era
+  ``ingest_batch=-1`` directory; later ``mode="rename"`` calls on a
+  migrated ledger raise rather than split-brain the two pointers.
 
 Replay interaction unchanged: the maintenance-window contract (compact
 only with the stream stopped and the checkpoint committed past
@@ -54,6 +75,8 @@ quiesced stream.
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 from pathlib import Path
 
@@ -61,13 +84,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 BASELINE_DIR = "ingest_batch=-1"
 MARKER_FILE = "_compacted_through"  # underscore ⇒ hidden from Spark
+MANIFEST_FILE = "_baseline_manifest"  # manifest mode's single pointer
 _STAGING_DIR = ".compact_staging"  # dot ⇒ hidden from Spark
 _TRASH_DIR = ".compact_trash"
+_VERSION_PREFIX = ".baseline_v"  # manifest mode's versioned dirs
 
 # indirection points so crash-injection tests can kill the process
 # "between steps" by monkeypatching
 _rmtree = shutil.rmtree
 _rename = Path.rename
+_replace = os.replace  # the manifest commit point (single-key PUT model)
 
 
 def recover_compaction(ledger_path: str) -> None:
@@ -84,17 +110,36 @@ def recover_compaction(ledger_path: str) -> None:
     fails (destination exists) and the ledger stays at its old
     consistent state: reads are always right, a racing compaction
     fails retryably, nothing corrupts. (The documented maintenance-
-    window contract makes the race moot in normal operation.)"""
+    window contract makes the race moot in normal operation.)
+    Manifest-mode ledgers need NO reader recovery: their commit is a
+    single-file replace with no intermediate state, so this returns
+    immediately (and must not resurrect retired rename-era dirs)."""
     root = Path(ledger_path)
+    if (root / MANIFEST_FILE).exists():
+        return
     base, trash = root / BASELINE_DIR, root / _TRASH_DIR
     if not base.exists() and trash.exists():
         _rename(trash, base)
 
 
+def _manifest(ledger_path: str) -> dict | None:
+    """The committed manifest pointer, or None (rename mode / never
+    manifest-compacted): {"dir": ".baseline_v{n}", "through": int}."""
+    p = Path(ledger_path) / MANIFEST_FILE
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
 def compacted_through(ledger_path: str) -> int | None:
     """The committed compaction horizon, or None if never compacted.
     Meaning: every non-baseline partition with ``ingest_batch <= this``
-    is already folded into the baseline and must not be summed."""
+    is already folded into the baseline and must not be summed. The
+    manifest pointer wins over a rename-era marker (migration leaves
+    the legacy dir around only until the post-commit sweep)."""
+    m = _manifest(ledger_path)
+    if m is not None:
+        return int(m["through"])
     marker = Path(ledger_path) / BASELINE_DIR / MARKER_FILE
     if not marker.exists():
         return None
@@ -105,8 +150,30 @@ def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
     """THE read path for a compactable ledger: recover, then return
     the ledger with already-folded partitions excluded. The filter is
     on the partition column, so it prunes at the scan — stale folded
-    partitions (a crash mid-delete) cost nothing and count nothing."""
+    partitions (a crash mid-delete) cost nothing and count nothing.
+
+    Manifest mode: the baseline lives in the pointer's versioned dir
+    (dot-prefixed — Spark's listing of the root never sees it), read
+    separately and unioned as ``ingest_batch = -1`` with the unfolded
+    batch partitions. A rename-era ``ingest_batch=-1`` dir surviving a
+    crash mid-migration is excluded by the same horizon filter."""
     recover_compaction(ledger_path)
+    m = _manifest(ledger_path)
+    if m is not None:
+        root = Path(ledger_path)
+        base = (
+            spark.read.parquet(str(root / m["dir"]))
+            .withColumn("ingest_batch", F.lit(-1).cast("int"))
+        )
+        t = int(m["through"])
+        if not any(root.glob("ingest_batch=*")):
+            return base  # everything folded; root has no visible files
+        rest = spark.read.parquet(ledger_path).filter(
+            F.col("ingest_batch") > t
+        )
+        return rest.unionByName(
+            base.select(*rest.columns)
+        )
     df = spark.read.parquet(ledger_path)
     t = compacted_through(ledger_path)
     if t is not None:
@@ -117,14 +184,33 @@ def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
 
 
 def commit_baseline(
-    baseline: DataFrame, ledger_path: str, through_batch: int
+    baseline: DataFrame,
+    ledger_path: str,
+    through_batch: int,
+    mode: str = "rename",
 ) -> None:
-    """Steps 1–2 of the protocol: stage ``baseline`` (WITHOUT an
-    ``ingest_batch`` column — the directory name supplies it) plus the
-    marker, then swap onto ``ingest_batch=-1`` atomically. Fully
-    materializes the staging copy before touching any live directory,
-    so the baseline may derive from the very partitions it replaces."""
+    """Commit ``baseline`` (WITHOUT an ``ingest_batch`` column) as the
+    new folded state through ``through_batch``, in one of the two
+    commit models the module docstring lays out. ``mode="rename"``:
+    stage + marker, then the two-rename directory swap (POSIX/HDFS).
+    ``mode="manifest"``: fresh versioned dir + atomic single-file
+    pointer replace (object-store-safe). Both fully materialize the
+    new baseline before touching anything live, so it may derive from
+    the very partitions it replaces."""
+    if mode == "manifest":
+        _commit_baseline_manifest(baseline, ledger_path, through_batch)
+        return
+    if mode != "rename":
+        raise ValueError(
+            f"commit_baseline: mode must be rename | manifest, got {mode!r}"
+        )
     root = Path(ledger_path)
+    if (root / MANIFEST_FILE).exists():
+        raise ValueError(
+            "commit_baseline: this ledger is migrated to manifest "
+            "commits - a rename-mode commit would leave two competing "
+            "pointers. Pass mode='manifest'."
+        )
     staging, base, trash = (
         root / _STAGING_DIR,
         root / BASELINE_DIR,
@@ -148,6 +234,60 @@ def commit_baseline(
     _rename(staging, base)  # COMMIT POINT: rows + marker together
     if trash.exists():
         _rmtree(trash)
+
+
+def _commit_baseline_manifest(
+    baseline: DataFrame, ledger_path: str, through_batch: int
+) -> None:
+    """The object-store-safe commit: write the baseline under a name
+    nothing points at, then move the pointer in ONE atomic single-file
+    replace. Crash states and their recovery, exhaustively:
+
+    - mid baseline write → a partial unreferenced ``.baseline_v{n}``;
+      readers never resolve it, the next compactor sweeps it here.
+    - mid manifest tmp write → an unreferenced ``.tmp`` file; same.
+    - at the replace → atomic: the old or the new manifest, never a
+      torn one (single-key PUT semantics on S3/GCS, ``os.replace``
+      locally).
+    - after the replace, before the old-version / legacy-dir sweep →
+      readers already follow the new pointer; sweep re-runs next time.
+
+    No step needs reader-side recovery and no rename of a DIRECTORY is
+    ever load-bearing — the only atomic primitive consumed is the
+    one-object replace, which object stores actually provide."""
+    root = Path(ledger_path)
+    current = _manifest(ledger_path)
+    live = current["dir"] if current is not None else None
+    # compactor-owned sweep of dead predecessors: unreferenced
+    # versioned dirs, a dead run's tmp manifest, and — once migrated —
+    # rename-era leftovers (legacy baseline already folded + retired,
+    # staging/trash from pre-migration crashes)
+    for d in root.glob(_VERSION_PREFIX + "*"):
+        if d.name != live:
+            _rmtree(d)
+    tmp = root / (MANIFEST_FILE + ".tmp")
+    if tmp.exists():
+        tmp.unlink()
+    if current is not None:
+        for legacy in (BASELINE_DIR, _STAGING_DIR, _TRASH_DIR):
+            if (root / legacy).exists():
+                _rmtree(root / legacy)
+    next_v = (
+        int(live[len(_VERSION_PREFIX):]) + 1 if live is not None else 0
+    )
+    new_dir = root / f"{_VERSION_PREFIX}{next_v}"
+    baseline.write.mode("overwrite").parquet(str(new_dir))
+    tmp.write_text(
+        json.dumps({"dir": new_dir.name, "through": int(through_batch)})
+    )
+    _replace(tmp, root / MANIFEST_FILE)  # COMMIT POINT
+    # post-commit cleanup, crash-safe (re-swept on the next commit):
+    # the superseded version, and on first migration the rename-era
+    # baseline whose mass the new pointer's baseline now carries
+    if live is not None and (root / live).exists():
+        _rmtree(root / live)
+    if (root / BASELINE_DIR).exists():
+        _rmtree(root / BASELINE_DIR)
 
 
 def require_unfolded_range(

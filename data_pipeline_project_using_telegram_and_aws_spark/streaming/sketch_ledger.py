@@ -132,6 +132,7 @@ def compact_ledger(
     ledger_path: str,
     through_batch: int,
     by: list[str] | None = None,
+    commit_mode: str = "rename",
 ) -> None:
     """Fold every ledger row with ``ingest_batch <= through_batch``
     into ONE baseline row per group (stored as ``ingest_batch = -1``),
@@ -162,5 +163,5 @@ def compact_ledger(
         return
     old = ledger.filter(F.col("ingest_batch") <= through_batch)
     baseline = merge_hll_ledger(old.drop("ingest_batch"), by=by)
-    commit_baseline(baseline, ledger_path, through_batch)
+    commit_baseline(baseline, ledger_path, through_batch, mode=commit_mode)
     delete_folded(ledger_path, through_batch)

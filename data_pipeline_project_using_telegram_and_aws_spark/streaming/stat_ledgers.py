@@ -302,6 +302,7 @@ def compact_stat_ledger(
     kind: str,
     by: list[str] | None = None,
     k: int = 1024,
+    commit_mode: str = "rename",
 ) -> None:
     """Fold every ledger partition with ``ingest_batch <=
     through_batch`` into ONE baseline row set under ``ingest_batch =
@@ -347,7 +348,7 @@ def compact_stat_ledger(
         baseline = merge_ngram_profiles(old)
     else:
         baseline = merge_cms_ledger(old, by=by)
-    commit_baseline(baseline, ledger_path, through_batch)
+    commit_baseline(baseline, ledger_path, through_batch, mode=commit_mode)
     delete_folded(ledger_path, through_batch)
 
 
@@ -565,6 +566,7 @@ def compact_candidates(
     spark: SparkSession,
     candidates_path: str,
     through_batch: int,
+    commit_mode: str = "rename",
 ) -> None:
     """Fold old candidate partitions into one deduplicated baseline
     (``ingest_batch = -1``). The candidate union only matters as a
@@ -592,5 +594,7 @@ def compact_candidates(
         .groupBy("item")
         .agg(F.max("batch_count").alias("batch_count"))
     )
-    commit_baseline(baseline, candidates_path, through_batch)
+    commit_baseline(
+        baseline, candidates_path, through_batch, mode=commit_mode
+    )
     delete_folded(candidates_path, through_batch)

@@ -336,3 +336,221 @@ def test_compaction_model_check(spark, tmp_path_factory, ops):
             p.name for p in Path(main).glob("ingest_batch=*")
         }
         assert parts == {"ingest_batch=-1"}, (parts, ops)
+
+
+# -------------------------------------------------- manifest-mode commit
+# The object-store-safe path: same kill-between-steps suite, where the
+# commit point is the atomic single-file manifest replace instead of a
+# directory rename (sources/lake.py's note, implemented for real).
+
+
+def test_manifest_crash_between_commit_and_delete_never_double_counts(
+    spark, tmp_path, monkeypatch
+):
+    """Post-commit crash: pointer moved, folded partitions still on
+    disk. The manifest horizon must keep every reader from summing the
+    folded mass twice — the same regression as rename mode, under the
+    commit model an object store can actually honor."""
+    led, hot_est = _cms_fixture(spark, tmp_path)
+    before = hot_est()
+
+    import data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers as sl
+
+    def boom(path, through):
+        raise RuntimeError("injected crash before partition deletion")
+
+    monkeypatch.setattr(sl, "delete_folded", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_stat_ledger(spark, led, 1, "cms", commit_mode="manifest")
+    monkeypatch.undo()
+
+    assert (Path(led) / ".baseline_v0").exists()
+    assert ledger_compaction.compacted_through(led) == 1
+    assert hot_est() == before
+
+    # convergence: a later manifest compaction sweeps everything
+    compact_stat_ledger(spark, led, 2, "cms", commit_mode="manifest")
+    assert hot_est() == before
+    assert not any(Path(led).glob("ingest_batch=*"))
+    versions = [d.name for d in Path(led).glob(".baseline_v*")]
+    assert versions == [".baseline_v1"]
+
+
+def test_manifest_crash_before_commit_is_a_clean_rollback(
+    spark, tmp_path, monkeypatch
+):
+    """Kill at the pointer replace: the versioned dir and tmp manifest
+    are unreferenced garbage; reads are the exact pre-compaction
+    answer and the retry sweeps + converges."""
+    led, hot_est = _cms_fixture(spark, tmp_path)
+    before = hot_est()
+
+    def boom(src, dst):
+        raise RuntimeError("injected crash at manifest replace")
+
+    monkeypatch.setattr(ledger_compaction, "_replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_stat_ledger(spark, led, 1, "cms", commit_mode="manifest")
+    monkeypatch.undo()
+
+    assert (Path(led) / ".baseline_v0").exists()  # orphaned, unreferenced
+    assert (Path(led) / "_baseline_manifest.tmp").exists()
+    assert ledger_compaction.compacted_through(led) is None
+    assert hot_est() == before
+
+    compact_stat_ledger(spark, led, 1, "cms", commit_mode="manifest")
+    assert hot_est() == before
+    assert not (Path(led) / "_baseline_manifest.tmp").exists()
+    assert ledger_compaction.compacted_through(led) == 1
+
+
+def test_manifest_migration_from_rename_is_one_way(
+    spark, tmp_path
+):
+    """A rename-era ledger migrates on its first manifest commit: the
+    legacy ingest_batch=-1 mass is folded into the pointer's baseline
+    and the legacy dir retired; a later rename-mode commit must raise
+    rather than leave two competing pointers."""
+    led, hot_est = _cms_fixture(spark, tmp_path)
+    compact_stat_ledger(spark, led, 0, "cms")  # rename-era baseline
+    before = hot_est()
+    assert (Path(led) / "ingest_batch=-1").exists()
+
+    compact_stat_ledger(spark, led, 1, "cms", commit_mode="manifest")
+    assert hot_est() == before
+    assert not (Path(led) / "ingest_batch=-1").exists()
+    assert ledger_compaction.compacted_through(led) == 1
+
+    with pytest.raises(ValueError, match="manifest"):
+        compact_stat_ledger(spark, led, 2, "cms")
+    assert hot_est() == before  # failed commit changed nothing
+
+    # fold the rest; reads ride the pointer alone (no visible parts)
+    compact_stat_ledger(spark, led, 2, "cms", commit_mode="manifest")
+    assert hot_est() == before
+    assert not any(Path(led).glob("ingest_batch=*"))
+
+
+_mops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 5)),
+        st.tuples(
+            st.just("compact"),
+            st.sampled_from(
+                ["none", "pre_commit", "post_replace", "post_commit"]
+            ),
+            st.sampled_from(["rename", "manifest"]),
+        ),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_mops)
+def test_manifest_compaction_model_check(spark, tmp_path_factory, ops):
+    """Model check across BOTH commit modes interleaved: appends and
+    compactions (each crashing at the pre-commit replace, right after
+    the committed replace with zero cleanup, after commit before
+    deletion, or not at all; rename-mode attempts on a migrated ledger
+    raise and must change nothing) vs the never-compacted shadow twin.
+    Estimates must stay bit-identical at every step."""
+    import data_pipeline_project_using_telegram_and_aws_spark.streaming.stat_ledgers as sl
+
+    tmp_path = tmp_path_factory.mktemp("mmodel")
+    main, shadow = str(tmp_path / "main"), str(tmp_path / "shadow")
+    items = spark.createDataFrame([("hot",), ("cold_3",)], "item string")
+
+    def est(path):
+        return sorted(
+            (r["item"], r["est"])
+            for r in counts_so_far(
+                spark, path, items, depth=2, width=64
+            ).collect()
+        )
+
+    real_rename = ledger_compaction._rename
+    real_replace = ledger_compaction._replace
+    real_delete = sl.delete_folded
+    next_batch = 0
+    appended = False
+    for op in ops:
+        if op[0] == "append":
+            chunk = _chunk(spark, op[1] * 1000, 120)
+            rows = cms_ledger(chunk, "item", depth=2, width=64)
+            _land(rows, next_batch, main)
+            _land(rows, next_batch, shadow)
+            next_batch += 1
+            appended = True
+        else:
+            if not appended:
+                continue
+            _, crash, mode = op
+            calls = {"n": 0}
+
+            def flaky_rename(src, dst, _m=crash, _c=calls):
+                _c["n"] += 1
+                if _m == "pre_commit" and _c["n"] == 1:
+                    raise RuntimeError("injected pre_commit")
+                if _m == "post_replace" and _c["n"] == 2:
+                    raise RuntimeError("injected post_replace")
+                return real_rename(src, dst)
+
+            def flaky_replace(src, dst, _m=crash):
+                if _m == "pre_commit":
+                    raise RuntimeError("injected pre_commit")
+                real_replace(src, dst)
+                if _m == "post_replace":
+                    raise RuntimeError("injected post_replace")
+
+            def flaky_delete(path, through):
+                raise RuntimeError("injected post_commit")
+
+            if mode == "rename":
+                ledger_compaction._rename = (
+                    flaky_rename
+                    if crash in ("pre_commit", "post_replace")
+                    else real_rename
+                )
+            else:
+                ledger_compaction._replace = (
+                    flaky_replace
+                    if crash in ("pre_commit", "post_replace")
+                    else real_replace
+                )
+            sl.delete_folded = (
+                flaky_delete if crash == "post_commit" else real_delete
+            )
+            try:
+                compact_stat_ledger(
+                    spark, main, next_batch - 1, "cms", commit_mode=mode
+                )
+            except RuntimeError:
+                pass
+            except ValueError:
+                pass  # rename attempt on a migrated ledger: rejected
+            finally:
+                ledger_compaction._rename = real_rename
+                ledger_compaction._replace = real_replace
+                sl.delete_folded = real_delete
+        assert est(main) == est(shadow), (op, ops)
+
+    if appended:
+        compact_stat_ledger(
+            spark, main, next_batch - 1, "cms", commit_mode="manifest"
+        )
+        assert est(main) == est(shadow), ops
+        # converged physical state. If nothing was left to fold the
+        # call early-returns WITHOUT migrating (documented: no fold
+        # work -> no commit), so a rename-converged ledger is legal.
+        if ledger_compaction._manifest(main) is not None:
+            assert not any(Path(main).glob("ingest_batch=*")), ops
+            assert len(list(Path(main).glob(".baseline_v*"))) == 1, ops
+        else:
+            parts = {d.name for d in Path(main).glob("ingest_batch=*")}
+            assert parts == {"ingest_batch=-1"}, (parts, ops)
