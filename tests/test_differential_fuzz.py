@@ -1202,3 +1202,82 @@ def test_array_hof_chains_match_duckdb(spark, ops, terminal):
     )
     con.close()
     assert got == want
+
+
+# --------------------------------------------------------------- axis 14
+# Join-TYPE composition: 2-3-table join CHAINS with null-bearing and
+# duplicate keys. Axis 4 pins single joins; what it never touches is
+# the interaction BETWEEN steps — a full outer that manufactures NULL
+# keys the next join must not match, a semi that must collapse
+# duplicates before the next fan-out, an anti feeding an outer. Both
+# engines read the same parquet bytes; column survival follows the
+# type (semi/anti keep only the left side).
+
+_keyvals = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+_JOIN_TYPES = ["inner", "left", "full", "semi", "anti"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    t1=st.sampled_from(_JOIN_TYPES),
+    t2=st.sampled_from(_JOIN_TYPES),
+    arows=st.lists(st.tuples(_keyvals, _keyvals), min_size=0, max_size=6),
+    bkeys=st.lists(_keyvals, min_size=0, max_size=6),
+    ckeys=st.lists(_keyvals, min_size=0, max_size=6),
+)
+def test_join_chain_composition_matches_duckdb(
+    spark, tmp_path_factory, t1, t2, arows, bkeys, ckeys
+):
+    d = tmp_path_factory.mktemp("jc")
+    ap, bp, cp = (str(d / x) for x in ("a.parquet", "b.parquet", "c.parquet"))
+    spark.createDataFrame(
+        [(i, k1, k2) for i, (k1, k2) in enumerate(arows)],
+        "aid long, k1 long, k2 long",
+    ).coalesce(1).write.mode("overwrite").parquet(ap)
+    spark.createDataFrame(
+        [(100 + i, k) for i, k in enumerate(bkeys)], "bid long, k1 long"
+    ).coalesce(1).write.mode("overwrite").parquet(bp)
+    spark.createDataFrame(
+        [(200 + i, k) for i, k in enumerate(ckeys)], "cid long, k2 long"
+    ).coalesce(1).write.mode("overwrite").parquet(cp)
+
+    a = spark.read.parquet(ap)
+    b = spark.read.parquet(bp)
+    c = spark.read.parquet(cp)
+    smap = {"semi": "left_semi", "anti": "left_anti"}
+
+    j1 = a.join(b, a["k1"] == b["k1"], smap.get(t1, t1))
+    keep_bid = t1 not in ("semi", "anti")
+    mid_cols = [a["aid"], a["k2"]] + ([b["bid"]] if keep_bid else [])
+    mid = j1.select(*mid_cols)
+
+    j2 = mid.join(c, mid["k2"] == c["k2"], smap.get(t2, t2))
+    keep_cid = t2 not in ("semi", "anti")
+    out_cols = [mid["aid"]] + ([mid["bid"]] if keep_bid else []) + (
+        [c["cid"]] if keep_cid else []
+    )
+    got = sorted((tuple(r) for r in j2.select(*out_cols).collect()), key=repr)
+
+    mid_sel = "a.aid, a.k2" + (", b.bid" if keep_bid else "")
+    out_sel = "t.aid" + (", t.bid" if keep_bid else "") + (
+        ", c.cid" if keep_cid else ""
+    )
+    kw = {
+        "inner": "inner join", "left": "left join",
+        "full": "full outer join", "semi": "semi join",
+        "anti": "anti join",
+    }
+    sql = (
+        f"with t as (select {mid_sel} from read_parquet('{ap}/*.parquet') a "
+        f"{kw[t1]} read_parquet('{bp}/*.parquet') b on a.k1 = b.k1) "
+        f"select {out_sel} from t {kw[t2]} "
+        f"read_parquet('{cp}/*.parquet') c on t.k2 = c.k2"
+    )
+    con = duckdb.connect()
+    want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=repr)
+    con.close()
+    assert got == want, (t1, t2, arows, bkeys, ckeys, got, want)
