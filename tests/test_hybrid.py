@@ -570,3 +570,94 @@ def test_full_retrieval_story_serving_to_mmr(spark):
         assert not {1, 4} <= set(picked)
     finally:
         spark.sql(f"drop table if exists {table}")
+
+
+def test_serving_eval_recipe_recall_floor(spark):
+    """The full persisted-serving evaluation loop in one composition:
+    build BOTH serving layouts (BM25 term stats + bucketed IVF index)
+    over a 32-doc topical corpus, serve a 4-query set through
+    hybrid_search_from_tables, score against planted qrels with
+    retrieval_metrics, and pin a recall floor. This is the loop a
+    retrieval deployment actually runs; until now it existed only
+    piecewise."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.hybrid import (
+        hybrid_search_from_tables,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval import (
+        corpus_term_stats,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval_metrics import (
+        retrieval_metrics,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_assignments_table,
+        train_centroids_lloyd,
+    )
+
+    topics = [
+        ("spark shuffle partition tuning", [1.0, 0.0, 0.0, 0.0]),
+        ("cooking pasta sauce recipe", [0.0, 1.0, 0.0, 0.0]),
+        ("guitar chord practice lesson", [0.0, 0.0, 1.0, 0.0]),
+        ("marathon training schedule plan", [0.0, 0.0, 0.0, 1.0]),
+    ]
+    fillers = ["alpha", "bravo", "charlie", "delta",
+               "echo", "foxtrot", "golf", "hotel"]
+    doc_rows = []
+    for t, (words, axis) in enumerate(topics):
+        for i in range(8):
+            vec = [
+                v * (0.9 + 0.01 * i) + (0.02 * ((t + i) % 3))
+                for v in axis
+            ]
+            doc_rows.append(
+                (
+                    t * 100 + i,
+                    f"{words} {fillers[i]} notes",
+                    vec,
+                )
+            )
+    docs = spark.createDataFrame(
+        doc_rows, ["doc_id", "text", "embedding"]
+    )
+    stats = corpus_term_stats(docs)
+    emb = docs.select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents = train_centroids_lloyd(emb, k=4, iters=5)
+    table = "serving_eval_recipe_idx"
+    build_ivf_assignments_table(emb, cents, table, buckets=4)
+    try:
+        queries = spark.createDataFrame(
+            [
+                (1000 + t, words, axis)
+                for t, (words, axis) in enumerate(topics)
+            ],
+            ["query_id", "query_text", "embedding"],
+        )
+        results = hybrid_search_from_tables(
+            spark, queries, stats, table, cents, top=10, nprobe=2
+        )
+        qrels = spark.createDataFrame(
+            [
+                (1000 + t, t * 100 + i)
+                for t in range(len(topics))
+                for i in range(8)
+            ],
+            ["query_id", "doc_id"],
+        )
+        m = {
+            r["query_id"]: r
+            for r in retrieval_metrics(results, qrels, k=10).collect()
+        }
+        # every query is scored, none silently absent
+        assert set(m) == {1000, 1001, 1002, 1003}
+        # the pinned floor: each topic recovers >= 6 of its 8 docs in
+        # the fused top-10, and the top hit is always on-topic
+        for qid, r in m.items():
+            assert r["recall"] >= 0.75, (qid, r)
+            assert r["hit"] == 1.0, (qid, r)
+            assert r["mrr"] == 1.0, (qid, r)  # rank-1 doc is relevant
+        mean_recall = sum(r["recall"] for r in m.values()) / len(m)
+        assert mean_recall >= 0.85
+    finally:
+        spark.sql(f"drop table if exists {table}")
