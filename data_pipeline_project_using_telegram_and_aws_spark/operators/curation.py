@@ -51,6 +51,7 @@ def curate_corpus(
     keep_langs: list[str] | None = None,
     lang_col: str = "lang",
     near_dup_strategy: str = "minhash",
+    near_dup_rows_per_band: int = 2,
     winnow_k: int = 8,
     winnow_window: int = 4,
     near_dup_closure: str = "drop_all",
@@ -92,6 +93,13 @@ def curate_corpus(
     swapping strategies changes candidate *generation* only, never drop
     semantics; the same scale shape holds (inverted index equi-join,
     never all-pairs).
+
+    ``near_dup_rows_per_band`` is the minhash band geometry (salts per
+    band): 2 is the pinned oracle-checked default; for corpora with
+    nonzero background similarity grow it with
+    `functions/lsh_tuning.minhash_rows_per_band` (one extra salt per
+    background-collision doubling) so false candidates stay ~linear in
+    N — `tools/scale_probe.py --curation` measures the curve.
 
     ``max_bits_per_token`` (optional) inserts an LM-perplexity gate
     between the quality and language stages: survivors scoring above the
@@ -200,7 +208,11 @@ def curate_corpus(
     if near_dup_strategy == "minhash":
         cand = (
             D.minhash_lsh_candidates(
-                survivors, n=ngram, id_col=id_col, text_col=text_col
+                survivors,
+                n=ngram,
+                rows_per_band=near_dup_rows_per_band,
+                id_col=id_col,
+                text_col=text_col,
             )
             .filter(F.col("est_jaccard") >= jaccard_threshold)
             .select("doc_a", "doc_b", F.col("est_jaccard").alias("__score"))

@@ -213,7 +213,74 @@ def probe_packing(spark, n: int, n_shards: int, budget: int = 256) -> dict:
     }
 
 
+def probe_curation(spark, n: int, rows_per_band: int) -> dict:
+    """cu1's five-stage curation pipeline end-to-end at corpus size
+    ``n``: wall time to materialize the drop ledger with the registered
+    parameters, plus the near-dup candidate count at the given band
+    geometry. Corpus model: true-dup mass LINEAR in n (templates ∝ n,
+    ~8 docs each at 15% noise → same-template est_jaccard ~0.4, above
+    the 0.3 drop threshold; cross-template pairs share nothing) — the
+    realistic "10× data has 10× the duplicates" scale-up, so any
+    super-linear growth in candidates or time is the geometry's fault,
+    not the data's."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = (
+        synth_documents(
+            spark, n, templates=max(8, n // 8), noise_pct=15
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.expr(
+                "element_at(array('en','de','es','fr','zh'), "
+                "cast(pmod(doc_id, 5) as int) + 1)"
+            ).alias("lang"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    n_cand = minhash_lsh_candidates(
+        docs, n=3, rows_per_band=rows_per_band
+    ).count()
+    cand_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    _kept, ledger = curate_corpus(
+        docs,
+        jaccard_threshold=0.3,
+        min_tokens=15,
+        max_tokens=100_000,
+        max_punct_ratio=0.3,
+        keep_langs=["de", "en", "es", "fr"],
+        near_dup_rows_per_band=rows_per_band,
+    )
+    n_dropped = ledger.count()
+    return {
+        "n": n,
+        "rows_per_band": rows_per_band,
+        "candidates": n_cand,
+        "cand_sec": cand_sec,
+        "dropped": n_dropped,
+        "curation_sec": round(time.time() - t0, 2),
+    }
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--curation"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [5000, 15000, 50000]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            fixed = probe_curation(spark, n, rows_per_band=2)
+            grown = probe_curation(
+                spark, n, rows_per_band=minhash_rows_per_band(n)
+            )
+            print(json.dumps({"family": "curation",
+                              "fixed_2_salts": fixed,
+                              "log_scaled": grown}))
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [2000, 8000, 32000]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
