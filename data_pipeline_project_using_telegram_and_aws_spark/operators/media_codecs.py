@@ -23,8 +23,9 @@ Formats, exactly as published:
   chunks; IHDR geometry, IDAT chunks concatenate into ONE zlib stream
   of ``h`` scanlines, each a filter-type byte + ``w·channels`` filtered
   bytes (filter types 0-4: None/Sub/Up/Average/Paeth). Bit depth 8,
-  color types 0/2/4/6, interlace 0 only — Adam7, 16-bit, and palette
-  PNGs are rejected loudly, never approximated.
+  color types 0/2/3/4/6 (palette via PLTE lookup after unfiltering,
+  tRNS palette transparency widening to RGBA), interlace 0 only —
+  Adam7 and 16-bit PNGs are rejected loudly, never approximated.
 
 Failure stance: decoders RAISE naming the media id and the leading
 bytes — a corrupt or unsupported container in a curation pipeline is a
@@ -145,11 +146,11 @@ def decode_bmp(raw: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------- png
 
-# IHDR color type → channel count (type 3 = palette, deliberately
-# absent: a palette decode without tRNS handling would silently drop
-# transparency, and with it would no longer be "8-bit samples in, 8-bit
-# samples out" — reject loudly instead).
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# IHDR color type → channels per pixel IN THE SCANLINE STREAM (type 3
+# palette pixels are 1-byte indices; the PLTE lookup happens after
+# unfiltering, and a tRNS chunk widens the output to RGBA so
+# transparency is never silently dropped)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
@@ -214,18 +215,22 @@ def _paeth_unfilter(row, prev, bpp, filt_type):
 
 def decode_png(raw: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG → (h, w, channels) uint8 (channels
-    1/2/3/4 for grayscale / gray+alpha / RGB / RGBA). Pure stdlib
-    ``zlib`` + NumPy: chunk walk with per-chunk CRC32 verification,
-    one ``zlib.decompress`` over the concatenated IDAT stream, then
-    per-scanline unfiltering (None/Up/Sub vectorized — Sub is a
-    mod-256 cumulative sum over ``bpp`` lanes; Average/Paeth are
-    sequential by data dependence). Raises ValueError quoting exactly
-    what it cannot honor: bad signature, truncated or CRC-corrupt
-    chunks, Adam7 interlace, 16-bit depth, palette color, bad inflate,
-    scanline-count mismatch, unknown filter types."""
+    1/2/3/4 for grayscale / gray+alpha / RGB(+palette) / RGBA(+palette
+    with tRNS)). Pure stdlib ``zlib`` + NumPy: chunk walk with
+    per-chunk CRC32 verification, one ``zlib.decompress`` over the
+    concatenated IDAT stream, per-scanline unfiltering (None/Up/Sub
+    vectorized — Sub is a mod-256 cumulative sum over ``bpp`` lanes;
+    Average/Paeth are sequential by data dependence), then for palette
+    images one PLTE lookup (tRNS widens to RGBA so transparency is
+    never dropped). Raises ValueError quoting exactly what it cannot
+    honor: bad signature, truncated or CRC-corrupt chunks, Adam7
+    interlace, 16-bit depth, missing/short PLTE, out-of-range palette
+    indices, bad inflate, scanline-count mismatch, unknown filter
+    types."""
     if raw[:8] != _PNG_MAGIC:
         raise ValueError(f"not a png (leading bytes {raw[:8]!r})")
     pos, ihdr, idat, saw_iend = 8, None, [], False
+    plte, trns = None, None
     while pos + 8 <= len(raw):
         size = int.from_bytes(raw[pos : pos + 4], "big")
         ctype = raw[pos + 4 : pos + 8]
@@ -244,6 +249,10 @@ def decode_png(raw: bytes) -> np.ndarray:
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IEND":
             saw_iend = True
             break
@@ -263,9 +272,18 @@ def decode_png(raw: bytes) -> np.ndarray:
         raise ValueError(f"png bit depth {depth} unsupported (8 only)")
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None:
+        raise ValueError(f"png color type {color_type} does not exist")
+    if color_type == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError(
+                "png palette image without a well-formed PLTE chunk"
+            )
+    elif trns is not None:
+        # tRNS for non-palette types is 16-bit per sample (depth-16
+        # machinery) — out of the 8-bit scope here, reject loudly
         raise ValueError(
-            f"png color type {color_type} unsupported "
-            "(grayscale/gray+alpha/rgb/rgba only; palette rejected)"
+            f"png tRNS with color type {color_type} unsupported "
+            "(8-bit palette transparency only)"
         )
     if compression != 0 or filter_method != 0:
         raise ValueError(
@@ -310,7 +328,29 @@ def decode_png(raw: bytes) -> np.ndarray:
             raise ValueError(f"png filter type {t} at scanline {y}")
         recon[y] = cur
         prev = cur
-    return recon.reshape(h, w, channels)
+    out = recon.reshape(h, w, channels)
+    if color_type == 3:  # palette lookup AFTER unfiltering (the spec's
+        # filters run over index bytes, not colors)
+        n_entries = len(plte) // 3
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= n_entries:
+            raise ValueError(
+                f"png palette index {int(idx.max())} out of range "
+                f"(PLTE has {n_entries} entries)"
+            )
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(n_entries, 3)
+        rgb = lut[idx]
+        if trns is None:
+            return rgb
+        if len(trns) > n_entries:
+            raise ValueError(
+                f"png tRNS has {len(trns)} entries, PLTE only "
+                f"{n_entries}"
+            )
+        alpha = np.full(n_entries, 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.dstack([rgb, alpha[idx]])
+    return out
 
 
 def to_rgb(px: np.ndarray) -> np.ndarray:

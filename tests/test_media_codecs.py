@@ -275,7 +275,8 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def _png_assemble(
-    w, h, color_type, scanlines, *, depth=8, interlace=0, split_idat=False
+    w, h, color_type, scanlines, *, depth=8, interlace=0,
+    split_idat=False, plte=None, trns=None
 ) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
@@ -288,9 +289,15 @@ def _png_assemble(
         idat = _png_chunk(b"IDAT", z[:mid]) + _png_chunk(b"IDAT", z[mid:])
     else:
         idat = _png_chunk(b"IDAT", z)
+    aux = b""
+    if plte is not None:
+        aux += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        aux += _png_chunk(b"tRNS", trns)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + aux
         + idat
         + _png_chunk(b"IEND", b"")
     )
@@ -453,3 +460,73 @@ def test_png_through_spark_plumbing(spark):
     np.testing.assert_array_equal(
         decode_ppm(bytes(out.resized)), PIXELS[1:2, 1:2]
     )
+
+
+def test_png_palette_decodes_to_rgb_twin():
+    """A palette PNG of the fixture colors decodes pixel-identical to
+    the direct-RGB PNG twin; filters run over INDEX bytes (a Sub row
+    on indices must survive the lookup); tRNS widens to RGBA with 255
+    backfill for unlisted entries."""
+    # palette: entry order deliberately scrambled vs pixel order
+    palette = bytes(
+        [0, 0, 255,  255, 255, 255,  255, 0, 0,  0, 255, 0]
+    )  # blue, white, red, green
+    # PIXELS rows: (red, green) / (blue, white) -> indices 2,3 / 0,1
+    idx = np.array([[2, 3], [0, 1]], dtype=np.uint8)[:, :, None]
+    scan = _png_forward_filter(idx, [0, 1])  # row 1 uses Sub on indices
+    pal_png = _png_assemble(2, 2, 3, scan, plte=palette)
+    np.testing.assert_array_equal(decode_png(pal_png), PIXELS)
+    # tRNS: first two palette entries get explicit alpha, rest 255
+    pal_trns = _png_assemble(
+        2, 2, 3, scan, plte=palette, trns=bytes([10, 20])
+    )
+    got = decode_png(pal_trns)
+    assert got.shape == (2, 2, 4)
+    np.testing.assert_array_equal(got[:, :, :3], PIXELS)
+    # alpha follows the palette INDEX, not pixel position
+    np.testing.assert_array_equal(
+        got[:, :, 3], np.array([[255, 255], [10, 20]], dtype=np.uint8)
+    )
+    # and the feature path reads the palette image like its RGB twin
+    f_pal = numpy_image_decoder(
+        __import__("pandas").DataFrame(
+            {"media_id": [1], "media": [pal_png]}
+        )
+    )["feature"][0]
+    f_rgb = numpy_image_decoder(
+        __import__("pandas").DataFrame(
+            {"media_id": [2], "media": [encode_png(PIXELS)]}
+        )
+    )["feature"][0]
+    assert f_pal == f_rgb
+
+
+def test_png_palette_failures_are_loud():
+    idx = np.zeros((2, 2, 1), dtype=np.uint8)
+    scan = _png_forward_filter(idx, [0, 0])
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_png_assemble(2, 2, 3, scan))  # no palette at all
+    with pytest.raises(ValueError, match="well-formed"):
+        decode_png(_png_assemble(2, 2, 3, scan, plte=b"\x00\x01"))
+    # index beyond the palette
+    hot = np.full((2, 2, 1), 9, dtype=np.uint8)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(
+            _png_assemble(
+                2, 2, 3, _png_forward_filter(hot, [0, 0]),
+                plte=bytes(9),
+            )
+        )
+    # tRNS longer than the palette
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(
+            _png_assemble(
+                2, 2, 3, scan, plte=bytes(3), trns=bytes([1, 2])
+            )
+        )
+    # tRNS on a non-palette image (16-bit transparency machinery)
+    rgb_scan = _png_forward_filter(PIXELS, [0, 0])
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(
+            _png_assemble(2, 2, 2, rgb_scan, trns=bytes([0, 1]))
+        )
