@@ -1,13 +1,17 @@
 """Pure-NumPy media codecs — the real decoders this container CAN run:
-binary PPM (P6), 24-bit uncompressed BMP, RIFF/WAVE integer PCM, and —
-because PNG's only compression is DEFLATE, which stdlib ``zlib``
-speaks — 8-bit non-interlaced PNG (grayscale / gray+alpha / RGB /
-RGBA). No PIL/ffmpeg needed: header parsing, ``zlib.decompress``, and
-NumPy per-row unfiltering. They plug into `multimodal.py`'s injection
-points (``extract_media_features(decoder=numpy_image_decoder)``,
-``resize_media(resizer=numpy_resize_batch)``), upgrading that module's
+binary PPM (P6), 24-bit uncompressed BMP, RIFF/WAVE integer PCM,
+8-bit non-interlaced PNG (grayscale / gray+alpha / RGB / RGBA /
+palette+tRNS — PNG's only compression is DEFLATE, which stdlib
+``zlib`` speaks), and GIF87a/89a including ANIMATED multi-frame GIFs
+(GIF's only compression is LZW, implemented here; compositing applies
+frame rects, transparency, interlace, and disposal methods). No
+PIL/ffmpeg needed. They plug into `multimodal.py`'s injection points
+(``extract_media_features(decoder=numpy_image_decoder)``,
+``resize_media(resizer=numpy_resize_batch)``,
+``sample_frames(frame_sampler=numpy_gif_frame_sampler)`` — the 1→N
+multi-frame shape now has a REAL decoder), upgrading that module's
 story from "deterministic fake, real plumbing" to "real decode for
-zlib-or-simpler containers, library-injection for the rest" — the
+zlib/LZW-or-simpler containers, library-injection for the rest" — the
 environment gate now covers only what genuinely needs external codecs
 (JPEG/MP3 entropy coding, video).
 
@@ -53,13 +57,16 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(raw: bytes) -> str | None:
-    """'ppm' | 'bmp' | 'png' | None — magic-byte dispatch, no decode."""
+    """'ppm' | 'bmp' | 'png' | 'gif' | None — magic-byte dispatch,
+    no decode."""
     if raw[:2] == b"P6":
         return "ppm"
     if raw[:2] == b"BM":
         return "bmp"
     if raw[:8] == _PNG_MAGIC:
         return "png"
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -353,6 +360,275 @@ def decode_png(raw: bytes) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------- gif
+# GIF87a/89a: the other compressed container stdlib can honestly carry
+# — its only compression is LZW, a few dozen lines of table-building,
+# no entropy-coding tables to ship. This is the module's one REAL
+# multi-frame decoder, so `sample_frames`' 1→N shape gets a non-fake
+# implementation (numpy_gif_frame_sampler below).
+
+_GIF_MAX_CODE = 4096
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW → index bytes. Variable-width codes packed
+    LSB-first; width grows when the table reaches 2**width (and caps
+    at 12 bits / 4096 entries until a clear code). Raises on codes
+    beyond the table (corrupt stream) and on streams that end before
+    yielding ``n_pixels`` indices."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"gif lzw min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, total_bits = 0, len(data) * 8
+    while len(out) < n_pixels:
+        if bitpos + width > total_bits:
+            raise ValueError(
+                f"gif lzw stream ended at {len(out)}/{n_pixels} pixels"
+            )
+        i = bitpos // 8
+        code = (
+            int.from_bytes(data[i : i + 3], "little") >> (bitpos % 8)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            raise ValueError(
+                f"gif lzw end code at {len(out)}/{n_pixels} pixels"
+            )
+        if prev is None:  # first code after a clear must be a literal
+            if code >= clear:
+                raise ValueError(f"gif lzw first code {code} not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(
+                f"gif lzw code {code} beyond table size {len(table)}"
+            )
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _gif_subblocks(raw: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate size-prefixed data sub-blocks from ``pos`` through
+    the 0-size terminator; returns (data, position after terminator)."""
+    parts = []
+    while True:
+        if pos >= len(raw):
+            raise ValueError("gif sub-blocks truncated")
+        size = raw[pos]
+        pos += 1
+        if size == 0:
+            return b"".join(parts), pos
+        if pos + size > len(raw):
+            raise ValueError("gif sub-block payload truncated")
+        parts.append(raw[pos : pos + size])
+        pos += size
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(raw: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """GIF87a/89a → (frames, delays): COMPOSITED full-canvas RGBA
+    frames (what a frame sampler actually wants — per-frame rects,
+    transparency, and disposal methods 0-3 are applied, not returned
+    raw) plus each frame's delay in centiseconds. Pure stdlib + NumPy:
+    header/LSD parse, global+local color tables, graphic control
+    extensions, Adam-style 4-pass interlace row reorder, and the LZW
+    decode above. Raises ValueError naming any defect: bad signature,
+    truncated blocks, a frame rect outside the canvas, missing color
+    table, corrupt LZW, unknown block introducers, a file with no
+    image data, or a missing trailer."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a gif (leading bytes {raw[:6]!r})")
+    if len(raw) < 13:
+        raise ValueError("gif logical screen descriptor truncated")
+    w = int.from_bytes(raw[6:8], "little")
+    h = int.from_bytes(raw[8:10], "little")
+    packed = raw[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = raw[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("gif global color table truncated")
+        pos += 3 * n
+    if w < 1 or h < 1:
+        raise ValueError(f"gif dimensions {w}x{h} invalid")
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # pending graphic-control state for the NEXT image block
+    transparent, delay_cs, disposal = None, 0, 0
+    saw_trailer = False
+    while pos < len(raw):
+        introducer = raw[pos]
+        if introducer == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if introducer == 0x21:  # extension
+            if pos + 2 > len(raw):
+                raise ValueError("gif extension truncated")
+            label = raw[pos + 1]
+            body, pos = _gif_subblocks(raw, pos + 2)
+            if label == 0xF9:  # graphic control
+                if len(body) < 4:
+                    raise ValueError("gif graphic control truncated")
+                transparent = body[3] if body[0] & 0x01 else None
+                delay_cs = int.from_bytes(body[1:3], "little")
+                disposal = (body[0] >> 2) & 0x07
+            continue
+        if introducer != 0x2C:
+            raise ValueError(
+                f"gif unknown block introducer 0x{introducer:02x} "
+                f"at offset {pos}"
+            )
+        if pos + 10 > len(raw):
+            raise ValueError("gif image descriptor truncated")
+        left = int.from_bytes(raw[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(raw[pos + 3 : pos + 5], "little")
+        fw = int.from_bytes(raw[pos + 5 : pos + 7], "little")
+        fh = int.from_bytes(raw[pos + 7 : pos + 9], "little")
+        ipacked = raw[pos + 9]
+        pos += 10
+        if left + fw > w or top + fh > h or fw < 1 or fh < 1:
+            raise ValueError(
+                f"gif frame rect {fw}x{fh}@({left},{top}) outside "
+                f"{w}x{h} canvas"
+            )
+        pal = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            pal = raw[pos : pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("gif local color table truncated")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif frame has neither local nor global "
+                             "color table")
+        if pos >= len(raw):
+            raise ValueError("gif image data truncated")
+        min_code = raw[pos]
+        data, pos = _gif_subblocks(raw, pos + 1)
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code, data, fw * fh), dtype=np.uint8
+        ).reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(start, fh, step)
+                 for start, step in _GIF_INTERLACE_PASSES]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        n_pal = len(pal) // 3
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError(
+                f"gif pixel index {int(idx.max())} out of range "
+                f"(palette has {n_pal} entries)"
+            )
+        lut = np.frombuffer(pal, dtype=np.uint8).reshape(n_pal, 3)
+        rect = canvas[top : top + fh, left : left + fw]
+        saved = rect.copy() if disposal == 3 else None
+        mask = (
+            np.ones((fh, fw), dtype=bool)
+            if transparent is None
+            else idx != transparent
+        )
+        rect[mask, :3] = lut[idx][mask]
+        rect[mask, 3] = 255
+        frames.append(canvas.copy())
+        delays.append(delay_cs)
+        if disposal == 2:  # restore to background = clear the rect
+            rect[:] = 0
+        elif disposal == 3 and saved is not None:
+            rect[:] = saved
+        transparent, delay_cs, disposal = None, 0, 0
+    if not saw_trailer:
+        raise ValueError("gif truncated: no trailer byte")
+    if not frames:
+        raise ValueError("gif has no image data")
+    return frames, delays
+
+
+def encode_gif(
+    frames, delays_cs: int | list[int] = 0, transparent: int | None = None
+) -> bytes:
+    """Uint8 index frames (each (h, w), full-canvas) + one shared
+    256-entry-max RGB palette inferred from the GLOBAL max index →
+    GIF89a bytes. The LZW stream uses the valid-but-naive clear-before
+    -every-code form (no dictionary growth), so this is a fixture
+    builder and inverse for round-trip tests — real encoders compress
+    properly, which :func:`decode_gif` handles regardless (the tests
+    pin it against an independent real compressor). ``palette`` is
+    synthesized as (i, 2i, 3i) mod 256 per entry — deterministic and
+    collision-free for testing."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    if isinstance(delays_cs, int):
+        delays_cs = [delays_cs] * len(frames)
+    n_pal = 1 << max(2, int(max(int(f.max()) for f in frames)).bit_length())
+    pal = bytes(
+        b for i in range(n_pal) for b in (i % 256, (2 * i) % 256, (3 * i) % 256)
+    )
+    gct_bits = n_pal.bit_length() - 2  # 2^(bits+1) = n_pal
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | gct_bits, 0, 0]) + pal
+    min_code = max(2, n_pal.bit_length() - 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    for f, d in zip(frames, delays_cs):
+        if f.shape != (h, w):
+            raise ValueError("encode_gif: frames must share the canvas")
+        tflag = 0 if transparent is None else 1
+        out += bytes([0x21, 0xF9, 4, (tflag), d & 0xFF, d >> 8,
+                      transparent or 0, 0])
+        out += bytes([0x2C]) + b"\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0, min_code])
+        codes: list[int] = []
+        for v in f.reshape(-1).tolist():
+            codes += [clear, v]
+        codes.append(end)
+        bits = bytearray()
+        acc, nbits = 0, 0
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            bits.append(acc & 0xFF)
+        for i in range(0, len(bits), 255):
+            chunk = bits[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def to_rgb(px: np.ndarray) -> np.ndarray:
     """Normalize any decoded pixel array to (h, w, 3) RGB: grayscale
     replicates, alpha is DROPPED (a channel-projection policy, stated
@@ -380,9 +656,11 @@ def _decode(raw: bytes):
         return decode_bmp(raw)
     if kind == "png":
         return decode_png(raw)
+    if kind == "gif":  # still-image view: the first composited frame
+        return decode_gif(raw)[0][0]
     raise ValueError(
         f"undecodable container (leading bytes {raw[:8]!r}): this "
-        "environment decodes ppm/bmp/png only - inject a "
+        "environment decodes ppm/bmp/png/gif only - inject a "
         "PIL/ffmpeg decoder for other compressed formats"
     )
 
@@ -463,6 +741,44 @@ def numpy_resize_batch(
         )
     return pd.DataFrame(
         out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+    )
+
+
+def numpy_gif_frame_sampler(
+    batch: pd.DataFrame, max_frames: int
+) -> pd.DataFrame:
+    """A REAL `multimodal.sample_frames` frame sampler: decode each
+    GIF's composited frames and emit FRAME_SCHEMA rows at a uniform
+    stride so at most ``max_frames`` frames emit per media row;
+    ``frame_hash`` = md5 of the composited RGBA canvas bytes (frame
+    identity that survives re-encoding the container). Raises naming
+    the media id on undecodable bytes."""
+    import hashlib as _hl
+
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        try:
+            frames, _delays = decode_gif(raw)
+        except ValueError as e:
+            raise ValueError(f"media_id={media_id}: {e}") from e
+        n_frames = len(frames)
+        stride = max(1, -(-n_frames // max_frames))  # ceil division
+        for idx in range(0, n_frames, stride):
+            out.append(
+                {
+                    "media_id": media_id,
+                    "frame_index": idx,
+                    "n_frames": n_frames,
+                    "frame_hash": _hl.md5(
+                        frames[idx].tobytes()
+                    ).hexdigest(),
+                }
+            )
+    from .multimodal import FRAME_SCHEMA
+
+    return pd.DataFrame(
+        out, columns=[f.name for f in FRAME_SCHEMA.fields]
     )
 
 

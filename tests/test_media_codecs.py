@@ -530,3 +530,241 @@ def test_png_palette_failures_are_loud():
         decode_png(
             _png_assemble(2, 2, 2, rgb_scan, trns=bytes([0, 1]))
         )
+
+
+# ----------------------------------------------------------------- gif
+# Oracle strategy: the tests implement a REAL GIF-LZW compressor
+# (growing dictionary, the spec's width-growth timing) independently in
+# pure Python and hand-assemble the container, so decode_gif is checked
+# against the spec — including dictionary growth across several width
+# bumps — not against the module's naive fixture encoder (which is
+# pinned separately by round trip).
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+    decode_gif,
+    encode_gif,
+    numpy_gif_frame_sampler,
+)
+
+
+def _lzw_compress_real(min_code_size: int, indices) -> bytes:
+    """Spec GIF-LZW: emit code for longest known prefix, add extended
+    string, grow code width when next_code reaches 2**width + 1."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    codes = [(clear, width)]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    prev = b""
+    for v in indices:
+        cur = prev + bytes([int(v)])
+        if cur in table:
+            prev = cur
+            continue
+        codes.append((table[prev], width))
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prev = bytes([int(v)])
+    codes.append((table[prev], width))
+    codes.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for c, wd in codes:
+        acc |= c << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_frame_block(
+    left, top, fw, fh, indices, min_code, *, interlace=False, gce=None
+) -> bytes:
+    out = bytearray()
+    if gce is not None:
+        packed, delay, tidx = gce
+        out += bytes([0x21, 0xF9, 4, packed, delay & 0xFF,
+                      delay >> 8, tidx, 0])
+    out += bytes([0x2C])
+    out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0, min_code])
+    z = _lzw_compress_real(min_code, indices)
+    for i in range(0, len(z), 255):
+        chunk = z[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _gif_assemble(w, h, palette: bytes, frame_blocks, trailer=True) -> bytes:
+    n_pal = len(palette) // 3
+    bits = n_pal.bit_length() - 2  # palettes here are powers of two
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | bits, 0, 0]) + palette
+    for b in frame_blocks:
+        out += b
+    if trailer:
+        out += b"\x3b"
+    return bytes(out)
+
+
+# palette: 0 black, 1 red, 2 green, 3 blue
+_PAL4 = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+
+def test_gif_lzw_dictionary_growth_against_real_compressor():
+    """A 24x24 frame with enough structure to push the dictionary
+    through several width bumps; decode must reproduce every index."""
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 4, size=(24, 24), dtype=np.uint8)
+    gif = _gif_assemble(
+        24, 24, _PAL4, [_gif_frame_block(0, 0, 24, 24, idx.reshape(-1), 2)]
+    )
+    assert sniff_format(gif) == "gif"
+    frames, delays = decode_gif(gif)
+    assert len(frames) == 1 and delays == [0]
+    lut = np.frombuffer(_PAL4, dtype=np.uint8).reshape(4, 3)
+    np.testing.assert_array_equal(frames[0][:, :, :3], lut[idx])
+    assert (frames[0][:, :, 3] == 255).all()
+
+
+def test_gif_animation_compositing_transparency_and_disposal():
+    """Frame 2 is a partial rect whose transparent pixels must SHOW
+    frame 1 underneath; disposal=2 then clears the rect so frame 3
+    sees transparent holes, and disposal=3 restores what frame 3
+    covered before frame 4."""
+    f1 = np.ones((4, 4), dtype=np.uint8)  # all red
+    # 2x2 rect at (1,1): green, transparent / transparent, blue
+    rect = np.array([[2, 0], [0, 3]], dtype=np.uint8)
+    blocks = [
+        _gif_frame_block(0, 0, 4, 4, f1.reshape(-1), 2,
+                         gce=(0x00, 10, 0)),
+        # transparency flag on, transparent index 0, disposal 2
+        _gif_frame_block(1, 1, 2, 2, rect.reshape(-1), 2,
+                         gce=(0x01 | (2 << 2), 20, 0)),
+        # full-canvas green with disposal 3 (restore previous)
+        _gif_frame_block(0, 0, 4, 4,
+                         np.full(16, 2, dtype=np.uint8), 2,
+                         gce=(0x00 | (3 << 2), 30, 0)),
+        # tiny corner dot after the disposal-3 restore
+        _gif_frame_block(0, 0, 1, 1, np.array([3], dtype=np.uint8), 2),
+    ]
+    frames, delays = decode_gif(_gif_assemble(4, 4, _PAL4, blocks))
+    assert delays == [10, 20, 30, 0]
+    lut = np.frombuffer(_PAL4, dtype=np.uint8).reshape(4, 3)
+    red, green, blue = lut[1], lut[2], lut[3]
+    # frame 1: all red
+    assert (frames[0][:, :, :3] == red).all()
+    # frame 2: red canvas, green at (1,1), blue at (2,2); the rect's
+    # transparent cells show the red underneath
+    np.testing.assert_array_equal(frames[1][1, 1, :3], green)
+    np.testing.assert_array_equal(frames[1][2, 2, :3], blue)
+    np.testing.assert_array_equal(frames[1][1, 2, :3], red)
+    np.testing.assert_array_equal(frames[1][0, 0, :3], red)
+    # frame 3: disposal-2 cleared the rect -> then full green covers it
+    assert (frames[2][:, :, :3] == green).all()
+    # frame 4: disposal-3 restored the pre-frame-3 canvas (red with the
+    # disposal-2 HOLE at the rect), then a blue dot at (0,0)
+    np.testing.assert_array_equal(frames[3][0, 0, :3], blue)
+    np.testing.assert_array_equal(frames[3][3, 3, :3], red)
+    assert frames[3][1, 1, 3] == 0  # the hole stayed transparent
+
+
+def test_gif_interlace_rows_deinterlaced():
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 4, size=(9, 3), dtype=np.uint8)
+    # interlace pass order for 9 rows: 0,8 / 4 / 2,6 / 1,3,5,7
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    wire = idx[order]
+    gif = _gif_assemble(
+        3, 9, _PAL4,
+        [_gif_frame_block(0, 0, 3, 9, wire.reshape(-1), 2, interlace=True)],
+    )
+    frames, _ = decode_gif(gif)
+    lut = np.frombuffer(_PAL4, dtype=np.uint8).reshape(4, 3)
+    np.testing.assert_array_equal(frames[0][:, :, :3], lut[idx])
+
+
+def test_gif_encode_decode_roundtrip_and_feature_path():
+    f1 = np.arange(16, dtype=np.uint8).reshape(4, 4) % 4
+    f2 = (np.arange(16, dtype=np.uint8).reshape(4, 4) + 1) % 4
+    gif = encode_gif([f1, f2], delays_cs=[7, 9])
+    frames, delays = decode_gif(gif)
+    assert len(frames) == 2 and delays == [7, 9]
+    # encode_gif's synthesized palette entry i is (i, 2i, 3i)
+    pal = np.array(
+        [[i % 256, (2 * i) % 256, (3 * i) % 256] for i in range(4)],
+        dtype=np.uint8,
+    )
+    np.testing.assert_array_equal(frames[0][:, :, :3], pal[f1])
+    np.testing.assert_array_equal(frames[1][:, :, :3], pal[f2])
+    # still-image path: _decode sees the FIRST composited frame
+    feats = numpy_image_decoder(
+        __import__("pandas").DataFrame({"media_id": [1], "media": [gif]})
+    )
+    assert feats["width"][0] == 4 and feats["n_frames"][0] == 1
+
+
+def test_gif_failures_are_loud():
+    idx = np.zeros(4, dtype=np.uint8)
+    good = _gif_assemble(
+        2, 2, _PAL4, [_gif_frame_block(0, 0, 2, 2, idx, 2)]
+    )
+    with pytest.raises(ValueError, match="not a gif"):
+        decode_gif(b"GIF99a" + good[6:])
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif(good[:-1])
+    with pytest.raises(ValueError, match="outside"):
+        decode_gif(_gif_assemble(
+            2, 2, _PAL4, [_gif_frame_block(1, 1, 2, 2, idx, 2)]
+        ))
+    with pytest.raises(ValueError, match="introducer"):
+        decode_gif(good[:-1] + b"\x99\x3b")
+    # corrupt LZW: flip bits inside the image data sub-block
+    bad = bytearray(good)
+    bad[-4] ^= 0xFF
+    with pytest.raises(ValueError, match="lzw|index|sub-block"):
+        decode_gif(bytes(bad))
+    # palette index out of range (palette of 4, index 7)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_gif(_gif_assemble(
+            2, 2, _PAL4,
+            [_gif_frame_block(0, 0, 2, 2,
+                              np.array([7, 0, 0, 0], dtype=np.uint8), 3)],
+        ))
+
+
+def test_gif_frame_sampler_through_spark_plumbing(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    frames = [
+        (np.arange(16, dtype=np.uint8).reshape(4, 4) + k) % 4
+        for k in range(6)
+    ]
+    gif = encode_gif(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif))], "media_id long, media binary"
+    )
+    rows = sample_frames(
+        df, max_frames=3, frame_sampler=numpy_gif_frame_sampler
+    ).collect()
+    # 6 frames at stride 2 -> indices 0, 2, 4
+    assert [(r.frame_index, r.n_frames) for r in rows] == [
+        (0, 6), (2, 6), (4, 6),
+    ]
+    # frame hashes are content hashes of the composited canvases
+    want = decode_gif(gif)[0]
+    import hashlib as hl
+    assert rows[0].frame_hash == hl.md5(want[0].tobytes()).hexdigest()
+    assert rows[2].frame_hash == hl.md5(want[4].tobytes()).hexdigest()
