@@ -25,14 +25,17 @@ new data under a unique directory, then atomically update a small
 manifest file or catalog entry naming the current directory (the
 Iceberg/Delta commit model); readers resolve the pointer, never the
 directory name. Each swap site cites this note. This path is
-IMPLEMENTED, not just documented, for the ledger family:
+IMPLEMENTED, not just documented, twice over:
 ``streaming/ledger_compaction.commit_baseline(mode="manifest")``
-commits via a versioned directory + one atomic single-file replace
-(a single-key PUT on a real object store), with the same
-crash-injection suite green as the rename path
-(`tests/test_ledger_compaction.py`); the remaining swap sites adopt
-it by routing their commit through the same helper when deployed on
-an object store.
+commits ledger baselines via a versioned directory + one atomic
+single-file replace (a single-key PUT on a real object store), with
+the same crash-injection suite green as the rename path
+(`tests/test_ledger_compaction.py`); and the generic
+`sources/commit.commit_dir` gives every plain-directory swap the same
+two modes — `streaming/ivm.py` view commits adopt it
+(``commit_mode="manifest"``, crash-injected in `tests/test_ivm.py`).
+Remaining rename-only sites: `streaming/upsert.py` buckets and
+`sources/bucketing.py` compactions.
 """
 
 from __future__ import annotations

@@ -39,11 +39,11 @@ table is never read.
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..sources.commit import commit_dir, resolve_dir
 from .upsert import read_changefeed
 
 
@@ -85,12 +85,14 @@ def changefeed_deltas(
 
 
 def read_view(spark: SparkSession, view_path: str) -> DataFrame:
-    """Current view rows: (group..., n_rows, sum_<c>...)."""
-    return spark.read.parquet(view_path)
+    """Current view rows: (group..., n_rows, sum_<c>...). Resolves the
+    manifest pointer when the view was committed with
+    ``commit_mode="manifest"`` (`sources/commit.py`)."""
+    return spark.read.parquet(resolve_dir(view_path))
 
 
 def _cursor_path(view_path: str) -> Path:
-    return Path(view_path) / "_cursor"
+    return Path(resolve_dir(view_path)) / "_cursor"
 
 
 def _read_cursor(spark: SparkSession, view_path: str) -> int:
@@ -101,35 +103,35 @@ def _read_cursor(spark: SparkSession, view_path: str) -> int:
 
 
 def _swap_view(
-    spark: SparkSession, view_path: str, rows: DataFrame, new_cursor: int
+    spark: SparkSession,
+    view_path: str,
+    rows: DataFrame,
+    new_cursor: int,
+    commit_mode: str = "rename",
 ) -> None:
-    """Land view rows + cursor together via temp-and-swap.
-
-    POSIX assumption, stated once for every swap path in this repo
-    (here, `streaming/upsert.py`'s all-tombstone marker, and
-    `sources/bucketing.py`'s compactions): the crash-consistency
-    argument relies on ``Path.rename`` being an atomic directory move —
-    true on a POSIX filesystem (and HDFS), NOT on an object store,
-    where "rename" is a non-atomic copy-then-delete per object. The
-    object-store deployment path is a manifest pointer: write the new
-    view under a unique directory, then atomically update a small
-    manifest file (or catalog entry) naming the current directory —
-    the Iceberg/Delta commit model. See `sources/lake.py` (lake-layer
-    doc note) for the shared statement."""
+    """Land view rows + cursor together via `sources/commit.commit_dir`:
+    ``commit_mode="rename"`` is the historical temp-and-swap (atomic on
+    POSIX/HDFS, not on object stores — `sources/lake.py`'s note, shared
+    with `streaming/upsert.py`'s all-tombstone marker and
+    `sources/bucketing.py`'s compactions); ``commit_mode="manifest"``
+    is the object-store-safe versioned-dir + atomic pointer-replace
+    commit, under which readers (:func:`read_view`, the cursor read)
+    resolve the pointer and a crash at ANY step leaves the previous
+    view fully readable."""
     rows = rows.localCheckpoint(eager=True)  # cut lineage: we overwrite
     cursor_df = spark.createDataFrame(
         [(new_cursor,)], "last_batch long"
     ).localCheckpoint(eager=True)
-    # No coalesce(1) on the rows: a high-cardinality group column makes
-    # the view itself large — let the write keep its parallelism.
-    tmp = view_path + "__tmp"
-    rows.write.mode("overwrite").parquet(tmp)
-    cursor_df.coalesce(1).write.mode("overwrite").parquet(
-        str(Path(tmp) / "_cursor")
-    )
-    if Path(view_path).exists():
-        shutil.rmtree(view_path)
-    Path(tmp).rename(view_path)
+
+    def write(target: str) -> None:
+        # No coalesce(1) on the rows: a high-cardinality group column
+        # makes the view itself large — keep the write's parallelism.
+        rows.write.mode("overwrite").parquet(target)
+        cursor_df.coalesce(1).write.mode("overwrite").parquet(
+            str(Path(target) / "_cursor")
+        )
+
+    commit_dir(view_path, write, mode=commit_mode)
 
 
 def refresh_grouped_view(
@@ -139,6 +141,7 @@ def refresh_grouped_view(
     group_cols: list[str],
     sum_cols: list[str],
     value_schema: str,
+    commit_mode: str = "rename",
 ) -> int:
     """Apply every changefeed partition above the view's cursor;
     returns the number of batches applied. Idempotent: a second call
@@ -198,7 +201,7 @@ def refresh_grouped_view(
     )
     # temp-and-swap: view rows + cursor land together or not at all
     # (atomicity caveat: see _swap_view's POSIX note)
-    _swap_view(spark, view_path, merged, new_cursor)
+    _swap_view(spark, view_path, merged, new_cursor, commit_mode)
     return n_batches
 
 
@@ -210,6 +213,7 @@ def refresh_distinct_view(
     key_col: str,
     value_schema: str,
     lg_k: int = 12,
+    commit_mode: str = "rename",
 ) -> int:
     """Sketch-backed distinct-count IVM: maintain per-group HLL rows
     (sketch, n_rows, distinct_est) from the changefeed's ADDED side —
@@ -310,7 +314,7 @@ def refresh_distinct_view(
         )
         .withColumn("distinct_est", F.hll_sketch_estimate("sketch"))
     )
-    _swap_view(spark, view_path, merged, new_cursor)
+    _swap_view(spark, view_path, merged, new_cursor, commit_mode)
     return n_batches
 
 
@@ -322,6 +326,7 @@ def rebuild_distinct_view(
     group_cols: list[str],
     key_col: str,
     lg_k: int = 12,
+    commit_mode: str = "rename",
 ) -> int:
     """The recompute path :func:`refresh_distinct_view`'s rejection
     names, as one public call: rebuild the per-group HLL view from the
@@ -348,5 +353,5 @@ def rebuild_distinct_view(
     view = hll_ledger(
         read_current(spark, table_path), key_col, by=group_cols, lg_k=lg_k
     )
-    _swap_view(spark, view_path, view, new_cursor)
+    _swap_view(spark, view_path, view, new_cursor, commit_mode)
     return new_cursor

@@ -307,3 +307,136 @@ def test_rebuild_distinct_view_recovers_after_removals(spark, tmp_path):
         (r["region"],): round(r["distinct_est"])
         for r in read_view(spark, view).collect()
     } == exact() == {("eu",): 2, ("us",): 2}
+
+
+# ------------------------------------------- manifest-mode view commits
+# The object-store-safe commit (sources/commit.py) under the IVM swap:
+# pointer-resolved reads, crash at the pointer replace leaves the OLD
+# view fully readable (rename mode's remove+rename pair has a narrow
+# lose-the-view window there), migration is one-way.
+
+from pathlib import Path
+
+from data_pipeline_project_using_telegram_and_aws_spark.sources import commit as commit_mod
+
+
+def _up(spark, rows, bid, table):
+    upsert_batch(
+        spark.createDataFrame(rows, SCHEMA), table, ["user_id"],
+        "seq", n_buckets=4, delete_col="deleted",
+        changefeed_path=table + "_changefeed", batch_id=bid,
+    )
+
+
+def test_manifest_view_matches_rename_twin_and_survives_crash(
+    spark, tmp_path, monkeypatch
+):
+    table = str(tmp_path / "t")
+    feed = table + "_changefeed"
+    vm = str(tmp_path / "view_m")
+    vr = str(tmp_path / "view_r")
+
+    _up(spark, [(1, 1, "eu", 10.0, False), (2, 1, "us", 5.0, False)], 0, table)
+    _up(spark, [(1, 2, "us", 7.0, False), (3, 2, "eu", 2.0, False)], 1, table)
+    for path, mode in ((vm, "manifest"), (vr, "rename")):
+        n = refresh_grouped_view(
+            spark, feed, path, ["region"], ["balance"], VALUE_SCHEMA,
+            commit_mode=mode,
+        )
+        assert n == 2
+    assert _view(spark, vm) == _view(spark, vr) == _recompute(spark, table)
+    assert (Path(vm) / "_dir_manifest").exists()
+    assert (Path(vm) / ".v0").exists()
+
+    # crash AT the pointer replace: the old view must stay readable
+    before = _view(spark, vm)
+    _up(spark, [(2, 3, "eu", 5.5, False)], 2, table)
+
+    def boom(src, dst):
+        raise RuntimeError("injected crash at manifest replace")
+
+    monkeypatch.setattr(commit_mod, "_replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_grouped_view(
+            spark, feed, vm, ["region"], ["balance"], VALUE_SCHEMA,
+            commit_mode="manifest",
+        )
+    monkeypatch.undo()
+    assert _view(spark, vm) == before  # pointer never moved
+
+    # retry converges, sweeps the orphaned version, matches recompute
+    n = refresh_grouped_view(
+        spark, feed, vm, ["region"], ["balance"], VALUE_SCHEMA,
+        commit_mode="manifest",
+    )
+    assert n == 1
+    assert _view(spark, vm) == _recompute(spark, table)
+    versions = sorted(d.name for d in Path(vm).glob(".v*"))
+    assert len(versions) == 1
+
+    # post-commit crash window: kill the old-version sweep — reads
+    # already follow the new pointer; next refresh sweeps
+    _up(spark, [(3, 4, "us", 1.0, False)], 3, table)
+    real_rmtree = commit_mod._rmtree
+    state = {"fired": False}
+
+    def rmtree_dies(p, *a, **k):
+        if state["fired"]:
+            raise RuntimeError("injected post-commit crash")
+        state["fired"] = True
+        return real_rmtree(p, *a, **k)
+
+    # first rmtree call in a commit is the entry sweep (none pending),
+    # so arm it to die on the post-commit old-version delete
+    monkeypatch.setattr(commit_mod, "_rmtree", rmtree_dies)
+    try:
+        refresh_grouped_view(
+            spark, feed, vm, ["region"], ["balance"], VALUE_SCHEMA,
+            commit_mode="manifest",
+        )
+    except RuntimeError:
+        pass
+    finally:
+        monkeypatch.undo()
+    assert _view(spark, vm) == _recompute(spark, table)
+
+
+def test_manifest_view_migration_is_one_way(spark, tmp_path):
+    table = str(tmp_path / "t")
+    feed = table + "_changefeed"
+    view = str(tmp_path / "view")
+    _up(spark, [(1, 1, "eu", 10.0, False)], 0, table)
+    refresh_grouped_view(
+        spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA,
+    )
+    assert not (Path(view) / "_dir_manifest").exists()
+    before = _view(spark, view)
+
+    # migrate on the next refresh; content carried, legacy files retired
+    _up(spark, [(2, 2, "us", 4.0, False)], 1, table)
+    refresh_grouped_view(
+        spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA,
+        commit_mode="manifest",
+    )
+    assert (Path(view) / "_dir_manifest").exists()
+    assert _view(spark, view) == _recompute(spark, table)
+    # no rename-era parquet left at the root
+    root_files = [
+        p.name for p in Path(view).iterdir()
+        if not p.name.startswith((".v", "_dir_manifest"))
+    ]
+    assert root_files == []
+
+    # a rename-mode attempt must raise — but only a refresh that has
+    # work to commit reaches the commit (a cursor no-op never writes)
+    _up(spark, [(3, 3, "eu", 9.0, False)], 2, table)
+    with pytest.raises(ValueError, match="manifest"):
+        refresh_grouped_view(
+            spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA,
+        )
+    # the failed commit changed nothing readable; manifest mode applies
+    refresh_grouped_view(
+        spark, feed, view, ["region"], ["balance"], VALUE_SCHEMA,
+        commit_mode="manifest",
+    )
+    assert _view(spark, view) == _recompute(spark, table)
