@@ -28,8 +28,9 @@ Formats, exactly as published:
   of ``h`` scanlines, each a filter-type byte + ``w·channels`` filtered
   bytes (filter types 0-4: None/Sub/Up/Average/Paeth). Bit depth 8,
   color types 0/2/3/4/6 (palette via PLTE lookup after unfiltering,
-  tRNS palette transparency widening to RGBA), interlace 0 only —
-  Adam7 and 16-bit PNGs are rejected loudly, never approximated.
+  tRNS palette transparency widening to RGBA), both interlace methods
+  (Adam7's seven passes unfilter independently and scatter back by
+  origin/stride) — only 16-bit depth is rejected, loudly.
 
 Failure stance: decoders RAISE naming the media id and the leading
 bytes — a corrupt or unsupported container in a curation pipeline is a
@@ -220,6 +221,52 @@ def _paeth_unfilter(row, prev, bpp, filt_type):
     return out
 
 
+# Adam7: pass p covers pixels (x0 + i·dx, y0 + j·dy)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int, p: int) -> tuple[int, int]:
+    x0, y0, dx, dy = _ADAM7_PASSES[p]
+    return max(0, -(-(w - x0) // dx)), max(0, -(-(h - y0) // dy))
+
+
+def _png_unfilter(body: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """``h`` scanlines of (filter byte + w·channels filtered bytes) →
+    (h, w·channels) reconstructed uint8. None/Up/Sub vectorized (Sub
+    is a mod-256 cumulative sum over bpp lanes); Average/Paeth
+    sequential by data dependence. The unit of filtering — each Adam7
+    pass, or the whole non-interlaced image, resets ``prev`` here."""
+    rowbytes = w * channels
+    scan = np.frombuffer(body, dtype=np.uint8).reshape(h, 1 + rowbytes)
+    filt_types = scan[:, 0]
+    rows = scan[:, 1:].astype(np.int64)
+    bpp = channels  # bytes per pixel at depth 8
+    recon = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(h):
+        t = int(filt_types[y])
+        row = rows[y]
+        if t == 0:
+            cur = row
+        elif t == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif t == 2:  # Up: recon[x] = filt[x] + prev[x]
+            cur = (row + prev) % 256
+        elif t in (3, 4):
+            cur = np.array(
+                _paeth_unfilter(row.tolist(), prev.tolist(), bpp, t),
+                dtype=np.int64,
+            )
+        else:
+            raise ValueError(f"png filter type {t} at scanline {y}")
+        recon[y] = cur
+        prev = cur
+    return recon
+
+
 def decode_png(raw: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG → (h, w, channels) uint8 (channels
     1/2/3/4 for grayscale / gray+alpha / RGB(+palette) / RGBA(+palette
@@ -229,11 +276,12 @@ def decode_png(raw: bytes) -> np.ndarray:
     vectorized — Sub is a mod-256 cumulative sum over ``bpp`` lanes;
     Average/Paeth are sequential by data dependence), then for palette
     images one PLTE lookup (tRNS widens to RGBA so transparency is
-    never dropped). Raises ValueError quoting exactly what it cannot
-    honor: bad signature, truncated or CRC-corrupt chunks, Adam7
-    interlace, 16-bit depth, missing/short PLTE, out-of-range palette
-    indices, bad inflate, scanline-count mismatch, unknown filter
-    types."""
+    never dropped). Adam7-interlaced images decode too (each pass is
+    its own filtered sub-image, scattered back by origin/stride).
+    Raises ValueError quoting exactly what it cannot honor: bad
+    signature, truncated or CRC-corrupt chunks, 16-bit depth,
+    missing/short PLTE, out-of-range palette indices, bad inflate,
+    scanline-count mismatch, unknown filter types."""
     if raw[:8] != _PNG_MAGIC:
         raise ValueError(f"not a png (leading bytes {raw[:8]!r})")
     pos, ihdr, idat, saw_iend = 8, None, [], False
@@ -271,10 +319,8 @@ def decode_png(raw: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, compression, filter_method, interlace = ihdr[8:13]
-    if interlace != 0:
-        raise ValueError(
-            "png Adam7 interlace unsupported - re-encode non-interlaced"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"png interlace method {interlace} unknown")
     if depth != 8:
         raise ValueError(f"png bit depth {depth} unsupported (8 only)")
     channels = _PNG_CHANNELS.get(color_type)
@@ -305,37 +351,38 @@ def decode_png(raw: bytes) -> np.ndarray:
         body = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"png idat inflate failed: {e}") from e
-    rowbytes = w * channels
-    if len(body) != h * (1 + rowbytes):
-        raise ValueError(
-            f"png scanlines {len(body)} bytes, header promises "
-            f"{h * (1 + rowbytes)}"
-        )
-    scan = np.frombuffer(body, dtype=np.uint8).reshape(h, 1 + rowbytes)
-    filt_types = scan[:, 0]
-    rows = scan[:, 1:].astype(np.int64)
-    bpp = channels  # bytes per pixel at depth 8
-    recon = np.empty((h, rowbytes), dtype=np.uint8)
-    prev = np.zeros(rowbytes, dtype=np.int64)
-    for y in range(h):
-        t = int(filt_types[y])
-        row = rows[y]
-        if t == 0:
-            cur = row
-        elif t == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
-            cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(-1) % 256
-        elif t == 2:  # Up: recon[x] = filt[x] + prev[x]
-            cur = (row + prev) % 256
-        elif t in (3, 4):
-            cur = np.array(
-                _paeth_unfilter(row.tolist(), prev.tolist(), bpp, t),
-                dtype=np.int64,
+    if interlace == 0:
+        rowbytes = w * channels
+        if len(body) != h * (1 + rowbytes):
+            raise ValueError(
+                f"png scanlines {len(body)} bytes, header promises "
+                f"{h * (1 + rowbytes)}"
             )
-        else:
-            raise ValueError(f"png filter type {t} at scanline {y}")
-        recon[y] = cur
-        prev = cur
-    out = recon.reshape(h, w, channels)
+        out = _png_unfilter(body, h, w, channels).reshape(h, w, channels)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid by each pass's origin and stride
+        need = sum(
+            ph * (1 + pw * channels)
+            for pw, ph in (_adam7_pass_dims(w, h, p) for p in range(7))
+            if pw and ph
+        )
+        if len(body) != need:
+            raise ValueError(
+                f"png interlaced scanlines {len(body)} bytes, header "
+                f"promises {need}"
+            )
+        out = np.empty((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for p, (x0, y0, dx, dy) in enumerate(_ADAM7_PASSES):
+            pw, ph = _adam7_pass_dims(w, h, p)
+            if not pw or not ph:
+                continue
+            size = ph * (1 + pw * channels)
+            sub = _png_unfilter(
+                body[pos : pos + size], ph, pw, channels
+            ).reshape(ph, pw, channels)
+            pos += size
+            out[y0::dy, x0::dx] = sub
     if color_type == 3:  # palette lookup AFTER unfiltering (the spec's
         # filters run over index bytes, not colors)
         n_entries = len(plte) // 3

@@ -395,6 +395,9 @@ def test_png_failures_are_loud():
     with pytest.raises(ValueError, match="crc mismatch"):
         decode_png(bytes(corrupt))
     with pytest.raises(ValueError, match="interlace"):
+        decode_png(_png_assemble(2, 2, 2, scan, interlace=2))
+    # interlace=1 with non-interlaced body: pass-size bookkeeping fails
+    with pytest.raises(ValueError, match="interlaced scanlines"):
         decode_png(_png_assemble(2, 2, 2, scan, interlace=1))
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(_png_assemble(2, 2, 2, scan, depth=16))
@@ -768,3 +771,52 @@ def test_gif_frame_sampler_through_spark_plumbing(spark):
     import hashlib as hl
     assert rows[0].frame_hash == hl.md5(want[0].tobytes()).hexdigest()
     assert rows[2].frame_hash == hl.md5(want[4].tobytes()).hexdigest()
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def test_png_adam7_interlace_against_forward_oracle():
+    """Forward-interlace in the test (independent pass extraction +
+    per-pass forward filtering, every filter type exercised), decode
+    must reassemble the original — including odd sizes where some
+    passes are EMPTY and pass widths differ."""
+    rng = np.random.default_rng(13)
+    for (h, w), channels, color_type in (
+        ((9, 9), 3, 2),    # pass widths 2/1/... with empties nowhere
+        ((1, 1), 1, 0),    # only pass 1 is non-empty
+        ((2, 3), 4, 6),    # passes 3,5 empty in one dimension
+        ((16, 5), 2, 4),
+    ):
+        px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        body = b""
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ftypes = [(pi + r) % 5 for r in range(sub.shape[0])]
+            body += _png_forward_filter(sub, ftypes)
+        png = _png_assemble(w, h, color_type, body, interlace=1)
+        np.testing.assert_array_equal(decode_png(png), px, err_msg=f"{h}x{w}c{channels}")
+
+
+def test_png_adam7_palette_and_feature_parity():
+    """An interlaced palette PNG reads identically to its plain twin
+    through the whole feature path."""
+    rng = np.random.default_rng(17)
+    idx = rng.integers(0, 4, size=(10, 7, 1), dtype=np.uint8)
+    palette = bytes(range(12))
+    body = b""
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        body += _png_forward_filter(sub, [0] * sub.shape[0])
+    inter = _png_assemble(7, 10, 3, body, interlace=1, plte=palette)
+    plain = _png_assemble(
+        7, 10, 3, _png_forward_filter(idx, [0] * 10), plte=palette
+    )
+    np.testing.assert_array_equal(decode_png(inter), decode_png(plain))
