@@ -1,0 +1,387 @@
+"""Pure-NumPy baseline JPEG decoder — closing the last big env-blocked
+media gap for real. Baseline sequential JPEG (SOF0) is Huffman coding +
+an 8×8 IDCT + chroma upsampling: no external entropy libraries needed,
+just careful bit-level work. `media_codecs.sniff_format` dispatches
+here so the shared `multimodal` injection points (features, resize)
+read JPEGs like any other container.
+
+Scope, stated exactly:
+- Baseline DCT (SOF0), 8-bit precision, grayscale or 3-component
+  YCbCr, component sampling factors 1-2 in each axis (4:4:4, 4:2:2,
+  4:2:0 and friends), restart intervals (DRI/RSTn), stuffed 0xFF00
+  bytes, multiple DQT/DHT segments, APPn/COM skipped.
+- REJECTED loudly, never approximated: progressive (SOF2), extended
+  sequential (SOF1) and every other SOFn, arithmetic coding (DAC),
+  12-bit precision, 4-component CMYK/Adobe transforms, sampling
+  factors > 2.
+
+Pipeline per scan: canonical Huffman tables from DHT (code lengths →
+codes in count order), MSB-first bit reader over the de-stuffed
+entropy stream, per-block DC-diff + AC run-length decode into zigzag
+order, dequantize, de-zigzag, IDCT via two dense 8×8 matrix products
+(``A.T @ block @ A`` with the orthonormal DCT-II basis — exact to
+float64 round-off, no fast-IDCT integer approximations), +128 level
+shift, per-component planes assembled MCU by MCU, chroma replicated
+up to full resolution (the nearest-neighbor choice is stated — JPEG
+does not standardize the upsampling filter), BT.601 YCbCr→RGB.
+
+Decode fidelity note: JPEG specifies the decoder DCT only within a
+conformance tolerance (Annex A), so different decoders legitimately
+differ by ±1 in a few pixels; tests therefore pin EXACT values where
+the math is exact (flat DC-only blocks, which exercise every layer of
+the pipeline except AC runs) and ±1-tolerance cosine fields vs an
+independent closed-form oracle for AC coefficients.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag: zz[i] = (row, col) of the i-th coefficient in scan order.
+# Generated algorithmically (diagonal walk); the tests pin it against
+# the published literal table.
+def _zigzag_order() -> list[tuple[int, int]]:
+    order = []
+    for s in range(15):  # anti-diagonals r+c = s
+        rng = range(s + 1) if s % 2 else range(s, -1, -1)
+        for r in rng:
+            c = s - r
+            if r < 8 and c < 8:
+                order.append((r, c))
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+_ZZ_ROWS = np.array([rc[0] for rc in _ZIGZAG])
+_ZZ_COLS = np.array([rc[1] for rc in _ZIGZAG])
+
+# orthonormal DCT-II basis: A[u, x] = c(u) cos((2x+1)uπ/16) / 2
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients → (n, 8, 8) float spatial
+    samples (pre-level-shift): A.T @ F @ A batched."""
+    return np.einsum("um,nuv,vp->nmp", _DCT_A, coefs, _DCT_A)
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman per JPEG Annex C: 16 length counts + symbols
+    in code order → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, honoring
+    0xFF00 byte stuffing; any other 0xFF-marker ends the current
+    entropy segment (restart markers are consumed by `restart`)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg entropy stream truncated")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                self.data
+            ) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                raise ValueError(
+                    "jpeg entropy stream ended at marker "
+                    f"0xff{nxt:02x}" if nxt is not None
+                    else "jpeg entropy stream truncated at 0xff"
+                )
+        else:
+            self.pos += 1
+        self.acc = b
+        self.nbits = 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, expected_m: int) -> None:
+        """Byte-align and consume the RSTm marker."""
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expected_m
+        ):
+            got = self.data[self.pos : self.pos + 2].hex()
+            raise ValueError(
+                f"jpeg expected restart marker rst{expected_m}, "
+                f"got bytes 0x{got}"
+            )
+        self.pos += 2
+
+
+def _decode_huff(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg huffman code not in table (corrupt stream)")
+
+
+def _receive_extend(r: _BitReader, t: int) -> int:
+    if t == 0:
+        return 0
+    v = r.bits(t)
+    if v < (1 << (t - 1)):  # negative branch of the EXTEND procedure
+        v -= (1 << t) - 1
+    return v
+
+
+def _decode_block(r, dc_table, ac_table, pred: int):
+    """One 8×8 block → (zigzag-order int coefficient array, new DC
+    predictor)."""
+    pred += _receive_extend(r, _decode_huff(r, dc_table))
+    coef = np.zeros(64, dtype=np.int32)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_huff(r, ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError(
+                f"jpeg AC run overflows the block (k={k})"
+            )
+        coef[k] = _receive_extend(r, size)
+        k += 1
+    return coef, pred
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w, 1) grayscale or (h, w, 3) RGB uint8.
+    Raises ValueError quoting exactly what it cannot honor (module
+    docstring has the supported/rejected matrix)."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError(f"not a jpeg (leading bytes {raw[:2]!r})")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    out = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(
+                f"jpeg marker expected at offset {pos}, got "
+                f"0x{raw[pos]:02x}"
+            )
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        body = raw[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError(f"jpeg segment 0x{marker:02x} truncated")
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError(
+                        "jpeg 16-bit quantization tables unsupported "
+                        "(8-bit baseline only)"
+                    )
+                qtables[tq] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1 : i + 17]
+                n = sum(counts)
+                htables[(tc, th)] = _build_huffman(
+                    counts, body[i + 17 : i + 17 + n]
+                )
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(
+                    f"jpeg precision {precision} unsupported (8 only)"
+                )
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"jpeg {ncomp}-component images unsupported "
+                    "(grayscale / YCbCr only)"
+                )
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError(
+                        f"jpeg sampling factors {hs}x{vs} unsupported"
+                    )
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"jpeg SOF 0x{marker:02x} unsupported - baseline "
+                "sequential (SOF0) only; re-encode non-progressive"
+            )
+        elif marker == 0xCC:
+            raise ValueError("jpeg arithmetic coding unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS: the one scan baseline has
+            if frame is None:
+                raise ValueError("jpeg SOS before SOF0 frame header")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    "jpeg partial/interleaved-subset scans unsupported"
+                )
+            scan_tabs = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"jpeg scan names unknown component {cs}"
+                    )
+                td, ta = tt >> 4, tt & 0x0F
+                if (0, td) not in htables or (1, ta) not in htables:
+                    raise ValueError(
+                        f"jpeg scan references missing huffman table "
+                        f"(dc={td}, ac={ta})"
+                    )
+                scan_tabs.append(
+                    (comp, htables[(0, td)], htables[(1, ta)])
+                )
+            out = _decode_scan(
+                raw, pos + 2 + seg_len, frame, scan_tabs, qtables,
+                restart_interval,
+            )
+            break
+        # APPn (E0-EF), COM (FE), others: skip
+        pos += 2 + seg_len
+    if out is None:
+        raise ValueError("jpeg has no decodable scan (missing SOS)")
+    return out
+
+
+def _decode_scan(
+    raw, pos, frame, scan_tabs, qtables, restart_interval
+) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if h < 1 or w < 1:
+        raise ValueError(f"jpeg dimensions {w}x{h} invalid")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(
+                f"jpeg component references missing quant table "
+                f"{c['tq']}"
+            )
+    # per-component zigzag coefficient store, filled MCU by MCU
+    coef_store = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+    reader = _BitReader(raw, pos)
+    preds = [0] * len(comps)
+    rst_m = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst_m)
+            rst_m = (rst_m + 1) % 8
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (comp, dc_t, ac_t) in enumerate(scan_tabs):
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coef, preds[ci] = _decode_block(
+                        reader, dc_t, ac_t, preds[ci]
+                    )
+                    coef_store[ci][
+                        my * comp["v"] + by, mx * comp["h"] + bx
+                    ] = coef
+    # dequantize + de-zigzag + IDCT per component, batched
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = coef_store[ci].reshape(-1, 64) * qtables[c["tq"]][None, :]
+        blocks = np.zeros((zz.shape[0], 8, 8), dtype=np.float64)
+        blocks[:, _ZZ_ROWS, _ZZ_COLS] = zz
+        spatial = _idct_blocks(blocks) + 128.0
+        by, bx = mcuy * c["v"], mcux * c["h"]
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # replicate chroma up to full MCU-grid resolution, then crop
+        plane = np.repeat(
+            np.repeat(plane, hmax // c["h"], axis=1),
+            vmax // c["v"],
+            axis=0,
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

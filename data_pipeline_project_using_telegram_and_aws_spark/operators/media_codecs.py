@@ -1,19 +1,21 @@
 """Pure-NumPy media codecs — the real decoders this container CAN run:
 binary PPM (P6), 24-bit uncompressed BMP, RIFF/WAVE integer PCM,
-8-bit non-interlaced PNG (grayscale / gray+alpha / RGB / RGBA /
-palette+tRNS — PNG's only compression is DEFLATE, which stdlib
-``zlib`` speaks), and GIF87a/89a including ANIMATED multi-frame GIFs
-(GIF's only compression is LZW, implemented here; compositing applies
-frame rects, transparency, interlace, and disposal methods). No
-PIL/ffmpeg needed. They plug into `multimodal.py`'s injection points
+8-bit PNG (grayscale / gray+alpha / RGB / RGBA / palette+tRNS,
+both interlace methods — PNG's only compression is DEFLATE, which
+stdlib ``zlib`` speaks), GIF87a/89a including ANIMATED multi-frame
+GIFs (GIF's only compression is LZW, implemented here; compositing
+applies frame rects, transparency, interlace, and disposal methods),
+and BASELINE JPEG (`operators/jpeg.py`: canonical Huffman + exact
+matrix IDCT + chroma upsampling — see that module for the
+supported/rejected matrix). No PIL/ffmpeg needed. They plug into
+`multimodal.py`'s injection points
 (``extract_media_features(decoder=numpy_image_decoder)``,
 ``resize_media(resizer=numpy_resize_batch)``,
 ``sample_frames(frame_sampler=numpy_gif_frame_sampler)`` — the 1→N
 multi-frame shape now has a REAL decoder), upgrading that module's
 story from "deterministic fake, real plumbing" to "real decode for
-zlib/LZW-or-simpler containers, library-injection for the rest" — the
-environment gate now covers only what genuinely needs external codecs
-(JPEG/MP3 entropy coding, video).
+the common image containers, library-injection for the rest" — the
+environment gate now covers progressive/12-bit JPEG, MP3, and video.
 
 Formats, exactly as published:
 - PPM P6 (Netpbm): ASCII header ``P6 <w> <h> <maxval>`` with
@@ -68,6 +70,8 @@ def sniff_format(raw: bytes) -> str | None:
         return "png"
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if raw[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -705,10 +709,14 @@ def _decode(raw: bytes):
         return decode_png(raw)
     if kind == "gif":  # still-image view: the first composited frame
         return decode_gif(raw)[0][0]
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
     raise ValueError(
         f"undecodable container (leading bytes {raw[:8]!r}): this "
-        "environment decodes ppm/bmp/png/gif only - inject a "
-        "PIL/ffmpeg decoder for other compressed formats"
+        "environment decodes ppm/bmp/png/gif/baseline-jpeg only - "
+        "inject a PIL/ffmpeg decoder for other formats"
     )
 
 

@@ -63,7 +63,8 @@ def _bmp_bytes() -> bytes:
 def test_ppm_and_bmp_decode_to_identical_pixels():
     assert sniff_format(_ppm_bytes()) == "ppm"
     assert sniff_format(_bmp_bytes()) == "bmp"
-    assert sniff_format(b"\xff\xd8\xff") is None  # jpeg magic
+    assert sniff_format(b"\xff\xd8\xff") == "jpeg"
+    assert sniff_format(b"\x00\x11\x22") is None
     np.testing.assert_array_equal(decode_ppm(_ppm_bytes()), PIXELS)
     np.testing.assert_array_equal(decode_bmp(_bmp_bytes()), PIXELS)
     # encode→decode round trip is the identity
@@ -124,7 +125,7 @@ def test_real_resize_through_spark_plumbing(spark):
 
 def test_undecodable_row_fails_naming_the_id(spark):
     df = spark.createDataFrame(
-        [(7, bytearray(b"\xff\xd8\xffjpegish"))],
+        [(7, bytearray(b"OggS compressed"))],
         "media_id long, media binary",
     )
     with pytest.raises(Exception, match="media_id=7"):
