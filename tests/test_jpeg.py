@@ -356,3 +356,56 @@ def test_jpeg_through_spark_plumbing(spark):
     # replicates through to_rgb)
     assert r.feature[0] == r.feature[1] == r.feature[2]
     assert r.feature[0] == pytest.approx(round(136 / 255, 6))
+
+
+# ------------------------------------------- real-world encoder output
+# De-correlation evidence: files produced by REAL encoders (libjpeg
+# with the standard Annex K tables; real PNG encoders with adaptive
+# per-row filters), shipped by packages in this environment. Skipped
+# gracefully where absent — the hand-assembled differentials above are
+# the portable oracle; these pin "works on bytes we didn't craft".
+
+import os
+
+_IPYTHON_JPG = (
+    "/root/.pyenv/versions/3.11.7/lib/python3.11/site-packages/"
+    "IPython/core/tests/2x2.jpg"
+)
+_WERKZEUG_PNGS = [
+    "/root/.pyenv/versions/3.11.7/lib/python3.11/site-packages/"
+    f"werkzeug/debug/shared/{f}"
+    for f in ("less.png", "console.png", "more.png")
+]
+_DEBIAN_PNG = "/usr/share/pixmaps/debian-logo.png"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_IPYTHON_JPG), reason="fixture not installed"
+)
+def test_real_libjpeg_file_decodes():
+    raw = open(_IPYTHON_JPG, "rb").read()
+    px = decode_jpeg(raw)
+    # known fixture: 2x2 single-component mid-gray, standard tables
+    assert px.shape == (2, 2, 1)
+    assert (px == 128).all()
+
+
+@pytest.mark.skipif(
+    not all(os.path.exists(p) for p in _WERKZEUG_PNGS + [_DEBIAN_PNG]),
+    reason="fixtures not installed",
+)
+def test_real_png_encoder_files_decode():
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        decode_png,
+    )
+
+    shapes = {
+        _WERKZEUG_PNGS[0]: (11, 11, 4),
+        _WERKZEUG_PNGS[1]: (16, 16, 4),
+        _WERKZEUG_PNGS[2]: (11, 11, 4),
+        _DEBIAN_PNG: (48, 48, 4),
+    }
+    for path, want in shapes.items():
+        px = decode_png(open(path, "rb").read())
+        assert px.shape == want, path
+        assert px.dtype == np.uint8
