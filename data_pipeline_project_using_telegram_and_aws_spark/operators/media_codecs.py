@@ -731,7 +731,14 @@ def numpy_image_decoder(batch: pd.DataFrame) -> pd.DataFrame:
     for media_id, media in zip(batch["media_id"], batch["media"]):
         raw = bytes(media) if media is not None else b""
         try:
-            px = to_rgb(_decode(raw))
+            n_frames = 1
+            if sniff_format(raw) == "gif":  # features from frame 0,
+                # but report the REAL frame count (1→N metadata)
+                frames, _delays = decode_gif(raw)
+                n_frames = len(frames)
+                px = to_rgb(frames[0])
+            else:
+                px = to_rgb(_decode(raw))
         except ValueError as e:
             raise ValueError(f"media_id={media_id}: {e}") from e
         h, w = px.shape[:2]
@@ -751,7 +758,7 @@ def numpy_image_decoder(batch: pd.DataFrame) -> pd.DataFrame:
                 "content_hash": hashlib.md5(raw).hexdigest(),
                 "width": int(w),
                 "height": int(h),
-                "n_frames": 1,
+                "n_frames": int(n_frames),
                 "feature": [round(x, 6) for x in feature],
             }
         )

@@ -711,11 +711,11 @@ def test_gif_encode_decode_roundtrip_and_feature_path():
     )
     np.testing.assert_array_equal(frames[0][:, :, :3], pal[f1])
     np.testing.assert_array_equal(frames[1][:, :, :3], pal[f2])
-    # still-image path: _decode sees the FIRST composited frame
+    # feature path: frame-0 features, REAL frame count reported
     feats = numpy_image_decoder(
         __import__("pandas").DataFrame({"media_id": [1], "media": [gif]})
     )
-    assert feats["width"][0] == 4 and feats["n_frames"][0] == 1
+    assert feats["width"][0] == 4 and feats["n_frames"][0] == 2
 
 
 def test_gif_failures_are_loud():
