@@ -1281,3 +1281,74 @@ def test_join_chain_composition_matches_duckdb(
     want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=repr)
     con.close()
     assert got == want, (t1, t2, arows, bkeys, ckeys, got, want)
+
+
+# --------------------------------------------------------------- axis 15
+# Explicit window FRAMES: bounded ROWS and value-RANGE frames with
+# every preceding/following bound combination. Axis 3 pins rank and
+# the unbounded running sum; the bounded frame grammar — where
+# off-by-one frame edges and value-vs-row semantics quietly diverge —
+# is new here. Identical SQL text runs on both engines. ROWS frames
+# order by (keys..., value) so tied rows are fully identical and the
+# aggregate is tie-deterministic; RANGE frames order by one integer
+# key (peers included by VALUE, deterministic by construction).
+
+_F15_FUNCS = ["sum", "count", "min", "max"]
+_F15_BOUNDS = ["unbounded preceding", "3 preceding", "1 preceding",
+               "current row", "1 following", "2 following"]
+_F15_ORDER = {b: i for i, b in enumerate(_F15_BOUNDS)}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    func=st.sampled_from(_F15_FUNCS),
+    kind=st.sampled_from(["rows", "range"]),
+    lo=st.sampled_from(_F15_BOUNDS[:4]),
+    hi=st.sampled_from(_F15_BOUNDS[2:] + ["unbounded following"]),
+    part=st.sampled_from(["l_returnflag", "l_linestatus"]),
+)
+def test_window_frame_bounds_match_duckdb(spark, func, kind, lo, hi, part):
+    if hi != "unbounded following" and _F15_ORDER[lo] > _F15_ORDER[hi]:
+        lo, hi = hi, lo  # keep the frame non-empty-by-construction
+    if kind == "rows":
+        order_sql = "l_orderkey, l_linenumber, l_quantity"
+    else:
+        order_sql = "l_orderkey"
+    sql_tail = (
+        f"select l_orderkey, l_linenumber, l_quantity, {part}, "
+        f"{func}(l_quantity) over (partition by {part} "
+        f"order by {order_sql} {kind} between {lo} and {hi}) as x "
+    )
+    df = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", part
+    )
+    df.createOrReplaceTempView("fz15_lineitem")
+    got = sorted(
+        (r[0], r[1], float(r[2]), r[3],
+         None if r[4] is None else float(r[4]))
+        for r in spark.sql(sql_tail + "from fz15_lineitem").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (r[0], r[1], float(r[2]), r[3],
+         None if r[4] is None else float(r[4]))
+        for r in con.execute(
+            sql_tail
+            + f"from (select l_orderkey, l_linenumber, l_quantity, "
+            f"{part} from read_parquet('{SF_DIR}/lineitem.parquet'))"
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) == len(want)
+    for g, v in zip(got, want):
+        assert g[:4] == v[:4], (g, v)
+        if g[4] is None or v[4] is None:
+            assert g[4] == v[4], (g, v, func, kind, lo, hi)
+        else:
+            assert math.isclose(g[4], v[4], rel_tol=1e-9, abs_tol=1e-9), (
+                g, v, func, kind, lo, hi,
+            )
