@@ -844,6 +844,161 @@ def numpy_gif_frame_sampler(
     )
 
 
+# ---------------------------------------------------------------- mp4
+# ISO-BMFF (MP4/MOV) box-structure parsing: the CONTAINER is plain
+# big-endian struct walking — no codec needed to read duration,
+# dimensions, and per-track codec identity, which is what a corpus
+# triage stage actually filters on (decode of the frames themselves
+# stays injection-only; H.264/H.265 entropy decode genuinely needs
+# external codecs).
+
+VIDEO_META_SCHEMA_DDL = (
+    "media_id long, n_bytes long, content_hash string, "
+    "major_brand string, duration_s double, n_tracks int, "
+    "width int, height int, codecs array<string>"
+)
+
+
+def _mp4_boxes(raw: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for the boxes in
+    raw[start:end]; handles 64-bit largesize boxes."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(raw[pos : pos + 4], "big")
+        btype = raw[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("mp4 largesize box truncated")
+            size = int.from_bytes(raw[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to the end of the enclosure
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(
+                f"mp4 box {btype!r} size {size} overruns its container"
+            )
+        yield btype, body, pos + size
+        pos += size
+
+
+def probe_mp4(raw: bytes) -> dict:
+    """MP4/MOV container metadata WITHOUT decoding any frames:
+    {major_brand, duration_s, n_tracks, width, height, codecs}.
+    Dimensions come from the first video track's tkhd (16.16 fixed
+    point); codecs are the sample-entry fourccs (avc1/hev1/mp4a/…).
+    Raises ValueError on non-BMFF bytes or malformed box sizes."""
+    ftyp = None
+    for btype, b0, _b1 in _mp4_boxes(raw, 0, len(raw)):
+        if btype == b"ftyp":
+            ftyp = raw[b0 : b0 + 4].decode("latin1")
+        break
+    if ftyp is None:
+        raise ValueError(
+            f"not an mp4 (first box {raw[4:8]!r}, expected ftyp)"
+        )
+    duration_s, n_tracks, width, height = None, 0, None, None
+    codecs: list[str] = []
+
+    def walk(start: int, end: int, path: tuple) -> None:
+        nonlocal duration_s, n_tracks, width, height
+        for btype, b0, b1 in _mp4_boxes(raw, start, end):
+            t = btype.decode("latin1", "replace")
+            if t == "moov":
+                walk(b0, b1, path + (t,))
+            elif t == "mvhd" and path == ("moov",):
+                version = raw[b0]
+                if version == 1:
+                    scale = int.from_bytes(raw[b0 + 20 : b0 + 24], "big")
+                    dur = int.from_bytes(raw[b0 + 24 : b0 + 32], "big")
+                else:
+                    scale = int.from_bytes(raw[b0 + 12 : b0 + 16], "big")
+                    dur = int.from_bytes(raw[b0 + 16 : b0 + 20], "big")
+                if scale:
+                    duration_s = round(dur / scale, 6)
+            elif t == "trak" and path == ("moov",):
+                n_tracks += 1
+                walk(b0, b1, path + (t,))
+            elif t == "tkhd" and path == ("moov", "trak"):
+                version = raw[b0]
+                off = b0 + (96 if version == 1 else 84)
+                tw = int.from_bytes(raw[off - 8 : off - 4], "big") >> 16
+                th = int.from_bytes(raw[off - 4 : off], "big") >> 16
+                if tw and th and width is None:
+                    width, height = tw, th
+            elif t in ("mdia", "minf", "stbl") and path and path[-1] in (
+                "trak", "mdia", "minf",
+            ):
+                walk(b0, b1, path + (t,))
+            elif t == "stsd" and path and path[-1] == "stbl":
+                n_entries = int.from_bytes(raw[b0 + 4 : b0 + 8], "big")
+                pos = b0 + 8
+                for _ in range(n_entries):
+                    if pos + 8 > b1:
+                        break
+                    esize = int.from_bytes(raw[pos : pos + 4], "big")
+                    codecs.append(
+                        raw[pos + 4 : pos + 8].decode("latin1", "replace")
+                    )
+                    pos += max(esize, 8)
+
+    walk(0, len(raw), ())
+    return {
+        "major_brand": ftyp,
+        "duration_s": duration_s,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "codecs": codecs,
+    }
+
+
+def extract_video_metadata(
+    df, id_col: str = "media_id", media_col: str = "media"
+):
+    """Distributed MP4 metadata triage — the video twin of
+    `extract_audio_features`: same slim-projection ``mapInPandas``
+    plumbing, VIDEO_META_SCHEMA_DDL rows, raises naming the media id
+    on non-BMFF bytes. Frame decode is NOT attempted (module note);
+    this is the filter stage before any codec-backed work."""
+    from pyspark.sql import functions as F
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    )
+
+    def run(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = []
+            for media_id, media in zip(batch["media_id"], batch["media"]):
+                raw = bytes(media) if media is not None else b""
+                try:
+                    meta = probe_mp4(raw)
+                except ValueError as e:
+                    raise ValueError(f"media_id={media_id}: {e}") from e
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(raw),
+                        "content_hash": hashlib.md5(raw).hexdigest(),
+                        **meta,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_bytes", "content_hash",
+                    "major_brand", "duration_s", "n_tracks",
+                    "width", "height", "codecs",
+                ],
+            )
+
+    return slim.mapInPandas(run, VIDEO_META_SCHEMA_DDL)
+
+
 # --------------------------------------------------------------- audio
 
 AUDIO_FEATURE_SCHEMA_DDL = (

@@ -821,3 +821,97 @@ def test_png_adam7_palette_and_feature_parity():
         7, 10, 3, _png_forward_filter(idx, [0] * 10), plte=palette
     )
     np.testing.assert_array_equal(decode_png(inter), decode_png(plain))
+
+
+# ----------------------------------------------------------------- mp4
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+    extract_video_metadata,
+    probe_mp4,
+)
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4_bytes(*, largesize_mdat=False) -> bytes:
+    # mvhd v0: flags(4) created(4) modified(4) timescale(4) duration(4)
+    mvhd = _box(
+        b"mvhd",
+        bytes(4) + bytes(8) + (1000).to_bytes(4, "big")
+        + (7500).to_bytes(4, "big") + bytes(80),
+    )
+
+    def tkhd(w, h):
+        # v0: flags(4) created(4) modified(4) id(4) rsvd(4) dur(4)
+        # rsvd(8) layer(2) group(2) vol(2) rsvd(2) matrix(36) w(4) h(4)
+        body = bytes(4 + 12 + 8 + 8 + 8 + 36)
+        body += (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+        return _box(b"tkhd", body)
+
+    def trak(w, h, fourcc):
+        entry = (16).to_bytes(4, "big") + fourcc + bytes(8)
+        stsd = _box(
+            b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry
+        )
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", minf)
+        return _box(b"trak", tkhd(w, h) + mdia)
+
+    moov = _box(
+        b"moov",
+        mvhd + trak(640, 360, b"avc1") + trak(0, 0, b"mp4a"),
+    )
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomavc1")
+    payload = b"\x00" * 32
+    if largesize_mdat:
+        mdat = (
+            (1).to_bytes(4, "big") + b"mdat"
+            + (16 + len(payload)).to_bytes(8, "big") + payload
+        )
+    else:
+        mdat = _box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+def test_mp4_probe_reads_container_metadata():
+    meta = probe_mp4(_mp4_bytes())
+    assert meta == {
+        "major_brand": "isom",
+        "duration_s": 7.5,
+        "n_tracks": 2,
+        "width": 640,
+        "height": 360,
+        "codecs": ["avc1", "mp4a"],
+    }
+    # 64-bit largesize boxes parse too
+    assert probe_mp4(_mp4_bytes(largesize_mdat=True))["n_tracks"] == 2
+
+
+def test_mp4_probe_failures_are_loud():
+    with pytest.raises(ValueError, match="not an mp4"):
+        probe_mp4(b"\x00\x00\x00\x08free" + b"\x00" * 64)
+    # box size overruns its container
+    bad = bytearray(_mp4_bytes())
+    moov_at = bad.index(b"moov") - 4
+    bad[moov_at : moov_at + 4] = (2**31).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="overruns"):
+        probe_mp4(bytes(bad))
+
+
+def test_mp4_metadata_through_spark_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4_bytes()))], "media_id long, media binary"
+    )
+    r = extract_video_metadata(df).collect()[0]
+    assert (r.duration_s, r.n_tracks, r.width, r.height) == (
+        7.5, 2, 640, 360,
+    )
+    assert list(r.codecs) == ["avc1", "mp4a"]
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"RIFFxxxxWEBP"))], "media_id long, media binary"
+    )
+    with pytest.raises(Exception, match="media_id=9"):
+        extract_video_metadata(bad).collect()
