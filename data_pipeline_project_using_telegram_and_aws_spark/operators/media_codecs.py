@@ -844,6 +844,101 @@ def numpy_gif_frame_sampler(
     )
 
 
+IMAGE_QUALITY_SCHEMA_DDL = (
+    "media_id long, width int, height int, brightness double, "
+    "contrast double, saturation double, sharpness double, "
+    "extreme_frac double"
+)
+
+
+def image_quality_stats(
+    df, id_col: str = "media_id", media_col: str = "media"
+):
+    """Per-image quality signals for multimodal CURATION — the image
+    twin of the text quality heuristics (`operators/curation.py`'s
+    length/punct gates): decode via the real codecs above, emit one
+    row per image, and let policy be a plain downstream FILTER
+    (blank/blurry/washed-out images are dropped by thresholding these
+    columns, never inside the decoder). Signals, all on [0,1]-ish
+    scales, 6 dp:
+
+    - brightness: mean luma / 255.
+    - contrast: luma std / 255 (near-0 = blank or single-color).
+    - saturation: mean (max-min)/max over RGB channels (0 = grayscale
+      content regardless of container).
+    - sharpness: variance of the 4-neighbor Laplacian of luma,
+      normalized by 255² — the classic blur detector (near-0 = blurry
+      or flat).
+    - extreme_frac: fraction of pixels with luma ≤ 2 or ≥ 253 —
+      over/under-exposure and letterboxing mass.
+
+    Same slim-projection ``mapInPandas`` plumbing as every decoder
+    stage; raises naming the media id on undecodable bytes."""
+    from pyspark.sql import functions as F
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for media_id, media in zip(batch["media_id"], batch["media"]):
+            raw = bytes(media) if media is not None else b""
+            try:
+                px = to_rgb(_decode(raw)).astype(np.float64)
+            except ValueError as e:
+                raise ValueError(f"media_id={media_id}: {e}") from e
+            h, w = px.shape[:2]
+            luma = (
+                0.299 * px[:, :, 0]
+                + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2]
+            )
+            mx = px.max(axis=2)
+            mn = px.min(axis=2)
+            sat = float(np.where(mx > 0, (mx - mn) / np.maximum(mx, 1), 0).mean())
+            if h >= 3 and w >= 3:
+                lap = (
+                    4 * luma[1:-1, 1:-1]
+                    - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1]
+                    - luma[1:-1, :-2]
+                    - luma[1:-1, 2:]
+                )
+                sharp = float(lap.var()) / (255.0**2)
+            else:
+                sharp = 0.0
+            out.append(
+                {
+                    "media_id": media_id,
+                    "width": int(w),
+                    "height": int(h),
+                    "brightness": round(float(luma.mean()) / 255.0, 6),
+                    "contrast": round(float(luma.std()) / 255.0, 6),
+                    "saturation": round(sat, 6),
+                    "sharpness": round(sharp, 6),
+                    "extreme_frac": round(
+                        float(((luma <= 2) | (luma >= 253)).mean()), 6
+                    ),
+                }
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "width", "height", "brightness",
+                "contrast", "saturation", "sharpness", "extreme_frac",
+            ],
+        )
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    )
+
+    def run(batches):
+        for batch in batches:
+            if len(batch):
+                yield _stats(batch)
+
+    return slim.mapInPandas(run, IMAGE_QUALITY_SCHEMA_DDL)
+
+
 # ---------------------------------------------------------------- mp4
 # ISO-BMFF (MP4/MOV) box-structure parsing: the CONTAINER is plain
 # big-endian struct walking — no codec needed to read duration,

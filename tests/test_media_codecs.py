@@ -915,3 +915,52 @@ def test_mp4_metadata_through_spark_plumbing(spark):
     )
     with pytest.raises(Exception, match="media_id=9"):
         extract_video_metadata(bad).collect()
+
+
+# -------------------------------------------------------- image quality
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+    image_quality_stats,
+)
+
+
+def test_image_quality_signals_separate_blank_noisy_gray(spark):
+    """Hand-computable fixtures: a blank mid-gray image (contrast,
+    sharpness, saturation all ~0), a checkerboard (max contrast +
+    sharpness, zero saturation), a saturated flat red (saturation 1,
+    sharpness 0), and a black frame (extreme_frac 1)."""
+    rng = np.random.default_rng(19)
+    blank = np.full((8, 8, 3), 128, dtype=np.uint8)
+    checker = np.zeros((8, 8, 3), dtype=np.uint8)
+    checker[(np.add.outer(np.arange(8), np.arange(8)) % 2) == 1] = 255
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    black = np.zeros((8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(blank))),
+            (2, bytearray(encode_png(checker))),   # via the PNG path
+            (3, bytearray(encode_ppm(red))),
+            (4, bytearray(encode_ppm(black))),
+        ],
+        "media_id long, media binary",
+    )
+    rows = {r.media_id: r for r in image_quality_stats(df).collect()}
+    b, c, r3, k = rows[1], rows[2], rows[3], rows[4]
+    assert b.brightness == pytest.approx(128 / 255, abs=1e-6)
+    assert b.contrast == 0.0 and b.sharpness == 0.0
+    assert b.saturation == 0.0 and b.extreme_frac == 0.0
+    # checkerboard: half 0 half 255 -> contrast = 0.5, huge laplacian
+    assert c.contrast == pytest.approx(0.5, abs=1e-6)
+    assert c.sharpness > 1.0 and c.saturation == 0.0
+    assert c.extreme_frac == 1.0  # all pixels at 0 or 255 luma
+    # flat red: fully saturated, zero sharpness/contrast
+    assert r3.saturation == 1.0 and r3.sharpness == 0.0
+    assert k.extreme_frac == 1.0 and k.brightness == 0.0
+    # the curation read: a plain filter drops blank/blurry rows
+    kept = (
+        image_quality_stats(df)
+        .where("contrast > 0.05 and sharpness > 0.001")
+        .collect()
+    )
+    assert {r.media_id for r in kept} == {2}
