@@ -1148,6 +1148,18 @@ def decode_wav(raw: bytes):
     return rate, samples.reshape(n, channels)
 
 
+def _decode_audio(raw: bytes):
+    """Container dispatch for audio: RIFF/WAVE PCM or FLAC
+    (`operators/flac.py` — exact lossless reconstruction), both
+    normalized to (rate, (n, channels) float64 in [-1, 1]) so every
+    downstream audio operator is container-agnostic."""
+    if raw[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(raw)
+    return decode_wav(raw)
+
+
 def numpy_audio_decoder(batch: pd.DataFrame) -> pd.DataFrame:
     """Real WAV decode → AUDIO_FEATURE_SCHEMA_DDL rows. Features
     (8-dim, 6-dp rounded): rms, peak, mean zero-crossing rate, and DC
@@ -1157,7 +1169,7 @@ def numpy_audio_decoder(batch: pd.DataFrame) -> pd.DataFrame:
     for media_id, media in zip(batch["media_id"], batch["media"]):
         raw = bytes(media) if media is not None else b""
         try:
-            rate, x = decode_wav(raw)
+            rate, x = _decode_audio(raw)
         except ValueError as e:
             raise ValueError(f"media_id={media_id}: {e}") from e
         n = x.shape[0]
@@ -1249,7 +1261,7 @@ def audio_frame_energies(
         for media_id, media in zip(batch["media_id"], batch["media"]):
             raw = bytes(media) if media is not None else b""
             try:
-                rate, x = decode_wav(raw)
+                rate, x = _decode_audio(raw)
             except ValueError as e:
                 raise ValueError(f"media_id={media_id}: {e}") from e
             hop = max(1, rate * frame_ms // 1000)

@@ -267,7 +267,103 @@ def probe_curation(spark, n: int, rows_per_band: int) -> dict:
     }
 
 
+def probe_bm25(spark, n: int) -> dict:
+    """rt1's shape at corpus size n: template vocab grows with n so
+    document-frequency statistics stay realistic; 8 fixed queries over
+    the always-present low-template tokens."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    docs = synth_documents(
+        spark, n, templates=max(8, n // 8), noise_pct=15
+    ).localCheckpoint(eager=True)
+    qdf = spark.createDataFrame(
+        [(q, f"t{q}_1 t{q}_2 t{(q + 1) % 8}_3") for q in range(8)],
+        ["query_id", "query_text"],
+    )
+    t0 = time.time()
+    rows = bm25_scores(docs, qdf, top=10).count()
+    return {"n": n, "result_rows": rows, "sec": round(time.time() - t0, 2)}
+
+
+def probe_components(spark, n: int) -> dict:
+    """cc1's shape: linear-true-dup corpus (templates ∝ n, ~8 docs
+    each at 10% noise → est_jaccard ~0.57 ≥ the 0.5 edge threshold),
+    LSH candidate edges → hash-min closure. Components ≈ templates, so
+    edge and component counts must scale ~linearly."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = synth_documents(
+        spark, n, templates=max(8, n // 8), noise_pct=10
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    edges = minhash_lsh_candidates(docs, n=3, rows_per_band=2).filter(
+        F.col("est_jaccard") >= 0.5
+    ).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    labels = connected_components(edges, "doc_a", "doc_b")
+    n_comp = labels.select("component").distinct().count()
+    return {
+        "n": n,
+        "edges": n_edges,
+        "components": n_comp,
+        "sec": round(time.time() - t0, 2),
+    }
+
+
+def probe_semdedup(spark, n: int, k: int) -> dict:
+    """sd1's shape at centroid count k: intra-cluster pair scans cost
+    ~n²/k, so FIXED k goes quadratic while the ivf_n_centroids rule
+    (k ~ √n) holds the per-cluster operand steady — the same
+    fixed-vs-scaled story as the LSH geometry probes."""
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
+        ivf_sample_n,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
+    t0 = time.time()
+    cents = build_ivf_index(
+        emb, k=k, iters=2, sample_n=ivf_sample_n(k), cache_key=None
+    )
+    rows = semantic_dedup(emb, centroids=cents, tau=0.4).count()
+    return {
+        "n": n,
+        "k": k,
+        "result_rows": rows,
+        "sec": round(time.time() - t0, 2),
+    }
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--heavy"]:
+        from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
+            ivf_n_centroids,
+        )
+
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in (5000, 15000, 50000):
+            print(json.dumps({"family": "bm25", **probe_bm25(spark, n)}))
+        for n in (5000, 15000, 50000):
+            print(json.dumps(
+                {"family": "components", **probe_components(spark, n)}
+            ))
+        for n in (2000, 6000, 20000):
+            print(json.dumps({
+                "family": "semdedup",
+                "fixed_k16": probe_semdedup(spark, n, 16),
+                "rule_k": probe_semdedup(spark, n, ivf_n_centroids(n)),
+            }))
+        return
     if sys.argv[1:2] == ["--curation"]:
         sizes = [int(a) for a in sys.argv[2:]] or [5000, 15000, 50000]
         spark = get_spark("scale-probe")
