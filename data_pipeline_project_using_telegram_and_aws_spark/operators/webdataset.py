@@ -1,0 +1,242 @@
+"""WebDataset-style tar sharding for multimodal corpora — the wire
+format multimodal training loaders actually consume (one POSIX tar per
+shard; each sample is a group of files sharing a basename:
+``<key>.txt``, ``<key>.bin``, ``<key>.json``, …). stdlib ``tarfile``
+makes this honest: no external dependency, byte-exact round trips.
+
+Reference analog: the raw zone's "keep original bytes, one object per
+message" pattern (ipynb:330) — here packaged the way a GPU dataloader
+wants it (big sequential tars, not millions of small objects).
+
+Design, Spark-first:
+- shard assignment is the SAME pure function of the id as
+  `operators/packing.py` (``pmod(xxhash64(id), n_shards)``), so a
+  sample's shard is recomputable from its id alone — erasure blast
+  radius and selective re-export work exactly like packed-sequence
+  shards (one broadcast join, only affected tars rewritten).
+- within a shard, samples are laid out in md5(id) order — the same
+  deterministic shuffle as packing, so re-exports are byte-identical
+  regardless of upstream partitioning or row order.
+- the write is one shuffle (``repartition`` on the shard id) +
+  ``mapInPandas`` building each tar IN MEMORY per shard before a
+  single atomic-rename publish per file (tars are append-only
+  formats; a half-written tar is unreadable, so staging + rename is
+  load-bearing, not hygiene). Shard size is therefore bounded by
+  executor memory — size ``n_shards`` so shards land in the hundreds
+  of MB, the same sizing rule WebDataset itself recommends.
+- the read is ``spark.read.format("binaryFile")`` over the tars +
+  ``mapInPandas`` untar — each tar is one row into Python, each
+  sample one row out; no driver involvement, shards read in parallel.
+
+Tar determinism: fixed mtime=0, uid/gid=0, USTAR format — the same
+content always produces the same bytes, so shard content hashes are
+stable across runs and engines (the `packing.py` manifest doctrine).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SHARD_MANIFEST_DDL = "shard int, n_samples long, n_bytes long, sha256 string"
+SAMPLE_DDL_PREFIX = "shard int, key string"
+
+
+def _tar_bytes(samples: list[tuple[str, dict[str, bytes]]]) -> bytes:
+    """samples: [(key, {ext: payload_bytes})] in final order → one
+    deterministic USTAR archive."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for key, parts in samples:
+            for ext in sorted(parts):
+                payload = parts[ext]
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    media_col: str | None = None,
+    meta_cols: list[str] | None = None,
+) -> DataFrame:
+    """Export (id, text?, media?, meta…) rows as ``shard-%05d.tar``
+    files under ``out_dir`` plus a returned manifest DataFrame
+    (shard, n_samples, n_bytes, sha256) — the integrity record the
+    packing manifests set the pattern for. Per sample the tar carries
+    ``<key>.txt`` (utf-8 text), ``<key>.bin`` (media bytes), and
+    ``<key>.json`` (the meta columns), key = zero-padded id. Columns
+    that are None/absent are simply omitted from the sample.
+
+    One shuffle (the shard hash); each shard tar is built in one task
+    and published by staging + atomic rename (module note). This is a
+    SINK: it executes eagerly (a lazily-returned plan whose side
+    effect nobody triggers would silently write nothing) and returns
+    the n_shards-row manifest materialized."""
+    import os
+
+    if n_shards < 1:
+        raise ValueError(f"write_webdataset_shards: n_shards={n_shards}")
+    meta_cols = list(meta_cols or [])
+    cols = [F.col(id_col).cast("long").alias("__id")]
+    if text_col is not None:
+        cols.append(F.col(text_col).alias("__text"))
+    if media_col is not None:
+        cols.append(F.col(media_col).alias("__media"))
+    cols += [F.col(c) for c in meta_cols]
+    slim = df.select(*cols).withColumn(
+        "__shard",
+        F.pmod(F.xxhash64("__id"), F.lit(n_shards)).cast("int"),
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(batches):
+        # accumulate the WHOLE partition first: a shard's rows may
+        # span multiple Arrow batches, and a tar must be built from
+        # all of them (per-batch tars would silently overwrite)
+        acc: dict[int, list] = {}
+        for batch in batches:
+            has_text = "__text" in batch.columns
+            has_media = "__media" in batch.columns
+            for _, row in batch.iterrows():
+                key = f"{int(row['__id']):012d}"
+                parts: dict[str, bytes] = {}
+                if has_text and row["__text"] is not None:
+                    parts["txt"] = str(row["__text"]).encode("utf-8")
+                if has_media and row["__media"] is not None:
+                    parts["bin"] = bytes(row["__media"])
+                if meta_cols:
+                    meta = {
+                        c: (None if pd.isna(row[c]) else row[c])
+                        for c in meta_cols
+                    }
+                    parts["json"] = json.dumps(
+                        meta, sort_keys=True, default=str
+                    ).encode("utf-8")
+                acc.setdefault(int(row["__shard"]), []).append(
+                    (hashlib.md5(key.encode()).hexdigest(), key, parts)
+                )
+        for shard in sorted(acc):
+            samples = sorted(acc[shard])  # md5(key): deterministic
+            tar = _tar_bytes([(k, p) for _, k, p in samples])
+            final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+            tmp = final + ".__tmp"
+            with open(tmp, "wb") as f:
+                f.write(tar)
+            os.replace(tmp, final)  # atomic publish per shard
+            yield pd.DataFrame(
+                [
+                    {
+                        "shard": shard,
+                        "n_samples": len(samples),
+                        "n_bytes": len(tar),
+                        "sha256": hashlib.sha256(tar).hexdigest(),
+                    }
+                ]
+            )
+
+    # one task per shard: every row of a shard must meet in one group
+    lazy = slim.repartition(n_shards, "__shard").mapInPandas(
+        build, SHARD_MANIFEST_DDL
+    )
+    rows = lazy.collect()  # the action IS the export; manifest is tiny
+    return df.sparkSession.createDataFrame(rows, SHARD_MANIFEST_DDL)
+
+
+def read_webdataset_shards(
+    spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """The inverse: every sample from every shard tar as (shard, key,
+    txt, bin, json) rows — binaryFile scan (shards read in parallel,
+    partition-pruned by path like any file source) + per-tar untar in
+    ``mapInPandas``. Missing parts are NULL; unknown extensions raise
+    naming the member (a foreign file in a shard is a data defect)."""
+
+    files = spark.read.format("binaryFile").load(out_dir + "/shard-*.tar")
+
+    def untar(batches):
+        for batch in batches:
+            out = []
+            for path, content in zip(batch["path"], batch["content"]):
+                name = path.rsplit("/", 1)[-1]
+                shard = int(name[len("shard-"):-len(".tar")])
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r"
+                ) as tf:
+                    samples: dict[str, dict] = {}
+                    for m in tf.getmembers():
+                        if "." not in m.name:
+                            raise ValueError(
+                                f"webdataset member {m.name!r} has no "
+                                "extension"
+                            )
+                        key, ext = m.name.rsplit(".", 1)
+                        if ext not in ("txt", "bin", "json"):
+                            raise ValueError(
+                                f"webdataset member {m.name!r} has "
+                                f"unknown extension {ext!r}"
+                            )
+                        samples.setdefault(key, {})[ext] = tf.extractfile(
+                            m
+                        ).read()
+                for key in sorted(samples):
+                    parts = samples[key]
+                    out.append(
+                        {
+                            "shard": shard,
+                            "key": key,
+                            "txt": (
+                                parts["txt"].decode("utf-8")
+                                if "txt" in parts
+                                else None
+                            ),
+                            "bin": bytearray(parts["bin"])
+                            if "bin" in parts
+                            else None,
+                            "json": (
+                                parts["json"].decode("utf-8")
+                                if "json" in parts
+                                else None
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["shard", "key", "txt", "bin", "json"]
+            )
+
+    return files.mapInPandas(
+        untar, "shard int, key string, txt string, bin binary, json string"
+    )
+
+
+def affected_webdataset_shards(
+    erased_ids: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Erasure blast radius, the packing-module contract: shard id is
+    a pure function of the id, so the affected-tar set is one
+    projection of the erased ids — re-export exactly these shards
+    (call `write_webdataset_shards` on the surviving rows filtered to
+    them) and no others."""
+    return (
+        erased_ids.select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_shards))
+            .cast("int")
+            .alias("shard")
+        )
+        .distinct()
+        .orderBy("shard")
+    )
