@@ -1,0 +1,213 @@
+"""Streaming MULTIMODAL front door — the binary-column twin of the
+text chain (gate → dedup → scrub → dsir → pack): every micro-batch of
+(media_id, media) rows is
+
+1. SNIFFED: containers `media_codecs.sniff_format` cannot name go to
+   the quarantine zone with the leading bytes in the reason (the
+   contract-gate doctrine — undecodable media is a data defect to
+   audit, not a row to crash on or silently drop). The sniff is a
+   projection, never a decode, so the gate costs one pass over the
+   magic bytes.
+2. DECODED + SCORED: survivors run the REAL decoders through
+   `media_codecs.image_quality_stats` (brightness/contrast/
+   saturation/sharpness/extreme_frac). A sniffable container that
+   then fails to DECODE (truncated payload, corrupt chunk) also lands
+   in quarantine — per row, caught from the decoder's loud raise.
+3. GATED: rows below the quality thresholds land in the reject zone
+   WITH their stats (auditable, like the dedup stage's rejects);
+   the rest land in the good zone joined to their stats.
+
+Zones partition the input exactly: |batch| = |quarantine| + |reject| +
+|good| per batch — the conservation contract every front-door stage
+pins. All three zones land under ``ingest_batch=<batch_id>`` dynamic
+partition overwrite (deterministic transform ⇒ at-least-once replay
+rewrites byte-identically — the ledger pattern everywhere in
+`streaming/`).
+
+Scale shape: the only Python is the decode itself (inherently so —
+the documented Arrow path from `multimodal.py`), over the slim
+(id, bytes) projection; the gate and the zone splits are plain column
+filters on the stats rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+QUALITY_DDL = (
+    "media_id long, width int, height int, brightness double, "
+    "contrast double, saturation double, sharpness double, "
+    "extreme_frac double, decode_error string"
+)
+
+
+def _decode_or_error(batch_iter):
+    """Per-row image_quality_stats that converts a decoder raise into
+    a (media_id, decode_error) row instead of failing the batch — the
+    quarantine path needs the row, not the exception."""
+    import pandas as pd
+
+    from ..operators.media_codecs import _decode, to_rgb
+
+    import numpy as np
+
+    for batch in batch_iter:
+        out = []
+        for media_id, media in zip(batch["media_id"], batch["media"]):
+            raw = bytes(media) if media is not None else b""
+            row = {
+                "media_id": media_id, "width": None, "height": None,
+                "brightness": None, "contrast": None,
+                "saturation": None, "sharpness": None,
+                "extreme_frac": None, "decode_error": None,
+            }
+            try:
+                px = to_rgb(_decode(raw)).astype(np.float64)
+            except ValueError as e:
+                row["decode_error"] = str(e)[:200]
+                out.append(row)
+                continue
+            h, w = px.shape[:2]
+            luma = (
+                0.299 * px[:, :, 0]
+                + 0.587 * px[:, :, 1]
+                + 0.114 * px[:, :, 2]
+            )
+            mx, mn = px.max(axis=2), px.min(axis=2)
+            if h >= 3 and w >= 3:
+                lap = (
+                    4 * luma[1:-1, 1:-1] - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1] - luma[1:-1, :-2] - luma[1:-1, 2:]
+                )
+                sharp = float(lap.var()) / (255.0**2)
+            else:
+                sharp = 0.0
+            row.update(
+                width=int(w),
+                height=int(h),
+                brightness=round(float(luma.mean()) / 255.0, 6),
+                contrast=round(float(luma.std()) / 255.0, 6),
+                saturation=round(
+                    float(
+                        np.where(mx > 0, (mx - mn) / np.maximum(mx, 1), 0)
+                        .mean()
+                    ),
+                    6,
+                ),
+                sharpness=round(sharp, 6),
+                extreme_frac=round(
+                    float(((luma <= 2) | (luma >= 253)).mean()), 6
+                ),
+            )
+            out.append(row)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "media_id", "width", "height", "brightness", "contrast",
+                "saturation", "sharpness", "extreme_frac", "decode_error",
+            ],
+        )
+
+
+def ingest_media_batch(
+    batch: DataFrame,
+    batch_id: int,
+    good_path: str,
+    reject_path: str,
+    quarantine_path: str,
+    min_contrast: float = 0.02,
+    min_sharpness: float = 1e-4,
+    max_extreme_frac: float = 0.9,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> None:
+    spark = batch.sparkSession
+    slim = batch.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    ).localCheckpoint(eager=True)  # read the source once, split thrice
+    stats = slim.mapInPandas(_decode_or_error, QUALITY_DDL).localCheckpoint(
+        eager=True
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stamp = F.lit(int(batch_id)).alias("ingest_batch")
+
+    quarantined = stats.filter(F.col("decode_error").isNotNull()).select(
+        "media_id",
+        F.col("decode_error").alias("reason"),
+        stamp,
+    )
+    (
+        slim.join(F.broadcast(quarantined), "media_id")
+        .select("media_id", "media", "reason", "ingest_batch")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(quarantine_path)
+    )
+    scored = stats.filter(F.col("decode_error").isNull()).drop(
+        "decode_error"
+    )
+    passes = (
+        (F.col("contrast") >= min_contrast)
+        & (F.col("sharpness") >= min_sharpness)
+        & (F.col("extreme_frac") <= max_extreme_frac)
+    )
+    rejected = scored.filter(~passes)
+    (
+        rejected.select("*", stamp)
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(reject_path)
+    )
+    good = scored.filter(passes)
+    (
+        slim.join(F.broadcast(good), "media_id")
+        .select(
+            "media_id", "media", "width", "height", "brightness",
+            "contrast", "saturation", "sharpness", "extreme_frac", stamp,
+        )
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(good_path)
+    )
+
+
+def start_media_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    good_path: str,
+    reject_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    min_contrast: float = 0.02,
+    min_sharpness: float = 1e-4,
+    max_extreme_frac: float = 0.9,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """File-source stream of (media_id, media binary) parquet →
+    quarantine / reject / good zones per the module recipe."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    stream = reader.parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ingest_media_batch(
+            batch, batch_id, good_path, reject_path, quarantine_path,
+            min_contrast, min_sharpness, max_extreme_frac,
+            id_col, media_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

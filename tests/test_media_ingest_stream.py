@@ -1,0 +1,127 @@
+"""Streaming multimodal front door (streaming/media_ingest.py):
+undecodable containers → quarantine with the decoder's reason, blank/
+blurry images → reject with their stats, clean images → good zone with
+stats attached; zones PARTITION the input per batch; checkpoint resume
+processes only new files; good-zone media feeds the WebDataset export
+end-to-end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+    encode_gif,
+    encode_png,
+    encode_ppm,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.streaming.media_ingest import (
+    start_media_ingest_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+    ]
+)
+
+
+def _sharp_img(seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def test_media_front_door_zones_and_resume(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    good, reject, quar = (
+        str(tmp_path / z) for z in ("good", "reject", "quar")
+    )
+    ck = str(tmp_path / "ck")
+    rows = [
+        (1, bytearray(encode_ppm(_sharp_img(1)))),          # good
+        (2, bytearray(encode_png(_sharp_img(2)))),          # good
+        (3, bytearray(encode_ppm(                           # blank ->
+            np.full((8, 8, 3), 128, dtype=np.uint8)))),     # reject
+        (4, bytearray(b"\xff\xd8\xffcorrupt jpeg")),        # quarantine
+        (5, bytearray(b"OggS not an image at all")),        # quarantine
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_media_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar, ck
+    ).awaitTermination(120)
+
+    g = {r.media_id: r for r in spark.read.parquet(good).collect()}
+    rj = {r.media_id: r for r in spark.read.parquet(reject).collect()}
+    q = {r.media_id: r for r in spark.read.parquet(quar).collect()}
+    assert set(g) == {1, 2} and set(rj) == {3} and set(q) == {4, 5}
+    assert len(g) + len(rj) + len(q) == len(rows)  # conservation
+    # good rows carry bytes AND stats; stats are the real decode's
+    assert bytes(g[1].media) == bytes(encode_ppm(_sharp_img(1)))
+    assert g[1].width == 8 and g[1].sharpness > 1e-4
+    # reject rows carry the auditable stats that failed the gate
+    assert rj[3].contrast == 0.0
+    # quarantine reasons quote the decoder
+    assert "jpeg" in q[4].reason
+    assert "undecodable container" in q[5].reason
+
+    # resume: a later landing flows only the new file through
+    # full-range indices: encode_gif's (i, 2i, 3i) palette then spans
+    # bright varied colors (low indices alone would be near-black and
+    # correctly REJECTED by the gate)
+    spark.createDataFrame(
+        [(10, bytearray(encode_gif([_sharp_img(3)[:, :, 0]])))],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    start_media_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar, ck
+    ).awaitTermination(120)
+    g2 = {r.media_id for r in spark.read.parquet(good).collect()}
+    assert g2 == {1, 2, 10}
+    batches = {
+        r.ingest_batch for r in spark.read.parquet(good).collect()
+    }
+    assert batches == {0, 1}
+
+
+def test_media_front_door_feeds_webdataset_export(spark, tmp_path):
+    """The multimodal pipeline end-to-end to the training artifact:
+    streamed quality gate -> good zone -> WebDataset shard tars. Only
+    admitted media reaches the tars, byte-identical."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good, reject, quar = (
+        str(tmp_path / z) for z in ("good", "reject", "quar")
+    )
+    wds = str(tmp_path / "wds")
+    rows = [(i, bytearray(encode_ppm(_sharp_img(i)))) for i in range(6)]
+    rows.append((99, bytearray(b"broken bytes")))
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_media_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar,
+        str(tmp_path / "ck"),
+    ).awaitTermination(120)
+    admitted = spark.read.parquet(good)
+    write_webdataset_shards(
+        admitted, wds, n_shards=2, id_col="media_id",
+        text_col=None, media_col="media",
+        meta_cols=["width", "height", "sharpness"],
+    )
+    back = {
+        int(r.key): bytes(r.bin)
+        for r in read_webdataset_shards(spark, wds).collect()
+    }
+    assert set(back) == set(range(6))
+    for i in range(6):
+        assert back[i] == bytes(encode_ppm(_sharp_img(i)))
