@@ -1352,3 +1352,72 @@ def test_window_frame_bounds_match_duckdb(spark, func, kind, lo, hi, part):
             assert math.isclose(g[4], v[4], rel_tol=1e-9, abs_tol=1e-9), (
                 g, v, func, kind, lo, hi,
             )
+
+
+# --------------------------------------------------------------- axis 16
+# DISTINCT aggregates and the FILTER (WHERE ...) clause — the aggregate
+# GRAMMAR corners no prior axis touches (axis 2 pins count-distinct
+# with HAVING; here distinct rides sum/avg/min alongside plain and
+# filtered aggregates in one grouped projection, where engines
+# implement expand-vs-dedup strategies that can drift). Identical SQL
+# text on both engines.
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    dfunc=st.sampled_from(["sum", "avg", "min", "count"]),
+    dcol=st.sampled_from(["l_quantity", "l_extendedprice", "l_linenumber"]),
+    group=st.sampled_from(["l_returnflag", "l_linestatus"]),
+    cut1=st.sampled_from([0.02, 0.04, 0.07]),
+    cut2=st.sampled_from([0.01, 0.05]),
+)
+def test_distinct_and_filtered_aggregates_match_duckdb(
+    spark, dfunc, dcol, group, cut1, cut2
+):
+    sql = (
+        f"select {group}, "
+        f"{dfunc}(distinct {dcol}) as a, "
+        f"sum({dcol}) filter (where l_discount <= {cut1}) as b, "
+        f"count(*) filter (where l_tax > {cut2}) as c, "
+        f"count(distinct {dcol}) filter (where l_discount > {cut1}) as d, "
+        f"sum({dcol}) as e "
+    )
+    df = load_table(spark, SF_DIR, "lineitem").select(
+        group, dcol, "l_discount", "l_tax"
+    )
+    df.createOrReplaceTempView("fz16_lineitem")
+    def norm(r):
+        return (r[0],) + tuple(
+            None if v is None else round(float(v), 6) for v in r[1:]
+        )
+
+    got = sorted(
+        norm(r)
+        for r in spark.sql(sql + "from fz16_lineitem group by " + group)
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        norm(r)
+        for r in con.execute(
+            sql
+            + f"from (select {group}, {dcol}, l_discount, l_tax from "
+            f"read_parquet('{SF_DIR}/lineitem.parquet')) "
+            f"group by {group}"
+        ).fetchall()
+    )
+    con.close()
+    assert len(got) == len(want)
+    for g, v in zip(got, want):
+        assert g[0] == v[0]
+        for x, y in zip(g[1:], v[1:]):
+            if x is None or y is None:
+                assert x == y, (g, v)
+            else:
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6), (
+                    g, v,
+                )
