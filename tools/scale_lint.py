@@ -164,6 +164,11 @@ def _extension_plans(spark, sf_dir):
         "ext_scrub_spans": scrub_contaminated_spans(
             docs, docs.limit(5), n=8
         ),
+        # media stages are the package's documented Arrow paths: the
+        # decode IS the work, over the slim (id, bytes) projection —
+        # the lint checks no cartesian/global-window crept around them
+        "ext_image_quality": _media_quality_plan(spark),
+        "ext_video_metadata": _video_metadata_plan(spark),
         **_hybrid_and_dsir_plans(
             F,
             docs,
@@ -176,6 +181,39 @@ def _extension_plans(spark, sf_dir):
             dsir_select,
         ),
     }
+
+
+def _media_quality_plan(spark):
+    import numpy as np
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        encode_ppm,
+        image_quality_stats,
+    )
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (i, bytearray(encode_ppm(
+            rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        )))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    return image_quality_stats(df)
+
+
+def _video_metadata_plan(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        extract_video_metadata,
+    )
+
+    # minimal valid bmff bytes: ftyp + empty moov
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 4
+    moov = (8).to_bytes(4, "big") + b"moov"
+    df = spark.createDataFrame(
+        [(1, bytearray(ftyp + moov))], "media_id long, media binary"
+    )
+    return extract_video_metadata(df)
 
 
 def _hybrid_and_dsir_plans(
