@@ -409,3 +409,35 @@ def test_real_png_encoder_files_decode():
         px = decode_png(open(path, "rb").read())
         assert px.shape == want, path
         assert px.dtype == np.uint8
+
+
+def test_full_block_and_zrl_runs():
+    """A block with all 64 coefficients nonzero (no EOB emitted) and a
+    block whose lone AC sits after 17 zeros (forcing a ZRL symbol)
+    both decode against the cosine-sum oracle."""
+    rng = np.random.default_rng(31)
+    full = [int(v) for v in rng.integers(1, 5, 64)]  # all nonzero
+    lone = [0] * 64
+    lone[0] = 3
+    lone[18] = -6  # 17 zeros between index 0 and 18 -> ZRL + run 1
+    for zz in (full, lone):
+        raw = _jpeg_bytes(8, 8, [(1, 1, 1, 0)], [[list(zz)]], {0: Q1})
+        px = decode_jpeg(raw)[:, :, 0].astype(np.float64)
+        # independent oracle: sum the cosine basis over all coefs
+        m = np.arange(8)
+        want = np.full((8, 8), 128.0)
+        for pos in range(64):
+            if zz[pos] == 0:
+                continue
+            ridx = ZIGZAG_INDEX[pos]
+            u, v = divmod(ridx, 8)
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            cv = np.sqrt(0.5) if v == 0 else 1.0
+            want += (
+                (cu * cv / 4.0)
+                * zz[pos]
+                * np.cos((2 * m[:, None] + 1) * u * np.pi / 16)
+                * np.cos((2 * m[None, :] + 1) * v * np.pi / 16)
+            )
+        want = np.clip(np.round(want), 0, 255)
+        assert np.abs(px - want).max() <= 1
