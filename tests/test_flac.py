@@ -342,3 +342,31 @@ def test_flac_and_wav_read_identically_through_spark(spark):
     assert rows[1].sample_rate == rows[2].sample_rate == 8000
     assert rows[1].n_samples == rows[2].n_samples == 16
     assert rows[1].feature == rows[2].feature
+
+
+def test_rice2_method_and_other_bit_depths():
+    """Residual method 1 (5-bit rice2 params) and 8/24-bit sample
+    depths round-trip exactly."""
+    n = 16
+    samples = [((i * 97) % 199) - 99 for i in range(n)]
+
+    def sub_fixed_rice2(w, vals, bps):
+        w.u(0, 1)
+        w.u(8 + 1, 6)  # fixed order 1
+        w.u(0, 1)
+        w.s(vals[0], bps)
+        res = [vals[i] - vals[i - 1] for i in range(1, n)]
+        w.u(1, 2)  # method 1: rice2
+        w.u(0, 4)  # one partition
+        w.u(4, 5)  # 5-bit param
+        _rice(w, res, 4)
+
+    for bps in (8, 16, 24):
+        scale = 1 if bps == 8 else (1 << (bps - 16)) * 100
+        vals = [max(min(s * scale, (1 << (bps - 1)) - 1),
+                    -(1 << (bps - 1))) for s in samples]
+        f = _frame([lambda w, v=vals, b=bps: sub_fixed_rice2(w, v, b)],
+                   n, 0)
+        _, x = decode_flac(_flac(8000, 1, bps, [f], n))
+        got = np.round(x[:, 0] * (1 << (bps - 1))).astype(np.int64)
+        np.testing.assert_array_equal(got, vals, err_msg=f"bps={bps}")
