@@ -1,0 +1,168 @@
+"""URL/domain operators (operators/urls.py): the normalization recipe
+against an independent urllib.parse-based Python model over
+hypothesis-generated structured URLs, eTLD+1 heuristics, the domain
+report's share math, and the broadcast blocklist anti-join."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.urls import (
+    TRACKING_PARAMS,
+    domain_report,
+    filter_blocked_domains,
+    normalize_url,
+    registered_domain,
+    url_host,
+)
+
+
+def _model_normalize(url: str) -> str | None:
+    parts = urlsplit(url)
+    host = parts.hostname  # lowercased, port and userinfo stripped
+    if not host:
+        return None
+    path = parts.path
+    if path.endswith("/") and len(path) > 1:
+        path = path[:-1]
+    if path == "/":
+        path = ""
+    params = [
+        p
+        for p in parts.query.split("&")
+        if p and p.split("=")[0].lower() not in TRACKING_PARAMS
+    ]
+    q = "&".join(sorted(params))
+    return f"{parts.scheme.lower()}://{host}{path}" + (
+        f"?{q}" if q else ""
+    )
+
+
+_label = st.sampled_from(["example", "news", "cdn", "a1", "x"])
+_keys = st.sampled_from(
+    ["q", "page", "id", "utm_source", "UTM_Campaign", "gclid", "sort"]
+)
+_vals = st.sampled_from(["1", "abc", "z9", ""])
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP"]))
+    labels = draw(st.lists(_label, min_size=1, max_size=3))
+    suffix = draw(st.sampled_from(["com", "org", "co.uk", "de"]))
+    host = ".".join(labels + [suffix])
+    port = draw(st.sampled_from(["", ":80", ":8080"]))
+    segs = draw(
+        st.lists(st.sampled_from(["p", "q2", "index.html"]),
+                 min_size=0, max_size=3)
+    )
+    path = ("/" + "/".join(segs)) if segs else draw(
+        st.sampled_from(["", "/"])
+    )
+    if segs and draw(st.booleans()):
+        path += "/"
+    n_params = draw(st.integers(0, 4))
+    params = "&".join(
+        f"{draw(_keys)}={draw(_vals)}" for _ in range(n_params)
+    )
+    frag = draw(st.sampled_from(["", "#top", "#sec-2"]))
+    url = f"{scheme}://{host}{port}{path}"
+    if params:
+        url += "?" + params
+    return url + frag
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.lists(_urls(), min_size=1, max_size=8))
+def test_normalize_matches_urllib_model(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [
+        r["n"]
+        for r in df.select(normalize_url("url").alias("n")).collect()
+    ]
+    want = [_model_normalize(u) for u in urls]
+    assert got == want, (urls, got, want)
+
+
+def test_normalization_recipe_examples(spark):
+    rows = [
+        # tracking params dropped, survivors sorted, fragment gone
+        ("HTTPS://News.Example.COM:443/a/b/?z=1&utm_source=x&a=2#frag",
+         "https://news.example.com/a/b?a=2&z=1"),
+        # bare host, trailing slash, default port
+        ("http://Example.com:80/", "http://example.com"),
+        # only tracking params -> no query at all
+        ("http://a.com/p?gclid=123&UTM_CAMPAIGN=y", "http://a.com/p"),
+        # unparseable -> NULL, never a crash
+        ("not a url at all", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], ["url"])
+    got = [
+        r["n"]
+        for r in df.select(normalize_url("url").alias("n")).collect()
+    ]
+    assert got == [w for _, w in rows]
+    # identical content under different tracking params dedups to one
+    # key — the operator's whole purpose
+    a = "http://a.com/doc?id=7&utm_source=tw"
+    b = "HTTP://A.com:80/doc/?utm_campaign=x&id=7"
+    two = spark.createDataFrame([(a,), (b,)], ["url"])
+    keys = {
+        r["n"] for r in two.select(normalize_url("url").alias("n")).collect()
+    }
+    assert keys == {"http://a.com/doc?id=7"}
+
+
+def test_registered_domain_heuristic(spark):
+    rows = [
+        ("http://www.example.co.uk/p", "example.co.uk"),
+        ("https://a.b.news.com/x", "news.com"),
+        ("http://localhost/x", "localhost"),
+        ("http://sub.site.de", "site.de"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], ["url"])
+    got = [
+        r["d"]
+        for r in df.select(registered_domain("url").alias("d")).collect()
+    ]
+    assert got == [w for _, w in rows]
+
+
+def test_domain_report_and_blocklist(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.spam.com/1", "w1 w2"),
+            (2, "http://b.spam.com/2", "w1 w2 w3"),
+            (3, "http://good.org/1", "w1"),
+            (4, "http://also.good.org/2", "w1 w2"),
+        ],
+        ["doc_id", "url", "text"],
+    )
+    rep = {r["domain"]: r for r in domain_report(docs).collect()}
+    assert rep["spam.com"]["n_docs"] == 2
+    assert rep["spam.com"]["doc_share"] == 0.5
+    assert rep["spam.com"]["n_tokens"] == 5
+    assert rep["spam.com"]["token_share"] == pytest.approx(5 / 8)
+    block = spark.createDataFrame([("Spam.com",)], ["domain"])
+    kept = filter_blocked_domains(docs, block)
+    assert {r["doc_id"] for r in kept.collect()} == {3, 4}
+    # plan: the anti-join broadcasts the blocklist side
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the whole normalize expression is JVM-side: no Python stages
+    nplan = (
+        docs.select(normalize_url("url"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for py_node in ("BatchEvalPython", "ArrowEvalPython",
+                    "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py_node not in nplan
+    assert "ParseUrlEvaluator" in nplan  # the JVM parse, in-plan

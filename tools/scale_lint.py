@@ -169,6 +169,7 @@ def _extension_plans(spark, sf_dir):
         # the lint checks no cartesian/global-window crept around them
         "ext_image_quality": _media_quality_plan(spark),
         "ext_video_metadata": _video_metadata_plan(spark),
+        "ext_domain_report": _domain_report_plan(spark, docs),
         **_hybrid_and_dsir_plans(
             F,
             docs,
@@ -181,6 +182,24 @@ def _extension_plans(spark, sf_dir):
             dsir_select,
         ),
     }
+
+
+def _domain_report_plan(spark, docs):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.urls import (
+        domain_report,
+    )
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        "text",
+    )
+    return domain_report(urls)
 
 
 def _media_quality_plan(spark):
