@@ -1,7 +1,10 @@
-"""Pure-NumPy baseline JPEG decoder — closing the last big env-blocked
-media gap for real. Baseline sequential JPEG (SOF0) is Huffman coding +
-an 8×8 IDCT + chroma upsampling: no external entropy libraries needed,
-just careful bit-level work. `media_codecs.sniff_format` dispatches
+"""Pure-NumPy JPEG decoder — baseline (SOF0) AND progressive (SOF2).
+JPEG is Huffman coding + an 8×8 IDCT + chroma upsampling: no external
+entropy libraries needed, just careful bit-level work. Progressive
+uses the IDENTICAL Huffman entropy coding as baseline — only the scan
+structure differs (spectral-selection bands and successive-
+approximation bit planes accumulated across scans, T.81 Annex G) — so
+it shares every primitive here. `media_codecs.sniff_format` dispatches
 here so the shared `multimodal` injection points (features, resize)
 read JPEGs like any other container.
 
@@ -10,8 +13,15 @@ Scope, stated exactly:
   YCbCr, component sampling factors 1-2 in each axis (4:4:4, 4:2:2,
   4:2:0 and friends), restart intervals (DRI/RSTn), stuffed 0xFF00
   bytes, multiple DQT/DHT segments, APPn/COM skipped.
-- REJECTED loudly, never approximated: progressive (SOF2), extended
-  sequential (SOF1) and every other SOFn, arithmetic coding (DAC),
+- Progressive DCT (SOF2): multi-scan spectral selection (Ss..Se
+  zigzag bands), successive approximation (Ah/Al bit planes) for both
+  DC and AC, EOB runs, interleaved multi-component DC scans and the
+  spec-mandated single-component AC scans, per-scan restart
+  intervals; coefficients accumulate in per-component stores and the
+  image reconstructs once at EOI through the same dequantize → IDCT →
+  upsample tail as baseline.
+- REJECTED loudly, never approximated: extended sequential (SOF1)
+  and every other non-SOF0/SOF2 frame type, arithmetic coding (DAC),
   12-bit precision, 4-component CMYK/Adobe transforms, sampling
   factors > 2.
 
@@ -208,6 +218,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     out = None
+    prog_store = None  # progressive: per-comp coefficient planes
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(
@@ -230,8 +241,11 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                         "jpeg 16-bit quantization tables unsupported "
                         "(8-bit baseline only)"
                     )
+                qbody = body[i + 1 : i + 65]
+                if len(qbody) < 64:
+                    raise ValueError("jpeg DQT segment truncated")
                 qtables[tq] = np.frombuffer(
-                    body[i + 1 : i + 65], dtype=np.uint8
+                    qbody, dtype=np.uint8
                 ).astype(np.int32)
                 i += 65
         elif marker == 0xC4:  # DHT: one or more tables
@@ -239,12 +253,23 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 counts = body[i + 1 : i + 17]
+                if len(counts) < 16:
+                    raise ValueError("jpeg DHT segment truncated")
                 n = sum(counts)
-                htables[(tc, th)] = _build_huffman(
-                    counts, body[i + 17 : i + 17 + n]
-                )
+                symbols = body[i + 17 : i + 17 + n]
+                if len(symbols) < n:
+                    # the counts promise more symbols than the segment
+                    # ships — without this check _build_huffman would
+                    # IndexError past the quarantine contract
+                    raise ValueError(
+                        "jpeg DHT segment truncated: counts promise "
+                        f"{n} symbols, {len(symbols)} present"
+                    )
+                htables[(tc, th)] = _build_huffman(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("jpeg has multiple SOF frame headers")
             precision = body[0]
             if precision != 8:
                 raise ValueError(
@@ -267,20 +292,31 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                         f"jpeg sampling factors {hs}x{vs} unsupported"
                     )
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"jpeg SOF 0x{marker:02x} unsupported - baseline "
-                "sequential (SOF0) only; re-encode non-progressive"
+                "(SOF0) and progressive (SOF2) only"
             )
         elif marker == 0xCC:
             raise ValueError("jpeg arithmetic coding unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
-        elif marker == 0xDA:  # SOS: the one scan baseline has
+        elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("jpeg SOS before SOF0 frame header")
+                raise ValueError("jpeg SOS before SOF frame header")
+            if frame["progressive"]:
+                if prog_store is None:
+                    prog_store = _alloc_coef_store(frame)
+                pos = _decode_progressive_scan(
+                    raw, pos, seg_len, body, frame, prog_store,
+                    htables, restart_interval,
+                )
+                continue
             ns = body[0]
             if ns != len(frame["comps"]):
                 raise ValueError(
@@ -312,9 +348,31 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             break
         # APPn (E0-EF), COM (FE), others: skip
         pos += 2 + seg_len
+    if out is None and prog_store is not None:
+        out = _reconstruct(frame, prog_store, qtables)
     if out is None:
         raise ValueError("jpeg has no decodable scan (missing SOS)")
     return out
+
+
+def _geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coef_store(frame):
+    """Per-component zigzag coefficient planes sized to the full MCU
+    grid (non-interleaved scans cover the ≤-sized cbw×cbh block grid;
+    padding blocks stay zero and are cropped at reconstruction)."""
+    _, _, mcux, mcuy = _geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
 
 
 def _decode_scan(
@@ -323,21 +381,8 @@ def _decode_scan(
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     if h < 1 or w < 1:
         raise ValueError(f"jpeg dimensions {w}x{h} invalid")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        if c["tq"] not in qtables:
-            raise ValueError(
-                f"jpeg component references missing quant table "
-                f"{c['tq']}"
-            )
-    # per-component zigzag coefficient store, filled MCU by MCU
-    coef_store = [
-        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
-        for c in comps
-    ]
+    _, _, mcux, mcuy = _geometry(frame)
+    coef_store = _alloc_coef_store(frame)
     reader = _BitReader(raw, pos)
     preds = [0] * len(comps)
     rst_m = 0
@@ -356,7 +401,23 @@ def _decode_scan(
                     coef_store[ci][
                         my * comp["v"] + by, mx * comp["h"] + bx
                     ] = coef
-    # dequantize + de-zigzag + IDCT per component, batched
+    return _reconstruct(frame, coef_store, qtables)
+
+
+def _reconstruct(frame, coef_store, qtables) -> np.ndarray:
+    """Dequantize + de-zigzag + IDCT per component (batched), assemble
+    planes, upsample chroma, color-convert — shared by the baseline
+    single-scan path and the progressive at-EOI reconstruction."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if h < 1 or w < 1:
+        raise ValueError(f"jpeg dimensions {w}x{h} invalid")
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(
+                f"jpeg component references missing quant table "
+                f"{c['tq']}"
+            )
     planes = []
     for ci, c in enumerate(comps):
         zz = coef_store[ci].reshape(-1, 64) * qtables[c["tq"]][None, :]
@@ -385,3 +446,222 @@ def _decode_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------- progressive (SOF2)
+# T.81 Annex G: the same canonical-Huffman entropy coding as baseline,
+# organized as multiple scans that each carry one spectral band
+# (zigzag indices Ss..Se) at one successive-approximation bit plane
+# (Ah = prior point transform, Al = this scan's). Coefficients
+# accumulate in the persistent per-component stores; reconstruction
+# happens once, at EOI, through the shared `_reconstruct` tail.
+
+
+def _next_marker(raw: bytes, pos: int) -> int:
+    """Offset of the next real marker at/after pos: skips entropy
+    bytes, 0xFF00 stuffing, RST markers, and 0xFF fill bytes."""
+    i = pos
+    n = len(raw)
+    while i + 1 < n:
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        nxt = raw[i + 1]
+        if nxt == 0x00:  # stuffed literal
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:  # stray RST: not a segment marker
+            i += 2
+        else:
+            return i
+    raise ValueError("jpeg truncated: no marker after scan data")
+
+
+def _dc_first(reader, dc_table, coef, pred: int, al: int) -> int:
+    diff = _receive_extend(reader, _decode_huff(reader, dc_table))
+    pred += diff
+    coef[0] = pred << al
+    return pred
+
+
+def _dc_refine(reader, coef, al: int) -> None:
+    # one raw bit per block, no Huffman; bitwise OR on the stored
+    # two's-complement value reproduces the encoder's arithmetic
+    # shifts exactly (negative DC included)
+    if reader.bit():
+        coef[0] = int(coef[0]) | (1 << al)
+
+
+def _ac_first(reader, ac_table, coef, ss, se, al, eobrun: int) -> int:
+    """First pass over band Ss..Se: run-length + EXTEND, values landing
+    at bit plane Al; EOB runs (EOBn codes) skip whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += reader.bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError(
+                f"jpeg progressive AC run overflows band (k={k}>{se})"
+            )
+        coef[k] = _receive_extend(reader, size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, ac_table, coef, ss, se, al, eobrun: int) -> int:
+    """Refinement pass (Ah>0): one correction bit per already-nonzero
+    coefficient in the band; newly-nonzero coefficients arrive as
+    ±(1<<Al) positioned by zero-history runs (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        c = int(coef[k])
+        if reader.bit() and (c & p1) == 0:
+            coef[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, ac_table)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run < 15:  # EOBn: run of end-of-bands
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.bits(run)
+                    break
+                # run == 15: ZRL skips 16 zero-HISTORY coefficients
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "jpeg AC refinement magnitude must be 1 bit"
+                    )
+                val = p1 if reader.bit() else m1
+            # advance over `run` zero-history positions, appending
+            # correction bits to every nonzero coefficient passed
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: the band still carries correction bits
+        # for its nonzero history
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    raw, pos, seg_len, body, frame, store, htables, restart_interval
+) -> int:
+    """Decode one SOS of a progressive frame into the persistent
+    stores; returns the offset of the next marker after the scan's
+    entropy data."""
+    comps = frame["comps"]
+    ns = body[0]
+    if len(body) < 4 + 2 * ns:
+        raise ValueError("jpeg SOS header truncated")
+    scan = []  # (comp_index, td, ta)
+    for c in range(ns):
+        cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+        ci = next(
+            (i for i, x in enumerate(comps) if x["id"] == cs), None
+        )
+        if ci is None:
+            raise ValueError(f"jpeg scan names unknown component {cs}")
+        scan.append((ci, tt >> 4, tt & 0x0F))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg progressive DC scan with Se != 0")
+    else:
+        if ns != 1:
+            raise ValueError(
+                "jpeg progressive AC scan must be single-component"
+            )
+        if not ss <= se <= 63:
+            raise ValueError(f"jpeg spectral band {ss}..{se} invalid")
+    dc_first, dc_refine = ss == 0 and ah == 0, ss == 0 and ah != 0
+    # table presence: DC-first needs its DC table; AC scans their AC
+    # table; DC refinement reads raw bits only
+    for ci, td, ta in scan:
+        if dc_first and (0, td) not in htables:
+            raise ValueError(f"jpeg scan references missing huffman "
+                             f"table (dc={td})")
+        if ss > 0 and (1, ta) not in htables:
+            raise ValueError(f"jpeg scan references missing huffman "
+                             f"table (ac={ta})")
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    reader = _BitReader(raw, pos + 2 + seg_len)
+    preds = [0] * ns
+    eobrun = 0
+    rst_m = 0
+    if ns == 1:
+        ci = scan[0][0]
+        c = comps[ci]
+        # non-interleaved: the block grid of THIS component's samples
+        cbw = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        cbh = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+        n_units = cbw * cbh
+    else:
+        n_units = mcux * mcuy
+    for m in range(n_units):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst_m)
+            rst_m = (rst_m + 1) % 8
+            preds = [0] * ns
+            eobrun = 0
+        if ns == 1:
+            by, bx = divmod(m, cbw)
+            blocks = [(0, by, bx)]
+        else:
+            my, mx = divmod(m, mcux)
+            blocks = [
+                (si, my * comps[ci_]["v"] + by, mx * comps[ci_]["h"] + bx)
+                for si, (ci_, _, _) in enumerate(scan)
+                for by in range(comps[ci_]["v"])
+                for bx in range(comps[ci_]["h"])
+            ]
+        for si, by, bx in blocks:
+            ci_, td, ta = scan[si]
+            coef = store[ci_][by, bx]
+            if dc_first:
+                preds[si] = _dc_first(
+                    reader, htables[(0, td)], coef, preds[si], al
+                )
+            elif dc_refine:
+                _dc_refine(reader, coef, al)
+            elif ah == 0:
+                eobrun = _ac_first(
+                    reader, htables[(1, ta)], coef, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _ac_refine(
+                    reader, htables[(1, ta)], coef, ss, se, al, eobrun
+                )
+    return _next_marker(raw, reader.pos)

@@ -54,13 +54,19 @@ def _part(url: Column, what: str) -> Column:
 
 def url_host(url) -> Column:
     """Lowercased host with userinfo and port stripped; NULL for
-    unparseable URLs."""
+    unparseable URLs. IPv6 literal hosts keep their brackets
+    (``http://[::1]:8080/`` → ``[::1]``) — the ':'-split port strip
+    applies only to unbracketed hosts, since IPv6 literals contain
+    ':' inside the brackets."""
     url = F.col(url) if isinstance(url, str) else url
     host = F.lower(_part(url, "HOST"))
     # parse_url's HOST keeps userinfo in some malformed cases; strip
     # defensively (last '@' wins, per the WHATWG parsing rule)
     host = F.element_at(F.split(host, "@"), -1)
-    return F.element_at(F.split(host, ":"), 1)
+    bracketed = F.regexp_extract(host, r"^(\[[^\]]*\])", 1)
+    return F.when(
+        F.startswith(host, F.lit("[")), F.nullif(bracketed, F.lit(""))
+    ).otherwise(F.element_at(F.split(host, ":"), 1))
 
 
 def registered_domain(
@@ -82,9 +88,11 @@ def registered_domain(
         F.element_at(labels, -1),
     )
     is_multi = last2.isin(*multi_suffixes)
-    return F.when(host.isNull() | (n <= 1), host).otherwise(
-        F.when(is_multi & (n >= 3), last3).otherwise(last2)
-    )
+    # IP-literal hosts have no registrable labels: bracketed IPv6
+    # (even IPv4-mapped forms containing dots) pass through unchanged
+    return F.when(
+        host.isNull() | (n <= 1) | F.startswith(host, F.lit("[")), host
+    ).otherwise(F.when(is_multi & (n >= 3), last3).otherwise(last2))
 
 
 def normalize_url(

@@ -31,6 +31,14 @@ Design, Spark-first:
 Tar determinism: fixed mtime=0, uid/gid=0, USTAR format — the same
 content always produces the same bytes, so shard content hashes are
 stable across runs and engines (the `packing.py` manifest doctrine).
+
+Filesystem assumption (the same note as every open()/os.replace swap
+site in `sources/commit.py` and `streaming/ledger_compaction.py`):
+executors publish tars via task-local ``open()`` + ``os.replace`` into
+``out_dir``, which is correct ONLY when executors share the driver's
+filesystem (local mode, NFS, FUSE-mounted object store). On a real
+cluster with plain S3/HDFS, route the tar bytes through the
+Hadoop FileSystem API or return them to a writer task instead.
 """
 
 from __future__ import annotations
@@ -91,7 +99,10 @@ def write_webdataset_shards(
     if n_shards < 1:
         raise ValueError(f"write_webdataset_shards: n_shards={n_shards}")
     meta_cols = list(meta_cols or [])
-    cols = [F.col(id_col).cast("long").alias("__id")]
+    # try_cast, not cast: under ANSI mode a plain cast throws an
+    # opaque NumberFormatException mid-scan; the guard below raises
+    # a ValueError naming the offending id instead
+    cols = [F.col(id_col).try_cast("long").alias("__id")]
     if text_col is not None:
         cols.append(F.col(text_col).alias("__text"))
     if media_col is not None:
@@ -101,6 +112,21 @@ def write_webdataset_shards(
         "__shard",
         F.pmod(F.xxhash64("__id"), F.lit(n_shards)).cast("int"),
     )
+    # the long cast above NULLs non-numeric ids silently; fail loudly
+    # HERE naming the offender, not later as an opaque NaN-to-int
+    # error inside a task building the tar
+    bad = (
+        df.select(F.col(id_col).alias("__raw"))
+        .where(F.col("__raw").try_cast("long").isNull())
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"write_webdataset_shards: id_col {id_col!r} has "
+            f"non-numeric value {bad[0]['__raw']!r} (casts to NULL); "
+            "shard keys must be integral ids"
+        )
 
     os.makedirs(out_dir, exist_ok=True)
 

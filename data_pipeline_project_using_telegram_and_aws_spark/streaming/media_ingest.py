@@ -2,17 +2,21 @@
 text chain (gate → dedup → scrub → dsir → pack): every micro-batch of
 (media_id, media) rows is
 
-1. SNIFFED: containers `media_codecs.sniff_format` cannot name go to
-   the quarantine zone with the leading bytes in the reason (the
-   contract-gate doctrine — undecodable media is a data defect to
-   audit, not a row to crash on or silently drop). The sniff is a
-   projection, never a decode, so the gate costs one pass over the
-   magic bytes.
-2. DECODED + SCORED: survivors run the REAL decoders through
-   `media_codecs.image_quality_stats` (brightness/contrast/
-   saturation/sharpness/extreme_frac). A sniffable container that
-   then fails to DECODE (truncated payload, corrupt chunk) also lands
-   in quarantine — per row, caught from the decoder's loud raise.
+1. QUARANTINED on decode failure: every row runs the REAL decoders;
+   a row whose container the dispatcher cannot name, or that names a
+   container but then fails to decode (truncated payload, corrupt
+   chunk), lands in the quarantine zone with the decoder's raise text
+   as the reason — for unknown containers that text includes the
+   leading magic bytes (the contract-gate doctrine: undecodable media
+   is a data defect to audit, not a row to crash on or silently
+   drop). There is no separate sniff-only pre-gate: quarantine is
+   driven per row by the decode raise inside `_decode_or_error`, so
+   the quarantine cost for a corrupt row is whatever the decoder
+   spends before it raises (magic-byte dispatch rejects unknown
+   containers before any entropy decode).
+2. SCORED: decoded survivors get `image_quality_stats`-equivalent
+   stats (brightness/contrast/saturation/sharpness/extreme_frac)
+   computed in the same Arrow batch as the decode.
 3. GATED: rows below the quality thresholds land in the reject zone
    WITH their stats (auditable, like the dedup stage's rejects);
    the rest land in the good zone joined to their stats.
@@ -64,8 +68,15 @@ def _decode_or_error(batch_iter):
             }
             try:
                 px = to_rgb(_decode(raw)).astype(np.float64)
-            except ValueError as e:
-                row["decode_error"] = str(e)[:200]
+            except Exception as e:  # noqa: BLE001 — quarantine IS the
+                # stated policy for ANY decode failure: a decoder bug
+                # (IndexError on malformed bytes) must quarantine the
+                # row, not fail the whole micro-batch
+                row["decode_error"] = (
+                    f"{type(e).__name__}: {e}"[:200]
+                    if not isinstance(e, ValueError)
+                    else str(e)[:200]
+                )
                 out.append(row)
                 continue
             h, w = px.shape[:2]

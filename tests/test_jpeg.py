@@ -334,6 +334,26 @@ def test_jpeg_failures_are_loud():
     bad[dqt_at + 4] = 0x10
     with pytest.raises(ValueError, match="16-bit quantization"):
         decode_jpeg(bytes(bad))
+    # truncated DHT: counts promise 5 symbols, segment ships 2 — must
+    # be ValueError (quarantine contract), not an IndexError escaping
+    # media_ingest._decode_or_error's per-row catch
+    trunc_dht = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + (2 + 1 + 16 + 2).to_bytes(2, "big")
+        + b"\x00" + bytes([5] + [0] * 15) + b"\x01\x02"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="DHT segment truncated"):
+        decode_jpeg(trunc_dht)
+    # truncated DQT (segment length cuts the 64-entry table short)
+    trunc_dqt = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + (2 + 1 + 10).to_bytes(2, "big")
+        + b"\x00" + bytes(10)
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="DQT segment truncated"):
+        decode_jpeg(trunc_dqt)
 
 
 def test_jpeg_through_spark_plumbing(spark):

@@ -136,6 +136,32 @@ def test_registered_domain_heuristic(spark):
     assert got == [w for _, w in rows]
 
 
+def test_ipv6_literal_hosts(spark):
+    """Bracketed IPv6 hosts keep their brackets with the port
+    stripped; registered_domain passes them through unchanged (IP
+    literals have no registrable labels) — the ':'-split port strip
+    must not mangle them into '['."""
+    rows = [
+        ("http://[::1]:8080/path", "[::1]", "[::1]"),
+        ("http://[2001:db8::2]/x", "[2001:db8::2]", "[2001:db8::2]"),
+        # IPv4-mapped form contains dots: still no label split
+        (
+            "http://[::ffff:192.0.2.1]:80/",
+            "[::ffff:192.0.2.1]",
+            "[::ffff:192.0.2.1]",
+        ),
+        ("http://host.com:8080/x", "host.com", "host.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in rows], ["url"])
+    got = df.select(
+        url_host("url").alias("h"),
+        registered_domain("url").alias("d"),
+    ).collect()
+    assert [(r["h"], r["d"]) for r in got] == [
+        (h, d) for _, h, d in rows
+    ]
+
+
 def test_domain_report_and_blocklist(spark):
     docs = spark.createDataFrame(
         [

@@ -162,3 +162,25 @@ def test_text_only_and_foreign_member_raises(spark, tmp_path):
         tf.addfile(info, io.BytesIO(b"bad"))
     with pytest.raises(Exception, match="unknown extension"):
         read_webdataset_shards(spark, out).collect()
+
+
+def test_non_numeric_id_raises_loudly(spark, tmp_path):
+    """A non-numeric id casts to NULL under the long cast; the sink
+    must name the offending id up front, not crash later with an
+    opaque NaN-to-int error inside a tar-building task."""
+    df = spark.createDataFrame(
+        [("doc-7", "body")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="doc-7"):
+        write_webdataset_shards(
+            df, str(tmp_path / "w"), n_shards=2, id_col="doc_id"
+        )
+    # numeric strings cast fine and still work
+    ok = spark.createDataFrame(
+        [("7", "body")], "doc_id string, text string"
+    )
+    write_webdataset_shards(ok, str(tmp_path / "ok"), n_shards=1,
+                            id_col="doc_id")
+    assert read_webdataset_shards(
+        spark, str(tmp_path / "ok")
+    ).count() == 1
