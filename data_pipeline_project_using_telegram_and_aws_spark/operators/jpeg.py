@@ -93,6 +93,14 @@ def _build_huffman(counts: bytes, symbols: bytes) -> dict:
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
+            if code >= (1 << length):
+                # Kraft overflow: the counts assign more codes than a
+                # prefix code of this length can hold — an invalid
+                # table would otherwise decode WRONG silently
+                raise ValueError(
+                    "jpeg huffman table overfull (invalid code "
+                    f"lengths: code {code} at length {length})"
+                )
             table[(length, code)] = symbols[k]
             code += 1
             k += 1

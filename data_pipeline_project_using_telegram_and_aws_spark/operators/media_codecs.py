@@ -15,7 +15,9 @@ supported/rejected matrix). No PIL/ffmpeg needed. They plug into
 multi-frame shape now has a REAL decoder), upgrading that module's
 story from "deterministic fake, real plumbing" to "real decode for
 the common image containers, library-injection for the rest" — the
-environment gate now covers progressive/12-bit JPEG, MP3, and video.
+environment gate now covers 12-bit JPEG, MP3/AAC, and video frames
+(progressive JPEG decodes for real since round 10; see
+`operators/jpeg.py`).
 
 Formats, exactly as published:
 - PPM P6 (Netpbm): ASCII header ``P6 <w> <h> <maxval>`` with

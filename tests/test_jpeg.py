@@ -113,13 +113,15 @@ def _seg(marker, body):
 
 
 # generous generic tables: DC categories 0-11 at 4 bits, every AC
-# (run, size) symbol we use at 8 bits plus EOB/ZRL short
+# (run, size) symbol at 9 bits plus EOB/ZRL at 2 — lengths chosen to
+# satisfy Kraft (2/4 + 160/512 <= 1; the old 8-bit layout was overfull
+# past symbol 130 and the decoder now rejects overfull tables loudly)
 _DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _DC_SYMBOLS = list(range(12))
 _AC_SYMBOLS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
-_AC_COUNTS = [0, 2] + [0] * 5 + [160] + [0] * 8
+_AC_COUNTS = [0, 2, 0, 0, 0, 0, 0, 0, 160] + [0] * 7
 
 
 def _jpeg_bytes(
@@ -319,10 +321,12 @@ def test_jpeg_failures_are_loud():
     good = _jpeg_bytes(8, 8, [(1, 1, 1, 0)], [[_dc_block(4)]], {0: Q16})
     with pytest.raises(ValueError, match="not a jpeg"):
         decode_jpeg(b"PNGish")
-    with pytest.raises(ValueError, match="SOF 0xc2"):
+    # SOF2 is now a supported green path (tests/test_jpeg_progressive)
+    # — SOF1 extended-sequential stays loudly rejected
+    with pytest.raises(ValueError, match="SOF 0xc1"):
         decode_jpeg(
             _jpeg_bytes(8, 8, [(1, 1, 1, 0)], [[_dc_block(4)]],
-                        {0: Q16}, sof_marker=0xC2)
+                        {0: Q16}, sof_marker=0xC1)
         )
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(good[: len(good) // 2])
