@@ -22,8 +22,15 @@ Contracts:
   are stable across runs and engines, which is all dedup needs.
 - :func:`registered_domain` is an eTLD+1 heuristic over a
   parameterizable multi-label-suffix SET (a small embedded default —
-  co.uk and friends); production crawls should pass the full public
-  suffix list. Stated rather than silently approximated.
+  co.uk and friends); :func:`registered_domain_psl` is the production
+  path — it takes the REAL public suffix list (wildcards and
+  exceptions included) and compiles it into one constant-folded map
+  literal, so full-PSL correctness still costs zero joins and zero
+  Python.
+- IPv6 literal hosts keep their brackets through :func:`url_host`
+  (the port strip never splits inside ``[...]``) and have no
+  registrable domain (both registered_domain variants yield the host
+  / NULL respectively rather than garbage labels).
 """
 
 from __future__ import annotations
@@ -93,6 +100,101 @@ def registered_domain(
     return F.when(
         host.isNull() | (n <= 1) | F.startswith(host, F.lit("[")), host
     ).otherwise(F.when(is_multi & (n >= 3), last3).otherwise(last2))
+
+
+def registered_domain_psl(
+    url, suffixes, out_null_for_bare_suffix: bool = True
+) -> Column:
+    """eTLD+1 with a REAL public-suffix list — the production path the
+    :func:`registered_domain` docstring points at. ``suffixes`` is the
+    PSL as an iterable of rule strings or a single-column DataFrame
+    (rules in publicsuffix.org syntax: ``com``, ``co.uk``, wildcard
+    ``*.ck``, exception ``!www.ck``; comment/blank lines ignored).
+
+    Matching follows the published algorithm: a rule matches when its
+    labels equal the host's trailing labels (``*`` matching exactly
+    one label); the prevailing rule is the exception if one matches,
+    else the longest match, else the implicit ``*`` (bare TLD); the
+    registrable domain is the public suffix plus one label — NULL when
+    the host IS a public suffix (unlike the heuristic, which passes
+    single-label hosts through; stated difference).
+
+    Plan shape: the list compiles to ONE ``str_to_map`` literal the
+    optimizer constant-folds — per row the match is ≤ 2·max_labels
+    map probes over the host's trailing-label keys, a pure projection:
+    no join, no shuffle, no Python (the PSL is a ~9k-entry dimension
+    "table" small enough to ride the plan itself, the same judgment
+    that broadcasts a dimension instead of shuffling for it)."""
+    if isinstance(suffixes, DataFrame):
+        col0 = suffixes.columns[0]
+        rules = [r[col0] for r in suffixes.select(col0).collect()]
+    else:
+        rules = list(suffixes)
+    # value encoding: ps_label_count * 10 + kind (2 exception beats
+    # 1 exact beats 0 wildcard at equal length)
+    entries: dict[str, int] = {}
+    max_l = 1
+    for raw in rules:
+        rule = (raw or "").strip().lower()
+        if not rule or rule.startswith("//"):
+            continue
+        if any(ch in rule for ch in ",:"):  # str_to_map delimiters
+            raise ValueError(f"registered_domain_psl: bad rule {raw!r}")
+        if rule.startswith("!"):
+            body = rule[1:]
+            key, ps_n, kind = body, body.count(".") , 2
+        elif rule.startswith("*."):
+            key, ps_n, kind = rule, rule.count(".") + 1, 0
+        else:
+            key, ps_n, kind = rule, rule.count(".") + 1, 1
+        max_l = max(max_l, key.count(".") + 1)
+        prev = entries.get(key)
+        code = ps_n * 10 + kind
+        if prev is None or code > prev:
+            entries[key] = code
+    payload = ",".join(f"{k}:{v}" for k, v in sorted(entries.items()))
+    psl_map = F.str_to_map(F.lit(payload), F.lit(","), F.lit(":"))
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def _tail(ln: int) -> Column:
+        return F.array_join(F.slice(labels, n - F.lit(ln) + 1, ln), ".")
+
+    # the published precedence: a matching EXCEPTION rule prevails
+    # over everything, else the longest match, else the implicit "*"
+    exc_branches = []
+    branches = []
+    for ln in range(max_l, 0, -1):
+        exact = F.element_at(psl_map, _tail(ln)).cast("int")
+        wild = (
+            F.element_at(
+                psl_map, F.concat(F.lit("*."), _tail(ln - 1))
+            ).cast("int")
+            if ln >= 2
+            else F.lit(None).cast("int")
+        )
+        exc_branches.append(
+            F.when(
+                (n >= ln) & (exact % 10 == 2),
+                F.floor(exact / 10).cast("int"),
+            )
+        )
+        branches.append(
+            F.when(
+                n >= ln,
+                F.floor(F.coalesce(exact, wild) / 10).cast("int"),
+            )
+        )
+    ps_n = F.coalesce(*exc_branches, *branches, F.lit(1))
+    reg = F.array_join(
+        F.slice(labels, n - ps_n, ps_n + F.lit(1)), "."
+    )
+    bare = F.lit(None).cast("string") if out_null_for_bare_suffix else host
+    return F.when(
+        host.isNull() | F.startswith(host, F.lit("[")),
+        F.lit(None).cast("string"),
+    ).when(n <= ps_n, bare).otherwise(reg)
 
 
 def normalize_url(

@@ -1,8 +1,8 @@
 """Generic two-mode directory commit — the shared primitive behind
 every "replace this directory's content atomically" site that is not a
-partitioned ledger (`streaming/ivm.py` view swaps adopt it here;
-`streaming/upsert.py` buckets and `sources/bucketing.py` compactions
-are the remaining candidates). `streaming/ledger_compaction.py`
+partitioned ledger (`streaming/ivm.py` view swaps and
+`streaming/upsert.py`'s per-bucket commits adopt it;
+`sources/bucketing.py` compactions are the remaining candidate). `streaming/ledger_compaction.py`
 implements the same two protocols with ledger-specific reader
 semantics (partition-horizon markers); this module is the
 plain-directory version.

@@ -33,9 +33,15 @@ the same crash-injection suite green as the rename path
 (`tests/test_ledger_compaction.py`); and the generic
 `sources/commit.commit_dir` gives every plain-directory swap the same
 two modes — `streaming/ivm.py` view commits adopt it
-(``commit_mode="manifest"``, crash-injected in `tests/test_ivm.py`).
-Remaining rename-only sites: `streaming/upsert.py` buckets and
-`sources/bucketing.py` compactions.
+(``commit_mode="manifest"``, crash-injected in `tests/test_ivm.py`),
+and the keyed upsert table applies it at BUCKET granularity
+(`streaming/upsert.py` ``commit_mode="manifest"``: per-bucket
+version-dir + pointer swap, lazy one-way migration from rename-era
+tables, crash-injected incl. mid-batch partial commits + replay
+convergence in `tests/test_upsert_manifest.py`). Remaining
+rename-only site: `sources/bucketing.py` compactions (bucket-scoped
+Spark-native writes; the same per-bucket pointer pattern applies if
+ever needed on object storage).
 """
 
 from __future__ import annotations

@@ -32,16 +32,44 @@ Constraints, stated loudly:
   guarantees per query. Feeding the same target from ad-hoc batch jobs
   out of order voids the delete semantics — that path needs retained
   tombstones with a TTL, the documented extension.
+
+Commit modes (``commit_mode=``), mirroring `sources/commit.py`:
+
+- ``"rename"`` (default, the original layout): buckets are Spark
+  partition directories (``__bucket=N``) landed by dynamic partition
+  overwrite — crash-consistent only where directory rename is atomic
+  (POSIX/HDFS, not object stores; `sources/lake.py`'s note).
+- ``"manifest"``: every bucket directory holds a one-line
+  ``_dir_manifest`` pointing at a ``.v{n}`` version dir (the
+  `sources/commit.py` pointer protocol applied at BUCKET granularity
+  — the reference's storage is S3, where this is the difference
+  between a safe merge and a torn one). Bucket files carry plain data
+  columns — ``__bucket`` is never stored, it is recomputed from
+  ``pmod(xxhash64(keys), n_buckets)`` wherever needed — so rename-era
+  buckets migrate LAZILY: the first manifest merge of a bucket folds
+  it (the commit sweep retires the old root-level files), untouched
+  buckets keep reading through ``resolve_dir``'s rename fallback.
+  Migration is one-way (a rename-mode merge on a migrated table
+  raises). Atomicity is PER BUCKET: a crash mid-batch can leave some
+  affected buckets committed and others not — each internally
+  consistent — and the checkpoint's replay of the same batch
+  re-merges idempotently and re-commits every affected bucket
+  (pinned by the crash suite). Cross-bucket atomicity needs a
+  table-level pointer (an Iceberg-style manifest of manifests) —
+  out of scope, stated.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.snapshots import latest_snapshot
+from ..sources import commit as _commit
 
 
 def upsert_batch(
@@ -53,9 +81,12 @@ def upsert_batch(
     delete_col: str | None = None,
     changefeed_path: str | None = None,
     batch_id: int = 0,
+    commit_mode: str = "rename",
 ) -> None:
     """Merge one batch of keyed updates into the bucket-partitioned
-    target. Creates the table on first write.
+    target. Creates the table on first write. ``commit_mode``
+    chooses the bucket commit protocol (module docstring):
+    ``"manifest"`` is the object-store-safe per-bucket pointer swap.
 
     ``changefeed_path``: additionally emit this batch's EFFECT as CDC
     rows — `operators/snapshots.snapshot_diff` of the affected buckets
@@ -68,9 +99,24 @@ def upsert_batch(
     spark = batch.sparkSession
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
     staged = batch.withColumn("__bucket", bucket.cast("long"))
-    import os
-    import shutil
-    from pathlib import Path
+    migrated = _table_commit_mode(table_path) == "manifest"
+    if commit_mode == "manifest":
+        _upsert_batch_manifest(
+            staged, table_path, keys, seq_col, n_buckets, delete_col,
+            changefeed_path, batch_id,
+        )
+        return
+    if commit_mode != "rename":
+        raise ValueError(
+            f"upsert_batch: commit_mode must be rename | manifest, "
+            f"got {commit_mode!r}"
+        )
+    if migrated:
+        raise ValueError(
+            "upsert_batch: this table is migrated to per-bucket "
+            "manifest commits - a rename-mode merge would leave two "
+            "competing truths. Pass commit_mode='manifest'."
+        )
 
     # An existing table with zero __bucket= dirs is the EMPTY state
     # (every key tombstoned by a prior batch; a zero-row marker file
@@ -205,6 +251,168 @@ def upsert_batch(
         )
 
 
+def _table_commit_mode(table_path: str) -> str:
+    """"manifest" once ANY bucket carries a committed pointer (the
+    one-way migration marker), else "rename". A table with NO buckets
+    is ambiguous; the tiebreaker is the empty-state layout — rename
+    mode's empty state is a root-level zero-row parquet marker,
+    manifest mode's is ``_schema`` alone (manifest tables never store
+    root-level data)."""
+    root = Path(table_path)
+    if not root.exists():
+        return "rename"
+    buckets = list(root.glob("__bucket=*"))
+    for bd in buckets:
+        if (bd / _commit.MANIFEST_FILE).exists():
+            return "manifest"
+    if buckets:
+        return "rename"
+    if any(root.glob("*.parquet")):
+        return "rename"  # the rename-era empty-marker husk
+    if (root / "_schema").exists():
+        return "manifest"
+    return "rename"
+
+
+def _manifest_bucket_paths(table_path: str, buckets=None) -> list[str]:
+    """Resolved data directories of the given buckets (all when None),
+    skipping crash husks (a bucket dir with neither a committed
+    pointer nor rename-era root files — a run died before its first
+    commit point; the next commit's sweep reclaims it)."""
+    root = Path(table_path)
+    out = []
+    if not root.exists():
+        return out
+    dirs = (
+        [root / f"__bucket={b}" for b in buckets]
+        if buckets is not None
+        else sorted(root.glob("__bucket=*"))
+    )
+    for bd in dirs:
+        if not bd.exists():
+            continue
+        if _commit.manifest(str(bd)) is not None:
+            out.append(_commit.resolve_dir(str(bd)))
+        elif any(bd.glob("*.parquet")):
+            out.append(str(bd))  # rename-era bucket, not yet migrated
+    return out
+
+
+def _upsert_batch_manifest(
+    staged: DataFrame,
+    table_path: str,
+    keys: list[str],
+    seq_col: str,
+    n_buckets: int,
+    delete_col: str | None,
+    changefeed_path: str | None,
+    batch_id: int,
+) -> None:
+    """The manifest-mode merge: read affected buckets through their
+    pointers, align + merge exactly like the rename path, then land
+    each affected bucket with `sources/commit.commit_dir`'s pointer
+    swap. ``__bucket`` is never stored in the files (recomputed from
+    the key hash), which is what lets rename-era buckets migrate
+    lazily and readers stay layout-agnostic."""
+    spark = staged.sparkSession
+    root = Path(table_path)
+    affected = [
+        r["__bucket"]
+        for r in staged.select("__bucket").distinct().collect()
+    ]
+    marker_fields = _schema_marker_fields(spark, table_path)
+    paths = _manifest_bucket_paths(table_path, affected)
+    if paths:
+        existing = (
+            spark.read.option("mergeSchema", "true").parquet(*paths)
+        )
+    else:
+        existing = spark.createDataFrame(
+            [], staged.drop("__bucket", *(
+                [delete_col] if delete_col and delete_col in
+                staged.columns else []
+            )).schema,
+        )
+    existing = _union_marker_fields(
+        existing, marker_fields, exclude=("__bucket",)
+    )
+    # recompute the bucket from the keys — same hash, same types as
+    # the writer used (types can't change: evolution is add-only)
+    existing = existing.withColumn(
+        "__bucket",
+        F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+        ).cast("long"),
+    )
+    if delete_col is not None and delete_col not in existing.columns:
+        existing = existing.withColumn(delete_col, F.lit(False))
+    # add-only schema alignment (the rename path's contract, verbatim)
+    for c in staged.columns:
+        if c not in existing.columns:
+            existing = existing.withColumn(
+                c, F.lit(None).cast(staged.schema[c].dataType)
+            )
+    for c in existing.columns:
+        if c not in staged.columns:
+            staged = staged.withColumn(
+                c, F.lit(None).cast(existing.schema[c].dataType)
+            )
+    before = existing.drop("__bucket")
+    if delete_col is not None:
+        before = before.drop(delete_col)
+    before = before.localCheckpoint(eager=True)
+    merged = latest_snapshot(
+        existing.unionByName(staged.select(*existing.columns)),
+        keys,
+        seq_col,
+        delete_col,
+    ).localCheckpoint(eager=True)
+    # ONE Spark job stages every affected bucket's new content; the
+    # per-bucket pointer swaps then move staged dirs (driver-side
+    # renames into fresh version dirs — pre-commit, torn-safe)
+    stage = root / ".stage"
+    if stage.exists():
+        shutil.rmtree(stage)  # a dead run's leftovers
+    (
+        merged.repartition("__bucket")
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(str(stage))
+    )
+    empty_schema = merged.drop("__bucket").schema
+    for b in affected:
+        src = stage / f"__bucket={b}"
+        bd = str(root / f"__bucket={b}")
+        if src.exists():
+
+            def write_fn(target, _src=str(src)):
+                os.replace(_src, target)
+
+        elif not Path(bd).exists():
+            continue  # tombstones for keys never stored: no dir to empty
+        else:
+            # the merge emptied this bucket: commit a zero-row version
+            # (readers see an empty bucket — no rmtree husk dance)
+            def write_fn(target):
+                (
+                    spark.createDataFrame([], empty_schema)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(target)
+                )
+
+        _commit.commit_dir(bd, write_fn, mode="manifest")
+    if stage.exists():
+        shutil.rmtree(stage)
+    _write_schema_marker(spark, merged.schema, table_path)
+    if changefeed_path is not None:
+        _emit_changefeed(
+            before, merged.drop("__bucket"), keys, changefeed_path,
+            batch_id,
+        )
+
+
 def _write_schema_marker(
     spark: SparkSession, schema, table_path: str
 ) -> None:
@@ -298,6 +506,7 @@ def start_upsert_stream(
     delete_col: str | None = None,
     available_now: bool = True,
     changefeed_path: str | None = None,
+    commit_mode: str = "rename",
 ) -> StreamingQuery:
     """File-source stream of keyed updates → bucket-local merges (and,
     with ``changefeed_path``, a per-batch CDC feed)."""
@@ -307,6 +516,7 @@ def start_upsert_stream(
         upsert_batch(
             batch, table_path, keys, seq_col, n_buckets, delete_col,
             changefeed_path=changefeed_path, batch_id=batch_id,
+            commit_mode=commit_mode,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(
@@ -321,7 +531,24 @@ def read_current(spark: SparkSession, table_path: str) -> DataFrame:
     """The current state (bucket column dropped). mergeSchema: after a
     schema evolution, untouched buckets lack the new columns — the
     union schema surfaces them as NULL there; the ``_schema`` marker
-    adds columns no surviving file carries at all."""
+    adds columns no surviving file carries at all. Auto-detects the
+    table's commit mode: manifest tables are read through each
+    bucket's pointer (rename-era buckets of a mid-migration table fall
+    back to their plain directory)."""
+    if _table_commit_mode(table_path) == "manifest":
+        paths = _manifest_bucket_paths(table_path)
+        fields = [
+            f for f in _schema_marker_fields(spark, table_path)
+            if f.name != "__bucket"
+        ]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType(fields))
+        return _union_marker_fields(
+            spark.read.option("mergeSchema", "true").parquet(*paths),
+            fields,
+        )
     return _union_marker_fields(
         spark.read.option("mergeSchema", "true").parquet(table_path),
         _schema_marker_fields(spark, table_path),
@@ -343,11 +570,20 @@ def lookup(
     prunes row groups inside the bucket via parquet stats."""
     if len(keys) != len(values):
         raise ValueError("lookup: one value per key column")
-    table = _union_marker_fields(
-        spark.read.option("mergeSchema", "true").parquet(table_path),
-        _schema_marker_fields(spark, table_path),
-    )
-    dtypes = dict(table.dtypes)
+    manifest_table = _table_commit_mode(table_path) == "manifest"
+    if manifest_table:
+        # column types come from the schema marker (cheap: one
+        # zero-row footer) — the data read below touches ONE bucket
+        fields = _schema_marker_fields(spark, table_path)
+        dtypes = {f.name: f.dataType.simpleString() for f in fields}
+        if not dtypes:
+            dtypes = dict(read_current(spark, table_path).dtypes)
+    else:
+        table = _union_marker_fields(
+            spark.read.option("mergeSchema", "true").parquet(table_path),
+            _schema_marker_fields(spark, table_path),
+        )
+        dtypes = dict(table.dtypes)
     # xxhash64 is TYPE-sensitive: hash the literals at the stored
     # column types or the bucket comes out different from the writer's
     b = F.pmod(
@@ -360,10 +596,26 @@ def lookup(
         F.lit(n_buckets),
     )
     bucket = spark.range(1).select(b.alias("b")).collect()[0]["b"]
-    df = table.filter(F.col("__bucket") == int(bucket))
+    if manifest_table:
+        paths = _manifest_bucket_paths(table_path, [int(bucket)])
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType(
+                    [f for f in fields if f.name != "__bucket"]
+                )
+            )
+        df = _union_marker_fields(
+            spark.read.option("mergeSchema", "true").parquet(*paths),
+            fields,
+            exclude=("__bucket",),
+        )
+    else:
+        df = table.filter(F.col("__bucket") == int(bucket))
     for k, v in zip(keys, values):
         df = df.filter(F.col(k) == v)
-    return df.drop("__bucket")
+    return df.drop("__bucket") if not manifest_table else df
 
 
 def read_changefeed(

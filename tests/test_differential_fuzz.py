@@ -1421,3 +1421,209 @@ def test_distinct_and_filtered_aggregates_match_duckdb(
                 assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6), (
                     g, v,
                 )
+
+
+# --------------------------------------------------------------- axis 17
+# Non-ASCII string surface: the 16 axes above never generate non-ASCII
+# inputs, leaving the locale/collation-adjacent family (case mapping,
+# character-counted length/substr, trim, replace, codepoint reverse)
+# unverified exactly where engines classically drift (ß→SS, combining
+# marks, surrogate pairs, full-width forms). Inputs are fed to BOTH
+# engines as in-memory values (no SQL-literal quoting ambiguity); ops
+# compose like axis 8 with a final length projector so every chain is
+# hashable regardless of what it produced.
+
+# NOTE the pool deliberately excludes ß, Greek final sigma, and
+# Turkish İ — the three case-mapping cells where Spark (Java full
+# mappings + contextual final sigma) and DuckDB (utf8proc: ß→ẞ,
+# plain sigma, dot-dropping İ) legitimately DIVERGE; each is pinned
+# as a recorded dialect difference in
+# test_unicode_case_mapping_divergences_documented below.
+_UNICODE_POOL = [
+    "héllo wörld",
+    "ÉLAN vital",
+    "Привет мир",
+    "こんにちは世界",
+    "ｆｕｌｌｗｉｄｔｈ",
+    "café latte",  # combining acute
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",          # surrogate pairs (astral plane)
+    "  padded  ",
+    "emoji 🚀🌍 tail",
+    "mixedÅscii123",
+    "",
+]
+
+_u_ops = st.lists(
+    st.sampled_from(
+        [
+            ("upper", 0, 0),
+            ("lower", 0, 0),
+            ("trim", 0, 0),
+            ("substr", 2, 5),
+            ("substr", 1, 3),
+            ("concat", 0, 0),
+            ("replace_o_dia", 0, 0),  # ö -> *
+            ("reverse", 0, 0),
+        ]
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _apply_spark_u(e, ops):
+    for op, a, b in ops:
+        if op == "upper":
+            e = F.upper(e)
+        elif op == "lower":
+            e = F.lower(e)
+        elif op == "trim":
+            e = F.trim(e)
+        elif op == "substr":
+            e = F.substring(e, a, b)
+        elif op == "concat":
+            e = F.concat(e, F.lit("·"), e)
+        elif op == "replace_o_dia":
+            e = F.replace(e, F.lit("ö"), F.lit("*"))
+        elif op == "reverse":
+            e = F.reverse(e)
+    return e
+
+
+def _apply_duck_u(e, ops):
+    for op, a, b in ops:
+        if op in ("upper", "lower", "trim"):
+            e = f"{op}({e})"
+        elif op == "substr":
+            e = f"substr({e}, {a}, {b})"
+        elif op == "concat":
+            e = f"concat({e}, '·', {e})"
+        elif op == "replace_o_dia":
+            e = f"replace({e}, 'ö', '*')"
+        elif op == "reverse":
+            # DuckDB reverses by GRAPHEME cluster, Spark by codepoint —
+            # same result for non-combining text; the combining-mark
+            # divergence is pinned separately below
+            e = f"reverse({e})"
+    return e
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(_u_ops)
+def test_unicode_string_expressions_match_duckdb(spark, ops):
+    import pandas as pd
+
+    # combining-mark row excluded when the chain reverses (documented
+    # grapheme-vs-codepoint dialect difference, pinned below)
+    pool = [
+        s for s in _UNICODE_POOL
+        if "́" not in s or all(op != "reverse" for op, _, _ in ops)
+    ]
+    pdf = pd.DataFrame({"s": pool})
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        ((r["k"], r["n"]) for r in sdf.select(
+            _apply_spark_u(F.col("s"), ops).alias("k"),
+            F.length(_apply_spark_u(F.col("s"), ops)).alias("n"),
+        ).collect()),
+        key=repr,
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    e = _apply_duck_u("s", ops)
+    want = sorted(
+        con.execute(f"select {e} as k, length({e}) as n from t").fetchall(),
+        key=repr,
+    )
+    con.close()
+    assert got == want, (ops, got, want)
+
+
+def test_unicode_known_edges_pinned(spark):
+    """The individually famous cases, pinned with expected values from
+    the Unicode tables (independent of either engine): ß full
+    uppercasing (length grows), contextual final sigma,
+    codepoint-counted length for astral-plane text, full-width case
+    mapping — Spark side; the shared-agreement subset is then
+    cross-checked against DuckDB."""
+    rows = [
+        ("straße",), ("ΣΟΦΌΣ",), ("𝔘𝔫𝔦𝔠𝔬𝔡𝔢",), ("ｆｗ",), ("🚀",),
+    ]
+    df = spark.createDataFrame(rows, ["s"])
+    got = {
+        r["s"]: (r["u"], r["l"], r["n"])
+        for r in df.select(
+            "s",
+            F.upper("s").alias("u"),
+            F.lower("s").alias("l"),
+            F.length("s").alias("n"),
+        ).collect()
+    }
+    assert got["straße"][0] == "STRASSE"  # Java full mapping
+    assert got["straße"][2] == 6  # codepoints, not bytes
+    assert got["ΣΟΦΌΣ"][1] == "σοφός"  # Java applies final sigma
+    assert got["𝔘𝔫𝔦𝔠𝔬𝔡𝔢"][2] == 7  # astral codepoints, not UTF-16 units
+    assert got["ｆｗ"][0] == "ＦＷ"
+    assert got["🚀"][2] == 1
+    # DuckDB agrees on the non-divergent subset (astral, full-width,
+    # emoji); ß and sigma are the documented divergences below
+    con = duckdb.connect()
+    for s in ("𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "ｆｗ", "🚀"):
+        du, dl, dn = con.execute(
+            "select upper(?), lower(?), length(?)", [s, s, s]
+        ).fetchone()
+        assert (du, dl, dn) == got[s], s
+    con.close()
+
+
+def test_unicode_case_mapping_divergences_documented(spark):
+    """The three case-mapping cells where the engines legitimately
+    differ, pinned on BOTH sides so axis 17's pool exclusions are
+    recorded facts, not evasions: Spark (Java) does full mappings
+    (ß→SS), contextual final sigma, and Turkish İ→i+combining-dot;
+    DuckDB (utf8proc) maps ß→ẞ, plain sigma, and drops İ's dot."""
+    rows = [("straße",), ("ΣΟΦΌΣ",), ("İstanbul",)]
+    df = spark.createDataFrame(rows, ["s"])
+    got = {
+        r["s"]: (r["u"], r["l"])
+        for r in df.select(
+            "s", F.upper("s").alias("u"), F.lower("s").alias("l")
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = {
+        s: con.execute(
+            "select upper(?), lower(?)", [s, s]
+        ).fetchone()
+        for (s,) in rows
+    }
+    con.close()
+    assert got["straße"][0] == "STRASSE"
+    assert duck["straße"][0] == "STRAẞE"
+    assert got["ΣΟΦΌΣ"][1] == "σοφός"
+    assert duck["ΣΟΦΌΣ"][1] == "σοφόσ"
+    assert got["İstanbul"][1] == "i̇stanbul"  # i + U+0307
+    assert duck["İstanbul"][1] == "istanbul"  # dot dropped
+    for s in ("straße", "ΣΟΦΌΣ", "İstanbul"):
+        key = 0 if s == "straße" else 1
+        assert got[s][key] != duck[s][key], s
+
+
+def test_unicode_reverse_divergence_documented(spark):
+    """Spark reverses strings by CODEPOINT; DuckDB by grapheme
+    cluster. For a combining sequence (e +  ́) the two legitimately
+    differ — pinned here as a dialect difference so the exclusion in
+    axis 17's generator is a recorded fact, not an evasion."""
+    s = "éx"  # e + combining acute + x
+    df = spark.createDataFrame([(s,)], ["s"])
+    spark_rev = df.select(F.reverse("s").alias("r")).collect()[0]["r"]
+    con = duckdb.connect()
+    duck_rev = con.execute("select reverse(?)", [s]).fetchone()[0]
+    con.close()
+    assert spark_rev == "x́e"  # codepoint order: mark detaches
+    assert duck_rev == "xé"  # grapheme order: mark rides its base
+    assert spark_rev != duck_rev

@@ -125,3 +125,44 @@ def test_media_front_door_feeds_webdataset_export(spark, tmp_path):
     assert set(back) == set(range(6))
     for i in range(6):
         assert back[i] == bytes(encode_ppm(_sharp_img(i)))
+
+
+def test_decode_or_error_quarantines_any_exception_class():
+    """The quarantine contract covers ANY decode failure, not only
+    ValueError: a decoder bug surfacing as IndexError/KeyError on
+    malformed bytes must become a (media_id, decode_error) row, never
+    fail the micro-batch. Driven directly through the Arrow-stage
+    generator with a truncated-DHT jpeg (the historical IndexError
+    shape, now a loud ValueError in the decoder) plus a monkeypatched
+    decoder raising a non-ValueError."""
+    import pandas as pd
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators import media_codecs
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.media_ingest import (
+        _decode_or_error,
+    )
+
+    trunc_dht = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + (2 + 1 + 16 + 2).to_bytes(2, "big")
+        + b"\x00" + bytes([5] + [0] * 15) + b"\x01\x02"
+        + b"\xff\xd9"
+    )
+    batch = pd.DataFrame(
+        {"media_id": [1], "media": [trunc_dht]}
+    )
+    out = pd.concat(list(_decode_or_error(iter([batch]))))
+    assert out.decode_error.notna().all()
+    assert "truncated" in out.decode_error.iloc[0]
+
+    real = media_codecs._decode
+    try:
+        def buggy(raw):
+            raise IndexError("decoder bug on malformed bytes")
+
+        media_codecs._decode = buggy
+        out2 = pd.concat(list(_decode_or_error(iter([batch]))))
+    finally:
+        media_codecs._decode = real
+    assert out2.decode_error.notna().all()
+    assert "IndexError" in out2.decode_error.iloc[0]

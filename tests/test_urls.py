@@ -162,6 +162,92 @@ def test_ipv6_literal_hosts(spark):
     ]
 
 
+def test_registered_domain_psl(spark):
+    """Full public-suffix-list semantics on a PSL slice including
+    wildcard and exception rules, checked against the published
+    algorithm's documented outcomes; the plan stays a pure projection
+    (the list rides the plan as one constant-folded map literal —
+    no join, no shuffle, no Python)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.urls import (
+        registered_domain_psl,
+    )
+
+    psl = [
+        "// ===BEGIN ICANN DOMAINS===",  # comment lines ignored
+        "com", "org", "net", "edu", "gov", "io", "de", "jp", "uk",
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "sch.uk",
+        "com.au", "net.au", "org.au", "edu.au",
+        "co.jp", "ne.jp", "or.jp", "kawasaki.jp",
+        "*.ck", "!www.ck",
+        "*.kawasaki.jp", "!city.kawasaki.jp",
+        "com.br", "net.br", "gov.br",
+        "github.io",  # a private-section multi-label suffix
+        "",  # blank lines ignored
+    ] + [f"tld{i}" for i in range(70)]  # pad toward real-PSL scale
+    cases = [
+        ("http://www.example.com/x", "example.com"),
+        ("http://a.b.example.co.uk/", "example.co.uk"),
+        ("http://example.co.uk", "example.co.uk"),
+        # host IS a public suffix -> NULL
+        ("http://co.uk/", None),
+        ("http://com/", None),
+        # wildcard: *.ck makes <anything>.ck a public suffix
+        ("http://foo.www2.ck/x", "foo.www2.ck"),
+        ("http://a.foo.www2.ck/x", "foo.www2.ck"),
+        ("http://www2.ck/", None),
+        # exception: !www.ck carves www.ck back out as registrable
+        ("http://www.ck/", "www.ck"),
+        ("http://sub.www.ck/", "www.ck"),
+        # exception over a 3-label wildcard
+        ("http://city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("http://sub.city.kawasaki.jp/", "city.kawasaki.jp"),
+        ("http://other.kawasaki.jp/", None),  # *.kawasaki.jp suffix
+        ("http://x.other.kawasaki.jp/", "x.other.kawasaki.jp"),
+        # private-section multi-label suffix
+        ("http://user.github.io/repo", "user.github.io"),
+        ("http://a.user.github.io/", "user.github.io"),
+        # unknown TLD: the implicit * rule (last two labels)
+        ("http://foo.bar.unknowntld/", "bar.unknowntld"),
+        ("http://unknowntld/", None),
+        # junk and IP literals -> NULL
+        ("not a url", None),
+        ("http://[::1]:8080/", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    out = df.select(registered_domain_psl("url", psl).alias("d"))
+    got = [r["d"] for r in out.collect()]
+    assert got == [w for _, w in cases], list(
+        zip([u for u, _ in cases], got, [w for _, w in cases])
+    )
+    # a DataFrame suffix table works identically
+    sdf = spark.createDataFrame([(r,) for r in psl], ["rule"])
+    got2 = [
+        r["d"]
+        for r in df.select(
+            registered_domain_psl("url", sdf).alias("d")
+        ).collect()
+    ]
+    assert got2 == got
+    # parity with the heuristic on its own default multi-suffix set
+    # (multi-label hosts under known suffixes agree; the documented
+    # divergence is bare/unknown hosts)
+    heur_cases = [
+        "http://www.example.co.uk/p",
+        "https://a.b.news.com/x",
+        "http://sub.site.de",
+    ]
+    hdf = spark.createDataFrame([(u,) for u in heur_cases], ["url"])
+    both = hdf.select(
+        registered_domain("url").alias("h"),
+        registered_domain_psl("url", psl).alias("p"),
+    ).collect()
+    assert all(r["h"] == r["p"] for r in both), both
+    # plan: a pure projection — no exchange, no join, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "Join", "BatchEvalPython", "ArrowEval"):
+        assert node not in plan, plan
+
+
 def test_domain_report_and_blocklist(spark):
     docs = spark.createDataFrame(
         [
