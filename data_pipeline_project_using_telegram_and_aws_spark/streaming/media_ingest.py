@@ -222,3 +222,175 @@ def start_media_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------- audio front door
+# The AUDIO twin of the image chain above, per-zone identical: decode
+# failure (unknown container, torn RIFF, CRC-failing FLAC) →
+# quarantine with the raise text; decoded-but-unusable (silence,
+# sub-minimum duration, DC-stuck) → reject WITH its stats; the rest →
+# good joined to stats. Same conservation contract, same
+# ingest_batch-partitioned idempotent zones, same Arrow-stage cost
+# model (decode is the only Python; WAV/FLAC decode per
+# `operators/media_codecs._decode_audio` / `operators/flac.py`).
+
+AUDIO_QUALITY_DDL = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, peak double, zcr double, "
+    "silence_frac double, decode_error string"
+)
+
+
+def _decode_audio_or_error(batch_iter):
+    """Per-row audio decode + stats that converts ANY decode raise
+    into a (media_id, decode_error) row — quarantine is the stated
+    policy for every decode failure, decoder bugs included."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.media_codecs import _decode_audio
+
+    cols = [
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        "duration_s", "rms", "peak", "zcr", "silence_frac",
+        "decode_error",
+    ]
+    for batch in batch_iter:
+        out = []
+        for media_id, media in zip(batch["media_id"], batch["media"]):
+            raw = bytes(media) if media is not None else b""
+            row = dict.fromkeys(cols)
+            row["media_id"] = media_id
+            try:
+                rate, x = _decode_audio(raw)
+                if x.shape[0] == 0:
+                    raise ValueError("audio has no samples")
+            except Exception as e:  # noqa: BLE001 — quarantine policy
+                row["decode_error"] = (
+                    f"{type(e).__name__}: {e}"[:200]
+                    if not isinstance(e, ValueError)
+                    else str(e)[:200]
+                )
+                out.append(row)
+                continue
+            n = x.shape[0]
+            row.update(
+                sample_rate=int(rate),
+                n_channels=int(x.shape[1]),
+                n_samples=int(n),
+                duration_s=round(n / rate, 6),
+                rms=round(float(np.sqrt((x**2).mean())), 6),
+                peak=round(float(np.abs(x).max()), 6),
+                zcr=round(
+                    float((np.sign(x[1:]) != np.sign(x[:-1])).mean())
+                    if n > 1 else 0.0,
+                    6,
+                ),
+                silence_frac=round(
+                    float((np.abs(x) < 1e-3).mean()), 6
+                ),
+            )
+            out.append(row)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def ingest_audio_batch(
+    batch: DataFrame,
+    batch_id: int,
+    good_path: str,
+    reject_path: str,
+    quarantine_path: str,
+    min_duration_s: float = 0.05,
+    max_silence_frac: float = 0.98,
+    min_rms: float = 1e-4,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> None:
+    spark = batch.sparkSession
+    slim = batch.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    ).localCheckpoint(eager=True)
+    stats = slim.mapInPandas(
+        _decode_audio_or_error, AUDIO_QUALITY_DDL
+    ).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stamp = F.lit(int(batch_id)).alias("ingest_batch")
+
+    quarantined = stats.filter(F.col("decode_error").isNotNull()).select(
+        "media_id", F.col("decode_error").alias("reason"), stamp
+    )
+    (
+        slim.join(F.broadcast(quarantined), "media_id")
+        .select("media_id", "media", "reason", "ingest_batch")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(quarantine_path)
+    )
+    scored = stats.filter(F.col("decode_error").isNull()).drop(
+        "decode_error"
+    )
+    passes = (
+        (F.col("duration_s") >= min_duration_s)
+        & (F.col("silence_frac") <= max_silence_frac)
+        & (F.col("rms") >= min_rms)
+    )
+    (
+        scored.filter(~passes)
+        .select("*", stamp)
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(reject_path)
+    )
+    good = scored.filter(passes)
+    (
+        slim.join(F.broadcast(good), "media_id")
+        .select(
+            "media_id", "media", "sample_rate", "n_channels",
+            "n_samples", "duration_s", "rms", "peak", "zcr",
+            "silence_frac", stamp,
+        )
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(good_path)
+    )
+
+
+def start_audio_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    good_path: str,
+    reject_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    min_duration_s: float = 0.05,
+    max_silence_frac: float = 0.98,
+    min_rms: float = 1e-4,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """File-source stream of (media_id, media binary) parquet →
+    quarantine / reject / good zones, audio edition."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    stream = reader.parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ingest_audio_batch(
+            batch, batch_id, good_path, reject_path, quarantine_path,
+            min_duration_s, max_silence_frac, min_rms,
+            id_col, media_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

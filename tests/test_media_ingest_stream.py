@@ -166,3 +166,82 @@ def test_decode_or_error_quarantines_any_exception_class():
         media_codecs._decode = real
     assert out2.decode_error.notna().all()
     assert "IndexError" in out2.decode_error.iloc[0]
+
+
+def test_audio_front_door_zones_resume_and_export(spark, tmp_path):
+    """The audio twin of the image front door, pinned end-to-end:
+    WAV and FLAC goods, a silent WAV in the reject zone WITH its
+    stats, corrupt/unknown containers quarantined with the decoder's
+    reason, four-zone... three-zone conservation per batch, checkpoint
+    resume on a later landing, and the good zone feeding the
+    WebDataset export byte-identically."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.media_ingest import (
+        start_audio_ingest_stream,
+    )
+    from tests.test_media_codecs import _wav_bytes
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good, reject, quar = (
+        str(tmp_path / z) for z in ("good", "reject", "quar")
+    )
+    ck = str(tmp_path / "ck")
+    silent = _wav_bytes(samples=[0.0] * 64)
+    sq = ([0.5] * 4 + [-0.5] * 4) * 64  # 512 samples = 64 ms @ 8 kHz
+    tone = _wav_bytes(samples=sq)
+    flac_torn = bytearray(b"fLaC" + b"\x00" * 10)
+    rows = [
+        (1, bytearray(tone)),                      # good
+        (2, bytearray(_wav_bytes(bits=8, samples=sq))),  # good (8-bit)
+        (3, bytearray(silent)),                    # reject: silence
+        (4, bytearray(flac_torn)),                 # quarantine
+        (5, bytearray(b"ID3 not a wav")),          # quarantine
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_audio_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar, ck
+    ).awaitTermination(120)
+    g = {r.media_id: r for r in spark.read.parquet(good).collect()}
+    rj = {r.media_id: r for r in spark.read.parquet(reject).collect()}
+    q = {r.media_id: r for r in spark.read.parquet(quar).collect()}
+    assert set(g) == {1, 2} and set(rj) == {3} and set(q) == {4, 5}
+    assert len(g) + len(rj) + len(q) == len(rows)  # conservation
+    # good rows carry bytes AND the real decode's stats
+    assert bytes(g[1].media) == tone
+    assert g[1].sample_rate == 8000 and g[1].rms > 0.4
+    # reject rows carry the auditable stats that failed the gate
+    assert rj[3].silence_frac == 1.0 and rj[3].rms == 0.0
+    # quarantine reasons quote the decoder
+    assert q[4].reason and q[5].reason
+
+    # resume: only the new landing flows
+    spark.createDataFrame(
+        [(10, bytearray(_wav_bytes(rate=16000, samples=sq * 2)))],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    start_audio_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar, ck
+    ).awaitTermination(120)
+    gread = spark.read.parquet(good)
+    assert {r.media_id for r in gread.collect()} == {1, 2, 10}
+    assert {r.ingest_batch for r in gread.collect()} == {0, 1}
+
+    # good zone -> WebDataset tars, byte-identical through the tar
+    wds = str(tmp_path / "wds")
+    write_webdataset_shards(
+        gread, wds, n_shards=2, id_col="media_id",
+        text_col=None, media_col="media",
+        meta_cols=["sample_rate", "duration_s"],
+    )
+    back = {
+        r.key: r
+        for r in read_webdataset_shards(spark, wds).collect()
+    }
+    assert len(back) == 3
+    assert bytes(back[f"{1:012d}"].bin) == tone
