@@ -41,10 +41,14 @@ def write_bucketed(
     key: str | list[str],
     sorted_by: str | list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally per-bucket-sorted)
     catalog table. ``sorted_by`` defaults to the bucket key — sorted
-    buckets let the sort-merge join skip its per-task Sort as well."""
+    buckets let the sort-merge join skip its per-task Sort as well.
+    ``path`` makes the table EXTERNAL at that location (the
+    location-swap compaction writes its version dirs this way: the
+    catalog entry can then be dropped without deleting the data)."""
     keys = [key] if isinstance(key, str) else list(key)
     sorts = (
         keys
@@ -64,13 +68,15 @@ def write_bucketed(
     df = df.repartition(buckets, *[df[k] for k in keys])
     if mode == "overwrite":
         _drop_table_and_location(df.sparkSession, table)
-    (
+    writer = (
         df.write.mode(mode)
         .bucketBy(buckets, keys[0], *keys[1:])
         .sortBy(sorts[0], *sorts[1:])
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def _drop_table_and_location(spark: SparkSession, table: str) -> None:
@@ -130,7 +136,15 @@ def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str], list[s
     return int(desc["Num Buckets"]), cols, sorts
 
 
-def compact_bucketed_table(spark: SparkSession, table: str) -> None:
+# indirection point: the location-swap commit statement, separable so
+# crash-injection tests can kill the process "at the commit point"
+def _commit_sql(spark: SparkSession, stmt: str) -> None:
+    spark.sql(stmt)
+
+
+def compact_bucketed_table(
+    spark: SparkSession, table: str, swap: str = "rename"
+) -> None:
     """Rewrite a bucketed table back to ONE file per bucket — the
     maintenance pass after incremental appends (each append adds a file
     per bucket; co-location survives but per-file sorted runs multiply,
@@ -143,14 +157,39 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> None:
     — the swap is metadata-only; the data rewrite is the price of
     restoring the layout, paid at compaction cadence, not query time.
 
-    The two-rename swap is NOT atomic: between the renames the original
-    name does not resolve, so run compaction in a maintenance window (a
-    concurrent reader in that gap fails with TABLE_NOT_FOUND and should
-    retry). A failure of the second rename rolls the backup rename back,
-    so the table is always queryable under its original name after this
-    function exits — the only non-recoverable window is a hard crash
-    between the two renames, after which the data survives intact under
-    ``<table>__precompact`` and needs one manual ``ALTER TABLE RENAME``."""
+    Two swap protocols (``swap=``), mirroring `sources/commit.py`:
+
+    - ``"rename"`` (default): two catalog renames. NOT atomic — between
+      the renames the original name does not resolve, so run it in a
+      maintenance window (a concurrent reader in that gap fails with
+      TABLE_NOT_FOUND and should retry). A failure of the second rename
+      rolls the backup rename back, so the table is always queryable
+      under its original name after this function exits; the only
+      non-recoverable window is a hard crash between the two renames,
+      after which the data survives intact under
+      ``<table>__precompact`` and needs one manual ``ALTER TABLE
+      RENAME``.
+    - ``"location"``: the manifest-pointer model with the CATALOG as
+      the pointer store. The compacted copy lands in a fresh
+      ``<location>__versions/v{n}`` directory as an EXTERNAL scratch
+      table, then ONE ``ALTER TABLE ... SET LOCATION`` — a single
+      atomic metastore update — makes it live. The table name resolves
+      continuously (no reader window), a crash before the SET leaves
+      the old data live, after it the new; unreferenced version dirs
+      and the pre-migration managed directory are post-commit sweep
+      targets, re-swept by the next compaction. The residual caveat is
+      the one every swap shares: an in-flight lazy scan that resolved
+      the OLD location keeps reading a directory the sweep is
+      deleting — schedule compaction off the read path or delay the
+      sweep by one cadence."""
+    if swap == "location":
+        _compact_swap_location(spark, table)
+        return
+    if swap != "rename":
+        raise ValueError(
+            f"compact_bucketed_table: swap must be rename | location, "
+            f"got {swap!r}"
+        )
     n, cols, sorts = bucket_spec(spark, table)
     scratch, backup = f"{table}__compacting", f"{table}__precompact"
     # read the FILES, not the table: a catalog read advertises the bucket
@@ -172,6 +211,67 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> None:
         spark.sql(f"ALTER TABLE {backup} RENAME TO {table}")
         raise
     _drop_table_and_location(spark, backup)
+
+
+_VERSIONS_SUFFIX = "__versions"
+
+
+def _compact_swap_location(spark: SparkSession, table: str) -> None:
+    """The ``swap="location"`` protocol of :func:`compact_bucketed_table`
+    (docstring there). Steps: resolve the current location → pick the
+    next ``v{n}`` under the versions root → bucketed write there as an
+    EXTERNAL scratch table → ``SET LOCATION`` (commit point) → drop the
+    scratch entry (external: data stays) → sweep superseded dirs."""
+    import re
+
+    n, cols, sorts = bucket_spec(spark, table)
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    cur_loc = desc["Location"].rstrip("/")
+    m = re.search(rf"(.*){re.escape(_VERSIONS_SUFFIX)}/v\d+$", cur_loc)
+    root = (
+        m.group(1).rstrip("/") + _VERSIONS_SUFFIX
+        if m
+        else cur_loc + _VERSIONS_SUFFIX
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(hconf)
+    scratch = f"{table}__compacting"
+    # dead-run scratch preclean: drop the ENTRY only. A crashed
+    # POST-commit run leaves a scratch entry pointing at the LIVE
+    # location — deleting its data would destroy the table; a crashed
+    # PRE-commit run's partial version dir is unreferenced and gets
+    # swept below. (External tables keep their data on DROP; a managed
+    # leftover from a crashed rename-mode run owns only scratch data.)
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    versions = []
+    if fs.exists(root_path):
+        for st in fs.listStatus(root_path):
+            name = st.getPath().getName()
+            if re.fullmatch(r"v\d+", name):
+                versions.append((int(name[1:]), st.getPath()))
+    next_v = max((v for v, _ in versions), default=-1) + 1
+    new_loc = f"{root}/v{next_v}"
+    df = spark.read.parquet(cur_loc)
+    write_bucketed(df, scratch, n, cols, sorts, path=new_loc)
+    _commit_sql(
+        spark, f"ALTER TABLE {table} SET LOCATION '{new_loc}'"
+    )  # COMMIT POINT: one atomic metastore update
+    spark.catalog.refreshTable(table)
+    # post-commit cleanup, crash-safe (re-swept next compaction):
+    # the scratch ENTRY (external, keeps the live data), superseded
+    # version dirs, and on first migration the managed original dir
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    for _, p in versions:
+        fs.delete(p, True)
+    if not m:  # first migration: the old managed directory
+        old = jvm.org.apache.hadoop.fs.Path(cur_loc)
+        if fs.exists(old):
+            fs.delete(old, True)
 
 
 def cojoined(

@@ -2,7 +2,9 @@
 every "replace this directory's content atomically" site that is not a
 partitioned ledger (`streaming/ivm.py` view swaps and
 `streaming/upsert.py`'s per-bucket commits adopt it;
-`sources/bucketing.py` compactions are the remaining candidate). `streaming/ledger_compaction.py`
+`sources/bucketing.py` compactions implement the same pointer model
+through the metastore — ``swap="location"`` — since the catalog entry
+IS their pointer store). `streaming/ledger_compaction.py`
 implements the same two protocols with ledger-specific reader
 semantics (partition-horizon markers); this module is the
 plain-directory version.

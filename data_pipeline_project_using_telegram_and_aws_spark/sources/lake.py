@@ -38,10 +38,12 @@ and the keyed upsert table applies it at BUCKET granularity
 (`streaming/upsert.py` ``commit_mode="manifest"``: per-bucket
 version-dir + pointer swap, lazy one-way migration from rename-era
 tables, crash-injected incl. mid-batch partial commits + replay
-convergence in `tests/test_upsert_manifest.py`). Remaining
-rename-only site: `sources/bucketing.py` compactions (bucket-scoped
-Spark-native writes; the same per-bucket pointer pattern applies if
-ever needed on object storage).
+convergence in `tests/test_upsert_manifest.py`). Round-10
+closure: `sources/bucketing.py` compactions gained
+``swap="location"`` — the catalog itself as the pointer store (ONE
+atomic ``ALTER TABLE ... SET LOCATION`` onto a fresh version dir, no
+reader window, crash-injected in `tests/test_bucketing.py`) — so
+every swap site in the engine now has an object-store-safe protocol.
 """
 
 from __future__ import annotations

@@ -156,3 +156,135 @@ def test_overwrite_of_qualified_table_spares_default_db_twin(spark):
         spark.sql("DROP TABLE IF EXISTS bktdb.twin_tbl")
         spark.sql("DROP DATABASE IF EXISTS bktdb")
         spark.sql("DROP TABLE IF EXISTS twin_tbl")
+
+
+def test_compact_location_swap_atomic_and_crash_safe(spark):
+    """swap="location": the catalog-pointer compaction — one file per
+    bucket restored via a SINGLE `SET LOCATION` metastore update, the
+    table name resolving continuously, version dirs swept; a crash AT
+    the commit statement leaves the OLD data live and a retry
+    converges; a crash right AFTER it leaves the NEW data live and the
+    next compaction sweeps the leftovers."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources import bucketing as B
+
+    import shutil
+
+    # the warehouse dir outlives sessions: clear any previous run's
+    # versions root so v-numbering starts fresh
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("loc_t", "loc_t__compacting", "loc_t_twin"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(os.path.join(wh, "loc_t__versions"), ignore_errors=True)
+    shutil.rmtree(os.path.join(wh, "loc_t"), ignore_errors=True)
+
+    base = spark.range(80).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    extra = spark.range(80, 120).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    B.write_bucketed(base, "loc_t", 4, "k")
+    n, cols, sorts = B.bucket_spec(spark, "loc_t")
+
+    def append():
+        (
+            extra.repartition(n, "k")
+            .write.mode("append")
+            .bucketBy(n, *cols)
+            .sortBy(*sorts)
+            .format("parquet")
+            .saveAsTable("loc_t")
+        )
+
+    def loc():
+        d = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE FORMATTED loc_t").collect()
+        }
+        return d["Location"].removeprefix("file:")
+
+    def files():
+        return glob.glob(os.path.join(loc(), "*.parquet"))
+
+    append()
+    assert len(files()) == 8
+    want = sorted((r.k, r.v) for r in spark.table("loc_t").collect())
+
+    B.compact_bucketed_table(spark, "loc_t", swap="location")
+    assert len(files()) == 4  # one per bucket, at the NEW location
+    assert loc().endswith("__versions/v0")
+    assert sorted((r.k, r.v) for r in spark.table("loc_t").collect()) == want
+    assert B.bucket_spec(spark, "loc_t") == (n, cols, sorts)
+    assert not spark.catalog.tableExists("loc_t__compacting")
+    # co-located joins still exchange-free after the swap (broadcast
+    # disabled so a trivially-small broadcast doesn't mask co-location)
+    B.write_bucketed(spark.table("loc_t"), "loc_t_twin", 4, "k")
+    old_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = B.cojoined(spark, "loc_t", "loc_t_twin", "k", "k")
+        assert B.exchange_count(j) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
+
+    # second compaction: v0 -> v1, superseded version swept
+    append()
+    B.compact_bucketed_table(spark, "loc_t", swap="location")
+    assert loc().endswith("__versions/v1")
+    root = os.path.dirname(loc())
+    assert sorted(os.listdir(root)) == ["v1"]
+    want2 = sorted((r.k, r.v) for r in spark.table("loc_t").collect())
+
+    # crash AT the commit point: old data stays live, retry converges
+    append()
+    real_commit = B._commit_sql
+
+    def die(spark_, stmt):
+        raise RuntimeError("injected at commit")
+
+    B._commit_sql = die
+    try:
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError):
+            B.compact_bucketed_table(spark, "loc_t", swap="location")
+    finally:
+        B._commit_sql = real_commit
+    assert loc().endswith("__versions/v1")  # pointer unchanged
+    got = sorted((r.k, r.v) for r in spark.table("loc_t").collect())
+    assert got == sorted(want2 + [(int(r.k), int(r.v)) for r in extra.collect()])
+    B.compact_bucketed_table(spark, "loc_t", swap="location")  # retry
+    assert loc().endswith("__versions/v3") or loc().endswith(
+        "__versions/v2"
+    )
+    assert len(files()) == 4
+    assert sorted(os.listdir(os.path.dirname(loc()))) == [
+        os.path.basename(loc())
+    ]
+
+    # crash right AFTER the commit: new data live, leftovers swept next
+    append()
+    def die_after(spark_, stmt):
+        real_commit(spark_, stmt)
+        raise RuntimeError("injected post commit")
+
+    B._commit_sql = die_after
+    try:
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError):
+            B.compact_bucketed_table(spark, "loc_t", swap="location")
+    finally:
+        B._commit_sql = real_commit
+    assert len(files()) == 4  # committed: compacted data IS live
+    append()
+    B.compact_bucketed_table(spark, "loc_t", swap="location")
+    assert sorted(os.listdir(os.path.dirname(loc()))) == [
+        os.path.basename(loc())
+    ]
+    assert not spark.catalog.tableExists("loc_t__compacting")
