@@ -77,7 +77,11 @@ def test_mm1_metadata_subsumed_by_mm2(spark, sf_dir):
         r.media_id: (r.media_type, r.n_bytes, r.content_hash)
         for r in mm2_decode_features(spark, sf_dir).collect()
     }
-    assert mm1 == mm2 and len(mm1) > 0
+    # mm2 carries mm1's whole surface over the documents, PLUS the
+    # round-10 real-decoder fixture rows (ids 9000001+)
+    docs_side = {k: v for k, v in mm2.items() if k < 9000000}
+    assert mm1 == docs_side and len(mm1) > 0
+    assert len(mm2) == len(mm1) + 4
 
 
 def test_mm2_cross_path_booleans_are_true(spark, sf_dir):
