@@ -240,13 +240,22 @@ def normalize_url(
 
 
 def domain_report(
-    df: DataFrame, url_col: str = "url", text_col: str | None = "text"
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str | None = "text",
+    suffixes=None,
 ) -> DataFrame:
     """Per registered domain: document count, share of documents, and
     (when ``text_col`` given) token count and token share — the
     domain-concentration read a share-cap policy thresholds on. One
-    aggregation; operand is domain-count-sized."""
-    dom = registered_domain(url_col).alias("domain")
+    aggregation; operand is domain-count-sized. ``suffixes``: pass the
+    real public-suffix list to key domains with
+    :func:`registered_domain_psl` instead of the heuristic."""
+    dom = (
+        registered_domain(url_col)
+        if suffixes is None
+        else registered_domain_psl(url_col, suffixes)
+    ).alias("domain")
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if text_col is not None:
         aggs.append(
@@ -286,13 +295,20 @@ def filter_blocked_domains(
     blocklist: DataFrame,
     url_col: str = "url",
     domain_col: str = "domain",
+    suffixes=None,
 ) -> DataFrame:
     """Drop rows whose registered domain appears in ``blocklist``
     (a (domain) DataFrame — blocklists are small by nature, so the
     anti-join broadcasts; the corpus never shuffles). Subdomains of a
     blocked domain are blocked too (the eTLD+1 key makes that
-    automatic)."""
-    dom = registered_domain(url_col).alias("__domain")
+    automatic). ``suffixes``: pass the real public-suffix list to key
+    rows with :func:`registered_domain_psl` instead of the heuristic
+    (blocklist entries must then be PSL-keyed too)."""
+    dom = (
+        registered_domain(url_col)
+        if suffixes is None
+        else registered_domain_psl(url_col, suffixes)
+    ).alias("__domain")
     return (
         df.withColumn("__domain", dom)
         .join(

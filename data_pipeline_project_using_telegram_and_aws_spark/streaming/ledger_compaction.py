@@ -316,10 +316,31 @@ def sweep_stragglers(ledger_path: str) -> None:
     — the retry path after a crash between commit and deletion. Called
     at the top of every compaction so a ledger whose feed went quiet
     (no new batches to fold, so the fold step early-returns) still
-    converges to clean physical state. No-op without a marker."""
+    converges to clean physical state. No-op without a marker.
+
+    Manifest mode additionally re-runs the post-COMMIT sweep a
+    post-replace crash can leave undone (dead predecessor versions,
+    the tmp manifest, retired rename-era dirs): without this, a
+    crashed compaction followed by a quiet feed would leave the
+    leftovers forever, because the in-commit sweep only runs when
+    there is new work to fold. Compactor-owned, like the sweep inside
+    the commit itself — never called from the read path."""
     t = compacted_through(ledger_path)
     if t is not None:
         delete_folded(ledger_path, t)
+    m = _manifest(ledger_path)
+    if m is not None:
+        root = Path(ledger_path)
+        live = m["dir"]
+        for d in root.glob(_VERSION_PREFIX + "*"):
+            if d.is_dir() and d.name != live:
+                _rmtree(d)
+        tmp = root / (MANIFEST_FILE + ".tmp")
+        if tmp.exists():
+            tmp.unlink()
+        for legacy in (BASELINE_DIR, _STAGING_DIR, _TRASH_DIR):
+            if (root / legacy).exists():
+                _rmtree(root / legacy)
 
 
 def delete_folded(ledger_path: str, through_batch: int) -> None:

@@ -172,9 +172,9 @@ def test_audio_front_door_zones_resume_and_export(spark, tmp_path):
     """The audio twin of the image front door, pinned end-to-end:
     WAV and FLAC goods, a silent WAV in the reject zone WITH its
     stats, corrupt/unknown containers quarantined with the decoder's
-    reason, four-zone... three-zone conservation per batch, checkpoint
-    resume on a later landing, and the good zone feeding the
-    WebDataset export byte-identically."""
+    reason, three-zone conservation per batch, checkpoint resume on a
+    later landing, and the good zone feeding the WebDataset export
+    byte-identically."""
     from data_pipeline_project_using_telegram_and_aws_spark.operators.webdataset import (
         read_webdataset_shards,
         write_webdataset_shards,
@@ -245,3 +245,44 @@ def test_audio_front_door_zones_resume_and_export(spark, tmp_path):
     }
     assert len(back) == 3
     assert bytes(back[f"{1:012d}"].bin) == tone
+
+
+def test_progressive_jpeg_flows_through_front_door(spark, tmp_path):
+    """A real-encoder PROGRESSIVE jpeg (SOF2) now decodes instead of
+    being quarantined wholesale — the round-10 fix for the double-digit
+    share of web-crawl jpegs that are progressive. Skipped where the
+    fixture isn't installed; a truncated progressive stream still
+    quarantines."""
+    import os
+
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.media_ingest import (
+        start_media_ingest_stream,
+    )
+
+    fixture = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not os.path.exists(fixture):
+        pytest.skip("fixture not installed")
+    raw = open(fixture, "rb").read()
+    src = tmp_path / "src"
+    src.mkdir()
+    good, reject, quar = (
+        str(tmp_path / z) for z in ("good", "reject", "quar")
+    )
+    rows = [
+        (1, bytearray(raw)),
+        (2, bytearray(raw[: len(raw) // 3])),  # torn mid-scan
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_media_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar,
+        str(tmp_path / "ck"),
+        # the stripe image is near-uniform white: gate on decode
+        # success only so the good row lands in good, not reject
+        min_contrast=0.0, min_sharpness=0.0, max_extreme_frac=1.0,
+    ).awaitTermination(120)
+    g = {r.media_id: r for r in spark.read.parquet(good).collect()}
+    q = {r.media_id: r for r in spark.read.parquet(quar).collect()}
+    assert set(g) == {1} and set(q) == {2}
+    assert g[1].width > 0 and g[1].brightness > 0.5  # white stripe
