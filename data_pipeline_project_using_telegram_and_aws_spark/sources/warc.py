@@ -1,0 +1,234 @@
+"""WARC (Web ARChive, ISO 28500) reader — the container format web
+crawls actually ship in (CommonCrawl's raw corpus is .warc.gz), i.e.
+the FRONT of a 100 TB pretraining pipeline. The reference ingests a
+webhook's JSON one message at a time (ipynb:151); a crawl-scale
+pipeline ingests archived HTTP exchanges in bulk, and this module is
+that source connector, pure stdlib (gzip/zlib) + Spark binaryFile.
+
+Format, exactly as read:
+- a WARC file is a sequence of records; each record is a header block
+  (``WARC/1.0`` version line + ``Name: value`` lines, CRLF line ends,
+  terminated by an empty line) + ``Content-Length`` octets of body +
+  CRLF CRLF.
+- ``.warc.gz`` files are MULTI-MEMBER gzip: each record is its own
+  gzip member (the spec's recommendation, so records are individually
+  seekable). The reader decompresses member-by-member with
+  ``zlib.decompressobj(wbits=47)`` and ``unused_data`` hand-off — a
+  whole-file ``gzip.decompress`` would also work but hides torn
+  members; per-member decode lets one corrupt record quarantine alone.
+- ``response`` records carry an HTTP/1.x message as their body; the
+  reader splits status line / headers / payload and surfaces status +
+  Content-Type, leaving the payload as opaque bytes for downstream
+  decode (operators/html.py for text/html, media_codecs for images).
+
+Spark shape: ``spark.read.format("binaryFile")`` over the glob — one
+file, one row, one task (matching how crawl processing actually
+shards: the unit of parallelism is the WARC file, which CommonCrawl
+sizes at ~1 GiB exactly so that per-file tasks are right-sized) —
+then ONE ``mapInPandas`` stage splits records and yields slim typed
+rows; the heavy payload bytes never visit the driver. Corrupt records
+follow the front-door doctrine: they become (record_id NULL, error)
+rows for the caller to quarantine, never a task failure.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA_DDL = (
+    "warc_file string, record_offset long, warc_type string, "
+    "record_id string, target_uri string, warc_date string, "
+    "content_type string, http_status int, http_content_type string, "
+    "payload binary, parse_error string"
+)
+
+
+def _split_gzip_members(raw: bytes):
+    """Yield decompressed gzip members from a multi-member stream.
+    Non-gzip input yields the input itself once (plain .warc)."""
+    if raw[:2] != b"\x1f\x8b":
+        yield raw
+        return
+    rest = raw
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)
+        out = d.decompress(rest)
+        if not d.eof:
+            raise ValueError("warc.gz member truncated mid-stream")
+        yield out
+        rest = d.unused_data
+    if rest.strip(b"\x00"):
+        raise ValueError(
+            f"warc.gz trailing garbage after last member "
+            f"({len(rest)} bytes, leading {rest[:4]!r})"
+        )
+
+
+def _parse_records(data: bytes, warc_file: str, base_offset: int = 0):
+    """Yield row dicts for every WARC record in ``data`` (one
+    decompressed member may hold one record — the .gz layout — or a
+    whole file's worth — plain .warc)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        row = {
+            "warc_file": warc_file, "record_offset": base_offset + pos,
+            "warc_type": None, "record_id": None, "target_uri": None,
+            "warc_date": None, "content_type": None,
+            "http_status": None, "http_content_type": None,
+            "payload": None, "parse_error": None,
+        }
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0 or not data[pos:].startswith(b"WARC/"):
+            row["parse_error"] = (
+                f"not a WARC record at offset {base_offset + pos} "
+                f"(leading bytes {data[pos:pos + 8]!r})"
+            )
+            yield row
+            return  # framing lost: cannot resync within this member
+        headers = {}
+        lines = data[pos:hdr_end].split(b"\r\n")
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1")
+            )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            row["parse_error"] = "missing/invalid Content-Length"
+            yield row
+            return
+        body = data[hdr_end + 4 : hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        row.update(
+            warc_type=headers.get("warc-type"),
+            record_id=headers.get("warc-record-id"),
+            target_uri=headers.get("warc-target-uri"),
+            warc_date=headers.get("warc-date"),
+            content_type=headers.get("content-type"),
+        )
+        if len(body) < length:
+            row["parse_error"] = (
+                f"record truncated: Content-Length {length}, "
+                f"{len(body)} present"
+            )
+            yield row
+            return
+        if row["warc_type"] == "response" and (
+            row["content_type"] or ""
+        ).startswith("application/http"):
+            status, ctype, payload, err = _split_http(body)
+            row.update(
+                http_status=status, http_content_type=ctype,
+                payload=payload, parse_error=err,
+            )
+        else:
+            row["payload"] = body
+        yield row
+
+
+def _split_http(msg: bytes):
+    """(status, content_type, payload, error) from an HTTP/1.x
+    response message."""
+    hdr_end = msg.find(b"\r\n\r\n")
+    if hdr_end < 0 or not msg.startswith(b"HTTP/"):
+        return None, None, None, (
+            f"http response malformed (leading bytes {msg[:8]!r})"
+        )
+    lines = msg[:hdr_end].split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, None, f"http status line {lines[0]!r}"
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+    return status, ctype, msg[hdr_end + 4 :], None
+
+
+def parse_warc_bytes(raw: bytes, warc_file: str = ""):
+    """All records of one (possibly multi-member gzip) WARC file —
+    the driver-free core, also usable standalone in tests."""
+    offset = 0
+    for member in _split_gzip_members(raw):
+        yield from _parse_records(member, warc_file, offset)
+        offset += len(member)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files → one typed row per record (WARC_SCHEMA_DDL).
+    Corrupt records/members surface as ``parse_error`` rows — filter
+    them into a quarantine zone, front-door style. One Python stage
+    (the documented Arrow decode path); everything after is plain
+    columns."""
+    binary = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def split(batches):
+        import pandas as pd
+
+        cols = [f.split(" ")[0] for f in WARC_SCHEMA_DDL.split(", ")]
+        for batch in batches:
+            out = []
+            for path, content in zip(batch["path"], batch["content"]):
+                raw = bytes(content)
+                try:
+                    out.extend(parse_warc_bytes(raw, path))
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    # policy: zlib.error on a corrupt member, or any
+                    # parser bug, degrades to a per-FILE error row,
+                    # never a task failure
+                    out.append(
+                        dict.fromkeys(cols) | {
+                            "warc_file": path,
+                            "record_offset": 0,
+                            "parse_error": (
+                                f"{type(e).__name__}: {e}"[:200]
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return binary.mapInPandas(split, WARC_SCHEMA_DDL)
+
+
+def write_warc_responses(rows, out_path: str) -> None:
+    """Test/fixture-side WARC writer: (uri, status, content_type,
+    payload) tuples → a multi-member .warc.gz file (one gzip member
+    per record, the spec layout). Deliberately independent of the
+    reader's parsing (builds bytes by hand) so round-trip tests are
+    meaningful."""
+    import gzip
+
+    buf = io.BytesIO()
+    for i, (uri, status, ctype, payload) in enumerate(rows):
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        member = hdr + http + b"\r\n\r\n"
+        buf.write(gzip.compress(member))
+    with open(out_path, "wb") as f:
+        f.write(buf.getvalue())

@@ -1,0 +1,302 @@
+"""WARC ingestion (sources/warc.py) + HTML extraction
+(operators/html.py): round trips against an independent test-side
+writer, corrupt-record quarantine rows, HTML strip/entities/metadata
+against hand-expected values and a stdlib html.parser differential
+model, anchor-density boilerplate gating, and the crawl-to-corpus
+recipe end-to-end (WARC → text → quality columns)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+    extract_main_text,
+    html_metadata,
+    html_to_text,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    write_warc_responses,
+)
+
+PAGE = """<!DOCTYPE html><html lang="en-GB"><head>
+<title>The &amp; Title</title>
+<meta name="description" content="A test &quot;page&quot;">
+<link rel="canonical" href="http://ex.com/page">
+<style>body { color: red }</style>
+<script>var x = "<p>not text</p>";</script>
+</head><body>
+<!-- a comment with <p>tags</p> inside -->
+<h1>Heading</h1>
+<p>First paragraph with <b>bold</b> and an
+<a href="/x">inline link</a> inside prose that runs long enough.</p>
+<div>Second block &mdash; with entities: 3 &lt; 5 &amp;&amp; 7 &gt; 2.</div>
+</body></html>"""
+
+
+def test_html_to_text_strips_and_decodes(spark):
+    df = spark.createDataFrame([(PAGE,), (None,), ("plain text",)],
+                               ["html"])
+    got = [
+        r["t"]
+        for r in df.select(html_to_text("html").alias("t")).collect()
+    ]
+    text = got[0]
+    assert "Heading" in text and "First paragraph" in text
+    assert "not text" not in text  # script content gone
+    assert "color: red" not in text  # style content gone
+    assert "a comment" not in text  # comments gone
+    assert "inline link" in text  # anchor TEXT preserved
+    assert "3 < 5 && 7 > 2" in text  # entities decoded
+    assert "— with entities" in text  # &mdash;
+    assert "<" not in text.replace("3 < 5", "")  # no tags left
+    assert "\n" in text  # block tags became newlines
+    assert got[1] is None
+    assert got[2] == "plain text"
+    # plan: pure JVM projection — no Python stage
+    plan = (
+        df.select(html_to_text("html"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEval", "MapInPandas"):
+        assert node not in plan
+
+
+def test_html_metadata_fields(spark):
+    df = spark.createDataFrame([(PAGE,), ("<p>no head</p>",)], ["html"])
+    rows = df.select(html_metadata("html").alias("m")).collect()
+    m = rows[0]["m"]
+    assert m["title"] == "The & Title"
+    assert m["description"] == 'A test "page"'
+    assert m["lang"] == "en-GB"
+    assert m["canonical"] == "http://ex.com/page"
+    empty = rows[1]["m"]
+    assert all(empty[k] is None for k in
+               ("title", "description", "lang", "canonical"))
+
+
+def test_extract_main_text_drops_link_farms(spark):
+    nav = "".join(
+        f'<li><a href="/{i}">Section number {i} link</a></li>'
+        for i in range(8)
+    )
+    prose = (
+        "This is the actual article body, a long and link-sparse "
+        "paragraph that any boilerplate heuristic must keep intact."
+    )
+    page = (
+        f"<html><body><nav><ul>{nav}</ul></nav>"
+        f"<p>{prose} See <a href='/ref'>one reference</a> here, "
+        f"which stays well under the anchor-density bar.</p>"
+        f"<footer><a href='/about'>About</a> | "
+        f"<a href='/tos'>Terms</a></footer></body></html>"
+    )
+    df = spark.createDataFrame([(page,)], ["html"])
+    out = extract_main_text(df).collect()[0]["main_text"]
+    assert prose in out
+    assert "Section number 3" not in out  # nav block dropped
+    assert "Terms" not in out  # footer dropped
+    assert "one reference" in out  # inline anchor text kept
+    # a page that is ALL boilerplate extracts to NULL, not ""
+    allnav = f"<html><body><nav>{nav}</nav></body></html>"
+    df2 = spark.createDataFrame([(allnav,)], ["html"])
+    assert extract_main_text(df2).collect()[0]["main_text"] is None
+
+
+class _RefExtractor:
+    """Independent text extractor on stdlib html.parser — the
+    differential model for the regexp pipeline."""
+
+    def text(self, html: str) -> str:
+        from html.parser import HTMLParser
+
+        drop = {"script", "style", "noscript", "svg", "head",
+                "template"}
+        block = set(
+            "p div br li ul ol h1 h2 h3 h4 h5 h6 tr table section "
+            "article header footer nav aside blockquote pre figure "
+            "figcaption hr".split()
+        )
+        out = []
+        depth = {"n": 0}
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                if tag in drop:
+                    depth["n"] += 1
+                if tag in block:
+                    out.append("\n")
+
+            def handle_endtag(self, tag):
+                if tag in drop:
+                    depth["n"] = max(0, depth["n"] - 1)
+                if tag in block:
+                    out.append("\n")
+
+            def handle_data(self, data):
+                if depth["n"] == 0:
+                    out.append(data)
+
+        P(convert_charrefs=True).feed(html)
+        import re
+
+        t = "".join(out)
+        t = re.sub(r"[ \t\x0b\f\r]+", " ", t)
+        t = re.sub(r" ?\n ?", "\n", t)
+        t = re.sub(r"\n{2,}", "\n\n", t)
+        return t.strip()
+
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "Straße", "héllo", "42"]),
+    min_size=1, max_size=5,
+).map(" ".join)
+
+
+@st.composite
+def _html_doc(draw):
+    parts = []
+    for _ in range(draw(st.integers(1, 4))):
+        kind = draw(st.sampled_from(["p", "div", "h2", "li", "span"]))
+        body = draw(_words)
+        if draw(st.booleans()):
+            body += " &amp; more &lt;stuff&gt;"
+        parts.append(f"<{kind} class='c'>{body}</{kind}>")
+    if draw(st.booleans()):
+        parts.insert(0, "<script>ignored()</script>")
+    if draw(st.booleans()):
+        parts.append("<!-- note -->")
+    return "<html><body>" + "".join(parts) + "</body></html>"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.lists(_html_doc(), min_size=1, max_size=4))
+def test_html_to_text_matches_stdlib_parser_model(spark, docs):
+    df = spark.createDataFrame([(d,) for d in docs], ["html"])
+    got = [
+        r["t"]
+        for r in df.select(html_to_text("html").alias("t")).collect()
+    ]
+    ref = _RefExtractor()
+    assert got == [ref.text(d) for d in docs], docs
+
+
+# ------------------------------------------------------------------ WARC
+
+
+def _fixture_rows():
+    return [
+        ("http://ex.com/a", 200, "text/html; charset=utf-8",
+         b"<html><body><p>Doc A body text</p></body></html>"),
+        ("http://ex.com/img", 200, "image/x-portable-pixmap",
+         b"P6\n1 1\n255\n\xff\x00\x00"),
+        ("http://ex.com/gone", 404, "text/html", b"<p>not found</p>"),
+    ]
+
+
+def test_warc_roundtrip_and_quarantine(spark, tmp_path):
+    p = str(tmp_path / "f.warc.gz")
+    write_warc_responses(_fixture_rows(), p)
+    rows = {
+        r.target_uri: r for r in read_warc(spark, p).collect()
+    }
+    assert len(rows) == 3
+    a = rows["http://ex.com/a"]
+    assert a.warc_type == "response" and a.http_status == 200
+    assert a.http_content_type.startswith("text/html")
+    assert bytes(a.payload) == _fixture_rows()[0][3]
+    assert a.parse_error is None
+    assert rows["http://ex.com/gone"].http_status == 404
+    # plain (non-gz) warc parses identically — rebuild the plain bytes
+    # with an INDEPENDENT member walk (zlib directly, not the module's
+    # splitter)
+    raw = open(p, "rb").read()
+    plain_parts = []
+    import zlib as _z
+
+    rest = raw
+    while rest[:2] == b"\x1f\x8b":
+        d = _z.decompressobj(wbits=47)
+        plain_parts.append(d.decompress(rest))
+        rest = d.unused_data
+    pp = str(tmp_path / "f.warc")
+    open(pp, "wb").write(b"".join(plain_parts))
+    rows2 = {r.target_uri: r for r in read_warc(spark, pp).collect()}
+    assert {
+        u: bytes(r.payload) for u, r in rows2.items()
+    } == {u: bytes(r.payload) for u, r in rows.items()}
+
+    # corrupt one gzip member: that FILE degrades to an error row
+    # (framing lost), never a task failure
+    bad = bytearray(raw)
+    bad[len(bad) // 2] ^= 0xFF
+    pb = str(tmp_path / "bad.warc.gz")
+    open(pb, "wb").write(bytes(bad))
+    got = read_warc(spark, pb).collect()
+    assert any(r.parse_error for r in got)
+
+    # a record with a lying Content-Length quarantines as truncated
+    torn = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:t>\r\nContent-Length: 999\r\n\r\n"
+        b"short"
+    )
+    out = list(parse_warc_bytes(torn, "t"))
+    assert len(out) == 1 and "truncated" in out[0]["parse_error"]
+
+
+def test_crawl_to_corpus_recipe(spark, tmp_path):
+    """The front of the 100 TB pipeline, end-to-end: WARC responses →
+    html rows → visible text + metadata → quality-ready columns. Only
+    the WARC split is Python; everything after is JVM columns."""
+    prose = (
+        "Alpha beta gamma delta epsilon zeta eta theta, a sentence "
+        "long enough to clear the main-text block threshold easily."
+    )
+    pages = [
+        (
+            f"http://site{i}.com/x",
+            200,
+            "text/html",
+            (
+                f"<html lang='en'><head><title>T{i}</title></head>"
+                f"<body><p>{prose} Number {i}.</p></body></html>"
+            ).encode(),
+        )
+        for i in range(3)
+    ]
+    p = str(tmp_path / "crawl.warc.gz")
+    write_warc_responses(pages, p)
+    corpus = (
+        read_warc(spark, p)
+        .filter(
+            (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+            & F.col("parse_error").isNull()
+        )
+        .select(
+            "target_uri",
+            F.col("payload").cast("string").alias("html"),
+        )
+        .select(
+            "target_uri",
+            html_to_text("html").alias("text"),
+            html_metadata("html").alias("meta"),
+        )
+    )
+    rows = {r.target_uri: r for r in corpus.collect()}
+    assert len(rows) == 3
+    assert rows["http://site1.com/x"].meta["title"] == "T1"
+    assert prose in rows["http://site2.com/x"].text
+    assert "<" not in rows["http://site0.com/x"].text

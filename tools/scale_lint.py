@@ -170,6 +170,7 @@ def _extension_plans(spark, sf_dir):
         "ext_image_quality": _media_quality_plan(spark),
         "ext_video_metadata": _video_metadata_plan(spark),
         "ext_domain_report": _domain_report_plan(spark, docs),
+        "ext_html_extract": _html_extract_plan(spark, docs),
         **_hybrid_and_dsir_plans(
             F,
             docs,
@@ -182,6 +183,34 @@ def _extension_plans(spark, sf_dir):
             dsir_select,
         ),
     }
+
+
+def _html_extract_plan(spark, docs):
+    """HTML -> main text + metadata over synthetic markup wrapped
+    around the documents table (operators/html.py): must stay a pure
+    JVM projection — no exchange, no Python stage."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+        extract_main_text,
+        html_metadata,
+        html_to_text,
+    )
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html lang='en'><head><title>t</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><nav><a href='/'>home</a></nav></body></html>"),
+        ).alias("html"),
+    )
+    return extract_main_text(pages).select(
+        "doc_id",
+        "main_text",
+        html_to_text("html").alias("text"),
+        html_metadata("html").alias("meta"),
+    )
 
 
 def _domain_report_plan(spark, docs):
