@@ -167,7 +167,13 @@ def _html_doc(draw):
         kind = draw(st.sampled_from(["p", "div", "h2", "li", "span"]))
         body = draw(_words)
         if draw(st.booleans()):
-            body += " &amp; more &lt;stuff&gt;"
+            body += draw(st.sampled_from([
+                " &amp; more &lt;stuff&gt;",
+                " &mdash; dash &Delta;&delta;",
+                " &#8212; num &#x1F680; astral",
+                " &nosuchentity; stays &#999999999; too-big",
+                " tail&copy;",
+            ]))
         parts.append(f"<{kind} class='c'>{body}</{kind}>")
     if draw(st.booleans()):
         parts.insert(0, "<script>ignored()</script>")
