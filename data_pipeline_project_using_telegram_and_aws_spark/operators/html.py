@@ -271,3 +271,22 @@ def extract_main_text(
     )
     joined = F.array_join(F.transform(kept, visible), "\n\n")
     return df.withColumn(out_col, F.nullif(joined, F.lit("")))
+
+
+def robots_noindex(html) -> Column:
+    """TRUE when the page opts out of indexing via
+    ``<meta name="robots" ...>`` (or the googlebot variant) carrying
+    ``noindex`` or ``none`` — the crawl-policy gate responsible
+    corpus builders apply before text ever enters the pipeline.
+    NULL input → NULL; absent meta → FALSE."""
+    col = F.col(html) if isinstance(html, str) else html
+    content = F.regexp_extract(
+        col,
+        r"(?is)<meta\s[^>]*name=[\"'](?:robots|googlebot)[\"'][^>]*"
+        r"content=[\"']([^\"']*)",
+        1,
+    )
+    hit = F.lower(content).rlike(r"(^|[,\s])(noindex|none)([,\s]|$)")
+    return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.coalesce(hit, F.lit(False))
+    )

@@ -375,3 +375,147 @@ def test_streaming_crawl_front_door(spark, tmp_path):
         "http://a.com/", "http://b.com/",
     }
     assert {r.ingest_batch for r in g2.collect()} == {0, 1}
+
+
+def test_robots_noindex_gate(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+        robots_noindex,
+    )
+
+    rows = [
+        ("<html><head><meta name='robots' "
+         "content='noindex, nofollow'></head></html>", True),
+        ("<html><head><meta name=\"ROBOTS\" "
+         "content=\"NONE\"></head></html>", True),
+        ("<html><head><meta name='googlebot' "
+         "content='noindex'></head></html>", True),
+        ("<html><head><meta name='robots' "
+         "content='index, follow'></head></html>", False),
+        # 'noindexy' must not match on substring
+        ("<html><head><meta name='robots' "
+         "content='noindexy'></head></html>", False),
+        ("<html><body>no meta at all</body></html>", False),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["html"])
+    got = [
+        r["n"]
+        for r in df.select(robots_noindex("html").alias("n")).collect()
+    ]
+    assert got == [w for _, w in rows]
+
+
+def test_web_corpus_recipe_end_to_end(spark, tmp_path):
+    """The whole web path spliced into the existing engine: WARC
+    landing → crawl front door → robots-noindex gate → canonical-URL
+    dedup (normalize_url) → corpus curation → packing slots. Each
+    stage is an existing pinned operator; this pins the SPLICE —
+    column contracts line up and counts conserve across stages."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.curation import (
+        curate_corpus,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+        robots_noindex,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.packing import (
+        pack_sequences,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.urls import (
+        normalize_url,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.crawl_ingest import (
+        start_crawl_ingest_stream,
+    )
+
+    prose_a = (
+        "Quality body prose with plenty of distinct and varied words "
+        "so every curation gate passes it without complaint at all."
+    )
+    prose_b = (
+        "Entirely different second document discussing oceanography, "
+        "tidal harmonics, and sediment transport in estuarine zones."
+    )
+
+    def page(body, noindex=False, title="T"):
+        meta = (
+            "<meta name='robots' content='noindex'>" if noindex else ""
+        )
+        return (
+            f"<html lang='en'><head><title>{title}</title>{meta}"
+            f"</head><body><p>{body}</p></body></html>"
+        ).encode()
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    write_warc_responses(
+        [
+            # same content under tracking-param variants: ONE survives
+            ("http://a.com/doc?id=7&utm_source=tw", 200, "text/html",
+             page(prose_a + " Alpha.")),
+            ("http://A.com:80/doc/?utm_campaign=x&id=7", 200,
+             "text/html", page(prose_a + " Alpha.")),
+            ("http://b.com/x", 200, "text/html",
+             page(prose_b + " Bravo.")),
+            ("http://c.com/hidden", 200, "text/html",
+             page(prose_a + " Charlie.", noindex=True)),
+            ("http://d.com/tiny", 200, "text/html", page("tiny")),
+        ],
+        str(src / "b0.warc.gz"),
+    )
+    good, other, quar = (
+        str(tmp_path / z) for z in ("good", "other", "quar")
+    )
+    start_crawl_ingest_stream(
+        spark, str(src), good, other, quar, str(tmp_path / "ck")
+    ).awaitTermination(120)
+
+    pages = spark.read.parquet(good)
+    assert pages.count() == 5
+    # robots gate needs the raw html — recompute from the other zone?
+    # No: gate BEFORE extraction in production; here the good zone
+    # kept no html, so re-read records for the gate signal
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import read_warc
+
+    flags = (
+        read_warc(spark, str(src / "b0.warc.gz"))
+        .select(
+            F.col("target_uri").alias("url"),
+            robots_noindex(
+                F.col("payload").cast("string")
+            ).alias("noindex"),
+        )
+    )
+    kept = (
+        pages.join(flags, "url")
+        .filter(~F.col("noindex"))
+        .withColumn("canon_url", normalize_url("url"))
+    )
+    assert kept.count() == 4  # c.com/hidden gated out
+    # canonical-URL dedup: the two a.com variants collapse to one
+    deduped = (
+        kept.withColumn(
+            "__rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("canon_url")
+                .orderBy("url")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert deduped.count() == 3
+    docs = deduped.select(
+        F.xxhash64("canon_url").alias("doc_id"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    curated, ledger = curate_corpus(docs, min_tokens=5)
+    ids = {r.doc_id for r in curated.collect()}
+    # the tiny page fails min_tokens; the two real pages survive
+    assert len(ids) == 2
+    reasons = {r.reason for r in ledger.collect()}
+    assert any("min_tokens" in r or "short" in r for r in reasons), reasons
+    packed = pack_sequences(curated, budget=64, n_shards=2)
+    assert packed.count() == 2
+    assert {"shard", "seq_id", "seq_offset"} <= set(packed.columns)
