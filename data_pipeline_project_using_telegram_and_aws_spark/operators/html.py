@@ -86,11 +86,18 @@ def _codepoint_str(cp: Column) -> Column:
     caller to fall back on."""
     b = lambda x: F.lpad(F.hex(x.cast("int")), 2, "0")  # noqa: E731
     cont = lambda x: b(F.lit(0x80) + x % 64)  # noqa: E731
+    # cp == 0 falls through every branch (HTML5: &#0; is U+FFFD, the
+    # caller's coalesce); surrogates are excluded from BOTH the 3- and
+    # 4-byte branches (the 4-byte floor 0x10000 keeps them out) so they
+    # reach NULL instead of an invalid UTF-8 sequence
     h = (
-        F.when(cp < 0x80, b(cp))
-        .when(cp < 0x800, F.concat(b(F.lit(0xC0) + (cp / 64).cast("long")), cont(cp)))
+        F.when(cp.between(1, 0x7F), b(cp))
         .when(
-            (cp < 0x10000) & ~cp.between(0xD800, 0xDFFF),
+            cp.between(0x80, 0x7FF),
+            F.concat(b(F.lit(0xC0) + (cp / 64).cast("long")), cont(cp)),
+        )
+        .when(
+            cp.between(0x800, 0xFFFF) & ~cp.between(0xD800, 0xDFFF),
             F.concat(
                 b(F.lit(0xE0) + (cp / 4096).cast("long")),
                 cont((cp / 64).cast("long")),
@@ -98,7 +105,7 @@ def _codepoint_str(cp: Column) -> Column:
             ),
         )
         .when(
-            cp <= 0x10FFFF,
+            cp.between(0x10000, 0x10FFFF),
             F.concat(
                 b(F.lit(0xF0) + (cp / 262144).cast("long")),
                 cont((cp / 4096).cast("long")),
@@ -188,32 +195,62 @@ def html_to_text(html) -> Column:
     return F.btrim(col, F.lit(" \n\t"))
 
 
+def _attr_value(tag: Column, attr: str) -> Column:
+    """Value of ``attr`` inside one already-matched tag body —
+    attribute-order-insensitive, double-quoted / single-quoted /
+    unquoted all legal per the HTML5 syntax. The lookbehind keeps
+    ``data-content=`` from satisfying ``content=``; quoted forms win
+    over a later unquoted homonym because they're coalesced first."""
+    dq = F.regexp_extract(tag, rf'(?i)(?<![-\w]){attr}\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(tag, rf"(?i)(?<![-\w]){attr}\s*=\s*'([^']*)'", 1)
+    uq = F.regexp_extract(
+        tag, rf"(?i)(?<![-\w]){attr}\s*=\s*([^\"'\s>]+)", 1
+    )
+    e = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    return F.coalesce(e(dq), e(sq), e(uq))
+
+
+def _tags(col: Column, name: str) -> Column:
+    """Array of every ``<name ...>`` open tag in the document (the tag
+    text itself, for `_attr_value` to pick attributes out of)."""
+    return F.regexp_extract_all(
+        col, F.lit(rf"(?is)<{name}\b[^>]*>"), F.lit(0)
+    )
+
+
+def _first_tag_attr(col: Column, tag: str, key: str, val: str, want: str) -> Column:
+    """``want``-attribute of the first ``<tag>`` whose ``key``
+    attribute equals ``val`` (case-insensitive) — the shared shape of
+    meta-description / link-canonical lookup."""
+    hit = F.filter(
+        _tags(col, tag),
+        lambda t: F.lower(_attr_value(t, key)) == val,
+    )
+    # try_element_at: empty array (no matching tag) → NULL, not an
+    # ANSI index error
+    return _attr_value(F.try_element_at(hit, F.lit(1)), want)
+
+
 def html_metadata(html) -> Column:
     """Struct(title, description, lang, canonical) — each NULL when
-    absent; one projection, no Python."""
+    absent; one projection, no Python. Attribute extraction is
+    order-insensitive (``<meta content=".." name="description">`` is
+    as legal as the reverse) and accepts unquoted values."""
     col = F.col(html) if isinstance(html, str) else html
     title = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title", 1)
-    desc = F.regexp_extract(
-        col,
-        r"(?is)<meta\s[^>]*name=[\"']description[\"'][^>]*"
-        r"content=[\"']([^\"']*)",
-        1,
+    desc = _first_tag_attr(col, "meta", "name", "description", "content")
+    lang = _attr_value(
+        F.regexp_extract(col, r"(?is)<html\b[^>]*>", 0), "lang"
     )
-    lang = F.regexp_extract(
-        col, r"(?is)<html\s[^>]*lang=[\"']([a-zA-Z-]+)", 1
-    )
-    canon = F.regexp_extract(
-        col,
-        r"(?is)<link\s[^>]*rel=[\"']canonical[\"'][^>]*"
-        r"href=[\"']([^\"']*)",
-        1,
-    )
+    canon = _first_tag_attr(col, "link", "rel", "canonical", "href")
     null_if_empty = lambda c: F.nullif(F.trim(c), F.lit(""))  # noqa: E731
     return F.struct(
         null_if_empty(_decode_entities(title)).alias("title"),
-        null_if_empty(_decode_entities(desc)).alias("description"),
-        null_if_empty(lang).alias("lang"),
-        null_if_empty(canon).alias("canonical"),
+        null_if_empty(_decode_entities(F.coalesce(desc, F.lit("")))).alias(
+            "description"
+        ),
+        null_if_empty(F.coalesce(lang, F.lit(""))).alias("lang"),
+        null_if_empty(F.coalesce(canon, F.lit(""))).alias("canonical"),
     )
 
 
@@ -280,13 +317,18 @@ def robots_noindex(html) -> Column:
     corpus builders apply before text ever enters the pipeline.
     NULL input → NULL; absent meta → FALSE."""
     col = F.col(html) if isinstance(html, str) else html
-    content = F.regexp_extract(
-        col,
-        r"(?is)<meta\s[^>]*name=[\"'](?:robots|googlebot)[\"'][^>]*"
-        r"content=[\"']([^\"']*)",
-        1,
-    )
-    hit = F.lower(content).rlike(r"(^|[,\s])(noindex|none)([,\s]|$)")
+
+    def tag_hit(t: Column) -> Column:
+        name = F.lower(_attr_value(t, "name"))
+        content = F.lower(F.coalesce(_attr_value(t, "content"), F.lit("")))
+        return name.isin("robots", "googlebot") & content.rlike(
+            r"(^|[,\s])(noindex|none)([,\s]|$)"
+        )
+
+    # EVERY meta tag is checked (attribute order and quoting free):
+    # a page with <meta content=noindex name=robots> after five other
+    # metas still gates out
+    hit = F.exists(_tags(col, "meta"), tag_hit)
     return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
         F.coalesce(hit, F.lit(False))
     )

@@ -18,8 +18,14 @@ Format, exactly as read:
   members; per-member decode lets one corrupt record quarantine alone.
 - ``response`` records carry an HTTP/1.x message as their body; the
   reader splits status line / headers / payload and surfaces status +
-  Content-Type, leaving the payload as opaque bytes for downstream
-  decode (operators/html.py for text/html, media_codecs for images).
+  Content-Type. The payload is NORMALIZED, not raw wire bytes:
+  chunked Transfer-Encoding is de-chunked, gzip/deflate
+  Content-Encoding is decompressed, and text/* bodies are transcoded
+  to UTF-8 from their BOM or declared charset (legacy-charset pages
+  are a double-digit share of real crawls — passing them through as
+  "UTF-8" would silently corrupt the corpus). Bodies that fail any of
+  those steps carry ``parse_error`` for quarantine routing. Non-text
+  payloads stay opaque bytes for downstream decode (media_codecs).
 
 Spark shape: ``spark.read.format("binaryFile")`` over the glob — one
 file, one row, one task (matching how crawl processing actually
@@ -47,18 +53,23 @@ WARC_SCHEMA_DDL = (
 
 
 def _split_gzip_members(raw: bytes):
-    """Yield decompressed gzip members from a multi-member stream.
-    Non-gzip input yields the input itself once (plain .warc)."""
+    """Yield ``(member_bytes, offset, is_gzip)`` from a multi-member
+    stream. For .warc.gz, ``offset`` is the COMPRESSED byte offset of
+    the member in the file — the convention standard WARC tooling and
+    the CommonCrawl CDX indexes use for seekable re-fetch. Non-gzip
+    input yields the input itself once (plain .warc, offset 0)."""
     if raw[:2] != b"\x1f\x8b":
-        yield raw
+        yield raw, 0, False
         return
+    pos = 0
     rest = raw
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=47)
         out = d.decompress(rest)
         if not d.eof:
             raise ValueError("warc.gz member truncated mid-stream")
-        yield out
+        yield out, pos, True
+        pos += len(rest) - len(d.unused_data)
         rest = d.unused_data
     if rest.strip(b"\x00"):
         raise ValueError(
@@ -67,10 +78,18 @@ def _split_gzip_members(raw: bytes):
         )
 
 
-def _parse_records(data: bytes, warc_file: str, base_offset: int = 0):
+def _parse_records(
+    data: bytes,
+    warc_file: str,
+    base_offset: int = 0,
+    member_offset: bool = False,
+):
     """Yield row dicts for every WARC record in ``data`` (one
     decompressed member may hold one record — the .gz layout — or a
-    whole file's worth — plain .warc)."""
+    whole file's worth — plain .warc). ``member_offset=True`` (the
+    .gz path) reports ``base_offset`` — the member's COMPRESSED file
+    offset, the seekable unit — for every record in the member;
+    plain files report the record's own byte offset."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -80,7 +99,10 @@ def _parse_records(data: bytes, warc_file: str, base_offset: int = 0):
         if pos >= n:
             return
         row = {
-            "warc_file": warc_file, "record_offset": base_offset + pos,
+            "warc_file": warc_file,
+            "record_offset": (
+                base_offset if member_offset else base_offset + pos
+            ),
             "warc_type": None, "record_id": None, "target_uri": None,
             "warc_date": None, "content_type": None,
             "http_status": None, "http_content_type": None,
@@ -136,9 +158,78 @@ def _parse_records(data: bytes, warc_file: str, base_offset: int = 0):
         yield row
 
 
+def _dechunk(body: bytes):
+    """Decode a Transfer-Encoding: chunked body. Returns (bytes, err)."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None, "chunked body: missing chunk-size line"
+        size_field = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return None, f"chunked body: bad chunk size {size_field!r}"
+        if size == 0:
+            return b"".join(out), None  # trailers (if any) discarded
+        chunk = body[eol + 2 : eol + 2 + size]
+        if len(chunk) < size:
+            return None, (
+                f"chunked body truncated: chunk wants {size}, "
+                f"{len(chunk)} present"
+            )
+        out.append(chunk)
+        pos = eol + 2 + size + 2  # skip chunk + trailing CRLF
+
+
+_CHARSET_RE = None  # compiled lazily (module import stays light)
+
+
+def _decode_text_payload(body: bytes, ctype: str):
+    """Transcode a text/* payload to UTF-8 bytes using (precedence
+    order, per HTML5 encoding sniffing's prefix) a BOM if present,
+    else the Content-Type charset parameter, else UTF-8. Returns
+    (utf8_bytes, err) — undecodable bodies error for the caller to
+    quarantine rather than entering the corpus as mojibake."""
+    import codecs
+    import re
+
+    global _CHARSET_RE
+    if _CHARSET_RE is None:
+        _CHARSET_RE = re.compile(
+            r"charset\s*=\s*\"?([^\s;\"']+)", re.IGNORECASE
+        )
+    if body.startswith(codecs.BOM_UTF8):
+        charset, body = "utf-8", body[3:]
+    elif body.startswith(codecs.BOM_UTF16_LE) or body.startswith(
+        codecs.BOM_UTF16_BE
+    ):
+        charset = "utf-16"  # stdlib consumes the BOM itself
+    else:
+        m = _CHARSET_RE.search(ctype or "")
+        charset = m.group(1).strip().rstrip(";,") if m else "utf-8"
+    try:
+        text = body.decode(charset)
+    except LookupError:
+        return None, f"unknown charset {charset!r}"
+    except (UnicodeDecodeError, ValueError) as e:
+        return None, f"undecodable {charset} body: {str(e)[:120]}"
+    if charset.replace("_", "-").lower() in ("utf-8", "utf8", "u8"):
+        return body, None  # already UTF-8 and now validated: no copy
+    return text.encode("utf-8"), None
+
+
 def _split_http(msg: bytes):
     """(status, content_type, payload, error) from an HTTP/1.x
-    response message."""
+    response message. The payload is NORMALIZED for downstream use:
+    Transfer-Encoding chunked is de-chunked, Content-Encoding
+    gzip/x-gzip/deflate is decompressed, and text/* bodies are
+    transcoded from their declared charset (or BOM) to UTF-8 bytes —
+    so ``payload.cast("string")`` downstream is always correct.
+    Any step failing yields an ``error`` for quarantine routing; the
+    raw Content-Type header (with its charset parameter) is surfaced
+    unchanged."""
     hdr_end = msg.find(b"\r\n\r\n")
     if hdr_end < 0 or not msg.startswith(b"HTTP/"):
         return None, None, None, (
@@ -150,21 +241,52 @@ def _split_http(msg: bytes):
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, None, None, f"http status line {lines[0]!r}"
-    ctype = None
+    headers = {}
     for line in lines[1:]:
         k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
-            ctype = v.strip().decode("latin-1")
-    return status, ctype, msg[hdr_end + 4 :], None
+        headers[k.strip().lower().decode("latin-1")] = (
+            v.strip().decode("latin-1")
+        )
+    ctype = headers.get("content-type")
+    body = msg[hdr_end + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body, err = _dechunk(body)
+        if err:
+            return status, ctype, None, err
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "x-gzip", "deflate"):
+        try:
+            # wbits=47 auto-detects gzip and zlib wrappers; raw
+            # deflate (a known server misbehavior) retried at -15
+            try:
+                body = zlib.decompress(body, 47)
+            except zlib.error:
+                body = zlib.decompress(body, -15)
+        except zlib.error as e:
+            return status, ctype, None, (
+                f"content-encoding {enc}: {str(e)[:120]}"
+            )
+    elif enc not in ("", "identity"):
+        return status, ctype, None, (
+            f"unsupported content-encoding {enc!r}"
+        )
+    if (ctype or "").strip().lower().startswith("text/"):
+        body, err = _decode_text_payload(body, ctype)
+        if err:
+            return status, ctype, None, err
+    return status, ctype, body, None
 
 
 def parse_warc_bytes(raw: bytes, warc_file: str = ""):
     """All records of one (possibly multi-member gzip) WARC file —
-    the driver-free core, also usable standalone in tests."""
-    offset = 0
-    for member in _split_gzip_members(raw):
-        yield from _parse_records(member, warc_file, offset)
-        offset += len(member)
+    the driver-free core, also usable standalone in tests.
+    ``record_offset`` is the gzip member's compressed file offset for
+    .warc.gz input (the CDX-index seek convention) and the record's
+    own byte offset for plain .warc."""
+    for member, offset, is_gz in _split_gzip_members(raw):
+        yield from _parse_records(
+            member, warc_file, offset, member_offset=is_gz
+        )
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:

@@ -8,7 +8,11 @@ and parallelism — CommonCrawl sizes them ~1 GiB for exactly this):
 
 1. SPLIT: `sources/warc.py`'s record splitter (the one Python stage);
    records that fail to parse — torn gzip members, lying
-   Content-Length, lost framing — carry ``parse_error``.
+   Content-Length, lost framing, undecodable chunked/Content-Encoding
+   bodies, charsets that don't decode — carry ``parse_error``. The
+   splitter hands text/* payloads over already transcoded to UTF-8
+   (BOM / declared charset honored), so the good zone's
+   ``payload.cast("string")`` is exact, never mojibake.
 2. ZONED:
    - quarantine: parse_error rows, WITH the error text (audit, never
      crash — the front-door doctrine);

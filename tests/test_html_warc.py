@@ -262,6 +262,188 @@ def test_warc_roundtrip_and_quarantine(spark, tmp_path):
     assert len(out) == 1 and "truncated" in out[0]["parse_error"]
 
 
+def test_html_metadata_attribute_order_and_quoting(spark):
+    """r10 ADVICE: attribute order must not matter and unquoted values
+    are legal HTML5 — <meta content="..." name="description"> counts."""
+    pages = [
+        # content BEFORE name, single quotes
+        "<html><head><meta content='swapped order' "
+        "name='description'></head></html>",
+        # unquoted values both sides
+        "<html><head><meta content=unquoted name=description>"
+        "</head></html>",
+        # canonical with href before rel
+        "<html><head><link href='http://c.com/x' rel='canonical'>"
+        "</head></html>",
+        # data-name must NOT satisfy name=
+        "<html><head><meta data-name='description' "
+        "content='decoy'></head></html>",
+        # lang unquoted on the html tag
+        "<html lang=fr-CA><body>x</body></html>",
+    ]
+    df = spark.createDataFrame([(p,) for p in pages], ["html"])
+    ms = [r["m"] for r in
+          df.select(html_metadata("html").alias("m")).collect()]
+    assert ms[0]["description"] == "swapped order"
+    assert ms[1]["description"] == "unquoted"
+    assert ms[2]["canonical"] == "http://c.com/x"
+    assert ms[3]["description"] is None
+    assert ms[4]["lang"] == "fr-CA"
+
+
+def test_robots_noindex_attribute_order_and_quoting(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+        robots_noindex,
+    )
+
+    rows = [
+        # content precedes name
+        ("<meta content='noindex' name='robots'>", True),
+        # unquoted everywhere
+        ("<meta content=noindex,nofollow name=robots>", True),
+        # the robots meta is NOT the first meta on the page
+        ("<meta name='viewport' content='width=device-width'>"
+         "<meta charset='utf-8'>"
+         "<meta content='none' name='googlebot'>", True),
+        # name=description with noindex-looking content: not a gate
+        ("<meta content='noindex' name='description'>", False),
+        # data-name decoy
+        ("<meta data-name='robots' content='noindex'>", False),
+    ]
+    df = spark.createDataFrame(
+        [(f"<html><head>{h}</head></html>",) for h, _ in rows], ["html"]
+    )
+    got = [r["n"] for r in
+           df.select(robots_noindex("html").alias("n")).collect()]
+    assert got == [w for _, w in rows]
+
+
+def test_numeric_refs_surrogates_and_nul(spark):
+    """r10 ADVICE: surrogate code points and &#0; must decode to a
+    single U+FFFD (HTML5), not an invalid UTF-8 byte sequence."""
+    df = spark.createDataFrame(
+        [("a&#xD800;b&#0;c&#x10FFFF;d&#x110000;e",)], ["html"]
+    )
+    got = df.select(html_to_text("html").alias("t")).collect()[0]["t"]
+    assert got == "a�b�c\U0010ffffd�e"
+
+
+def test_http_payload_normalization(spark, tmp_path):
+    """r10 ADVICE: chunked Transfer-Encoding, gzip Content-Encoding,
+    and legacy charsets must be decoded (or quarantined), not cast
+    blindly as UTF-8."""
+    import gzip as _gz
+
+    html_latin = "<p>Caf\xe9 cr\xe8me</p>".encode("iso-8859-1")
+    html_plain = b"<p>chunked body</p>"
+    chunked = (
+        b"7\r\n<p>chun\r\n"
+        + b"C\r\nked body</p>\r\n"
+        + b"0\r\n\r\n"
+    )
+    gz_body = _gz.compress(b"<p>gzipped page</p>")
+    bad_utf8 = b"<p>bad \xff byte</p>"
+
+    def http(status, hdrs, body):
+        h = "".join(f"{k}: {v}\r\n" for k, v in hdrs)
+        return (
+            f"HTTP/1.1 {status} OK\r\n{h}\r\n".encode() + body
+        )
+
+    msgs = {
+        "latin1": http(200, [("Content-Type",
+                              "text/html; charset=iso-8859-1")],
+                       html_latin),
+        "chunked": http(200, [("Content-Type", "text/html"),
+                              ("Transfer-Encoding", "chunked")],
+                        chunked),
+        "gzipped": http(200, [("Content-Type", "text/html"),
+                              ("Content-Encoding", "gzip")],
+                        gz_body),
+        "bad": http(200, [("Content-Type",
+                           "text/html; charset=utf-8")], bad_utf8),
+        "bom16": http(200, [("Content-Type", "text/html")],
+                      "<p>utf16 page</p>".encode("utf-16")),
+        "binary_gz": http(200, [("Content-Type",
+                                 "application/octet-stream"),
+                                ("Content-Encoding", "gzip")],
+                          _gz.compress(b"\x00\x01binary")),
+    }
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import _split_http
+
+    st_, ct, body, err = _split_http(msgs["latin1"])
+    assert err is None and body.decode() == "<p>Café crème</p>"
+    assert "iso-8859-1" in ct  # raw header preserved
+    st_, ct, body, err = _split_http(msgs["chunked"])
+    assert err is None and body == html_plain
+    st_, ct, body, err = _split_http(msgs["gzipped"])
+    assert err is None and body == b"<p>gzipped page</p>"
+    st_, ct, body, err = _split_http(msgs["bad"])
+    assert body is None and "undecodable" in err
+    st_, ct, body, err = _split_http(msgs["bom16"])
+    assert err is None and body.decode() == "<p>utf16 page</p>"
+    st_, ct, body, err = _split_http(msgs["binary_gz"])
+    assert err is None and body == b"\x00\x01binary"  # not transcoded
+
+    # end-to-end through the streaming front door: the latin-1 page
+    # lands in good with correct text; the bad-byte page quarantines
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.crawl_ingest import (
+        start_crawl_ingest_stream,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    write_warc_responses(
+        [("http://l1.com/", 200, "text/html; charset=iso-8859-1",
+          html_latin),
+         ("http://bad.com/", 200, "text/html; charset=utf-8",
+          bad_utf8)],
+        str(src / "b.warc.gz"),
+    )
+    good, other, quar = (
+        str(tmp_path / z) for z in ("good", "other", "quar")
+    )
+    start_crawl_ingest_stream(
+        spark, str(src), good, other, quar, str(tmp_path / "ck")
+    ).awaitTermination(120)
+    g = spark.read.parquet(good).collect()
+    q = spark.read.parquet(quar).collect()
+    assert [r.url for r in g] == ["http://l1.com/"]
+    assert g[0].text == "Café crème"
+    assert len(q) == 1 and "undecodable" in q[0].reason
+
+
+def test_warc_gz_record_offset_is_compressed_member_offset(tmp_path):
+    """r10 ADVICE: for .warc.gz, record_offset must be the COMPRESSED
+    member offset (the CDX seek convention): gzip-seeking to it and
+    decompressing must yield exactly that record."""
+    import zlib as _z
+
+    p = str(tmp_path / "f.warc.gz")
+    write_warc_responses(_fixture_rows(), p)
+    raw = open(p, "rb").read()
+    recs = list(parse_warc_bytes(raw, "f"))
+    assert len(recs) == 3
+    assert recs[0]["record_offset"] == 0
+    for r in recs:
+        off = r["record_offset"]
+        assert raw[off : off + 2] == b"\x1f\x8b"  # member boundary
+        d = _z.decompressobj(wbits=47)
+        member = d.decompress(raw[off:])
+        assert r["record_id"].encode() in member
+    # plain .warc: offsets are the records' own byte positions
+    plain = b""
+    bounds = []
+    rest = raw
+    while rest[:2] == b"\x1f\x8b":
+        d = _z.decompressobj(wbits=47)
+        bounds.append(len(plain))
+        plain += d.decompress(rest)
+        rest = d.unused_data
+    recs_plain = list(parse_warc_bytes(plain, "f"))
+    assert [r["record_offset"] for r in recs_plain] == bounds
+
+
 def test_crawl_to_corpus_recipe(spark, tmp_path):
     """The front of the 100 TB pipeline, end-to-end: WARC responses →
     html rows → visible text + metadata → quality-ready columns. Only
