@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import (
+        crawl_queries,
         curation_queries,
         dedup_queries,
         multimodal_queries,
@@ -32,13 +33,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in (reference_queries, temporal_queries, dedup_queries,
                 curation_queries, pipeline_queries, similarity_queries,
-                text_queries, multimodal_queries, starschema_queries):
+                text_queries, multimodal_queries, crawl_queries,
+                starschema_queries):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
     from . import (
+        crawl_queries,
         curation_queries,
         dedup_queries,
         multimodal_queries,
@@ -53,6 +56,7 @@ def all_oracles() -> dict[str, str]:
     merged: dict[str, str] = {}
     for mod in (reference_queries, temporal_queries, dedup_queries,
                 curation_queries, pipeline_queries, similarity_queries,
-                text_queries, multimodal_queries, starschema_queries):
+                text_queries, multimodal_queries, crawl_queries,
+                starschema_queries):
         merged.update(mod.ORACLE)
     return merged

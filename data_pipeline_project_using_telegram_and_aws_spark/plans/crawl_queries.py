@@ -1,0 +1,252 @@
+"""Crawl-surface driver row: WARC container → HTTP normalization →
+HTML text extraction, hash-checked end-to-end.
+
+The sf_dir tables carry no WARC bytes, so — exactly the mm2
+real-fixture play — the row embeds a small FIXED .warc.gz (six
+records, one gzip member each, ``mtime=0`` so the bytes are
+deterministic), runs the REAL connector (`sources/warc.py
+read_warc`) and the REAL extractors (`operators/html.py`), and the
+oracle pins the expected zone / metadata / extracted text as
+AUTHORING-TIME literals hand-derived from the fixture HTML (not
+echoed from the code under test). A break anywhere in the chain —
+gzip member walk, WARC framing, chunked/Content-Encoding/charset
+normalization, entity decode, boilerplate gate, robots gate — turns
+the driver row red.
+
+Fixture coverage (reference: the reference pipeline ingests
+one JSON message per webhook call, ipynb cell 21; this is the same
+front-door role at crawl scale):
+
+- ``/a``    ISO-8859-1 page: charset transcode, named + numeric
+            entities, attribute-SWAPPED unquoted meta/link tags, an
+            anchor-dense nav the boilerplate gate must drop;
+- ``/b``    chunked Transfer-Encoding wrapping a gzip Content-Encoding
+            body — both decoded before extraction;
+- ``/bad``  declared utf-8 that does not decode → quarantine;
+- ``/gone`` a 404 → other zone (not a defect, not corpus text);
+- ``/hidden`` robots noindex via ``<meta content=noindex
+            name=robots>`` (swapped attributes — the r10 ADVICE case);
+- ``/torn`` a lying Content-Length → per-record quarantine row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.html import (
+    extract_main_text,
+    html_metadata,
+    html_to_text,
+    robots_noindex,
+)
+from ..sources.warc import read_warc
+
+_PAGE_A = (
+    "<html lang=en><head>"
+    "<title>Caf&eacute; &amp; Cr&egrave;me</title>"
+    '<meta content="Le caf\xe9 du coin" name=description>'
+    "<link href=http://fix.example/a rel=canonical>"
+    "</head><body>"
+    "<nav><a href=/1>One</a> <a href=/2>Two</a> <a href=/3>Three</a></nav>"
+    "<p>Drip brewing involves pouring hot water over roasted ground"
+    " coffee beans held in a filter.</p>"
+    "<p>Caf\xe9 society refers to gathering at coffeehouses &mdash;"
+    " a tradition &#8220;documented&#8221; since 1675.</p>"
+    "</body></html>"
+)
+
+_PAGE_B = (
+    "<p>Gzip and chunked transfer both decoded before any text"
+    " extraction happens here.</p>"
+)
+
+_PAGE_HIDDEN = (
+    "<html><head><meta content=noindex name=robots></head><body>"
+    "<p>Hidden page body prose long enough to pass the block"
+    " threshold easily.</p></body></html>"
+)
+
+
+def _fixture_warc() -> bytes:
+    """The fixed six-record .warc.gz, built from the literals above
+    with ``mtime=0`` — byte-deterministic across runs. Construction is
+    independent of the reader (raw f-string framing, stdlib gzip)."""
+    import gzip
+
+    def http(status: int, hdrs: list, body: bytes) -> bytes:
+        h = "".join(f"{k}: {v}\r\n" for k, v in hdrs)
+        return f"HTTP/1.1 {status} X\r\n{h}\r\n".encode() + body
+
+    def member(uri: str, http_msg: bytes, length: int | None = None) -> bytes:
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{uri.rsplit('/', 1)[-1]}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {length if length is not None else len(http_msg)}\r\n\r\n"
+        ).encode()
+        return gzip.compress(hdr + http_msg + b"\r\n\r\n", mtime=0)
+
+    gz_b = gzip.compress(_PAGE_B.encode(), mtime=0)
+    chunked_b = (
+        b"14\r\n" + gz_b[:20] + b"\r\n"
+        + f"{len(gz_b) - 20:x}\r\n".encode() + gz_b[20:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    u = "http://fix.example"
+    recs = [
+        member(f"{u}/a", http(
+            200, [("Content-Type", "text/html; charset=iso-8859-1")],
+            _PAGE_A.encode("iso-8859-1"))),
+        member(f"{u}/b", http(
+            200, [("Content-Type", "text/html"),
+                  ("Content-Encoding", "gzip"),
+                  ("Transfer-Encoding", "chunked")], chunked_b)),
+        member(f"{u}/bad", http(
+            200, [("Content-Type", "text/html; charset=utf-8")],
+            b"<p>bad \xff\xfe byte</p>")),
+        member(f"{u}/gone", http(
+            404, [("Content-Type", "text/html")], b"<p>nope</p>")),
+        member(f"{u}/hidden", http(
+            200, [("Content-Type", "text/html")],
+            _PAGE_HIDDEN.encode())),
+        # lying Content-Length: 50 octets more than are present
+        member(f"{u}/torn", http(
+            200, [("Content-Type", "text/html")], b"<p>torn</p>"),
+            length=120),
+    ]
+    return b"".join(recs)
+
+
+def wc1_warc_html_extract(spark, sf_dir):
+    """The crawl front door as one hash-checked row (module
+    docstring): read_warc → zone triage (the `streaming/
+    crawl_ingest.py` CASE) → html_to_text / extract_main_text /
+    html_metadata / robots_noindex, all on the embedded fixture. One
+    Python stage (the WARC split), everything after JVM columns —
+    the production shape at 1-file scale."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wc1_fixture_")
+    p = os.path.join(d, "fixture.warc.gz")
+    with open(p, "wb") as f:
+        f.write(_fixture_warc())
+
+    recs = read_warc(spark, p)
+    is_good = (
+        F.col("parse_error").isNull()
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    )
+    zone = (
+        F.when(F.col("parse_error").isNotNull(), F.lit("quarantine"))
+        .when(is_good, F.lit("good"))
+        .otherwise(F.lit("other"))
+    )
+    base = recs.select(
+        F.col("target_uri").alias("uri"),
+        zone.alias("zone"),
+        F.col("http_status").alias("status"),
+        F.split("parse_error", ":").getItem(0).alias("error_kind"),
+        F.when(is_good, F.col("payload").cast("string")).alias("__html"),
+    )
+    meta = html_metadata(F.col("__html"))
+    return (
+        extract_main_text(base, html_col="__html")
+        .select(
+            "uri",
+            "zone",
+            "status",
+            "error_kind",
+            meta.getField("title").alias("title"),
+            meta.getField("description").alias("description"),
+            meta.getField("lang").alias("lang"),
+            meta.getField("canonical").alias("canonical"),
+            robots_noindex(F.col("__html")).alias("noindex"),
+            html_to_text(F.col("__html")).alias("text"),
+            "main_text",
+        )
+        .orderBy("uri")
+    )
+
+
+QUERIES = {
+    "wc1_warc_html_extract": wc1_warc_html_extract,
+}
+
+# Expected values are HAND-DERIVED from the fixture literals (module
+# docstring), then confirmed once against a run — the mm2 discipline:
+# construction constants and hand-derivations, not decoder echoes.
+_TEXT_A = (
+    "One Two Three{nl}{nl}"
+    "Drip brewing involves pouring hot water over roasted ground"
+    " coffee beans held in a filter.{nl}{nl}"
+    "Café society refers to gathering at coffeehouses —"
+    " a tradition “documented” since 1675."
+)
+_MAIN_A = (
+    "Drip brewing involves pouring hot water over roasted ground"
+    " coffee beans held in a filter.{nl}{nl}"
+    "Café society refers to gathering at coffeehouses —"
+    " a tradition “documented” since 1675."
+)
+_TEXT_B = (
+    "Gzip and chunked transfer both decoded before any text"
+    " extraction happens here."
+)
+_TEXT_H = (
+    "Hidden page body prose long enough to pass the block"
+    " threshold easily."
+)
+
+
+def _sqlq(s: str) -> str:
+    """Render a python literal as a DuckDB string expression, real
+    newlines via chr(10)."""
+    return "'" + s.replace("'", "''").format(nl="' || chr(10) || '") + "'"
+
+
+ORACLE = {
+    "wc1_warc_html_extract": f"""
+        SELECT * FROM (VALUES
+            ('http://fix.example/a', 'good', CAST(200 AS INTEGER),
+             CAST(NULL AS VARCHAR),
+             'Café & Crème', 'Le café du coin', 'en',
+             'http://fix.example/a', FALSE,
+             {_sqlq(_TEXT_A)}, {_sqlq(_MAIN_A)}),
+            ('http://fix.example/b', 'good', CAST(200 AS INTEGER),
+             CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), FALSE,
+             {_sqlq(_TEXT_B)}, {_sqlq(_TEXT_B)}),
+            ('http://fix.example/bad', 'quarantine',
+             CAST(200 AS INTEGER), 'undecodable utf-8 body',
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BOOLEAN),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+            ('http://fix.example/gone', 'other', CAST(404 AS INTEGER),
+             CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BOOLEAN),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+            ('http://fix.example/hidden', 'good',
+             CAST(200 AS INTEGER), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE,
+             {_sqlq(_TEXT_H)}, {_sqlq(_TEXT_H)}),
+            ('http://fix.example/torn', 'quarantine',
+             CAST(NULL AS INTEGER), 'record truncated',
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BOOLEAN),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+        ) AS t(uri, zone, status, error_kind, title, description,
+               lang, canonical, noindex, text, main_text)
+        ORDER BY uri
+    """,
+}

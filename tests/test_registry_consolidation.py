@@ -167,9 +167,11 @@ def test_registry_is_exactly_50_rows_with_r5_swaps(spark):
 
     qs, os_ = all_queries(), all_oracles()
     assert len(qs) == 50 and set(os_) == set(qs)
-    for name in ("lm1_unigram_quality", "rt1_bm25_topk"):
+    for name in ("lm1_unigram_quality", "rt1_bm25_topk",
+                 "wc1_warc_html_extract"):
         assert name in qs
-    for name in ("tx3_langid_heuristic", "q25_date_functions"):
+    for name in ("tx3_langid_heuristic", "q25_date_functions",
+                 "q38_hash_sample"):
         assert name not in qs
 
 
@@ -366,3 +368,31 @@ def test_q14_rollup_cube_still_correct(spark, sf_dir):
         for row in rel.fetchall()
     )
     assert len(srows) > 0 and srows == drows
+
+
+def test_q38_hash_sample_still_correct(spark, sf_dir):
+    """Round 11 (wc1 funded): q38's md5-prefix sampling dice pinned
+    against a Python-recomputed expectation — the same deterministic
+    hash-fraction machinery sp1_split_mixture hash-checks every
+    round."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.temporal_queries import (
+        q38_hash_sample,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    ).collect()
+    want_n = defaultdict(int)
+    want_sum = defaultdict(float)
+    for r in li:
+        key = f"{r.l_orderkey}_{r.l_linenumber}".encode()
+        if hashlib.md5(key).hexdigest()[:2] < "1a":
+            want_n[r.l_returnflag] += 1
+            want_sum[r.l_returnflag] += r.l_extendedprice
+    got = q38_hash_sample(spark, sf_dir).collect()
+    assert {r.l_returnflag: r.n_rows for r in got} == dict(want_n)
+    for r in got:
+        assert abs(r.sum_price - want_sum[r.l_returnflag]) < 1e-4
