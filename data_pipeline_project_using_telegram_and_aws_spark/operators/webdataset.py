@@ -32,13 +32,25 @@ Tar determinism: fixed mtime=0, uid/gid=0, USTAR format — the same
 content always produces the same bytes, so shard content hashes are
 stable across runs and engines (the `packing.py` manifest doctrine).
 
-Filesystem assumption (the same note as every open()/os.replace swap
-site in `sources/commit.py` and `streaming/ledger_compaction.py`):
-executors publish tars via task-local ``open()`` + ``os.replace`` into
-``out_dir``, which is correct ONLY when executors share the driver's
-filesystem (local mode, NFS, FUSE-mounted object store). On a real
-cluster with plain S3/HDFS, route the tar bytes through the
-Hadoop FileSystem API or return them to a writer task instead.
+Publish protocols (``commit=``):
+
+- ``"inplace"`` (default, the historical behavior): each task stages
+  its tar and ``os.replace``s it into ``out_dir`` — per-shard
+  atomicity only, correct where executors share the driver's
+  filesystem (local mode, NFS, FUSE-mounted object store) AND readers
+  tolerate a mid-export mix of old and new tars.
+- ``"manifest"``: the `sources/commit.py` pointer model — tasks write
+  every tar into a fresh ``.v{n}`` directory nothing points at, then
+  ONE atomic ``_dir_manifest`` replace publishes the whole shard set.
+  A crash leaves the old pointer (old tars, fully readable) or the
+  new one — no torn export is ever visible. On a real object store
+  the version-dir writes are plain PUTs and the pointer replace is a
+  single-key PUT — no rename anywhere. Readers resolve through
+  `sources.commit.resolve_dir` (`read_webdataset_shards` does).
+  Selective re-export needs the untouched shards carried into the new
+  version explicitly: pass ``carry_forward_shards`` (server-side copy
+  on an object store); carrying is explicit, never inferred, so an
+  erasure pass that empties a shard can never resurrect its old tar.
 """
 
 from __future__ import annotations
@@ -80,6 +92,8 @@ def write_webdataset_shards(
     text_col: str | None = "text",
     media_col: str | None = None,
     meta_cols: list[str] | None = None,
+    commit: str = "inplace",
+    carry_forward_shards: list[int] | None = None,
 ) -> DataFrame:
     """Export (id, text?, media?, meta…) rows as ``shard-%05d.tar``
     files under ``out_dir`` plus a returned manifest DataFrame
@@ -90,19 +104,40 @@ def write_webdataset_shards(
     that are None/absent are simply omitted from the sample.
 
     One shuffle (the shard hash); each shard tar is built in one task
-    and published by staging + atomic rename (module note). This is a
-    SINK: it executes eagerly (a lazily-returned plan whose side
-    effect nobody triggers would silently write nothing) and returns
-    the n_shards-row manifest materialized."""
+    and published per the chosen ``commit`` protocol (module
+    docstring): ``"inplace"`` per-shard replace, ``"manifest"`` the
+    all-or-nothing pointer swap with optional ``carry_forward_shards``
+    copied from the previous committed version (selective re-export).
+    This is a SINK: it executes eagerly (a lazily-returned plan whose
+    side effect nobody triggers would silently write nothing) and
+    returns the manifest materialized."""
     import os
+    import shutil
 
     if n_shards < 1:
         raise ValueError(f"write_webdataset_shards: n_shards={n_shards}")
+    if commit not in ("inplace", "manifest"):
+        raise ValueError(
+            f"write_webdataset_shards: commit must be inplace | "
+            f"manifest, got {commit!r}"
+        )
+    if carry_forward_shards and commit != "manifest":
+        raise ValueError(
+            "write_webdataset_shards: carry_forward_shards only makes "
+            "sense with commit='manifest' (inplace leaves untouched "
+            "tars in place natively)"
+        )
     meta_cols = list(meta_cols or [])
     # try_cast, not cast: under ANSI mode a plain cast throws an
-    # opaque NumberFormatException mid-scan; the guard below raises
-    # a ValueError naming the offending id instead
-    cols = [F.col(id_col).try_cast("long").alias("__id")]
+    # opaque NumberFormatException mid-scan; __raw rides along so the
+    # tar task can raise naming the offending value — validation in
+    # the ONE existing pass, over exactly the rows the tar is built
+    # from (a separate pre-scan would double source evaluation and,
+    # on a nondeterministic input, validate different data)
+    cols = [
+        F.col(id_col).try_cast("long").alias("__id"),
+        F.col(id_col).cast("string").alias("__raw"),
+    ]
     if text_col is not None:
         cols.append(F.col(text_col).alias("__text"))
     if media_col is not None:
@@ -112,75 +147,120 @@ def write_webdataset_shards(
         "__shard",
         F.pmod(F.xxhash64("__id"), F.lit(n_shards)).cast("int"),
     )
-    # the long cast above NULLs non-numeric ids silently; fail loudly
-    # HERE naming the offender, not later as an opaque NaN-to-int
-    # error inside a task building the tar
-    bad = (
-        df.select(F.col(id_col).alias("__raw"))
-        .where(F.col("__raw").try_cast("long").isNull())
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"write_webdataset_shards: id_col {id_col!r} has "
-            f"non-numeric value {bad[0]['__raw']!r} (casts to NULL); "
-            "shard keys must be integral ids"
-        )
 
-    os.makedirs(out_dir, exist_ok=True)
-
-    def build(batches):
-        # accumulate the WHOLE partition first: a shard's rows may
-        # span multiple Arrow batches, and a tar must be built from
-        # all of them (per-batch tars would silently overwrite)
-        acc: dict[int, list] = {}
-        for batch in batches:
-            has_text = "__text" in batch.columns
-            has_media = "__media" in batch.columns
-            for _, row in batch.iterrows():
-                key = f"{int(row['__id']):012d}"
-                parts: dict[str, bytes] = {}
-                if has_text and row["__text"] is not None:
-                    parts["txt"] = str(row["__text"]).encode("utf-8")
-                if has_media and row["__media"] is not None:
-                    parts["bin"] = bytes(row["__media"])
-                if meta_cols:
-                    meta = {
-                        c: (None if pd.isna(row[c]) else row[c])
-                        for c in meta_cols
-                    }
-                    parts["json"] = json.dumps(
-                        meta, sort_keys=True, default=str
-                    ).encode("utf-8")
-                acc.setdefault(int(row["__shard"]), []).append(
-                    (hashlib.md5(key.encode()).hexdigest(), key, parts)
+    def _export_into(target_dir: str) -> list:
+        def build(batches):
+            # accumulate the WHOLE partition first: a shard's rows may
+            # span multiple Arrow batches, and a tar must be built from
+            # all of them (per-batch tars would silently overwrite)
+            acc: dict[int, list] = {}
+            for batch in batches:
+                has_text = "__text" in batch.columns
+                has_media = "__media" in batch.columns
+                for _, row in batch.iterrows():
+                    if pd.isna(row["__id"]):
+                        raise ValueError(
+                            f"write_webdataset_shards: id value "
+                            f"{row['__raw']!r} is not integral (casts "
+                            "to NULL); shard keys must be integral ids"
+                        )
+                    key = f"{int(row['__id']):012d}"
+                    parts: dict[str, bytes] = {}
+                    if has_text and row["__text"] is not None:
+                        parts["txt"] = str(row["__text"]).encode("utf-8")
+                    if has_media and row["__media"] is not None:
+                        parts["bin"] = bytes(row["__media"])
+                    if meta_cols:
+                        meta = {
+                            c: (None if pd.isna(row[c]) else row[c])
+                            for c in meta_cols
+                        }
+                        parts["json"] = json.dumps(
+                            meta, sort_keys=True, default=str
+                        ).encode("utf-8")
+                    acc.setdefault(int(row["__shard"]), []).append(
+                        (hashlib.md5(key.encode()).hexdigest(), key, parts)
+                    )
+            for shard in sorted(acc):
+                samples = sorted(acc[shard])  # md5(key): deterministic
+                tar = _tar_bytes([(k, p) for _, k, p in samples])
+                final = os.path.join(
+                    target_dir, f"shard-{shard:05d}.tar"
                 )
-        for shard in sorted(acc):
-            samples = sorted(acc[shard])  # md5(key): deterministic
-            tar = _tar_bytes([(k, p) for _, k, p in samples])
-            final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
-            tmp = final + ".__tmp"
-            with open(tmp, "wb") as f:
-                f.write(tar)
-            os.replace(tmp, final)  # atomic publish per shard
-            yield pd.DataFrame(
-                [
-                    {
-                        "shard": shard,
-                        "n_samples": len(samples),
-                        "n_bytes": len(tar),
-                        "sha256": hashlib.sha256(tar).hexdigest(),
-                    }
-                ]
-            )
+                tmp = final + ".__tmp"
+                with open(tmp, "wb") as f:
+                    f.write(tar)
+                os.replace(tmp, final)  # atomic publish per shard
+                yield pd.DataFrame(
+                    [
+                        {
+                            "shard": shard,
+                            "n_samples": len(samples),
+                            "n_bytes": len(tar),
+                            "sha256": hashlib.sha256(tar).hexdigest(),
+                        }
+                    ]
+                )
 
-    # one task per shard: every row of a shard must meet in one group
-    lazy = slim.repartition(n_shards, "__shard").mapInPandas(
-        build, SHARD_MANIFEST_DDL
+        # one task per shard: every row of a shard must meet together
+        lazy = slim.repartition(n_shards, "__shard").mapInPandas(
+            build, SHARD_MANIFEST_DDL
+        )
+        # the action IS the export; result is shard-count-sized
+        return [r.asDict() for r in lazy.collect()]
+
+    if commit == "inplace":
+        os.makedirs(out_dir, exist_ok=True)
+        rows = _export_into(out_dir)
+        return df.sparkSession.createDataFrame(rows, SHARD_MANIFEST_DDL)
+
+    from ..sources.commit import commit_dir, resolve_dir
+
+    carry = sorted(set(carry_forward_shards or []))
+    prev_dir = resolve_dir(out_dir) if os.path.isdir(out_dir) else None
+    holder: dict[str, list] = {}
+
+    def write_fn(target: str) -> None:
+        os.makedirs(target, exist_ok=True)
+        rows = _export_into(target)
+        exported = {r["shard"] for r in rows}
+        for s in carry:
+            if s in exported:
+                raise ValueError(
+                    f"write_webdataset_shards: shard {s} is both "
+                    "exported this run and listed in "
+                    "carry_forward_shards — carrying would be "
+                    "ambiguous"
+                )
+            src = (
+                os.path.join(prev_dir, f"shard-{s:05d}.tar")
+                if prev_dir
+                else None
+            )
+            if src is None or not os.path.exists(src):
+                raise ValueError(
+                    f"write_webdataset_shards: carry_forward shard "
+                    f"{s} has no tar in the previous version"
+                )
+            dst = os.path.join(target, f"shard-{s:05d}.tar")
+            shutil.copyfile(src, dst)  # object store: server-side copy
+            blob = open(dst, "rb").read()
+            with tarfile.open(fileobj=io.BytesIO(blob), mode="r") as tf:
+                n = len({m.name.rsplit(".", 1)[0] for m in tf.getmembers()})
+            rows.append(
+                {
+                    "shard": s,
+                    "n_samples": n,
+                    "n_bytes": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                }
+            )
+        holder["rows"] = sorted(rows, key=lambda r: r["shard"])
+
+    commit_dir(out_dir, write_fn, mode="manifest")
+    return df.sparkSession.createDataFrame(
+        holder["rows"], SHARD_MANIFEST_DDL
     )
-    rows = lazy.collect()  # the action IS the export; manifest is tiny
-    return df.sparkSession.createDataFrame(rows, SHARD_MANIFEST_DDL)
 
 
 def read_webdataset_shards(
@@ -190,9 +270,15 @@ def read_webdataset_shards(
     txt, bin, json) rows — binaryFile scan (shards read in parallel,
     partition-pruned by path like any file source) + per-tar untar in
     ``mapInPandas``. Missing parts are NULL; unknown extensions raise
-    naming the member (a foreign file in a shard is a data defect)."""
+    naming the member (a foreign file in a shard is a data defect).
+    Resolves through `sources.commit.resolve_dir`, so it reads the
+    committed version of a manifest-mode export and the directory
+    itself otherwise."""
+    from ..sources.commit import resolve_dir
 
-    files = spark.read.format("binaryFile").load(out_dir + "/shard-*.tar")
+    files = spark.read.format("binaryFile").load(
+        resolve_dir(out_dir) + "/shard-*.tar"
+    )
 
     def untar(batches):
         for batch in batches:

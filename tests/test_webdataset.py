@@ -165,13 +165,15 @@ def test_text_only_and_foreign_member_raises(spark, tmp_path):
 
 
 def test_non_numeric_id_raises_loudly(spark, tmp_path):
-    """A non-numeric id casts to NULL under the long cast; the sink
-    must name the offending id up front, not crash later with an
-    opaque NaN-to-int error inside a tar-building task."""
+    """A non-numeric id casts to NULL under the long cast; the tar
+    task must raise naming the offending raw value (r10 ADVICE: the
+    check rides the single export pass — no separate driver pre-scan
+    that doubles source evaluation and can validate different data
+    than the tasks read)."""
     df = spark.createDataFrame(
         [("doc-7", "body")], "doc_id string, text string"
     )
-    with pytest.raises(ValueError, match="doc-7"):
+    with pytest.raises(Exception, match="doc-7"):
         write_webdataset_shards(
             df, str(tmp_path / "w"), n_shards=2, id_col="doc_id"
         )
@@ -184,3 +186,130 @@ def test_non_numeric_id_raises_loudly(spark, tmp_path):
     assert read_webdataset_shards(
         spark, str(tmp_path / "ok")
     ).count() == 1
+
+
+# ------------------------------------------------- manifest-pointer commit
+
+
+def test_manifest_commit_roundtrip_and_atomicity(spark, tmp_path):
+    """commit='manifest': tars land in a .v{n} dir behind a
+    _dir_manifest pointer; the reader resolves through it; a crash AT
+    the pointer replace leaves the previous version fully readable
+    (the test_commit_dir crash-injection play on the tar sink)."""
+    from pathlib import Path
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources import commit as cm
+
+    out = str(tmp_path / "wds")
+    df = _corpus(spark, n=20)
+    m1 = write_webdataset_shards(
+        df, out, n_shards=3, media_col="media", commit="manifest"
+    ).collect()
+    assert cm.manifest(out) == {"dir": ".v0"}
+    assert not list(Path(out).glob("shard-*.tar"))  # nothing at root
+    keys1 = {
+        int(r.key) for r in read_webdataset_shards(spark, out).collect()
+    }
+    assert keys1 == set(range(20))
+
+    # second export commits .v1 and sweeps .v0
+    write_webdataset_shards(
+        _corpus(spark, n=10), out, n_shards=3, media_col="media",
+        commit="manifest",
+    )
+    assert cm.manifest(out) == {"dir": ".v1"}
+    assert not (Path(out) / ".v0").exists()
+    keys2 = {
+        int(r.key) for r in read_webdataset_shards(spark, out).collect()
+    }
+    assert keys2 == set(range(10))
+
+    # crash AT the pointer replace: old version stays committed
+    real_replace = cm._replace
+
+    def boom(src, dst):
+        raise RuntimeError("injected crash at commit point")
+
+    cm._replace = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            write_webdataset_shards(
+                _corpus(spark, n=5), out, n_shards=3,
+                media_col="media", commit="manifest",
+            )
+    finally:
+        cm._replace = real_replace
+    assert cm.manifest(out) == {"dir": ".v1"}  # pointer untouched
+    assert {
+        int(r.key) for r in read_webdataset_shards(spark, out).collect()
+    } == set(range(10))
+    # the dead run's version dir is swept by the next commit
+    write_webdataset_shards(
+        _corpus(spark, n=4), out, n_shards=3, media_col="media",
+        commit="manifest",
+    )
+    vs = {d.name for d in Path(out).glob(".v*")}
+    assert vs == {cm.manifest(out)["dir"]}
+
+
+def test_manifest_commit_selective_reexport_carry_forward(spark, tmp_path):
+    """Selective re-export under the pointer model: affected shards
+    rebuilt from survivors, untouched shards carried forward
+    byte-identically, erased keys gone — and an emptied shard can
+    NEVER be resurrected because carrying is explicit."""
+    out = str(tmp_path / "wds")
+    df = _corpus(spark, n=40)
+    write_webdataset_shards(
+        df, out, n_shards=4, media_col="media", commit="manifest"
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.sources import commit as cm
+
+    before = {
+        s: open(f"{cm.resolve_dir(out)}/shard-{s:05d}.tar", "rb").read()
+        for s in range(4)
+    }
+    erased = spark.createDataFrame([(3,), (17,)], "doc_id long")
+    hit = [r.shard for r in affected_webdataset_shards(erased, 4).collect()]
+    unaffected = sorted(set(range(4)) - set(hit))
+    survivors = df.where(~F.col("doc_id").isin(3, 17))
+    m = write_webdataset_shards(
+        survivors.withColumn(
+            "__s", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+        ).where(F.col("__s").isin(hit)).drop("__s"),
+        out, n_shards=4, media_col="media",
+        commit="manifest", carry_forward_shards=unaffected,
+    ).collect()
+    assert sorted(r.shard for r in m) == list(range(4))
+    after = {
+        s: open(f"{cm.resolve_dir(out)}/shard-{s:05d}.tar", "rb").read()
+        for s in range(4)
+    }
+    for s in range(4):
+        if s in hit:
+            assert after[s] != before[s]
+        else:
+            assert after[s] == before[s]  # carried byte-identically
+    keys = {
+        int(r.key) for r in read_webdataset_shards(spark, out).collect()
+    }
+    assert keys == set(range(40)) - {3, 17}
+
+    # guard rails: carrying an exported shard is ambiguous; carrying
+    # under inplace mode is meaningless; carrying a shard with no
+    # previous tar is an error
+    with pytest.raises(ValueError, match="both"):
+        write_webdataset_shards(
+            survivors, out, n_shards=4, media_col="media",
+            commit="manifest", carry_forward_shards=[0],
+        )
+    with pytest.raises(ValueError, match="inplace"):
+        write_webdataset_shards(
+            survivors, out, n_shards=4, media_col="media",
+            carry_forward_shards=[0],
+        )
+    with pytest.raises(ValueError, match="no tar"):
+        write_webdataset_shards(
+            df.where(F.col("doc_id") < 0), str(tmp_path / "fresh"),
+            n_shards=4, media_col="media",
+            commit="manifest", carry_forward_shards=[9],
+        )
