@@ -39,6 +39,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iters: int = 20,
     driver_max_edges: int | None = None,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable through the undirected
@@ -55,7 +56,26 @@ def connected_components(
     ~3 µs/edge; a single hash-min round costs ~0.3-0.5 s of scheduling
     before any work happens). Pass ``driver_max_edges=0`` to force the
     iterative path (the tests exercise both and pin their equivalence).
+
+    ``algorithm`` picks the distributed loop above the crossover:
+
+    - ``"hashmin"`` (default): O(diameter) rounds, one join+groupBy
+      each — the cheap-per-round choice for the shallow star/clique
+      graphs near-dup candidates form (diameter ≤ ~3, so 2-4 rounds).
+    - ``"star"``: alternating large-star/small-star (Kiveris et al.
+      2014), O(log n) rounds on ANY shape at ~2× the per-round cost —
+      the right side of the crossover when components can CHAIN:
+      link graphs from the crawl surface, transitively-connected
+      snapshot families, adversarial long paths. Rule of thumb: if
+      the expected component diameter exceeds ~8 (hash-min's rounds >
+      star's ~log₂ n rounds × 2 cost), pick star; equivalence on
+      random + chain graphs is pinned in tests/test_components.py.
     """
+    if algorithm not in ("hashmin", "star"):
+        raise ValueError(
+            f"connected_components: algorithm must be hashmin | star, "
+            f"got {algorithm!r}"
+        )
     if driver_max_edges is None:
         from ..functions.scale_rules import cc_driver_max_edges
 
@@ -67,6 +87,10 @@ def connected_components(
         edges = edges.localCheckpoint(eager=False)
         if edges.count() <= driver_max_edges:
             return _driver_union_find(edges, a_col, b_col)
+    if algorithm == "star":
+        return connected_components_star(
+            edges, a_col=a_col, b_col=b_col, max_iters=max_iters
+        )
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(
@@ -185,13 +209,13 @@ def connected_components_star(
     Converged when the small-star pass is a no-op (the edge set is a
     union of min-rooted stars); labels then read directly off the star
     edges, isolated self-pairs included."""
-    sym = (
-        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
+    raw = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # node set BEFORE dropping self-loops: a self-loop-only node still
+    # labels itself (the hash-min/union-find contract)
     nodes = (
-        sym.select("u").union(sym.select(F.col("v").alias("u"))).distinct()
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
     )
+    sym = raw.filter(F.col("u") != F.col("v"))
     # canonical directed form: (u, v) with v < u
     e = (
         sym.select(
