@@ -343,7 +343,143 @@ def probe_semdedup(spark, n: int, k: int) -> dict:
     }
 
 
+def _synth_warc_dir(tmp_dir: str, n_records: int, per_file: int = 20) -> None:
+    """Deterministic synthetic crawl landing dir: ``n_records`` HTTP
+    responses across ``n_records/per_file`` .warc.gz files (the
+    real-world parallelism unit). Pages are ~8 KB of entity-rich,
+    anchor-mixed HTML so the probe exercises the three JVM stages the
+    front door is made of (entity decode, tag strip, anchor-density
+    gate); every 10th record is a 404 and every 13th a PNG stub so the
+    zone split does real routing work."""
+    import os
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import (
+        write_warc_responses,
+    )
+
+    def page(i: int) -> bytes:
+        paras = []
+        for p in range(8):
+            words = " ".join(
+                f"word{(i * 31 + p * 7 + w) % 997}" for w in range(60)
+            )
+            ent = (
+                "&amp; &mdash; &eacute; &#8220;q&#8221; &copy;"
+                if (p + i) % 2
+                else "&lt;tag&gt; &nbsp; &Delta;&delta; &#x1F680;"
+            )
+            paras.append(f"<p>{words} {ent}</p>")
+        nav = "".join(
+            f'<li><a href="/s/{i}/{k}">Section {k} of page {i}</a></li>'
+            for k in range(12)
+        )
+        return (
+            f"<html lang=en><head><title>Page {i} &amp; friends</title>"
+            f'<meta name=description content="synthetic page {i}">'
+            f"</head><body><nav><ul>{nav}</ul></nav>"
+            + "".join(paras)
+            + f"<footer><a href='/about'>About</a></footer></body></html>"
+        ).encode()
+
+    rows = []
+    file_no = 0
+    for i in range(n_records):
+        if i % 10 == 9:
+            rows.append((f"http://probe/{i}", 404, "text/html",
+                         b"<p>gone</p>"))
+        elif i % 13 == 12:
+            rows.append((f"http://probe/{i}", 200, "image/png",
+                         b"\x89PNGstub" + bytes([i % 251]) * 64))
+        else:
+            rows.append((f"http://probe/{i}", 200,
+                         "text/html; charset=utf-8", page(i)))
+        if len(rows) == per_file:
+            write_warc_responses(
+                rows, os.path.join(tmp_dir, f"f{file_no:04d}.warc.gz")
+            )
+            rows, file_no = [], file_no + 1
+    if rows:
+        write_warc_responses(
+            rows, os.path.join(tmp_dir, f"f{file_no:04d}.warc.gz")
+        )
+
+
+def probe_crawl(spark, n_records: int) -> dict:
+    """The crawl front door at growing record counts: stage timings
+    for the WARC split (the one Python stage), +html_to_text (entity
+    decode dominates), +extract_main_text/metadata (anchor-density
+    HOFs), and the full three-zone streaming ingest with parquet
+    writes. Per-record work is row-local (no shuffle grows with n;
+    the only exchange is the zone writes' partitioning), so wall time
+    must scale ~linearly — the exponent this probe exists to watch."""
+    import shutil
+    import tempfile
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+        extract_main_text,
+        html_metadata,
+        html_to_text,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import read_warc
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.crawl_ingest import (
+        start_crawl_ingest_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix=f"crawlprobe_{n_records}_")
+    landing = f"{root}/landing"
+    import os
+
+    os.makedirs(landing)
+    _synth_warc_dir(landing, n_records)
+    glob = landing + "/*.warc.gz"
+
+    t0 = time.time()
+    n_rows = read_warc(spark, glob).count()
+    t_parse = time.time() - t0
+
+    pages = read_warc(spark, glob).filter(
+        (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(F.col("payload").cast("string").alias("__html"))
+    t0 = time.time()
+    pages.select(html_to_text(F.col("__html")).alias("t")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t_text = time.time() - t0
+
+    t0 = time.time()
+    extract_main_text(pages, html_col="__html").select(
+        "main_text", html_metadata(F.col("__html")).alias("m")
+    ).write.format("noop").mode("overwrite").save()
+    t_main = time.time() - t0
+
+    t0 = time.time()
+    start_crawl_ingest_stream(
+        spark, landing, f"{root}/good", f"{root}/other",
+        f"{root}/quar", f"{root}/ck",
+    ).awaitTermination(600)
+    t_full = time.time() - t0
+    n_good = spark.read.parquet(f"{root}/good").count()
+    shutil.rmtree(root)
+    return {
+        "n_records": n_records,
+        "warc_rows": n_rows,
+        "good_rows": n_good,
+        "parse_sec": round(t_parse, 2),
+        "text_sec": round(t_text, 2),
+        "main_meta_sec": round(t_main, 2),
+        "full_ingest_sec": round(t_full, 2),
+    }
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--crawl"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [200, 600, 2000]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            print(json.dumps({"family": "crawl", **probe_crawl(spark, n)}))
+        return
     if sys.argv[1:2] == ["--heavy"]:
         from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
             ivf_n_centroids,
