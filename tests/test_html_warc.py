@@ -444,6 +444,193 @@ def test_warc_gz_record_offset_is_compressed_member_offset(tmp_path):
     assert [r["record_offset"] for r in recs_plain] == bounds
 
 
+# ------------------------------------------- fuzz axis 18: WARC container
+#
+# The markup differential (axes above / test_differential_fuzz) covers
+# the TEXT layer; this axis fuzzes the CONTAINER layer: random record
+# mixes (charsets, content-encodings, chunked bodies, binary, non-200,
+# non-response records), random packaging (one member per record — the
+# spec layout —, all records in one member, plain .warc), and random
+# truncation cuts. The model is built from the inputs we constructed,
+# with normalization modeled independently (stdlib gzip/codecs, a
+# test-side chunker).
+#
+# Pinned contracts (divergence-as-documented, like axes 14-17):
+# - untruncated input parses to exactly the constructed records, text
+#   payloads normalized to UTF-8, undecodable ones as parse_error rows;
+# - a cut at a member boundary recovers every record before the cut;
+# - a cut mid-member raises ValueError from parse_warc_bytes (read_warc
+#   degrades it to a file-level quarantine row — also asserted);
+# - .gz record_offsets always point at a gzip magic.
+
+
+_rec_kinds = st.sampled_from(
+    ["utf8", "latin1", "bad_utf8", "binary", "http404", "chunked_gz",
+     "resource"]
+)
+
+
+def _build_record(i: int, kind: str):
+    """(warc_member_bytes_plain, expected_row_dict). Construction is
+    test-side and independent of sources/warc.py."""
+    import gzip as _gz
+
+    uri = f"http://fuzz/{i}"
+    body_text = f"<p>doc {i} body é€</p>"
+
+    def http(status, hdrs, body):
+        h = "".join(f"{k}: {v}\r\n" for k, v in hdrs)
+        return f"HTTP/1.1 {status} S\r\n{h}\r\n".encode() + body
+
+    if kind == "utf8":
+        msg = http(200, [("Content-Type", "text/html; charset=utf-8")],
+                   body_text.encode())
+        want = {"uri": uri, "status": 200, "payload": body_text.encode(),
+                "err": None}
+    elif kind == "latin1":
+        msg = http(200, [("Content-Type", "text/html; charset=iso-8859-1")],
+                   f"<p>doc {i} caf\xe9</p>".encode("iso-8859-1"))
+        want = {"uri": uri, "status": 200,
+                "payload": f"<p>doc {i} caf\xe9</p>".encode(), "err": None}
+    elif kind == "bad_utf8":
+        msg = http(200, [("Content-Type", "text/html; charset=utf-8")],
+                   b"<p>\xff broken</p>")
+        want = {"uri": uri, "status": 200, "payload": None,
+                "err": "undecodable"}
+    elif kind == "binary":
+        blob = bytes([(i * 7 + k) % 256 for k in range(48)])
+        msg = http(200, [("Content-Type", "application/octet-stream")],
+                   blob)
+        want = {"uri": uri, "status": 200, "payload": blob, "err": None}
+    elif kind == "http404":
+        msg = http(404, [("Content-Type", "text/html")], b"<p>gone</p>")
+        want = {"uri": uri, "status": 404, "payload": b"<p>gone</p>",
+                "err": None}
+    elif kind == "chunked_gz":
+        gz = _gz.compress(body_text.encode(), mtime=0)
+        cut = min(11, len(gz) // 2)
+        wire = (f"{cut:x}\r\n".encode() + gz[:cut] + b"\r\n"
+                + f"{len(gz) - cut:x}\r\n".encode() + gz[cut:] + b"\r\n"
+                + b"0\r\n\r\n")
+        msg = http(200, [("Content-Type", "text/html"),
+                         ("Content-Encoding", "gzip"),
+                         ("Transfer-Encoding", "chunked")], wire)
+        want = {"uri": uri, "status": 200, "payload": body_text.encode(),
+                "err": None}
+    else:  # resource (non-response record): payload passes through raw
+        blob = f"resource {i}".encode()
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: resource\r\n"
+            f"WARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Type: text/plain\r\nContent-Length: {len(blob)}"
+            "\r\n\r\n"
+        ).encode()
+        return hdr + blob + b"\r\n\r\n", {
+            "uri": uri, "status": None, "payload": blob, "err": None
+        }
+    hdr = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:f{i}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(msg)}\r\n\r\n"
+    ).encode()
+    return hdr + msg + b"\r\n\r\n", want
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    st.lists(_rec_kinds, min_size=1, max_size=5),
+    st.sampled_from(["member_per_record", "one_member", "plain"]),
+    st.sampled_from(["none", "boundary", "mid_member"]),
+    st.randoms(use_true_random=False),
+)
+def test_warc_container_fuzz(kinds, packaging, cut, rng):
+    import gzip as _gz
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import parse_warc_bytes
+
+    built = [_build_record(i, k) for i, k in enumerate(kinds)]
+    members = [m for m, _ in built]
+    wants = [w for _, w in built]
+
+    if packaging == "member_per_record":
+        blobs = [_gz.compress(m, mtime=0) for m in members]
+    elif packaging == "one_member":
+        blobs = [_gz.compress(b"".join(members), mtime=0)]
+    else:
+        blobs = [b"".join(members)]
+    raw = b"".join(blobs)
+
+    n_keep = len(wants)
+    expect_exception = False
+    if cut == "boundary" and len(blobs) > 1:
+        k = rng.randrange(1, len(blobs))
+        raw = b"".join(blobs[:k])
+        n_keep = k  # member_per_record: k members = k records
+    elif cut == "mid_member":
+        # cut strictly inside the final member/blob; keep >= 2 bytes
+        # of a gzip member so the magic survives (a 1-byte prefix
+        # degrades to the plain-warc path by design)
+        last_start = len(raw) - len(blobs[-1])
+        pos = rng.randrange(max(last_start + 1, 2), len(raw))
+        raw = raw[:pos]
+        expect_exception = packaging != "plain"
+        # plain warc: a byte cut lands inside a record -> truncated /
+        # framing-lost error rows, not an exception
+
+    try:
+        rows = list(parse_warc_bytes(raw, "fuzz"))
+        raised = False
+    except ValueError:
+        raised = True
+        rows = []
+    if expect_exception:
+        assert raised, (kinds, packaging, cut)
+        # read_warc's quarantine contract: the exception class is what
+        # its except-clause degrades to a file row; nothing to compare
+        return
+    if cut == "mid_member" and packaging == "plain":
+        # sequential parse: row i is record i. Complete leading records
+        # keep their own expected outcome (incl. per-record errors like
+        # undecodable bodies, which do NOT stop the walk); the record
+        # the cut landed in yields a truncation artifact that must END
+        # the walk — unless the cut only shaved inter-record padding,
+        # in which case everything parses
+        assert not raised
+        assert len(rows) <= len(wants)
+        for idx, (got, want) in enumerate(zip(rows, wants)):
+            if got["parse_error"] is None:
+                assert got["target_uri"] == want["uri"]
+                assert want["err"] is None
+                assert got["payload"] == want["payload"]
+            elif want["err"] and want["err"] in got["parse_error"]:
+                assert got["target_uri"] == want["uri"]
+            else:
+                assert idx == len(rows) - 1, (rows, kinds)
+        return
+    assert not raised
+    wants = wants[:n_keep]
+    assert len(rows) == len(wants), (kinds, packaging, cut)
+    for got, want in zip(rows, wants):
+        assert got["target_uri"] == want["uri"]
+        assert got["http_status"] == want["status"]
+        if want["err"] is None:
+            assert got["parse_error"] is None
+            assert got["payload"] == want["payload"]
+        else:
+            assert want["err"] in (got["parse_error"] or "")
+            assert got["payload"] is None
+        if packaging != "plain":
+            assert raw[got["record_offset"]:
+                       got["record_offset"] + 2] == b"\x1f\x8b"
+
+
 def test_crawl_to_corpus_recipe(spark, tmp_path):
     """The front of the 100 TB pipeline, end-to-end: WARC responses →
     html rows → visible text + metadata → quality-ready columns. Only
