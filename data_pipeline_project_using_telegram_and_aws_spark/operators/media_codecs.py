@@ -1,7 +1,7 @@
 """Pure-NumPy media codecs — the real decoders this container CAN run:
 binary PPM (P6), 24-bit uncompressed BMP, RIFF/WAVE integer PCM,
-8-bit PNG (grayscale / gray+alpha / RGB / RGBA / palette+tRNS,
-both interlace methods — PNG's only compression is DEFLATE, which
+8- and 16-bit PNG (grayscale / gray+alpha / RGB / RGBA /
+palette+tRNS, both interlace methods — PNG's only compression is DEFLATE, which
 stdlib ``zlib`` speaks), GIF87a/89a including ANIMATED multi-frame
 GIFs (GIF's only compression is LZW, implemented here; compositing
 applies frame rects, transparency, interlace, and disposal methods),
@@ -29,12 +29,14 @@ Formats, exactly as published:
   padded to 4-byte boundaries.
 - PNG (RFC 2083): 8-byte signature, then length/type/data/CRC32
   chunks; IHDR geometry, IDAT chunks concatenate into ONE zlib stream
-  of ``h`` scanlines, each a filter-type byte + ``w·channels`` filtered
-  bytes (filter types 0-4: None/Sub/Up/Average/Paeth). Bit depth 8,
-  color types 0/2/3/4/6 (palette via PLTE lookup after unfiltering,
-  tRNS palette transparency widening to RGBA), both interlace methods
-  (Adam7's seven passes unfilter independently and scatter back by
-  origin/stride) — only 16-bit depth is rejected, loudly.
+  of ``h`` scanlines, each a filter-type byte + ``w·channels·bps``
+  filtered bytes (filter types 0-4: None/Sub/Up/Average/Paeth —
+  byte-oriented regardless of depth). Bit depths 8 and 16 (16-bit
+  samples big-endian → uint16 output), color types 0/2/3/4/6 (palette
+  via PLTE lookup after unfiltering, tRNS palette transparency
+  widening to RGBA; palette is 8-bit-only per spec), both interlace
+  methods (Adam7's seven passes unfilter independently and scatter
+  back by origin/stride).
 
 Failure stance: decoders RAISE naming the media id and the leading
 bytes — a corrupt or unsupported container in a curation pipeline is a
@@ -168,12 +170,19 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w) or (h, w, c∈{1,2,3,4}) uint8 → PNG bytes (bit depth 8,
-    non-interlaced, every scanline filter type 0, one IDAT). The
-    inverse of :func:`decode_png` — what fixtures and round-trip tests
-    build with; real encoders may pick smarter per-row filters, which
+    """(h, w) or (h, w, c∈{1,2,3,4}) uint8 → depth-8 (or uint16 →
+    depth-16, big-endian samples per spec) PNG bytes (non-interlaced,
+    every scanline filter type 0, one IDAT). The inverse of
+    :func:`decode_png` — what fixtures and round-trip tests build
+    with; real encoders may pick smarter per-row filters, which
     :func:`decode_png` handles regardless."""
-    px = np.asarray(pixels, dtype=np.uint8)
+    px = np.asarray(pixels)
+    if px.dtype == np.uint16:
+        depth = 16
+        px = px.astype(">u2")  # network byte order, the spec's layout
+    else:
+        depth = 8
+        px = px.astype(np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
@@ -183,7 +192,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([depth, color_type, 0, 0, 0])
     )
     scanlines = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
 
@@ -239,17 +248,22 @@ def _adam7_pass_dims(w: int, h: int, p: int) -> tuple[int, int]:
     return max(0, -(-(w - x0) // dx)), max(0, -(-(h - y0) // dy))
 
 
-def _png_unfilter(body: bytes, h: int, w: int, channels: int) -> np.ndarray:
-    """``h`` scanlines of (filter byte + w·channels filtered bytes) →
-    (h, w·channels) reconstructed uint8. None/Up/Sub vectorized (Sub
-    is a mod-256 cumulative sum over bpp lanes); Average/Paeth
-    sequential by data dependence. The unit of filtering — each Adam7
-    pass, or the whole non-interlaced image, resets ``prev`` here."""
-    rowbytes = w * channels
+def _png_unfilter(
+    body: bytes, h: int, w: int, channels: int, bps: int = 1
+) -> np.ndarray:
+    """``h`` scanlines of (filter byte + w·channels·bps filtered
+    bytes) → (h, w·channels·bps) reconstructed uint8. The spec's
+    filters operate on BYTES regardless of sample depth — depth 16
+    just doubles ``bps`` (bytes per sample) and therefore ``bpp``.
+    None/Up/Sub vectorized (Sub is a mod-256 cumulative sum over bpp
+    lanes); Average/Paeth sequential by data dependence. The unit of
+    filtering — each Adam7 pass, or the whole non-interlaced image,
+    resets ``prev`` here."""
+    rowbytes = w * channels * bps
     scan = np.frombuffer(body, dtype=np.uint8).reshape(h, 1 + rowbytes)
     filt_types = scan[:, 0]
     rows = scan[:, 1:].astype(np.int64)
-    bpp = channels  # bytes per pixel at depth 8
+    bpp = channels * bps  # bytes per pixel
     recon = np.empty((h, rowbytes), dtype=np.uint8)
     prev = np.zeros(rowbytes, dtype=np.int64)
     for y in range(h):
@@ -274,7 +288,7 @@ def _png_unfilter(body: bytes, h: int, w: int, channels: int) -> np.ndarray:
 
 
 def decode_png(raw: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → (h, w, channels) uint8 (channels
+    """8-bit PNG → (h, w, channels) uint8, 16-bit PNG → uint16 (channels
     1/2/3/4 for grayscale / gray+alpha / RGB(+palette) / RGBA(+palette
     with tRNS)). Pure stdlib ``zlib`` + NumPy: chunk walk with
     per-chunk CRC32 verification, one ``zlib.decompress`` over the
@@ -285,8 +299,8 @@ def decode_png(raw: bytes) -> np.ndarray:
     never dropped). Adam7-interlaced images decode too (each pass is
     its own filtered sub-image, scattered back by origin/stride).
     Raises ValueError quoting exactly what it cannot honor: bad
-    signature, truncated or CRC-corrupt chunks, 16-bit depth,
-    missing/short PLTE, out-of-range palette indices, bad inflate,
+    signature, truncated or CRC-corrupt chunks, depths other than
+    8/16, 16-bit palette, missing/short PLTE, out-of-range palette indices, bad inflate,
     scanline-count mismatch, unknown filter types."""
     if raw[:8] != _PNG_MAGIC:
         raise ValueError(f"not a png (leading bytes {raw[:8]!r})")
@@ -327,12 +341,17 @@ def decode_png(raw: bytes) -> np.ndarray:
     depth, color_type, compression, filter_method, interlace = ihdr[8:13]
     if interlace not in (0, 1):
         raise ValueError(f"png interlace method {interlace} unknown")
-    if depth != 8:
-        raise ValueError(f"png bit depth {depth} unsupported (8 only)")
+    if depth not in (8, 16):
+        raise ValueError(
+            f"png bit depth {depth} unsupported (8 and 16 only)"
+        )
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None:
         raise ValueError(f"png color type {color_type} does not exist")
     if color_type == 3:
+        if depth == 16:
+            # the spec caps palette indices at 8 bits
+            raise ValueError("png palette images cannot be 16-bit")
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError(
                 "png palette image without a well-formed PLTE chunk"
@@ -357,18 +376,21 @@ def decode_png(raw: bytes) -> np.ndarray:
         body = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"png idat inflate failed: {e}") from e
+    bps = depth // 8  # bytes per sample; filters are byte-oriented
     if interlace == 0:
-        rowbytes = w * channels
+        rowbytes = w * channels * bps
         if len(body) != h * (1 + rowbytes):
             raise ValueError(
                 f"png scanlines {len(body)} bytes, header promises "
                 f"{h * (1 + rowbytes)}"
             )
-        out = _png_unfilter(body, h, w, channels).reshape(h, w, channels)
+        out = _png_unfilter(body, h, w, channels, bps).reshape(
+            h, w, channels * bps
+        )
     else:  # Adam7: seven independently-filtered sub-images, scattered
         # back onto the full grid by each pass's origin and stride
         need = sum(
-            ph * (1 + pw * channels)
+            ph * (1 + pw * channels * bps)
             for pw, ph in (_adam7_pass_dims(w, h, p) for p in range(7))
             if pw and ph
         )
@@ -377,18 +399,23 @@ def decode_png(raw: bytes) -> np.ndarray:
                 f"png interlaced scanlines {len(body)} bytes, header "
                 f"promises {need}"
             )
-        out = np.empty((h, w, channels), dtype=np.uint8)
+        out = np.empty((h, w, channels * bps), dtype=np.uint8)
         pos = 0
         for p, (x0, y0, dx, dy) in enumerate(_ADAM7_PASSES):
             pw, ph = _adam7_pass_dims(w, h, p)
             if not pw or not ph:
                 continue
-            size = ph * (1 + pw * channels)
+            size = ph * (1 + pw * channels * bps)
             sub = _png_unfilter(
-                body[pos : pos + size], ph, pw, channels
-            ).reshape(ph, pw, channels)
+                body[pos : pos + size], ph, pw, channels, bps
+            ).reshape(ph, pw, channels * bps)
             pos += size
             out[y0::dy, x0::dx] = sub
+    if bps == 2:
+        # big-endian sample pairs → uint16 (depth 16 excludes palette,
+        # so this is the final image)
+        pairs = out.reshape(h, w, channels, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
     if color_type == 3:  # palette lookup AFTER unfiltering (the spec's
         # filters run over index bytes, not colors)
         n_entries = len(plte) // 3

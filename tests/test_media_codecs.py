@@ -400,8 +400,13 @@ def test_png_failures_are_loud():
     # interlace=1 with non-interlaced body: pass-size bookkeeping fails
     with pytest.raises(ValueError, match="interlaced scanlines"):
         decode_png(_png_assemble(2, 2, 2, scan, interlace=1))
-    with pytest.raises(ValueError, match="bit depth"):
+    # depth 16 is supported since round 11; an 8-bit-sized body under
+    # a 16-bit header is now a loud size mismatch, and sub-byte
+    # depths stay rejected by name
+    with pytest.raises(ValueError, match="scanlines"):
         decode_png(_png_assemble(2, 2, 2, scan, depth=16))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_png_assemble(2, 2, 2, scan, depth=1))
     with pytest.raises(ValueError, match="palette"):
         decode_png(_png_assemble(2, 2, 3, scan))
     with pytest.raises(ValueError, match="truncated"):
@@ -821,6 +826,60 @@ def test_png_adam7_palette_and_feature_parity():
         7, 10, 3, _png_forward_filter(idx, [0] * 10), plte=palette
     )
     np.testing.assert_array_equal(decode_png(inter), decode_png(plain))
+
+
+def _u16_byte_view(px16: np.ndarray) -> np.ndarray:
+    """uint16 (h, w, c) → big-endian byte view (h, w, 2c) so the
+    8-bit forward-filter oracle applies unchanged — RFC 2083 filters
+    are byte-oriented regardless of sample depth, which is exactly
+    the property this reuse pins."""
+    h, w, c = px16.shape
+    return px16.astype(">u2").view(np.uint8).reshape(h, w, 2 * c)
+
+
+def test_png_16bit_every_filter_type_against_forward_oracle():
+    rng = np.random.default_rng(23)
+    for channels, color_type in ((1, 0), (3, 2), (2, 4), (4, 6)):
+        px = rng.integers(
+            0, 65536, size=(5, 4, channels), dtype=np.uint16
+        )
+        scan = _png_forward_filter(_u16_byte_view(px), [0, 1, 2, 3, 4])
+        png = _png_assemble(4, 5, color_type, scan, depth=16)
+        got = decode_png(png)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, px, err_msg=f"c{channels}")
+
+
+def test_png_16bit_roundtrip_and_adam7():
+    rng = np.random.default_rng(29)
+    px = rng.integers(0, 65536, size=(9, 7, 4), dtype=np.uint16)
+    got = decode_png(encode_png(px))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, px)
+    # Adam7 at depth 16: per-pass forward filtering over byte views
+    body = b""
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        body += _png_forward_filter(
+            _u16_byte_view(sub), [(pi + r) % 5 for r in range(sub.shape[0])]
+        )
+    inter = _png_assemble(7, 9, 6, body, depth=16, interlace=1)
+    np.testing.assert_array_equal(decode_png(inter), px)
+
+
+def test_png_16bit_rejections_stay_loud():
+    # palette cannot be 16-bit per spec
+    idx = np.zeros((2, 2, 1), dtype=np.uint8)
+    scan = _png_forward_filter(idx, [0, 0])
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_png(
+            _png_assemble(2, 2, 3, scan, depth=16, plte=bytes(range(6)))
+        )
+    # sub-byte depths still rejected loudly
+    with pytest.raises(ValueError, match="depth 4"):
+        decode_png(_png_assemble(2, 2, 0, scan, depth=4))
 
 
 # ----------------------------------------------------------------- mp4
