@@ -294,3 +294,80 @@ def test_pipeline_projections_compose_on_streams(spark, tmp_path):
     assert "[EMAIL]" in rows[1].text_redacted and rows[1].n_email == 1
     assert rows[2].text_redacted == rows[2].text
     assert all(r.split in ("train", "holdout") for r in rows.values())
+
+
+def test_push_source_five_stage_front_door(spark, tmp_path):
+    """r10 verdict #8 (S1 parity): the PUSH-shaped ingress — webhook
+    bodies pushed into a rate-limited in-memory-queue line server,
+    Spark's socket source consuming — through the SAME five-stage
+    chain the landing-dir tests pin: (1) push ingest, (2) quarantine
+    split of a malformed body, (3) chat-id guard + batch-keyed raw
+    zone, (4) daily ETL to enriched, (5) the reference query on top."""
+    import json as _json
+    import time
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.lake import TelegramLake
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.etl_job import run_daily_etl
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.ingest import (
+        PushSource,
+        start_push_ingest_stream,
+    )
+
+    def update(uid, mid, user, date, text, chat_id=-42):
+        return {
+            "update_id": uid,
+            "message": {
+                "message_id": mid,
+                "from": {"id": user[0], "is_bot": False,
+                         "first_name": user[1]},
+                "chat": {"id": chat_id, "type": "group"},
+                "date": date,
+                "text": text,
+            },
+        }
+
+    lake = TelegramLake(str(tmp_path / "lake"), chat_id=-42)
+    src = PushSource(max_per_sec=200)
+    q = start_push_ingest_stream(
+        spark, lake, src.host, src.port,
+        str(tmp_path / "ckpt"), quarantine_dir=str(tmp_path / "quar"),
+    )
+    try:
+        # stage 1: webhook pushes — two good, one foreign chat, one
+        # malformed body
+        src.push(_json.dumps(update(1, 10, (1, "ada"), 1704103200, "hello")))
+        src.push(_json.dumps(update(2, 11, (1, "ada"), 1704103200, "worlds!")))
+        src.push(_json.dumps(
+            update(5, 14, (9, "eve"), 1704103200, "spy", chat_id=-9)
+        ))
+        src.push('{"update_id": 3, "message": {broken')
+
+        deadline = time.time() + 120
+        raw = None
+        while time.time() < deadline:
+            try:
+                raw = lake.read_raw(spark)
+                if (raw.count() >= 2
+                        and spark.read.json(
+                            str(tmp_path / "quar")).count() >= 1):
+                    break
+            except Exception:
+                pass  # zones not written yet
+            time.sleep(1)
+    finally:
+        q.stop()
+        src.close()
+    # stage 2+3: quarantine captured the verbatim body; raw zone holds
+    # exactly the same-chat updates
+    assert sorted(r.update_id for r in raw.collect()) == [1, 2]
+    quar = spark.read.json(str(tmp_path / "quar")).collect()
+    assert [r.payload for r in quar] == ['{"update_id": 3, "message": {broken']
+    # stage 4: the daily ETL flattens to enriched
+    today = lake.today()
+    assert run_daily_etl(spark, lake, context_date=today) == 2
+    # stage 5: the reference query over the enriched zone
+    enr = lake.read_enriched(spark)
+    got = {
+        (r.user_id, r.text) for r in enr.select("user_id", "text").collect()
+    }
+    assert got == {(1, "hello"), (1, "worlds!")}
