@@ -186,12 +186,33 @@ def _dechunk(body: bytes):
 _CHARSET_RE = None  # compiled lazily (module import stays light)
 
 
+def _meta_charset_prescan(body: bytes) -> str | None:
+    """The HTML5 encoding-sniffing prescan, scoped to its common
+    forms: scan the first 1024 bytes for ``<meta charset=...>`` or
+    ``<meta http-equiv="content-type" content="...; charset=...">``
+    (ASCII-superset byte patterns, per the spec's prescan which runs
+    before any decoding). Returns the declared name or None."""
+    import re
+
+    head = body[:1024]
+    m = re.search(
+        rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_][a-zA-Z0-9._-]*)",
+        head,
+        re.IGNORECASE,
+    )
+    if m:
+        return m.group(1).decode("ascii", "replace")
+    return None
+
+
 def _decode_text_payload(body: bytes, ctype: str):
     """Transcode a text/* payload to UTF-8 bytes using (precedence
-    order, per HTML5 encoding sniffing's prefix) a BOM if present,
-    else the Content-Type charset parameter, else UTF-8. Returns
-    (utf8_bytes, err) — undecodable bodies error for the caller to
-    quarantine rather than entering the corpus as mojibake."""
+    order, per HTML5 encoding sniffing) a BOM if present, else the
+    Content-Type charset parameter, else — for HTML — the in-document
+    ``<meta charset>`` prescan over the first 1024 bytes, else UTF-8.
+    Returns (utf8_bytes, err) — undecodable bodies error for the
+    caller to quarantine rather than entering the corpus as
+    mojibake."""
     import codecs
     import re
 
@@ -208,7 +229,11 @@ def _decode_text_payload(body: bytes, ctype: str):
         charset = "utf-16"  # stdlib consumes the BOM itself
     else:
         m = _CHARSET_RE.search(ctype or "")
-        charset = m.group(1).strip().rstrip(";,") if m else "utf-8"
+        charset = m.group(1).strip().rstrip(";,") if m else None
+        if charset is None and "html" in (ctype or "").lower():
+            charset = _meta_charset_prescan(body)
+        if charset is None:
+            charset = "utf-8"
     try:
         text = body.decode(charset)
     except LookupError:

@@ -385,6 +385,28 @@ def test_http_payload_normalization(spark, tmp_path):
     st_, ct, body, err = _split_http(msgs["binary_gz"])
     assert err is None and body == b"\x00\x01binary"  # not transcoded
 
+    # HTML5 prescan: charset declared ONLY in-document (no header
+    # parameter) — both the <meta charset> and the http-equiv forms
+    meta_page = ("<html><head><meta charset='iso-8859-1'></head>"
+                 "<body><p>pr\xe9scan</p></body></html>"
+                 ).encode("iso-8859-1")
+    st_, ct, body, err = _split_http(
+        http(200, [("Content-Type", "text/html")], meta_page))
+    assert err is None and "préscan" in body.decode()
+    equiv_page = ('<html><head><meta http-equiv="Content-Type" '
+                  'content="text/html; charset=iso-8859-1"></head>'
+                  "<body><p>\xe9quiv</p></body></html>"
+                  ).encode("iso-8859-1")
+    st_, ct, body, err = _split_http(
+        http(200, [("Content-Type", "text/html")], equiv_page))
+    assert err is None and "équiv" in body.decode()
+    # the header parameter WINS over the in-document declaration
+    st_, ct, body, err = _split_http(
+        http(200, [("Content-Type", "text/html; charset=utf-8")],
+             "<html><head><meta charset='iso-8859-1'></head>"
+             "<body><p>héader wins</p></body></html>".encode()))
+    assert err is None and "héader wins" in body.decode()
+
     # end-to-end through the streaming front door: the latin-1 page
     # lands in good with correct text; the bad-byte page quarantines
     from data_pipeline_project_using_telegram_and_aws_spark.streaming.crawl_ingest import (
