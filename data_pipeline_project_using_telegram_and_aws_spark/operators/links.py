@@ -1,0 +1,298 @@
+"""Outlink extraction + link graph + PageRank — the crawl surface's
+graph side. `sources/warc.py` + `operators/html.py` turn archives into
+text; this module turns the same pages into EDGES, the input for
+frontier discovery, domain-authority quality signals, and the
+link-graph workloads `connected_components(algorithm="star")` exists
+for.
+
+Reference analog: none (the reference ingests chat messages, ipynb
+cell 21); this is north-star extension surface for a web-scale
+pretraining pipeline.
+
+Spark-first, zero Python end-to-end:
+
+- :func:`extract_links`: every ``<a ...>text</a>`` via
+  ``regexp_extract_all`` + explode → one row per anchor with its
+  href (fragment-stripped), visible anchor text, and a ``nofollow``
+  flag (rel attribute, order/quoting-insensitive via the shared
+  `html._attr_value`). Non-navigational schemes (javascript:,
+  mailto:, tel:, data:) and fragment-only hrefs are dropped.
+- :func:`resolve_url`: RFC 3986 §5 relative resolution as pure
+  column expressions — absolute / protocol-relative / root-relative /
+  path-relative (+ ``.``/``..`` dot-segment removal via
+  ``F.aggregate`` over the segment array). Differentially tested
+  against stdlib ``urllib.parse.urljoin`` on generated cases.
+- :func:`link_graph`: (src, dst) edges normalized to canonical dedup
+  keys (`urls.normalize_url`), self-loops dropped, distinct. One
+  explode + one distinct — no joins.
+- :func:`pagerank`: classic damped power iteration, the
+  components-loop shape: per round one join on src + one groupBy on
+  dst (both node-keyed shuffles), dangling mass redistributed
+  uniformly, lazy ``localCheckpoint`` per round, convergence by L1
+  delta in the same job. Rounds are O(log(1/tol)/log(1/d)) —
+  independent of graph size; the per-round cost is edge-linear. At
+  100 TB the edge list shards by dst like any keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .html import _attr_value
+from .urls import normalize_url
+
+# schemes a link graph must not follow
+_NON_NAV = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def _strip_fragment(href: Column) -> Column:
+    return F.element_at(F.split(href, "#", 2), 1)
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over a slash-split array: ``..`` pops, ``.``
+    and empty segments vanish, everything else appends — one
+    ``F.aggregate`` fold, no Python. A trailing ``/`` (or trailing
+    ``/.`` / ``/..``) is re-appended per the spec's output shape."""
+    segs = F.split(path, "/")
+    folded = F.aggregate(
+        segs,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: (
+            F.when(
+                s == "..",
+                F.slice(
+                    acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))
+                ),
+            )
+            .when((s == ".") | (s == ""), acc)
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    joined = F.concat(F.lit("/"), F.array_join(folded, "/"))
+    trailing = (
+        F.endswith(path, F.lit("/"))
+        | F.endswith(path, F.lit("/."))
+        | F.endswith(path, F.lit("/.."))
+    )
+    return F.when(
+        trailing & ~F.endswith(joined, F.lit("/")),
+        F.concat(joined, F.lit("/")),
+    ).otherwise(joined)
+
+
+def resolve_url(base: Column, href: Column) -> Column:
+    """Resolve ``href`` against ``base`` (an absolute http(s) URL) per
+    RFC 3986 §5 — the subset a crawler meets: absolute, protocol-
+    relative (``//host/x``), root-relative (``/x``), query-only
+    (``?q``), and path-relative (incl. ``.``/``..``) references.
+    NULL when the base does not parse. Fragments are expected to be
+    stripped by the caller (`extract_links` does)."""
+    scheme = F.lower(F.element_at(F.split(base, "://", 2), 1))
+    # authority INCLUDING port — resolution must preserve the fetch
+    # address exactly (normalize_url's port-dropping is a dedup-key
+    # decision, applied later by link_graph, not here)
+    after = F.coalesce(
+        F.try_element_at(F.split(base, "://", 2), F.lit(2)), F.lit("")
+    )
+    authority = F.element_at(F.split(after, "/", 2), 1)
+    authority = F.element_at(F.split(authority, r"\?", 2), 1)
+    origin = F.concat(scheme, F.lit("://"), authority)
+    rest = F.substring(
+        after, F.length(authority) + F.lit(1), F.lit(1 << 30)
+    )
+    base_path = F.element_at(F.split(rest, r"\?", 2), 1)
+    base_path = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    # the reference's directory: base path up to and incl. last '/'
+    base_dir = F.regexp_extract(base_path, r"^(.*/)", 1)
+    is_abs = href.rlike(r"(?i)^[a-z][a-z0-9+.-]*://")
+    # dot-segment removal runs on the PATH only: split the reference's
+    # query off first, re-append it after (".." followed by "?q" must
+    # still pop a segment)
+    href_path = F.element_at(F.split(href, r"\?", 2), 1)
+    href_query = F.try_element_at(F.split(href, r"\?", 2), F.lit(2))
+    q = F.when(
+        href_query.isNotNull(), F.concat(F.lit("?"), href_query)
+    ).otherwise(F.lit(""))
+    resolved = (
+        F.when(is_abs, href)
+        .when(
+            F.startswith(href, F.lit("//")),
+            F.concat(scheme, F.lit(":"), href),
+        )
+        .when(
+            F.startswith(href, F.lit("?")),
+            F.concat(origin, base_path, href),
+        )
+        .when(
+            F.startswith(href, F.lit("/")),
+            F.concat(origin, _remove_dot_segments(href_path), q),
+        )
+        .when(
+            href == "",
+            F.concat(origin, base_path),
+        )
+        .otherwise(
+            F.concat(
+                origin,
+                _remove_dot_segments(F.concat(base_dir, href_path)),
+                q,
+            )
+        )
+    )
+    return F.when(
+        scheme.isNull() | (authority == "") | base.isNull(),
+        F.lit(None).cast("string"),
+    ).otherwise(resolved)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per ``<a>`` anchor: the input columns minus the html,
+    plus ``href`` (resolved absolute URL, fragment stripped),
+    ``anchor_text`` (visible text, whitespace-collapsed, NULL when
+    empty), and ``nofollow``. Non-navigational and fragment-only
+    hrefs are dropped before the explode. Pure projections + one
+    explode — per-row work linear in document size, no shuffle."""
+    anchors = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<a\b[^>]*>.*?</a\s*>"), F.lit(0)
+    )
+    out = df.select(
+        *[c for c in df.columns if c != html_col],
+        F.explode(anchors).alias("__a"),
+    )
+    tag = F.regexp_extract(F.col("__a"), r"(?s)^(<[^>]*>)", 1)
+    raw_href = _strip_fragment(F.coalesce(_attr_value(tag, "href"), F.lit("")))
+    inner = F.regexp_replace(F.col("__a"), r"(?s)^<[^>]*>|</a\s*>$", "")
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    rel = F.lower(F.coalesce(_attr_value(tag, "rel"), F.lit("")))
+    nav = ~F.lower(raw_href).rlike(
+        "^(" + "|".join(s.rstrip(":") for s in _NON_NAV) + "):"
+    ) & (raw_href != "")
+    return (
+        out.filter(nav)
+        .select(
+            *[c for c in out.columns if c != "__a"],
+            resolve_url(F.col(url_col), raw_href).alias("href"),
+            F.nullif(text, F.lit("")).alias("anchor_text"),
+            rel.rlike(r"(^|[\s])nofollow([\s]|$)").alias("nofollow"),
+        )
+        .filter(F.col("href").isNotNull())
+    )
+
+
+def link_graph(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    follow_only: bool = True,
+) -> DataFrame:
+    """Distinct (src, dst) canonical-key edges from pages —
+    `extract_links` + `urls.normalize_url` on both endpoints,
+    self-loops dropped. ``follow_only`` honors nofollow (the
+    responsible default for authority computation)."""
+    links = extract_links(df, html_col=html_col, url_col=url_col)
+    if follow_only:
+        links = links.filter(~F.col("nofollow"))
+    return (
+        links.select(
+            normalize_url(F.col(url_col)).alias("src"),
+            normalize_url("href").alias("dst"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iters: int = 100,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """(node, rank) with Σrank = 1 over the DIRECTED edge set —
+    damped power iteration with uniform dangling-mass redistribution
+    (module docstring scale notes). Converges when the L1 rank delta
+    drops under ``tol`` — geometric at rate ``damping``, so the
+    default budget covers log(tol)/log(damping) ≈ 85 rounds at 0.85;
+    raises if ``max_iters`` rounds don't get there (a silent non-converged ranking would skew every consumer).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_iters):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["src"], "left"
+        ).select("node", "rank", "__deg")
+        # dangling nodes (no out-edges) donate their whole rank to the
+        # uniform pool — scalar aggregate, broadcast back as a literal
+        dangling = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("__deg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("__deg")).alias("__share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        updated = (
+            ranks.select("node", F.col("rank").alias("__old"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+                "__old",
+            )
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            updated.agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+            .collect()[0][0]
+        )
+        ranks = updated.drop("__old")
+        if delta is not None and delta < tol:
+            return ranks
+    raise RuntimeError(
+        f"pagerank did not converge in {max_iters} rounds "
+        f"(last L1 delta {delta:.2e} >= tol {tol:.0e})"
+    )

@@ -1,0 +1,189 @@
+"""Outlink extraction / URL resolution / link graph / PageRank
+(operators/links.py): hand-expected anchors, an RFC 3986 resolution
+differential against stdlib urllib.parse.urljoin, graph normalization,
+and PageRank against an independent pure-Python power iteration plus
+analytic cases."""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
+    extract_links,
+    link_graph,
+    pagerank,
+    resolve_url,
+)
+
+PAGE = """<html><body>
+<a href="http://other.com/x">absolute</a>
+<a href="//cdn.com/lib.js">protocol relative</a>
+<a href="/root/path">rooted</a>
+<a href="sibling.html">relative</a>
+<a href="../up/one.html">dotdot</a>
+<a href="?page=2">query only</a>
+<a href="#section">fragment only</a>
+<a href="mailto:x@y.z">mail</a>
+<a href="javascript:void(0)">js</a>
+<a href="/keep#frag">fragment stripped</a>
+<a href="/nf" rel="external nofollow">no follow</a>
+<a href="/styled"><b>bold</b> <i>text</i></a>
+</body></html>"""
+
+
+def test_extract_links_hand_page(spark):
+    df = spark.createDataFrame(
+        [("http://ex.com/dir/page.html", PAGE)], ["url", "html"]
+    )
+    rows = {r.href: r for r in extract_links(df).collect()}
+    assert set(rows) == {
+        "http://other.com/x",
+        "http://cdn.com/lib.js",
+        "http://ex.com/root/path",
+        "http://ex.com/dir/sibling.html",
+        "http://ex.com/up/one.html",
+        "http://ex.com/dir/page.html?page=2",
+        "http://ex.com/keep",
+        "http://ex.com/nf",
+        "http://ex.com/styled",
+    }  # mailto/javascript/fragment-only dropped
+    assert rows["http://other.com/x"].anchor_text == "absolute"
+    assert rows["http://ex.com/styled"].anchor_text == "bold text"
+    assert rows["http://ex.com/nf"].nofollow is True
+    assert rows["http://ex.com/keep"].nofollow is False
+
+
+_bases = st.builds(
+    lambda host, segs, q: "http://" + host + "/" + "/".join(segs)
+    + ("?" + q if q else ""),
+    st.sampled_from(["a.com", "b.org:8080", "x.co.uk"]),
+    st.lists(st.sampled_from(["p", "q2", "dir", "x.html"]), max_size=3),
+    st.sampled_from(["", "k=v", "a=1&b=2"]),
+)
+_hrefs = st.one_of(
+    st.builds(
+        lambda segs, q: "/".join(segs) + ("?" + q if q else ""),
+        st.lists(
+            st.sampled_from(["u", "..", ".", "v.html", "w w"]),
+            min_size=1, max_size=4,
+        ),
+        st.sampled_from(["", "z=9"]),
+    ),
+    st.sampled_from([
+        "http://abs.com/x", "https://abs.com/", "//cdn.net/j",
+        "/rooted", "/a/../b", "?only=q", "x/", "../", "./",
+    ]),
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.lists(st.tuples(_bases, _hrefs), min_size=1, max_size=8))
+def test_resolve_url_matches_urljoin(spark, cases):
+    df = spark.createDataFrame(cases, ["base", "href"])
+    got = [
+        r.out
+        for r in df.select(
+            resolve_url(F.col("base"), F.col("href")).alias("out")
+        ).collect()
+    ]
+    want = [urljoin(b, h) for b, h in cases]
+    assert got == want, cases
+
+
+def test_link_graph_normalizes_and_honors_nofollow(spark):
+    html = (
+        '<a href="http://T.com:80/x/?utm_source=z&id=1">t</a>'
+        '<a href="/self">s</a>'
+        '<a href="http://nf.com/y" rel="nofollow">n</a>'
+    )
+    df = spark.createDataFrame(
+        [("http://me.com/self", html)], ["url", "html"]
+    )
+    edges = {(r.src, r.dst) for r in link_graph(df).collect()}
+    # tracking param dropped + port/case/trailing-slash normalized;
+    # the self-link collapses to a self-loop and is dropped; nofollow
+    # edge excluded
+    assert edges == {("http://me.com/self", "http://t.com/x?id=1")}
+    with_nf = {
+        (r.src, r.dst) for r in link_graph(df, follow_only=False).collect()
+    }
+    assert ("http://me.com/self", "http://nf.com/y") in with_nf
+
+
+def _py_pagerank(edges, d=0.85, iters=200):
+    """Independent reference: dict-based power iteration with uniform
+    dangling redistribution."""
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, set()).add(t)
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[x] for x in nodes if x not in out)
+        nxt = {x: (1 - d) / n + d * dangling / n for x in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * rank[s] / len(ts)
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_and_analytic_cases(spark):
+    import random
+
+    # a directed cycle is exactly uniform
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(cyc, "src long, dst long")
+        ).collect()
+    }
+    for v in got.values():
+        assert abs(v - 0.2) < 1e-6
+    # random graphs vs the independent implementation (dangling nodes
+    # included: node ids that never appear as src)
+    rng = random.Random(7)
+    edges = list({
+        (rng.randrange(12), rng.randrange(12)) for _ in range(30)
+    })
+    edges = [(s, t) for s, t in edges if s != t]
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            tol=1e-10, max_iters=300,
+        ).collect()
+    }
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    # star: the hub soaks rank from every leaf
+    star = [(i, 99) for i in range(1, 6)]
+    r = {
+        x.node: x.rank
+        for x in pagerank(
+            spark.createDataFrame(star, "src long, dst long")
+        ).collect()
+    }
+    assert r[99] == max(r.values())
+
+    # the star's dangling hub makes convergence geometric at rate d —
+    # one round cannot reach 1e-15
+    with pytest.raises(RuntimeError, match="converge"):
+        pagerank(
+            spark.createDataFrame(star, "src long, dst long"),
+            max_iters=1, tol=1e-15,
+        )
