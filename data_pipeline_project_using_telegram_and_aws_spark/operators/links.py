@@ -188,6 +188,42 @@ def extract_links(
     )
 
 
+def outlink_array(html_col, url_col) -> Column:
+    """The follow-able outlinks of a page as ONE array column —
+    `extract_links`' semantics (fragment strip, non-navigational
+    schemes dropped, nofollow dropped, resolution against the page
+    URL) without the explode, for sinks that keep one row per page
+    (the crawl front door's good zone: the next crawl round's
+    frontier and the link graph, without re-reading the raw HTML).
+    Entirely HOFs over the anchor array — no explode, no shuffle."""
+    html = F.col(html_col) if isinstance(html_col, str) else html_col
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    anchors = F.regexp_extract_all(
+        html, F.lit(r"(?is)<a\b[^>]*>.*?</a\s*>"), F.lit(0)
+    )
+
+    def to_href(a: Column) -> Column:
+        tag = F.regexp_extract(a, r"(?s)^(<[^>]*>)", 1)
+        href = _strip_fragment(
+            F.coalesce(_attr_value(tag, "href"), F.lit(""))
+        )
+        rel = F.lower(F.coalesce(_attr_value(tag, "rel"), F.lit("")))
+        ok = (
+            (href != "")
+            & ~F.lower(href).rlike(
+                "^(" + "|".join(s.rstrip(":") for s in _NON_NAV) + "):"
+            )
+            & ~rel.rlike(r"(^|[\s])nofollow([\s]|$)")
+        )
+        return F.when(ok, resolve_url(url, href))
+
+    return F.array_distinct(
+        F.filter(
+            F.transform(anchors, to_href), lambda h: h.isNotNull()
+        )
+    )
+
+
 def link_graph(
     df: DataFrame,
     html_col: str = "html",

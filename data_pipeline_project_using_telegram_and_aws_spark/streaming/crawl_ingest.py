@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.html import extract_main_text, html_metadata, html_to_text
+from ..operators.links import outlink_array
 from ..sources.warc import WARC_SCHEMA_DDL, parse_warc_bytes
 
 
@@ -118,6 +119,10 @@ def ingest_crawl_batch(
         html_to_text("__html").alias("text"),
         "main_text",
         html_metadata("__html").alias("meta"),
+        # the page's follow-able outlinks, resolved in-batch: the next
+        # crawl round's frontier + the link graph, without ever
+        # re-reading the raw HTML (operators/links.py)
+        outlink_array("__html", "url").alias("outlinks"),
         stamp,
     )
     (

@@ -721,7 +721,11 @@ def test_streaming_crawl_front_door(spark, tmp_path):
         [
             ("http://a.com/", 200, "text/html",
              f"<html lang='en'><head><title>A</title></head>"
-             f"<body><p>{prose}</p></body></html>".encode()),
+             f"<body><p>{prose}</p>"
+             f"<p><a href='/next'>next</a> "
+             f"<a href='skip' rel='nofollow'>skip</a> "
+             f"<a href='http://b.com/abs#frag'>abs</a></p>"
+             f"</body></html>".encode()),
             ("http://a.com/img", 200, "image/png", b"\x89PNGfake"),
             ("http://a.com/gone", 404, "text/html", b"<p>404</p>"),
         ],
@@ -744,6 +748,11 @@ def test_streaming_crawl_front_door(spark, tmp_path):
     assert [r.url for r in g] == ["http://a.com/"]
     assert g[0].meta["title"] == "A" and prose in g[0].text
     assert prose in g[0].main_text
+    # outlinks resolved in-batch: relative resolved against the page
+    # URL, fragment stripped, nofollow dropped
+    assert sorted(g[0].outlinks) == [
+        "http://a.com/next", "http://b.com/abs",
+    ]
     assert {r.target_uri for r in o} == {
         "http://a.com/img", "http://a.com/gone",
     }
