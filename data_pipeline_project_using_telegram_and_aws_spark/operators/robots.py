@@ -1,0 +1,215 @@
+"""robots.txt parsing + URL gating (RFC 9309, the Robots Exclusion
+Protocol) — the crawl-policy front gate a responsible corpus builder
+applies before fetching or keeping a page. Complements
+`operators/html.py::robots_noindex` (the per-page meta gate): robots.txt
+is the per-HOST policy, fetched once per origin.
+
+Reference analog: none (ipynb ingests chat messages); north-star crawl
+surface, same family as `sources/warc.py` and `operators/links.py`.
+
+Shapes:
+
+- :func:`parse_robots_txt`: (host, body) rows — one per origin, the
+  way a crawler stores fetched policies — → (host, user_agent, allow,
+  pattern, pattern_len, regex) RULE rows. Parsing is line-stateful
+  (a rule belongs to the contiguous ``User-agent`` lines above it,
+  RFC 9309 §2.1), so it runs as one Arrow ``mapInPandas`` stage — the
+  decode doctrine: Python for byte-level/stateful parsing over a
+  HOST-count-sized frame (orders of magnitude smaller than the page
+  corpus), plain columns after.
+- :func:`robots_gate`: pages × rules → ``allowed`` per URL. Per RFC
+  9309 §2.2.2: the group is the most specific matching ``User-agent``
+  (exact product token, else ``*``); among that group's rules the
+  LONGEST-pattern match wins, allow wins length ties; no matching
+  rule or no group → allowed. Wildcards ``*`` and the ``$`` anchor
+  are compiled to anchored Java regexes at PARSE time (once per
+  rule), so the gate itself is a host-keyed join + one HOF reduction
+  per URL — no Python. At web scale the join shuffles on host; rules
+  frames are origin-sized (small), so Spark's broadcast threshold
+  usually turns it into a map-side gate.
+
+Differential: wildcard-free behavior is pinned against stdlib
+``urllib.robotparser`` on generated policies; wildcard/anchor behavior
+is pinned against the RFC's own example table (robotparser predates
+RFC 9309 and does plain prefix matching, so the wildcard rows are
+spec-derived, not library-derived).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+RULES_DDL = (
+    "host string, user_agent string, allow boolean, pattern string, "
+    "pattern_len int, regex string"
+)
+
+
+def _pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored Java regex: ``*`` matches any
+    run (including ``/``), a TRAILING ``$`` anchors the end, every
+    other byte is literal."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = [re.escape(p) for p in body.split("*")]
+    rx = "^" + ".*".join(parts)
+    return rx + "$" if anchored else rx
+
+
+def parse_robots_rules(body: str):
+    """One robots.txt body → [(user_agent, allow, pattern)] rule
+    tuples, RFC 9309 line/group semantics: ``#`` comments stripped,
+    keys case-insensitive, a rule group is the contiguous run of
+    ``User-agent`` lines directly above the rules; ``Disallow:`` with
+    an empty value is the spec's allow-all idiom (kept as an
+    empty-pattern allow rule so "a group exists" is representable);
+    unknown keys (Sitemap, Crawl-delay, ...) are ignored. Pure
+    function, also usable driver-side in tests."""
+    rules: list[tuple[str, bool, str]] = []
+    uas: list[str] = []
+    collecting_uas = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not collecting_uas:
+                uas = []  # a new group starts
+                collecting_uas = True
+            uas.append(value.lower())
+        elif key in ("allow", "disallow"):
+            collecting_uas = False
+            if not uas:
+                continue  # rules before any user-agent line: ignored
+            allow = key == "allow"
+            if value == "":
+                if allow:
+                    continue  # empty Allow is meaningless
+                # empty Disallow = allow everything: an empty-pattern
+                # allow rule (matches every path at specificity 0)
+                allow, value = True, ""
+            for ua in uas:
+                rules.append((ua, allow, value))
+        else:
+            # Sitemap/Crawl-delay/unknown: ends no group per RFC
+            continue
+    return rules
+
+
+def parse_robots_txt(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) → RULE rows (module docstring). One Arrow stage
+    over the origin-sized frame; regex compilation happens here, once
+    per rule, so `robots_gate` stays pure-JVM."""
+    import pandas as pd
+
+    slim = df.select(
+        F.col(host_col).alias("host"), F.col(body_col).alias("body")
+    )
+
+    def parse(batches):
+        for batch in batches:
+            out = []
+            for host, body in zip(batch["host"], batch["body"]):
+                for ua, allow, pattern in parse_robots_rules(body or ""):
+                    out.append(
+                        {
+                            "host": host,
+                            "user_agent": ua,
+                            "allow": allow,
+                            "pattern": pattern,
+                            "pattern_len": len(pattern),
+                            "regex": _pattern_to_regex(pattern),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[f.split(" ")[0] for f in RULES_DDL.split(", ")],
+            )
+
+    return slim.mapInPandas(parse, RULES_DDL)
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    user_agent: str = "*",
+    out_col: str = "allowed",
+) -> DataFrame:
+    """``urls`` + an ``allowed`` boolean per RFC 9309 §2.2.2 (module
+    docstring). Hosts with no rules at all (no robots.txt fetched, or
+    an empty one) are allowed — the spec's default."""
+    ua = user_agent.lower()
+    host = F.lower(
+        F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    )
+    path = F.coalesce(
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    # group selection per host: the specific-UA group if one exists,
+    # else the * group (RFC: exactly one group applies)
+    r = rules.select(
+        F.col("host").alias("__rhost"),
+        "user_agent", "allow", "pattern_len", "regex",
+    )
+    specific_hosts = (
+        r.filter(F.col("user_agent") == ua)
+        .select("__rhost")
+        .distinct()
+    )
+    chosen = r.filter(F.col("user_agent") == ua).unionByName(
+        r.filter(F.col("user_agent") == "*").join(
+            specific_hosts, "__rhost", "left_anti"
+        )
+    ) if ua != "*" else r.filter(F.col("user_agent") == "*")
+
+    # one row per (host): the rule list packed into an array so the
+    # per-URL reduction is a HOF, not a per-rule join explosion
+    packed = chosen.groupBy("__rhost").agg(
+        F.collect_list(
+            F.struct("allow", "pattern_len", "regex")
+        ).alias("__rules")
+    )
+
+    joined = urls.withColumn("__host", host).withColumn("__path", path).join(
+        packed, F.col("__host") == F.col("__rhost"), "left"
+    )
+    p = F.col("__path")
+    matching = F.filter(
+        F.coalesce(
+            F.col("__rules"),
+            F.expr(
+                "cast(array() as array<struct<allow:boolean,"
+                "pattern_len:int,regex:string>>)"
+            ),
+        ),
+        lambda rl: F.regexp_like(p, rl["regex"]),
+    )
+    # longest pattern wins; allow wins ties → reduce by (len, allow)
+    best = F.aggregate(
+        matching,
+        F.lit(None).cast(
+            "struct<allow:boolean,pattern_len:int,regex:string>"
+        ),
+        lambda acc, rl: F.when(acc.isNull(), rl).when(
+            (rl["pattern_len"] > acc["pattern_len"])
+            | (
+                (rl["pattern_len"] == acc["pattern_len"])
+                & rl["allow"]
+                & ~acc["allow"]
+            ),
+            rl,
+        ).otherwise(acc),
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(best["allow"], F.lit(True))
+    ).drop("__host", "__path", "__rhost", "__rules")
