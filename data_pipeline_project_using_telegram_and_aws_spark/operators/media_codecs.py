@@ -357,12 +357,20 @@ def decode_png(raw: bytes) -> np.ndarray:
                 "png palette image without a well-formed PLTE chunk"
             )
     elif trns is not None:
-        # tRNS for non-palette types is 16-bit per sample (depth-16
-        # machinery) — out of the 8-bit scope here, reject loudly
-        raise ValueError(
-            f"png tRNS with color type {color_type} unsupported "
-            "(8-bit palette transparency only)"
-        )
+        # tRNS for gray (type 0) / RGB (type 2) names ONE fully
+        # transparent color, stored as 2-byte big-endian samples
+        # regardless of depth (spec §11.3.2); alpha types 4/6 must
+        # not carry it
+        if color_type not in (0, 2):
+            raise ValueError(
+                f"png tRNS with color type {color_type} is invalid "
+                "(alpha channel already present)"
+            )
+        if len(trns) != 2 * channels:
+            raise ValueError(
+                f"png tRNS for color type {color_type} must be "
+                f"{2 * channels} bytes, got {len(trns)}"
+            )
     if compression != 0 or filter_method != 0:
         raise ValueError(
             f"png compression={compression} filter_method="
@@ -412,10 +420,12 @@ def decode_png(raw: bytes) -> np.ndarray:
             pos += size
             out[y0::dy, x0::dx] = sub
     if bps == 2:
-        # big-endian sample pairs → uint16 (depth 16 excludes palette,
-        # so this is the final image)
+        # big-endian sample pairs → uint16 (depth 16 excludes palette)
         pairs = out.reshape(h, w, channels, 2).astype(np.uint16)
-        return (pairs[..., 0] << 8) | pairs[..., 1]
+        img16 = (pairs[..., 0] << 8) | pairs[..., 1]
+        if trns is not None:
+            return _png_color_key_alpha(img16, trns, channels)
+        return img16
     if color_type == 3:  # palette lookup AFTER unfiltering (the spec's
         # filters run over index bytes, not colors)
         n_entries = len(plte) // 3
@@ -437,7 +447,33 @@ def decode_png(raw: bytes) -> np.ndarray:
         alpha = np.full(n_entries, 255, dtype=np.uint8)
         alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
         return np.dstack([rgb, alpha[idx]])
+    if trns is not None:  # color-key transparency, gray/RGB at depth 8
+        return _png_color_key_alpha(out, trns, channels)
     return out
+
+
+def _png_color_key_alpha(
+    img: np.ndarray, trns: bytes, channels: int
+) -> np.ndarray:
+    """Widen a gray/RGB image with the tRNS color key: pixels equal to
+    the named color (2-byte big-endian samples in the chunk, spec
+    §11.3.2) get alpha 0, everything else full opacity — transparency
+    is never silently dropped (the palette path's doctrine)."""
+    key = np.array(
+        [
+            int.from_bytes(trns[2 * i : 2 * i + 2], "big")
+            for i in range(channels)
+        ],
+        dtype=np.int64,
+    )
+    # compare in int64: a depth-8 image can never equal a key > 255,
+    # and the comparison must not wrap
+    match = np.all(
+        img.astype(np.int64) == key.reshape(1, 1, channels), axis=2
+    )
+    opaque = np.iinfo(img.dtype).max
+    alpha = np.where(match, 0, opaque).astype(img.dtype)
+    return np.dstack([img, alpha])
 
 
 # ---------------------------------------------------------------- gif

@@ -869,6 +869,42 @@ def test_png_16bit_roundtrip_and_adam7():
     np.testing.assert_array_equal(decode_png(inter), px)
 
 
+def test_png_color_key_transparency_non_palette():
+    """tRNS on gray/RGB names ONE transparent color (2-byte big-endian
+    samples): output widens with alpha, never silently drops it."""
+    # 8-bit RGB: pixel (10, 20, 30) is the key
+    px = np.array(
+        [[[10, 20, 30], [10, 20, 31]], [[0, 0, 0], [10, 20, 30]]],
+        dtype=np.uint8,
+    )
+    scan = _png_forward_filter(px, [0, 0])
+    trns = (10).to_bytes(2, "big") + (20).to_bytes(2, "big") + (30).to_bytes(2, "big")
+    got = decode_png(_png_assemble(2, 2, 2, scan, trns=trns))
+    assert got.shape == (2, 2, 4)
+    np.testing.assert_array_equal(got[..., :3], px)
+    np.testing.assert_array_equal(
+        got[..., 3], [[0, 255], [255, 0]]
+    )
+    # 16-bit gray: key 0x1234
+    g = np.array([[[0x1234], [0x1235]]], dtype=np.uint16)
+    scan16 = _png_forward_filter(_u16_byte_view(g), [0])
+    got16 = decode_png(
+        _png_assemble(2, 1, 0, scan16, depth=16,
+                      trns=(0x1234).to_bytes(2, "big"))
+    )
+    assert got16.dtype == np.uint16 and got16.shape == (1, 2, 2)
+    np.testing.assert_array_equal(got16[..., 1], [[0, 65535]])
+    # tRNS on an alpha type is invalid; wrong length is loud
+    with pytest.raises(ValueError, match="invalid"):
+        decode_png(_png_assemble(2, 2, 6,
+                                 _png_forward_filter(
+                                     np.zeros((2, 2, 4), np.uint8),
+                                     [0, 0]),
+                                 trns=b"\x00\x01"))
+    with pytest.raises(ValueError, match="must be"):
+        decode_png(_png_assemble(2, 2, 2, scan, trns=b"\x00\x01"))
+
+
 def test_png_16bit_rejections_stay_loud():
     # palette cannot be 16-bit per spec
     idx = np.zeros((2, 2, 1), dtype=np.uint8)
