@@ -472,7 +472,58 @@ def probe_crawl(spark, n_records: int) -> dict:
     }
 
 
+def probe_graph(spark, n_edges: int) -> dict:
+    """The graph surface (links.py pagerank + components star) at
+    growing edge counts: synthetic deterministic multigraph (hash-
+    derived endpoints over n_edges/4 nodes — supercritical, one giant
+    component plus fringe). PageRank's round count is tol-driven
+    (size-independent), so wall time must scale with the per-round
+    edge-linear join; star components contract in O(log n) rounds."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.components import (
+        connected_components,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import pagerank
+
+    n_nodes = max(8, n_edges // 4)
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 1_000_003), F.lit(n_nodes)).alias(
+            "dst"
+        ),
+    ).filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    pr = pagerank(edges, tol=1e-4, max_iters=60)
+    pr.agg(F.sum("rank")).collect()
+    t_pr = time.time() - t0
+
+    t0 = time.time()
+    n_comp = (
+        connected_components(
+            edges, "src", "dst", driver_max_edges=0, algorithm="star"
+        )
+        .select("component")
+        .distinct()
+        .count()
+    )
+    t_star = time.time() - t0
+    return {
+        "n_edges": n_edges,
+        "n_nodes": n_nodes,
+        "components": n_comp,
+        "pagerank_sec": round(t_pr, 2),
+        "star_cc_sec": round(t_star, 2),
+    }
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--graph"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [20000, 60000, 200000]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            print(json.dumps({"family": "graph", **probe_graph(spark, n)}))
+        return
     if sys.argv[1:2] == ["--crawl"]:
         sizes = [int(a) for a in sys.argv[2:]] or [200, 600, 2000]
         spark = get_spark("scale-probe")
