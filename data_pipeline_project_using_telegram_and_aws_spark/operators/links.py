@@ -251,6 +251,57 @@ def link_graph(
     )
 
 
+def build_frontier(
+    good: DataFrame,
+    rules: DataFrame | None = None,
+    crawled: DataFrame | None = None,
+    outlinks_col: str = "outlinks",
+    crawled_url_col: str = "url",
+    user_agent: str = "*",
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """The next crawl round's fetch list from the good zone's
+    ``outlinks`` arrays (the `streaming/crawl_ingest.py` output):
+    explode → distinct candidate URLs → minus the already-crawled set
+    (anti-join on the canonical dedup key, so tracking-param variants
+    don't re-enter) → robots-gated (`operators/robots.py`, when rules
+    are given) → optionally capped per host in deterministic md5
+    order (the politeness bound a fetch scheduler wants). One
+    explode + one anti-join + one host-keyed window when capped —
+    every step keyed, nothing all-pairs."""
+    from pyspark.sql.window import Window
+
+    from .robots import robots_gate
+
+    cand = (
+        good.select(F.explode(F.col(outlinks_col)).alias("url"))
+        .withColumn("__key", normalize_url("url"))
+        .filter(F.col("__key").isNotNull())
+        # ONE candidate per canonical key (not per raw string):
+        # variants of the same page collapse here, deterministically
+        .groupBy("__key")
+        .agg(F.min("url").alias("url"))
+    )
+    if crawled is not None:
+        seen = crawled.select(
+            normalize_url(F.col(crawled_url_col)).alias("__key")
+        ).distinct()
+        cand = cand.join(seen, "__key", "left_anti")
+    if rules is not None:
+        cand = robots_gate(cand, rules, user_agent=user_agent).filter(
+            F.col("allowed")
+        ).drop("allowed")
+    if max_per_host is not None:
+        host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+        rn = F.row_number().over(
+            Window.partitionBy(host).orderBy(F.md5("url"))
+        )
+        cand = cand.withColumn("__rn", rn).filter(
+            F.col("__rn") <= max_per_host
+        ).drop("__rn")
+    return cand.drop("__key")
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -187,3 +187,50 @@ def test_pagerank_matches_reference_and_analytic_cases(spark):
             spark.createDataFrame(star, "src long, dst long"),
             max_iters=1, tol=1e-15,
         )
+
+
+def test_build_frontier_splice(spark):
+    """Frontier = outlinks minus crawled (canonical-key anti-join),
+    robots-gated, per-host capped — the splice of links + urls +
+    robots the crawl loop runs between rounds."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import build_frontier
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.robots import parse_robots_txt
+
+    good = spark.createDataFrame(
+        [
+            (["http://a.com/new1", "http://a.com/new2?utm_source=x",
+              "http://a.com/seen", "http://b.com/private/x",
+              "http://b.com/ok"],),
+            (["http://a.com/new1#dup", "http://c.com/1",
+              "http://c.com/2", "http://c.com/3"],),
+        ],
+        "outlinks array<string>",
+    )
+    # wait: outlinks arrive fragment-stripped from outlink_array; the
+    # #dup here pins that build_frontier's canonical key ALSO collapses
+    crawled = spark.createDataFrame(
+        [("http://A.com/seen?utm_campaign=y",)], ["url"]
+    )
+    rules = parse_robots_txt(
+        spark.createDataFrame(
+            [("b.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, body string",
+        )
+    )
+    out = build_frontier(good, rules=rules, crawled=crawled)
+    urls = {r.url for r in out.collect()}
+    assert "http://a.com/seen" not in urls          # crawled (variant)
+    assert "http://b.com/private/x" not in urls     # robots-blocked
+    assert {"http://b.com/ok", "http://c.com/1"} <= urls
+    # fragment variant collapsed with its twin: exactly one of them
+    assert len([u for u in urls if u.startswith("http://a.com/new1")]) == 1
+
+    capped = build_frontier(good, crawled=crawled, max_per_host=2)
+    from collections import Counter
+
+    hosts = Counter(
+        u.split("/")[2].lower() for u in
+        (r.url for r in capped.collect())
+    )
+    assert all(v <= 2 for v in hosts.values())
+    assert hosts["c.com"] == 2
