@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 RULES_DDL = (
     "host string, user_agent string, allow boolean, pattern string, "
@@ -134,6 +134,64 @@ def parse_robots_txt(
             )
 
     return slim.mapInPandas(parse, RULES_DDL)
+
+
+def sitemap_urls(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Sitemap XML (sitemaps.org protocol) → one row per entry:
+    ``kind`` ('url' for urlset entries, 'sitemap' for sitemapindex
+    children — feed those back through a fetch + this parser),
+    ``loc`` (XML-unescaped, CDATA unwrapped), ``lastmod`` (as
+    written, NULL when absent). Pure JVM: block extraction via
+    ``regexp_extract_all`` + per-block projections — the sitemap
+    format is three tags deep, no XML library needed. Rows with an
+    empty/missing ``<loc>`` are dropped (nothing to fetch)."""
+
+    def blocks(tag: str):
+        return F.regexp_extract_all(
+            F.col(body_col),
+            F.lit(rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>"),
+            F.lit(0),
+        )
+
+    def loc_of(block: Column) -> Column:
+        raw = F.regexp_extract(
+            block, r"(?is)<loc[^>]*>\s*(.*?)\s*</loc", 1
+        )
+        unwrapped = F.when(
+            raw.rlike(r"(?s)^<!\[CDATA\[.*\]\]>$"),
+            F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1),
+        ).otherwise(raw)
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "'"), ("&amp;", "&"),  # amp LAST: single unescape
+        ):
+            unwrapped = F.replace(unwrapped, F.lit(ent), F.lit(ch))
+        return unwrapped
+
+    def lastmod_of(block: Column) -> Column:
+        return F.nullif(
+            F.regexp_extract(
+                block, r"(?is)<lastmod[^>]*>\s*(.*?)\s*</lastmod", 1
+            ),
+            F.lit(""),
+        )
+
+    def entries(tag: str, kind: str):
+        keep = [c for c in df.columns if c != body_col]
+        return df.select(
+            *keep, F.explode(blocks(tag)).alias("__b")
+        ).select(
+            *keep,
+            F.lit(kind).alias("kind"),
+            loc_of(F.col("__b")).alias("loc"),
+            lastmod_of(F.col("__b")).alias("lastmod"),
+        )
+
+    return (
+        entries("url", "url")
+        .unionByName(entries("sitemap", "sitemap"))
+        .filter(F.col("loc") != "")
+    )
 
 
 def robots_gate(

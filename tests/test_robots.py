@@ -178,3 +178,31 @@ def test_gate_matches_stdlib_robotparser(spark, body, paths):
     got = _gate(spark, body, urls)
     want = {u: rp.can_fetch("*", u) for u in urls}
     assert got == want, body
+
+
+def test_sitemap_urls(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.robots import sitemap_urls
+
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>http://ex.com/a?x=1&amp;y=2</loc>
+           <lastmod>2026-01-05</lastmod><priority>0.8</priority></url>
+      <url><loc><![CDATA[http://ex.com/cdata?a=1&b=2]]></loc></url>
+      <url><priority>0.1</priority></url>
+    </urlset>"""
+    index = """<sitemapindex>
+      <sitemap><loc>http://ex.com/sitemap-1.xml.gz</loc>
+               <lastmod>2026-02-01</lastmod></sitemap>
+    </sitemapindex>"""
+    df = spark.createDataFrame(
+        [("ex.com", urlset), ("ex.com", index)], ["host", "body"]
+    )
+    rows = sitemap_urls(df).collect()
+    got = {(r.kind, r.loc, r.lastmod) for r in rows}
+    assert got == {
+        ("url", "http://ex.com/a?x=1&y=2", "2026-01-05"),
+        ("url", "http://ex.com/cdata?a=1&b=2", None),
+        ("sitemap", "http://ex.com/sitemap-1.xml.gz", "2026-02-01"),
+    }
+    # the host column rides through
+    assert all(r.host == "ex.com" for r in rows)
