@@ -229,18 +229,37 @@ def link_graph(
     html_col: str = "html",
     url_col: str = "url",
     follow_only: bool = True,
+    granularity: str = "url",
 ) -> DataFrame:
-    """Distinct (src, dst) canonical-key edges from pages —
-    `extract_links` + `urls.normalize_url` on both endpoints,
-    self-loops dropped. ``follow_only`` honors nofollow (the
-    responsible default for authority computation)."""
+    """Distinct (src, dst) edges from pages — `extract_links` +
+    endpoint keying, self-loops dropped. ``follow_only`` honors
+    nofollow (the responsible default for authority computation).
+    ``granularity``: ``"url"`` keys endpoints by `urls.normalize_url`
+    (the page graph); ``"host"`` by `urls.url_host`; ``"domain"`` by
+    `urls.registered_domain` — the host/domain contractions are what
+    corpus-quality work actually consumes (domain authority as a
+    filter feature), and they shrink the edge set by orders of
+    magnitude before any iteration runs on it."""
+    from .urls import registered_domain, url_host
+
+    if granularity == "url":
+        key = normalize_url
+    elif granularity == "host":
+        key = url_host
+    elif granularity == "domain":
+        key = registered_domain
+    else:
+        raise ValueError(
+            f"link_graph: granularity must be url | host | domain, "
+            f"got {granularity!r}"
+        )
     links = extract_links(df, html_col=html_col, url_col=url_col)
     if follow_only:
         links = links.filter(~F.col("nofollow"))
     return (
         links.select(
-            normalize_url(F.col(url_col)).alias("src"),
-            normalize_url("href").alias("dst"),
+            key(F.col(url_col)).alias("src"),
+            key(F.col("href")).alias("dst"),
         )
         .filter(
             F.col("src").isNotNull()

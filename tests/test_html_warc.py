@@ -919,3 +919,103 @@ def test_web_corpus_recipe_end_to_end(spark, tmp_path):
     packed = pack_sequences(curated, budget=64, n_shards=2)
     assert packed.count() == 2
     assert {"shard", "seq_id", "seq_offset"} <= set(packed.columns)
+
+
+def test_crawl_loop_two_rounds(spark, tmp_path):
+    """The full between-rounds loop the round-11 operators complete:
+    round-1 WARC landing → good zone (text + outlinks) →
+    build_frontier (robots-gated, crawled-set anti-join) → 'fetch' the
+    frontier into a round-2 WARC → ingest → the frontier shrinks to
+    only genuinely-new pages. Pins the splice of crawl_ingest + links
+    + robots + urls end-to-end, including host/domain link-graph
+    contraction."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
+        build_frontier,
+        link_graph,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.robots import parse_robots_txt
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.crawl_ingest import (
+        start_crawl_ingest_stream,
+    )
+
+    prose = (
+        "A page body long enough for every gate with plenty of words "
+        "to spare, describing an unremarkable but pleasant topic."
+    )
+
+    def page(body, links=()):
+        a = "".join(f"<a href='{h}'>to {h}</a> " for h in links)
+        return (
+            f"<html><body><p>{body}</p><p>{a}</p></body></html>"
+        ).encode()
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    write_warc_responses(
+        [
+            ("http://a.com/1", 200, "text/html",
+             page(prose, ["http://a.com/2", "http://b.com/private/x",
+                          "http://b.com/open"])),
+            ("http://a.com/2", 200, "text/html",
+             page(prose + " Two.", ["http://a.com/1"])),
+        ],
+        str(src / "r1.warc.gz"),
+    )
+    zones = {z: str(tmp_path / z) for z in ("good", "other", "quar")}
+    start_crawl_ingest_stream(
+        spark, str(src), zones["good"], zones["other"], zones["quar"],
+        str(tmp_path / "ck"),
+    ).awaitTermination(120)
+    good1 = spark.read.parquet(zones["good"])
+    assert good1.count() == 2
+
+    rules = parse_robots_txt(
+        spark.createDataFrame(
+            [("b.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, body string",
+        )
+    )
+    frontier = build_frontier(
+        good1, rules=rules, crawled=good1.select("url")
+    )
+    want_next = {"http://b.com/open"}
+    assert {r.url for r in frontier.collect()} == want_next
+    # a.com/1 <-> a.com/2 already crawled; /private robots-blocked
+
+    # round 2: 'fetch' the frontier, land it, resume the stream
+    write_warc_responses(
+        [(u, 200, "text/html", page(prose + " New.", []))
+         for u in sorted(want_next)],
+        str(src / "r2.warc.gz"),
+    )
+    start_crawl_ingest_stream(
+        spark, str(src), zones["good"], zones["other"], zones["quar"],
+        str(tmp_path / "ck"),
+    ).awaitTermination(120)
+    good2 = spark.read.parquet(zones["good"])
+    assert {r.url for r in good2.collect()} == {
+        "http://a.com/1", "http://a.com/2", "http://b.com/open",
+    }
+    # after round 2 the frontier is dry (the new page links nowhere)
+    f2 = build_frontier(good2, rules=rules, crawled=good2.select("url"))
+    assert f2.count() == 0
+
+    # host-granularity link graph contracts to site-level edges
+    pages_df = good1.select(
+        "url",
+        F.concat(
+            F.lit("<html><body>"),
+            F.concat_ws(
+                "", F.transform(
+                    "outlinks",
+                    lambda h: F.concat(F.lit("<a href='"), h,
+                                       F.lit("'>x</a>")),
+                )
+            ),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    hg = {(r.src, r.dst) for r in link_graph(
+        pages_df, granularity="host"
+    ).collect()}
+    assert hg == {("a.com", "b.com")}  # intra-host edges collapse away
