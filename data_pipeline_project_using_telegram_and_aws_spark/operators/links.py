@@ -270,6 +270,57 @@ def link_graph(
     )
 
 
+def anchor_text_index(
+    links: DataFrame,
+    dst_col: str = "href",
+    text_col: str = "anchor_text",
+    k: int = 5,
+) -> DataFrame:
+    """Incoming anchor texts per target page — the classic off-page
+    relevance signal (what OTHER pages call this one), and a strong
+    quality feature for corpus filtering. Input: `extract_links`
+    rows. Output: (url, anchor_texts array<struct<text,n>>, n_inlinks)
+    with the top-``k`` distinct texts by frequency, ties broken
+    lexicographically for determinism. Two keyed aggregations; the
+    per-target array is k-bounded."""
+    from pyspark.sql.window import Window
+
+    counted = (
+        links.filter(F.col(text_col).isNotNull())
+        .groupBy(
+            F.col(dst_col).alias("url"),
+            F.lower(F.col(text_col)).alias("text"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("url").orderBy(F.desc("n"), F.asc("text"))
+    )
+    topk = counted.withColumn("__rn", rn).filter(F.col("__rn") <= k)
+    return (
+        topk.groupBy("url")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__rn", "text", "n"))
+            ).alias("__s"),
+            F.sum("n").alias("__partial"),
+        )
+        .join(
+            links.groupBy(F.col(dst_col).alias("url")).agg(
+                F.count(F.lit(1)).alias("n_inlinks")
+            ),
+            "url",
+        )
+        .select(
+            "url",
+            F.transform(
+                "__s", lambda s: F.struct(s["text"], s["n"])
+            ).alias("anchor_texts"),
+            "n_inlinks",
+        )
+    )
+
+
 def build_frontier(
     good: DataFrame,
     rules: DataFrame | None = None,

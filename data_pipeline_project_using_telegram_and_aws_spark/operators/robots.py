@@ -101,6 +101,69 @@ def parse_robots_rules(body: str):
     return rules
 
 
+def parse_robots_directives(body: str):
+    """The NON-rule lines a crawler also wants: ``(kind, user_agent,
+    value)`` tuples — ``("crawl-delay", <ua>, seconds-string)`` per
+    group (the de-facto politeness extension; RFC 9309 leaves it
+    undefined but every major crawler honors it) and ``("sitemap",
+    None, url)`` (group-independent per the sitemaps protocol)."""
+    out: list[tuple[str, str | None, str]] = []
+    uas: list[str] = []
+    collecting_uas = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not collecting_uas:
+                uas = []
+                collecting_uas = True
+            uas.append(value.lower())
+        elif key in ("allow", "disallow"):
+            collecting_uas = False
+        elif key == "crawl-delay":
+            collecting_uas = False
+            for ua in uas:
+                out.append(("crawl-delay", ua, value))
+        elif key == "sitemap":
+            out.append(("sitemap", None, value))
+    return out
+
+
+def robots_directives(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, kind, user_agent, value) rows for crawl-delay and
+    sitemap directives — the fetch scheduler's politeness input and
+    the discovery seed for `sitemap_urls`. Same Arrow stage shape as
+    `parse_robots_txt`."""
+    import pandas as pd
+
+    slim = df.select(
+        F.col(host_col).alias("host"), F.col(body_col).alias("body")
+    )
+
+    def parse(batches):
+        for batch in batches:
+            out = []
+            for host, body in zip(batch["host"], batch["body"]):
+                for kind, ua, value in parse_robots_directives(body or ""):
+                    out.append(
+                        {"host": host, "kind": kind,
+                         "user_agent": ua, "value": value}
+                    )
+            yield pd.DataFrame(
+                out, columns=["host", "kind", "user_agent", "value"]
+            )
+
+    return slim.mapInPandas(
+        parse, "host string, kind string, user_agent string, value string"
+    )
+
+
 def parse_robots_txt(
     df: DataFrame, host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:

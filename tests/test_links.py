@@ -234,3 +234,23 @@ def test_build_frontier_splice(spark):
     )
     assert all(v <= 2 for v in hosts.values())
     assert hosts["c.com"] == 2
+
+
+def test_anchor_text_index(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import anchor_text_index
+
+    rows = [
+        ("http://t.com/a", "Great Page"),
+        ("http://t.com/a", "great page"),
+        ("http://t.com/a", "click"),
+        ("http://t.com/a", None),          # textless inlink still counts
+        ("http://t.com/b", "other"),
+    ]
+    links = spark.createDataFrame(rows, "href string, anchor_text string")
+    got = {r.url: r for r in anchor_text_index(links, k=1).collect()}
+    a = got["http://t.com/a"]
+    assert a.n_inlinks == 4
+    assert [(s["text"], s["n"]) for s in a.anchor_texts] == [
+        ("great page", 2)
+    ]
+    assert got["http://t.com/b"].n_inlinks == 1

@@ -206,3 +206,31 @@ def test_sitemap_urls(spark):
     }
     # the host column rides through
     assert all(r.host == "ex.com" for r in rows)
+
+
+def test_robots_directives(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.robots import (
+        parse_robots_directives,
+        robots_directives,
+    )
+
+    body = (
+        "User-agent: alphabot\nCrawl-delay: 2\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+        "Sitemap: http://ex.com/map.xml\n"
+    )
+    assert parse_robots_directives(body) == [
+        ("crawl-delay", "alphabot", "2"),
+        ("crawl-delay", "*", "10"),
+        ("sitemap", None, "http://ex.com/map.xml"),
+    ]
+    rows = robots_directives(
+        spark.createDataFrame([("ex.com", body)],
+                              "host string, body string")
+    ).collect()
+    got = {(r.kind, r.user_agent, r.value) for r in rows}
+    assert got == {
+        ("crawl-delay", "alphabot", "2"),
+        ("crawl-delay", "*", "10"),
+        ("sitemap", None, "http://ex.com/map.xml"),
+    }
