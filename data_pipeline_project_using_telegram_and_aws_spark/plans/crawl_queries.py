@@ -13,6 +13,15 @@ gzip member walk, WARC framing, chunked/Content-Encoding/charset
 normalization, entity decode, boilerplate gate, robots gate — turns
 the driver row red.
 
+Cost note (measured): the row reads ~13 s cold / ~3 s warm at the
+oracle gate, and essentially all of it is PLAN cost — Python-worker
+spin-up plus Catalyst constant-folding of the four full-HTML5
+entity-map literals (text / main_text / title / description), not
+data (six rows). At corpus scale the same plan compiles once and the
+per-row work is the measured-linear crawl path (BENCH_NOTES r11
+probe), so the gate-time cost buys exactly the coverage it looks
+like.
+
 Fixture coverage (reference: the reference pipeline ingests
 one JSON message per webhook call, ipynb cell 21; this is the same
 front-door role at crawl scale):
