@@ -43,10 +43,27 @@ from .urls import normalize_url
 
 # schemes a link graph must not follow
 _NON_NAV = ("javascript:", "mailto:", "tel:", "data:", "about:")
+_NON_NAV_RE = "^(" + "|".join(s.rstrip(":") for s in _NON_NAV) + "):"
+_ANCHOR_RE = r"(?is)<a\b[^>]*>.*?</a\s*>"
 
 
 def _strip_fragment(href: Column) -> Column:
     return F.element_at(F.split(href, "#", 2), 1)
+
+
+def _anchor_parts(a: Column):
+    """(tag, href, nofollow, navigable) from one matched ``<a>…</a>``
+    block — the ONE implementation of the per-anchor predicate both
+    `extract_links` (exploded form) and `outlink_array` (array form)
+    share, so the two can never drift."""
+    tag = F.regexp_extract(a, r"(?s)^(<[^>]*>)", 1)
+    href = _strip_fragment(
+        F.coalesce(_attr_value(tag, "href"), F.lit(""))
+    )
+    rel = F.lower(F.coalesce(_attr_value(tag, "rel"), F.lit("")))
+    nofollow = rel.rlike(r"(^|[\s])nofollow([\s]|$)")
+    nav = (href != "") & ~F.lower(href).rlike(_NON_NAV_RE)
+    return tag, href, nofollow, nav
 
 
 def _remove_dot_segments(path: Column) -> Column:
@@ -158,31 +175,26 @@ def extract_links(
     hrefs are dropped before the explode. Pure projections + one
     explode — per-row work linear in document size, no shuffle."""
     anchors = F.regexp_extract_all(
-        F.col(html_col), F.lit(r"(?is)<a\b[^>]*>.*?</a\s*>"), F.lit(0)
+        F.col(html_col), F.lit(_ANCHOR_RE), F.lit(0)
     )
     out = df.select(
         *[c for c in df.columns if c != html_col],
         F.explode(anchors).alias("__a"),
     )
-    tag = F.regexp_extract(F.col("__a"), r"(?s)^(<[^>]*>)", 1)
-    raw_href = _strip_fragment(F.coalesce(_attr_value(tag, "href"), F.lit("")))
+    _, raw_href, nofollow, nav = _anchor_parts(F.col("__a"))
     inner = F.regexp_replace(F.col("__a"), r"(?s)^<[^>]*>|</a\s*>$", "")
     text = F.trim(
         F.regexp_replace(
             F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " "
         )
     )
-    rel = F.lower(F.coalesce(_attr_value(tag, "rel"), F.lit("")))
-    nav = ~F.lower(raw_href).rlike(
-        "^(" + "|".join(s.rstrip(":") for s in _NON_NAV) + "):"
-    ) & (raw_href != "")
     return (
         out.filter(nav)
         .select(
             *[c for c in out.columns if c != "__a"],
             resolve_url(F.col(url_col), raw_href).alias("href"),
             F.nullif(text, F.lit("")).alias("anchor_text"),
-            rel.rlike(r"(^|[\s])nofollow([\s]|$)").alias("nofollow"),
+            nofollow.alias("nofollow"),
         )
         .filter(F.col("href").isNotNull())
     )
@@ -198,24 +210,11 @@ def outlink_array(html_col, url_col) -> Column:
     Entirely HOFs over the anchor array — no explode, no shuffle."""
     html = F.col(html_col) if isinstance(html_col, str) else html_col
     url = F.col(url_col) if isinstance(url_col, str) else url_col
-    anchors = F.regexp_extract_all(
-        html, F.lit(r"(?is)<a\b[^>]*>.*?</a\s*>"), F.lit(0)
-    )
+    anchors = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(0))
 
     def to_href(a: Column) -> Column:
-        tag = F.regexp_extract(a, r"(?s)^(<[^>]*>)", 1)
-        href = _strip_fragment(
-            F.coalesce(_attr_value(tag, "href"), F.lit(""))
-        )
-        rel = F.lower(F.coalesce(_attr_value(tag, "rel"), F.lit("")))
-        ok = (
-            (href != "")
-            & ~F.lower(href).rlike(
-                "^(" + "|".join(s.rstrip(":") for s in _NON_NAV) + "):"
-            )
-            & ~rel.rlike(r"(^|[\s])nofollow([\s]|$)")
-        )
-        return F.when(ok, resolve_url(url, href))
+        _, href, nofollow, nav = _anchor_parts(a)
+        return F.when(nav & ~nofollow, resolve_url(url, href))
 
     return F.array_distinct(
         F.filter(
@@ -296,25 +295,30 @@ def anchor_text_index(
     rn = F.row_number().over(
         Window.partitionBy("url").orderBy(F.desc("n"), F.asc("text"))
     )
-    topk = counted.withColumn("__rn", rn).filter(F.col("__rn") <= k)
-    return (
-        topk.groupBy("url")
+    topk = (
+        counted.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= k)
+        .groupBy("url")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("__rn", "text", "n"))
-            ).alias("__s"),
-            F.sum("n").alias("__partial"),
+            ).alias("__s")
         )
-        .join(
-            links.groupBy(F.col(dst_col).alias("url")).agg(
-                F.count(F.lit(1)).alias("n_inlinks")
-            ),
-            "url",
-        )
+    )
+    # inlink counts drive (LEFT side): a target whose every inlink is
+    # textless still gets its row, with an empty anchor_texts array
+    return (
+        links.groupBy(F.col(dst_col).alias("url"))
+        .agg(F.count(F.lit(1)).alias("n_inlinks"))
+        .join(topk, "url", "left")
         .select(
             "url",
             F.transform(
-                "__s", lambda s: F.struct(s["text"], s["n"])
+                F.coalesce("__s", F.expr(
+                    "cast(array() as "
+                    "array<struct<__rn:int,text:string,n:bigint>>)"
+                )),
+                lambda s: F.struct(s["text"], s["n"]),
             ).alias("anchor_texts"),
             "n_inlinks",
         )

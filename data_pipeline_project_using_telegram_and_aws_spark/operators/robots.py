@@ -58,16 +58,12 @@ def _pattern_to_regex(pattern: str) -> str:
     return rx + "$" if anchored else rx
 
 
-def parse_robots_rules(body: str):
-    """One robots.txt body → [(user_agent, allow, pattern)] rule
-    tuples, RFC 9309 line/group semantics: ``#`` comments stripped,
-    keys case-insensitive, a rule group is the contiguous run of
-    ``User-agent`` lines directly above the rules; ``Disallow:`` with
-    an empty value is the spec's allow-all idiom (kept as an
-    empty-pattern allow rule so "a group exists" is representable);
-    unknown keys (Sitemap, Crawl-delay, ...) are ignored. Pure
-    function, also usable driver-side in tests."""
-    rules: list[tuple[str, bool, str]] = []
+def _robots_lines(body: str):
+    """The shared line/group state machine (RFC 9309 §2.1) both the
+    rule and the directive parsers consume: yields ``(key, value,
+    uas)`` for every non-comment key line, where ``uas`` is the
+    CURRENT group's user-agent list (the contiguous ``User-agent``
+    run directly above). One grammar, one implementation."""
     uas: list[str] = []
     collecting_uas = True
     for raw in body.splitlines():
@@ -82,22 +78,27 @@ def parse_robots_rules(body: str):
                 uas = []  # a new group starts
                 collecting_uas = True
             uas.append(value.lower())
-        elif key in ("allow", "disallow"):
-            collecting_uas = False
-            if not uas:
-                continue  # rules before any user-agent line: ignored
-            allow = key == "allow"
-            if value == "":
-                if allow:
-                    continue  # empty Allow is meaningless
-                # empty Disallow = allow everything: an empty-pattern
-                # allow rule (matches every path at specificity 0)
-                allow, value = True, ""
-            for ua in uas:
-                rules.append((ua, allow, value))
-        else:
-            # Sitemap/Crawl-delay/unknown: ends no group per RFC
             continue
+        if key in ("allow", "disallow", "crawl-delay"):
+            collecting_uas = False
+        yield key, value, uas
+
+
+def parse_robots_rules(body: str):
+    """One robots.txt body → [(user_agent, allow, pattern)] rule
+    tuples over the shared `_robots_lines` grammar; an EMPTY
+    ``Disallow:`` or ``Allow:`` value becomes an empty-pattern allow
+    rule (matches every path at specificity 0) so "this group exists"
+    is representable — the group then shields its agent from ``*``;
+    unknown keys (Sitemap, Crawl-delay, ...) are ignored here. Pure
+    function, also usable driver-side in tests."""
+    rules: list[tuple[str, bool, str]] = []
+    for key, value, uas in _robots_lines(body):
+        if key not in ("allow", "disallow") or not uas:
+            continue  # rules before any user-agent line: ignored
+        allow = key == "allow" or value == ""
+        for ua in uas:
+            rules.append((ua, allow, value))
     return rules
 
 
@@ -106,26 +107,11 @@ def parse_robots_directives(body: str):
     value)`` tuples — ``("crawl-delay", <ua>, seconds-string)`` per
     group (the de-facto politeness extension; RFC 9309 leaves it
     undefined but every major crawler honors it) and ``("sitemap",
-    None, url)`` (group-independent per the sitemaps protocol)."""
+    None, url)`` (group-independent per the sitemaps protocol).
+    Same `_robots_lines` grammar as the rule parser."""
     out: list[tuple[str, str | None, str]] = []
-    uas: list[str] = []
-    collecting_uas = True
-    for raw in body.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, value = line.partition(":")
-        key = key.strip().lower()
-        value = value.strip()
-        if key == "user-agent":
-            if not collecting_uas:
-                uas = []
-                collecting_uas = True
-            uas.append(value.lower())
-        elif key in ("allow", "disallow"):
-            collecting_uas = False
-        elif key == "crawl-delay":
-            collecting_uas = False
+    for key, value, uas in _robots_lines(body):
+        if key == "crawl-delay":
             for ua in uas:
                 out.append(("crawl-delay", ua, value))
         elif key == "sitemap":
@@ -275,6 +261,13 @@ def robots_gate(
         F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/")
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    # RFC 9309 matches against path AND query ('Disallow: /search?q='
+    # is a common real-world pattern; '$'-anchored rules must see the
+    # query too) — robotparser agrees
+    query = F.try_parse_url(F.col(url_col), F.lit("QUERY"))
+    path = F.when(
+        query.isNotNull(), F.concat(path, F.lit("?"), query)
+    ).otherwise(path)
 
     # group selection per host: the specific-UA group if one exists,
     # else the * group (RFC: exactly one group applies)

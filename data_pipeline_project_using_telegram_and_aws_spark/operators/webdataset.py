@@ -210,6 +210,20 @@ def write_webdataset_shards(
         return [r.asDict() for r in lazy.collect()]
 
     if commit == "inplace":
+        from ..sources.commit import manifest
+
+        if manifest(out_dir) is not None:
+            # the commit_dir rename-mode guard, applied here: an
+            # inplace export into a pointer-managed directory would
+            # write tars the resolving reader never sees
+            raise ValueError(
+                "write_webdataset_shards: out_dir is migrated to "
+                "manifest commits — an inplace export would leave two "
+                "competing truths. Pass commit='manifest'."
+            )
+        # per-shard atomicity ONLY: a failed export (including the
+        # in-task non-integral-id raise) leaves a mix of new and stale
+        # tars; use commit='manifest' for all-or-nothing publishes
         os.makedirs(out_dir, exist_ok=True)
         rows = _export_into(out_dir)
         return df.sparkSession.createDataFrame(rows, SHARD_MANIFEST_DDL)

@@ -139,10 +139,19 @@ def wc1_warc_html_extract(spark, sf_dir):
     import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="wc1_fixture_")
+    # deterministic path, not mkdtemp: repeated plan builds (bench
+    # rounds, adjudication reruns) must not leak one directory each.
+    # The version suffix is the fixture's change marker; the atomic
+    # replace keeps a concurrent reader off a torn file.
+    d = os.path.join(tempfile.gettempdir(), "wc1_fixture_v1")
+    os.makedirs(d, exist_ok=True)
     p = os.path.join(d, "fixture.warc.gz")
-    with open(p, "wb") as f:
-        f.write(_fixture_warc())
+    blob = _fixture_warc()
+    if not (os.path.exists(p) and os.path.getsize(p) == len(blob)):
+        tmp = f"{p}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, p)
 
     recs = read_warc(spark, p)
     is_good = (

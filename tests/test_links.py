@@ -254,3 +254,17 @@ def test_anchor_text_index(spark):
         ("great page", 2)
     ]
     assert got["http://t.com/b"].n_inlinks == 1
+
+
+def test_anchor_text_index_textless_target_keeps_row(spark):
+    """Review fix: a target whose every inlink is textless must keep
+    its n_inlinks row (empty anchor_texts), not vanish."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import anchor_text_index
+
+    links = spark.createDataFrame(
+        [("http://t.com/img", None), ("http://t.com/img", None)],
+        "href string, anchor_text string",
+    )
+    rows = anchor_text_index(links).collect()
+    assert len(rows) == 1
+    assert rows[0].n_inlinks == 2 and rows[0].anchor_texts == []

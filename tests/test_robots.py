@@ -234,3 +234,48 @@ def test_robots_directives(spark):
         ("crawl-delay", "*", "10"),
         ("sitemap", None, "http://ex.com/map.xml"),
     }
+
+
+def test_rules_match_query_string(spark):
+    """Review fix: RFC 9309 matches path AND query — 'Disallow:
+    /search?q=' must block matching queries, and a $-anchored rule
+    must see the query too."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /search?q=\n"
+        "Disallow: /*.php$\n"
+    )
+    got = _gate(spark, body, [
+        "http://ex.com/search?q=x",    # query rule hits
+        "http://ex.com/search",        # no query: rule needs '?q='
+        "http://ex.com/x.php",         # $ anchor: blocked
+        "http://ex.com/x.php?id=1",    # $ must see '?id=1': allowed
+    ])
+    assert got == {
+        "http://ex.com/search?q=x": False,
+        "http://ex.com/search": True,
+        "http://ex.com/x.php": False,
+        "http://ex.com/x.php?id=1": True,
+    }
+    # robotparser agrees on the query-bearing prefix rule
+    import urllib.robotparser as urp
+
+    rp = urp.RobotFileParser()
+    rp.parse("User-agent: *\nDisallow: /search?q=\n".splitlines())
+    assert rp.can_fetch("*", "http://ex.com/search?q=x") is False
+    assert rp.can_fetch("*", "http://ex.com/search") is True
+
+
+def test_empty_allow_group_shields_agent(spark):
+    """Review fix: a group whose only line is an empty Allow: still
+    EXISTS, so its agent is shielded from the * group (parity with
+    the empty-Disallow idiom)."""
+    body = (
+        "User-agent: c\nAllow:\n\nUser-agent: *\nDisallow: /\n"
+    )
+    assert _gate(spark, body, ["http://ex.com/x"], ua="c") == {
+        "http://ex.com/x": True
+    }
+    assert _gate(spark, body, ["http://ex.com/x"]) == {
+        "http://ex.com/x": False
+    }
