@@ -28,10 +28,12 @@ Spark-first, zero Python end-to-end:
 - :func:`pagerank`: classic damped power iteration, the
   components-loop shape: per round one join on src + one groupBy on
   dst (both node-keyed shuffles), dangling mass redistributed
-  uniformly, lazy ``localCheckpoint`` per round, convergence by L1
-  delta in the same job. Rounds are O(log(1/tol)/log(1/d)) —
-  independent of graph size; the per-round cost is edge-linear. At
-  100 TB the edge list shards by dst like any keyed aggregation.
+  uniformly as an in-plan broadcast scalar, lazy ``localCheckpoint``
+  per round, L1-delta convergence collected every ``check_every``
+  rounds (one driver action per segment — round-trip cost amortized).
+  Rounds are O(log(1/tol)/log(1/d)) — independent of graph size; the
+  per-round cost is edge-linear. At 100 TB the edge list shards by
+  dst like any keyed aggregation.
 """
 
 from __future__ import annotations
@@ -229,6 +231,7 @@ def link_graph(
     url_col: str = "url",
     follow_only: bool = True,
     granularity: str = "url",
+    links: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (src, dst) edges from pages — `extract_links` +
     endpoint keying, self-loops dropped. ``follow_only`` honors
@@ -238,7 +241,11 @@ def link_graph(
     `urls.registered_domain` — the host/domain contractions are what
     corpus-quality work actually consumes (domain authority as a
     filter feature), and they shrink the edge set by orders of
-    magnitude before any iteration runs on it."""
+    magnitude before any iteration runs on it. Pass ``links`` (an
+    `extract_links` result carrying ``url_col``/``href``/``nofollow``)
+    to key an already-extracted anchor set instead of re-running the
+    extraction — callers that also build an anchor index or frontier
+    from the same pages should extract ONCE and share it."""
     from .urls import registered_domain, url_host
 
     if granularity == "url":
@@ -252,7 +259,8 @@ def link_graph(
             f"link_graph: granularity must be url | host | domain, "
             f"got {granularity!r}"
         )
-    links = extract_links(df, html_col=html_col, url_col=url_col)
+    if links is None:
+        links = extract_links(df, html_col=html_col, url_col=url_col)
     if follow_only:
         links = links.filter(~F.col("nofollow"))
     return (
@@ -383,14 +391,26 @@ def pagerank(
     damping: float = 0.85,
     max_iters: int = 100,
     tol: float = 1e-6,
+    check_every: int = 4,
 ) -> DataFrame:
     """(node, rank) with Σrank = 1 over the DIRECTED edge set —
     damped power iteration with uniform dangling-mass redistribution
-    (module docstring scale notes). Converges when the L1 rank delta
-    drops under ``tol`` — geometric at rate ``damping``, so the
-    default budget covers log(tol)/log(damping) ≈ 85 rounds at 0.85;
-    raises if ``max_iters`` rounds don't get there (a silent non-converged ranking would skew every consumer).
-    """
+    (module docstring scale notes). Converges when the per-round L1
+    rank delta drops under ``tol`` — geometric at rate ``damping``, so
+    the default budget covers log(tol)/log(damping) ≈ 85 rounds at
+    0.85; raises if ``max_iters`` rounds don't get there (a silent
+    non-converged ranking would skew every consumer).
+
+    Driver round trips are the fixed per-round cost that dominates
+    small and mid-size graphs (BENCH_NOTES graph probe), so the loop
+    runs ZERO actions per round: the dangling mass rides the plan as a
+    broadcast 1-row aggregate (the repo's scalar-cross-join pattern)
+    instead of a per-round ``collect``, rounds are lazily
+    checkpointed, and the per-round L1 delta (same criterion as ever
+    — last round vs the one before it) is collected only every
+    ``check_every`` rounds. One action per ``check_every`` rounds; a
+    convergence hit between checks costs at most ``check_every - 1``
+    extra cheap rounds."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -409,17 +429,16 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=False
     )
-    for _ in range(max_iters):
-        with_deg = ranks.join(
-            deg, ranks["node"] == deg["src"], "left"
+
+    def one_round(cur: DataFrame) -> DataFrame:
+        with_deg = cur.join(
+            deg, cur["node"] == deg["src"], "left"
         ).select("node", "rank", "__deg")
         # dangling nodes (no out-edges) donate their whole rank to the
-        # uniform pool — scalar aggregate, broadcast back as a literal
-        dangling = (
-            with_deg.filter(F.col("__deg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # uniform pool — a 1-row aggregate broadcast into the update
+        # (no driver action)
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         contrib = (
             e.join(
@@ -432,25 +451,35 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__share").alias("__in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        updated = (
-            ranks.select("node", F.col("rank").alias("__old"))
+        return (
+            cur.select("node")
             .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__dangling") / n
                     + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
                 ).alias("rank"),
-                "__old",
             )
-            .localCheckpoint(eager=False)
         )
+
+    done = 0
+    while done < max_iters:
+        steps = min(check_every, max_iters - done)
+        prev = ranks
+        for _ in range(steps):
+            prev = ranks
+            ranks = one_round(ranks).localCheckpoint(eager=False)
+        done += steps
         delta = (
-            updated.agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+            ranks.join(
+                prev.select("node", F.col("rank").alias("__prev")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
             .collect()[0][0]
         )
-        ranks = updated.drop("__old")
         if delta is not None and delta < tol:
             return ranks
     raise RuntimeError(

@@ -191,8 +191,118 @@ def wc1_warc_html_extract(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# wc2: the crawl surface's GRAPH side — extract_links → link_graph →
+# pagerank → anchor_text_index, hash-checked end-to-end on an embedded
+# five-page site whose stationary PageRank was solved EXACTLY (fractions,
+# Gaussian elimination) at authoring time, independent of the operator.
+#
+# Fixture link structure (follow edges after resolution + normalization):
+#   a → b   (relative href=b)
+#   a → c   (protocol-relative //g.example/c, plus a duplicate /c anchor
+#            that distinct() must collapse)
+#   b → c   (/c?utm_source=nl — the tracking param must drop so the edge
+#            lands on the SAME node as a→c)
+#   c → a   (../a — RFC 3986 dot-segment resolution)
+#   c → e   (e#section — fragment strip)
+#   d → a   (/a?utm_source=x&fbclid=1 — two tracking params drop)
+#   e       dangling (its only outlinks are rel=nofollow and mailto:)
+# Dropped on the way: fragment-only #top, javascript:, mailto:, and the
+# two rel=nofollow anchors (kept by extract_links for the anchor index,
+# dropped by link_graph(follow_only)).
+#
+# PageRank with damping=1/4 (NOT the canonical 0.85 — chosen so the
+# power iteration converges to tol=1e-7 in ~12 cheap rounds / two
+# convergence checks inside a driver row; the 0.85 geometry is probed
+# in BENCH_NOTES' graph probe), uniform dangling redistribution, n=5,
+# base=(1-d)/n=0.15:
+#   r_a =  480/2099 = 0.22868032...  → 0.2287
+#   r_b = 1184/6297 = 0.18802604...  → 0.1880
+#   r_c = 1480/6297 = 0.23503256...  → 0.2350
+#   r_d = 1004/6297 = 0.15944100...  → 0.1594
+#   r_e = 1189/6297 = 0.18882007...  → 0.1888
+# (Σ = 1 exactly.) Every exact value sits ≥ 9e-6 from a 4-dp rounding
+# boundary while the iteration's distance-to-fixed-point at stop is
+# ≤ tol·d/(1−d) ≈ 3.3e-8 — the 4-dp pin cannot flip from iteration
+# error.
+
+_WC2_ORIGIN = "http://g.example"
+_WC2_PAGES = (
+    ("/a",
+     "<html><body><p>Alpha page prose.</p>"
+     "<a href=b>Bravo page</a> "
+     '<a href="//g.example/c">Charlie</a> '
+     "<a href=/c>Charlie again</a> "
+     '<a href="#top">Top</a> '
+     '<a href="javascript:void(0)">js</a></body></html>'),
+    ("/b",
+     '<body><a href="/c?utm_source=nl">Charlie</a> '
+     "<a href=/d rel=nofollow>Delta</a></body>"),
+    ("/c",
+     '<body><a href=../a>Alpha</a> <a href="e#section">Echo</a></body>'),
+    ("/d",
+     '<body><a href="/a?utm_source=x&fbclid=1">Alpha</a></body>'),
+    ("/e",
+     '<body><a rel=NOFOLLOW href=/a>Alpha</a> '
+     '<a href="mailto:x@y.z">mail</a></body>'),
+)
+
+
+def wc2_link_graph_pagerank(spark, sf_dir):
+    """Per-node graph panel over the embedded five-page site: rank
+    (4-dp, exact-solution pinned), incoming-anchor top text + inlink
+    count (`anchor_text_index` over ALL anchors, nofollow included —
+    the index is a relevance signal, not an authority flow), and the
+    follow out-degree. One Spark job tree: explode → distinct edges →
+    ~12 node-keyed pagerank rounds (two convergence actions) → two
+    keyed joins."""
+    from ..operators.links import (
+        anchor_text_index,
+        extract_links,
+        link_graph,
+        pagerank,
+    )
+    from ..operators.urls import normalize_url
+
+    pages = spark.createDataFrame(
+        [(_WC2_ORIGIN + path, html) for path, html in _WC2_PAGES],
+        "url string, html string",
+    )
+    # extract ONCE, pin the (tiny) anchor set eagerly: the regex/URL-
+    # resolution expression tree is the expensive thing to COMPILE, so
+    # every downstream plan (graph, index, out-degrees, 12 pagerank
+    # rounds) starts from a 9-row checkpoint leaf instead of carrying
+    # its own copy of the extraction tree through codegen.
+    links = extract_links(
+        pages, html_col="html", url_col="url"
+    ).localCheckpoint(eager=True)
+    g = link_graph(pages, url_col="url", links=links)
+    pr = pagerank(g, damping=0.25, tol=1e-7, max_iters=40, check_every=6)
+    idx = anchor_text_index(
+        links.withColumn("href", normalize_url(F.col("href")))
+    )
+    outdeg = g.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__out")
+    )
+    return (
+        pr.join(idx.withColumnRenamed("url", "node"), "node", "left")
+        .join(outdeg, "node", "left")
+        .select(
+            "node",
+            F.round("rank", 4).alias("rank"),
+            F.col("n_inlinks"),
+            F.element_at("anchor_texts", 1).getField("text")
+            .alias("top_anchor"),
+            F.coalesce("__out", F.lit(0)).cast("bigint")
+            .alias("n_outlinks"),
+        )
+        .orderBy("node")
+    )
+
+
 QUERIES = {
     "wc1_warc_html_extract": wc1_warc_html_extract,
+    "wc2_link_graph_pagerank": wc2_link_graph_pagerank,
 }
 
 # Expected values are HAND-DERIVED from the fixture literals (module
@@ -266,5 +376,23 @@ ORACLE = {
         ) AS t(uri, zone, status, error_kind, title, description,
                lang, canonical, noindex, text, main_text)
         ORDER BY uri
+    """,
+    # Hand-derived (module comment above wc2): exact-fraction stationary
+    # solution rounded to 4 dp; inlink counts / top anchors / out-degrees
+    # read straight off the fixture's link structure.
+    "wc2_link_graph_pagerank": """
+        SELECT * FROM (VALUES
+            ('http://g.example/a', CAST(0.2287 AS DOUBLE),
+             CAST(3 AS BIGINT), 'alpha',        CAST(2 AS BIGINT)),
+            ('http://g.example/b', CAST(0.1880 AS DOUBLE),
+             CAST(1 AS BIGINT), 'bravo page',   CAST(1 AS BIGINT)),
+            ('http://g.example/c', CAST(0.2350 AS DOUBLE),
+             CAST(3 AS BIGINT), 'charlie',      CAST(2 AS BIGINT)),
+            ('http://g.example/d', CAST(0.1594 AS DOUBLE),
+             CAST(1 AS BIGINT), 'delta',        CAST(1 AS BIGINT)),
+            ('http://g.example/e', CAST(0.1888 AS DOUBLE),
+             CAST(1 AS BIGINT), 'echo',         CAST(0 AS BIGINT))
+        ) AS t(node, rank, n_inlinks, top_anchor, n_outlinks)
+        ORDER BY node
     """,
 }

@@ -497,7 +497,11 @@ def q32_array_functions(spark, sf_dir):
 
 
 QUERIES = {
-    "q5_tpch_q6_forecast_revenue": q5_tpch_q6_forecast_revenue,
+    # q5_tpch_q6_forecast_revenue left the 50-row registry in round 11
+    # (funding wc2_link_graph_pagerank): its filter+sum shape is a strict
+    # subset of q6's wide aggregate over the same pruned scan; still
+    # callable and replayed against its retired DuckDB oracle in
+    # tests/test_registry_consolidation.py.
     "q6_tpch_q1_pricing_summary": q6_tpch_q1_pricing_summary,
     "q8_join_multiway_revenue_by_nation": q8_join_multiway_revenue_by_nation,
     "q9_semi_anti_join": q9_semi_anti_join,
@@ -543,15 +547,18 @@ QUERIES = {
     "q32_array_functions": q32_array_functions,
 }
 
+# q5's retired oracle, replayed verbatim by
+# tests/test_registry_consolidation.py::test_q5_forecast_revenue_still_correct
+Q5_RETIRED_ORACLE = f"""
+    SELECT {sql_sum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+"""
+
 ORACLE = {
-    "q5_tpch_q6_forecast_revenue": f"""
-        SELECT {sql_sum('l_extendedprice * l_discount')} AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1998-01-01'
-          AND l_discount BETWEEN 0.03 AND 0.07
-          AND l_quantity < 25
-    """,
     "q6_tpch_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_sum('l_quantity')} AS sum_qty,

@@ -168,10 +168,10 @@ def test_registry_is_exactly_50_rows_with_r5_swaps(spark):
     qs, os_ = all_queries(), all_oracles()
     assert len(qs) == 50 and set(os_) == set(qs)
     for name in ("lm1_unigram_quality", "rt1_bm25_topk",
-                 "wc1_warc_html_extract"):
+                 "wc1_warc_html_extract", "wc2_link_graph_pagerank"):
         assert name in qs
     for name in ("tx3_langid_heuristic", "q25_date_functions",
-                 "q38_hash_sample"):
+                 "q38_hash_sample", "q5_tpch_q6_forecast_revenue"):
         assert name not in qs
 
 
@@ -368,6 +368,28 @@ def test_q14_rollup_cube_still_correct(spark, sf_dir):
         for row in rel.fetchall()
     )
     assert len(srows) > 0 and srows == drows
+
+
+def test_q5_forecast_revenue_still_correct(spark, sf_dir):
+    """Round 11 (wc2 funded): q5's filter+sum is a strict subset of
+    q6's wide aggregate over the same pruned scan; the retired row is
+    replayed here against its verbatim retired DuckDB oracle — the
+    exact check the driver used to run."""
+    import duckdb
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.starschema_queries import (
+        Q5_RETIRED_ORACLE,
+        q5_tpch_q6_forecast_revenue,
+    )
+
+    got = q5_tpch_q6_forecast_revenue(spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = con.execute(Q5_RETIRED_ORACLE).fetchall()
+    assert len(got) == 1 and len(want) == 1
+    assert abs(got[0].revenue - want[0][0]) < 1e-6
 
 
 def test_q38_hash_sample_still_correct(spark, sf_dir):
