@@ -34,6 +34,14 @@ Spark-first, zero Python end-to-end:
   Rounds are O(log(1/tol)/log(1/d)) — independent of graph size; the
   per-round cost is edge-linear. At 100 TB the edge list shards by
   dst like any keyed aggregation.
+- :func:`hits`: Kleinberg hubs/authorities, the same amortized-action
+  loop shape as `pagerank` (two edge-keyed shuffles per round, in-plan
+  broadcast normalizers, convergence collected every ``check_every``
+  rounds).
+- :func:`schedule_fetches`: the politeness bridge from
+  `build_frontier` to a fetch executor — per-host crawl-delay (from
+  `robots.robots_directives`) × deterministic fetch slots → a planned
+  start offset per URL. One window + one broadcast join.
 """
 
 from __future__ import annotations
@@ -485,4 +493,206 @@ def pagerank(
     raise RuntimeError(
         f"pagerank did not converge in {max_iters} rounds "
         f"(last L1 delta {delta:.2e} >= tol {tol:.0e})"
+    )
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    directives: DataFrame | None = None,
+    url_col: str = "url",
+    user_agent: str = "*",
+    default_delay: float = 1.0,
+    max_delay: float = 30.0,
+) -> DataFrame:
+    """Politeness schedule for a fetch round: each frontier URL gets
+    its host's crawl-delay (from `robots.robots_directives` rows,
+    specific user-agent beating ``*``, parse-failures and
+    out-of-range values clamped into ``(0, max_delay]``), a
+    deterministic per-host ``fetch_slot`` (md5 order — the same dice
+    `build_frontier`'s cap uses), and ``planned_offset_s = slot ×
+    delay``: the earliest start time relative to the round's t0 that
+    honors the host's delay. A fetch executor can sort by
+    ``planned_offset_s`` and stream the round out without ever
+    hitting one host faster than its policy allows.
+
+    Plan shape: one host-keyed window + one broadcast-sized join on
+    the per-host delay table (origin-sized, like every robots frame).
+    No Python."""
+    from pyspark.sql.window import Window
+
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    out = frontier.withColumn("host", host)
+    if directives is not None:
+        ua = F.lower(F.col("user_agent"))
+        cand = (
+            directives.filter(F.col("kind") == "crawl-delay")
+            .filter(
+                ua.isin(user_agent.lower(), "*")
+                | F.lit(user_agent == "*")
+            )
+            .select(
+                "host",
+                # specific-UA rows beat '*' rows: rank and keep min
+                F.when(ua == user_agent.lower(), F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("__pref"),
+                F.col("value").try_cast("double").alias("__delay"),
+            )
+            .filter(F.col("__delay").isNotNull())
+        )
+        best = F.row_number().over(
+            Window.partitionBy("host").orderBy("__pref", "__delay")
+        )
+        delays = (
+            cand.withColumn("__rn", best)
+            .filter(F.col("__rn") == 1)
+            .select(
+                "host",
+                F.least(
+                    F.greatest(F.col("__delay"), F.lit(0.0)),
+                    F.lit(max_delay),
+                ).alias("crawl_delay"),
+            )
+        )
+        out = out.join(F.broadcast(delays), "host", "left")
+    else:
+        out = out.withColumn(
+            "crawl_delay", F.lit(None).cast("double")
+        )
+    slot = F.row_number().over(
+        Window.partitionBy("host").orderBy(F.md5(F.col(url_col)))
+    ) - F.lit(1)
+    delay = F.coalesce("crawl_delay", F.lit(float(default_delay)))
+    return (
+        out.withColumn("fetch_slot", slot)
+        .withColumn("crawl_delay", delay)
+        .withColumn(
+            "planned_offset_s", F.col("fetch_slot") * delay
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 60,
+    tol: float = 1e-6,
+    check_every: int = 4,
+) -> DataFrame:
+    """Kleinberg HITS: (node, hub, authority), both scores L1-
+    normalized to sum 1 (an L1 norm keeps the normalizer a plain SUM
+    — same fixed point as the classical L2 up to scale). Power
+    iteration on the unweighted adjacency: auth ∝ Aᵀ·hub then
+    hub ∝ A·auth each round — two edge-keyed join+groupBy shuffles,
+    the `pagerank` loop shape — with the normalizers riding the plan
+    as broadcast 1-row aggregates and the L1 convergence delta
+    collected every ``check_every`` rounds (zero per-round driver
+    actions). Raises on non-convergence, same doctrine as
+    `pagerank`. Nodes with no in-edges get authority 0, no out-edges
+    hub 0."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+
+    def normalized(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(
+            F.coalesce(F.sum(col), F.lit(0.0)).alias("__total")
+        )
+        return (
+            df.crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.when(
+                    F.col("__total") > 0, F.col(col) / F.col("__total")
+                )
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            )
+        )
+
+    def one_round(hub: DataFrame) -> DataFrame:
+        """hub(node) → next L1-normalized hub frame; the auth frame is
+        rebuilt from the returned hub by `auth_of` (same expressions,
+        shared lineage)."""
+        auth = normalized(
+            nodes.join(
+                e.join(
+                    hub.withColumnRenamed("node", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("__a")),
+                "node",
+                "left",
+            ).select(
+                "node", F.coalesce("__a", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        return normalized(
+            nodes.join(
+                e.join(
+                    auth.withColumnRenamed("node", "dst"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth").alias("__h")),
+                "node",
+                "left",
+            ).select(
+                "node", F.coalesce("__h", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0 / n)).localCheckpoint(
+        eager=False
+    )
+    done = 0
+    while done < max_iters:
+        steps = min(check_every, max_iters - done)
+        prev = hub
+        for _ in range(steps):
+            prev = hub
+            hub = one_round(hub).localCheckpoint(eager=False)
+        done += steps
+        delta = (
+            hub.join(
+                prev.select("node", F.col("hub").alias("__prev")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("hub") - F.col("__prev"))))
+            .collect()[0][0]
+        )
+        if delta is not None and delta < tol:
+            break
+    else:
+        raise RuntimeError(
+            f"hits did not converge in {max_iters} rounds "
+            f"(last L1 delta {delta:.2e} >= tol {tol:.0e})"
+        )
+    # final authority from the converged hub, one more half-step
+    auth = normalized(
+        nodes.join(
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("__a")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("__a", F.lit(0.0)).alias("auth")),
+        "auth",
+    )
+    return hub.join(auth, "node").select(
+        "node", "hub", F.col("auth").alias("authority")
     )

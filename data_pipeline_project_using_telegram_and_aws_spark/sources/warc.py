@@ -379,3 +379,136 @@ def write_warc_responses(rows, out_path: str) -> None:
         buf.write(gzip.compress(member))
     with open(out_path, "wb") as f:
         f.write(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# CDX seek index — the interchange format public crawl tooling uses to
+# find a record inside a .warc.gz without scanning it (CommonCrawl
+# publishes exactly this next to its corpus). Everything below is pure
+# JVM column work over `read_warc` output.
+
+
+def surt_key(url) -> "Column":
+    """Sort-friendly URI Reordering Transform key for CDX indexes:
+    ``com,example)/path?a=1&b=2`` — reversed lowercase host labels
+    (leading ``www.`` stripped), then ``)``, then the lowercased path,
+    then the query with its parameters SORTED. URL canonicalization
+    has no universal standard, so — like `urls.normalize_url` — the
+    recipe itself is the documented contract: keys are stable across
+    runs, which is what index joins and range scans need. NULL for
+    unparseable URLs. Zero Python: host/path/query come from
+    ``try_parse_url``, the label reversal and query sort are array
+    HOFs."""
+    from pyspark.sql import functions as F
+
+    from ..operators.urls import url_host
+
+    url = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("/"))
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    sorted_q = F.array_join(
+        F.array_sort(F.split(F.lower(query), "&")), "&"
+    )
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            rev,
+            F.lit(")"),
+            path,
+            F.when(
+                query.isNotNull() & (query != ""),
+                F.concat(F.lit("?"), sorted_q),
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def warc_file_lengths(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(warc_file, file_length) from binaryFile METADATA — the content
+    column is never selected, so no bytes are read. Feed to
+    :func:`warc_cdx` so each file's last record gets a length too."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select(
+            F.col("path").alias("warc_file"),
+            F.col("length").alias("file_length"),
+        )
+    )
+
+
+def warc_cdx(
+    records: DataFrame, file_lengths: DataFrame | None = None
+) -> DataFrame:
+    """CDX(J)-shaped seek index over `read_warc` output: one row per
+    clean ``response`` record with ``(urlkey, timestamp, url, mime,
+    status, digest, record_offset, record_length, warc_file)``.
+
+    - ``urlkey`` — :func:`surt_key` of the target URI (range-scan /
+      join key, the CDX sort order);
+    - ``timestamp`` — the 14-digit ``yyyyMMddHHmmss`` capture time
+      from ``WARC-Date`` (the CDX convention);
+    - ``digest`` — sha1 hex of the stored (normalized) payload, NULL
+      for empty payloads; stated contract: this fingerprints what the
+      ENGINE stores (post chunk/encoding/charset normalization), not
+      the original wire bytes, so it is a dedup/validation key for
+      corpus consumers rather than a wire-replay checksum;
+    - ``record_offset`` — as produced by `read_warc`: the gzip
+      member's COMPRESSED file offset for .warc.gz (seek + inflate
+      recovers the record), the record's byte offset for plain .warc;
+    - ``record_length`` — distance to the next record's offset within
+      the same file (one ``lead`` window, file-keyed); the file's
+      last record needs the physical file size — join
+      :func:`warc_file_lengths` in, else it stays NULL.
+
+    Plan shape: pure projections + one window partitioned by
+    ``warc_file`` (the natural shard key — each file's index rows come
+    from one task's worth of data) + an optional broadcast-sized join
+    on file metadata. Sorting the output by ``(urlkey, timestamp)``
+    before writing is the CDX file convention and is left to the
+    writer."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    resp = records.filter(
+        F.col("parse_error").isNull()
+        & (F.lower(F.col("warc_type")) == "response")
+    )
+    nxt = F.lead("record_offset").over(
+        Window.partitionBy("warc_file").orderBy("record_offset")
+    )
+    out = resp.select(
+        surt_key(F.col("target_uri")).alias("urlkey"),
+        F.substring(
+            F.regexp_replace("warc_date", r"[^0-9]", ""), 1, 14
+        ).alias("timestamp"),
+        F.col("target_uri").alias("url"),
+        F.trim(
+            F.lower(F.element_at(F.split("http_content_type", ";"), 1))
+        ).alias("mime"),
+        F.col("http_status").alias("status"),
+        F.when(
+            F.col("payload").isNotNull() & (F.length("payload") > 0),
+            F.sha1("payload"),
+        ).alias("digest"),
+        "record_offset",
+        nxt.alias("__next"),
+        "warc_file",
+    )
+    if file_lengths is not None:
+        out = out.join(F.broadcast(file_lengths), "warc_file", "left")
+        end = F.coalesce("__next", "file_length")
+    else:
+        end = F.col("__next")
+    return out.select(
+        "urlkey", "timestamp", "url", "mime", "status", "digest",
+        "record_offset",
+        (end - F.col("record_offset")).alias("record_length"),
+        "warc_file",
+    )

@@ -1019,3 +1019,92 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
         pages_df, granularity="host"
     ).collect()}
     assert hg == {("a.com", "b.com")}  # intra-host edges collapse away
+
+
+def test_surt_key_recipe(spark):
+    """The documented SURT recipe: reversed lowercase host labels
+    (www. stripped), lowercased path, sorted query; NULL for
+    unparseable input."""
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import surt_key
+
+    cases = [
+        ("http://www.Example.com/B?b=2&a=1", "com,example)/b?a=1&b=2"),
+        ("https://sub.example.org/", "org,example,sub)/"),
+        ("http://example.com", "com,example)/"),
+        ("http://example.com/A/B/c.HTML", "com,example)/a/b/c.html"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.k for r in df.select(surt_key("url").alias("k")).collect()
+    ]
+    assert got == [k for _, k in cases]
+
+
+def test_warc_cdx_seekable_index(spark, tmp_path):
+    """CDX rows over a real .warc.gz: each (offset, length) slice of
+    the physical file is a complete gzip member that decompresses to
+    the record (the CommonCrawl seek contract), the digest is the
+    sha1 of the stored payload, and the last record's length comes
+    from the file size via warc_file_lengths."""
+    import gzip
+    import hashlib
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import (
+        read_warc,
+        warc_cdx,
+        warc_file_lengths,
+        write_warc_responses,
+    )
+
+    p = str(tmp_path / "idx.warc.gz")
+    rows = [
+        ("http://www.example.com/B?b=2&a=1", 200, "text/html",
+         b"<p>hello cdx</p>"),
+        ("http://sub.example.org/path", 200, "text/plain", b"plain"),
+        ("http://example.com/empty", 204, "text/plain", b""),
+    ]
+    write_warc_responses(rows, p)
+    recs = read_warc(spark, p)
+    cdx = warc_cdx(recs, warc_file_lengths(spark, p)).orderBy(
+        "record_offset"
+    )
+    got = cdx.collect()
+    assert [r.urlkey for r in got] == [
+        "com,example)/b?a=1&b=2",
+        "org,example,sub)/path",
+        "com,example)/empty",
+    ]
+    assert all(r.timestamp == "20260101000000" for r in got)
+    assert [r.mime for r in got] == ["text/html", "text/plain",
+                                     "text/plain"]
+    assert [r.status for r in got] == [200, 200, 204]
+    # digests: sha1 of the stored (normalized = identity here) payload;
+    # empty payload has no digest
+    assert got[0].digest == hashlib.sha1(rows[0][3]).hexdigest()
+    assert got[1].digest == hashlib.sha1(rows[1][3]).hexdigest()
+    assert got[2].digest is None
+    # offsets/lengths tile the file exactly and each slice is a
+    # standalone gzip member containing its record
+    blob = open(p, "rb").read()
+    assert got[0].record_offset == 0
+    for i, r in enumerate(got):
+        assert r.record_length is not None and r.record_length > 0
+        piece = blob[r.record_offset:r.record_offset + r.record_length]
+        assert piece[:2] == b"\x1f\x8b"
+        member = gzip.decompress(piece)
+        assert f"WARC-Target-URI: {rows[i][0]}".encode() in member
+        if i + 1 < len(got):
+            assert (
+                r.record_offset + r.record_length
+                == got[i + 1].record_offset
+            )
+    assert got[-1].record_offset + got[-1].record_length == len(blob)
+    # without file metadata the final record's length is NULL
+    nolen = (
+        warc_cdx(recs).orderBy("record_offset").collect()
+    )
+    assert nolen[-1].record_length is None
+    assert [r.record_length for r in nolen[:-1]] == [
+        r.record_length for r in got[:-1]
+    ]

@@ -268,3 +268,106 @@ def test_anchor_text_index_textless_target_keeps_row(spark):
     rows = anchor_text_index(links).collect()
     assert len(rows) == 1
     assert rows[0].n_inlinks == 2 and rows[0].anchor_texts == []
+
+
+def test_schedule_fetches_politeness(spark):
+    """Per-host fetch slots honor crawl-delay: specific-UA beats '*',
+    unparseable delays fall back to the default, offsets are
+    slot × delay, and slot order is the md5 dice (deterministic)."""
+    import hashlib
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
+        schedule_fetches,
+    )
+
+    urls = ["http://a.com/1", "http://a.com/2", "http://a.com/3",
+            "http://b.com/x"]
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string")
+    directives = spark.createDataFrame(
+        [("a.com", "crawl-delay", "*", "2.5"),
+         ("a.com", "crawl-delay", "mybot", "0.5"),
+         ("b.com", "crawl-delay", "*", "oops"),
+         ("a.com", "sitemap", None, "http://a.com/s.xml")],
+        "host string, kind string, user_agent string, value string",
+    )
+    got = {
+        r.url: (r.host, r.fetch_slot, r.crawl_delay, r.planned_offset_s)
+        for r in schedule_fetches(
+            frontier, directives, user_agent="mybot"
+        ).collect()
+    }
+    # md5 ordering of a.com's three URLs, recomputed independently
+    a_sorted = sorted(
+        [u for u in urls if u.startswith("http://a.com")],
+        key=lambda u: hashlib.md5(u.encode()).hexdigest(),
+    )
+    for slot, u in enumerate(a_sorted):
+        assert got[u] == ("a.com", slot, 0.5, slot * 0.5)
+    # b.com's '*' delay does not parse → default_delay 1.0
+    assert got["http://b.com/x"] == ("b.com", 0, 1.0, 0.0)
+    # generic agent: '*' applies (2.5s), capped at max_delay
+    star = {
+        r.url: r.crawl_delay
+        for r in schedule_fetches(frontier, directives).collect()
+    }
+    assert star["http://a.com/1"] == 2.5
+    # no directives at all → default everywhere
+    plain = schedule_fetches(frontier).collect()
+    assert all(r.crawl_delay == 1.0 for r in plain)
+
+
+def _py_hits(edges, iters=300):
+    """Independent reference: dict-based HITS with L1 normalization."""
+    nodes = sorted({x for e in edges for x in e})
+    out, inc = {}, {}
+    for s, t in set(edges):
+        out.setdefault(s, set()).add(t)
+        inc.setdefault(t, set()).add(s)
+    hub = {x: 1.0 / len(nodes) for x in nodes}
+    auth = dict(hub)
+    for _ in range(iters):
+        auth = {x: sum(hub[s] for s in inc.get(x, ())) for x in nodes}
+        z = sum(auth.values()) or 1.0
+        auth = {x: v / z for x, v in auth.items()}
+        hub = {x: sum(auth[t] for t in out.get(x, ())) for x in nodes}
+        z = sum(hub.values()) or 1.0
+        hub = {x: v / z for x, v in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_reference_and_analytic_cases(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import hits
+
+    # complete bipartite K_{2,3}: hubs split 1/2 each, auths 1/3 each
+    kb = [(h, a) for h in (1, 2) for a in (10, 20, 30)]
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits(
+            spark.createDataFrame(kb, "src long, dst long"), tol=1e-9
+        ).collect()
+    }
+    for h in (1, 2):
+        assert abs(got[h][0] - 0.5) < 1e-6 and got[h][1] == 0.0
+    for a in (10, 20, 30):
+        assert got[a][0] == 0.0 and abs(got[a][1] - 1 / 3) < 1e-6
+
+    # random graph vs the independent implementation
+    import random
+
+    rng = random.Random(13)
+    edges = list({
+        (rng.randrange(10), rng.randrange(10)) for _ in range(25)
+    })
+    edges = [(s, t) for s, t in edges if s != t]
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"),
+            tol=1e-10, max_iters=400,
+        ).collect()
+    }
+    hub, auth = _py_hits(edges)
+    assert set(got) == set(hub)
+    for k in hub:
+        assert abs(got[k][0] - hub[k]) < 1e-5, ("hub", k)
+        assert abs(got[k][1] - auth[k]) < 1e-5, ("auth", k)
