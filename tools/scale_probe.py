@@ -516,7 +516,56 @@ def probe_graph(spark, n_edges: int) -> dict:
     }
 
 
+def probe_substr(spark, n_docs: int) -> dict:
+    """Exact-substring dedup at growing corpus size: deterministic
+    docs (~400 chars) over a small alphabet with a 25% planted shared
+    paragraph, through `exact_substring_spans` (k=30) + `remove_spans`.
+    Cost model says char-linear with one gram-hash shuffle — the probe
+    checks the wall-time exponent stays ~1."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.substr_dedup import (
+        exact_substring_spans,
+        remove_spans,
+    )
+
+    shared = "the exact same paragraph planted across a quarter of the corpus to dedup " * 3
+    docs = spark.range(n_docs).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.concat(
+            F.sha2(F.col("id").cast("string"), 256),
+            F.when(F.pmod("id", F.lit(4)) == 0, F.lit(shared)).otherwise(
+                F.lit("")
+            ),
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit("x")), 256),
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit("y")), 256),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    spans = exact_substring_spans(docs, k=30)
+    n_spans = spans.count()
+    t_spans = time.time() - t0
+    t0 = time.time()
+    n_clean = remove_spans(docs, spans).filter(
+        F.length("text") > 0
+    ).count()
+    t_remove = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "n_spans": n_spans,
+        "n_clean": n_clean,
+        "spans_sec": round(t_spans, 2),
+        "remove_sec": round(t_remove, 2),
+    }
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--substr"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [2000, 6000, 20000]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            print(json.dumps({"family": "substr", **probe_substr(spark, n)}))
+        return
     if sys.argv[1:2] == ["--graph"]:
         sizes = [int(a) for a in sys.argv[2:]] or [20000, 60000, 200000]
         spark = get_spark("scale-probe")
