@@ -62,6 +62,7 @@ def curate_corpus(
     compressibility_bounds: tuple[float, float] | None = None,
     dedup_doc_lines: bool = False,
     boilerplate: dict | None = None,
+    exact_substr_k: int | None = None,
     language_model=None,
     language_model_kwargs: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
@@ -126,6 +127,15 @@ def curate_corpus(
     cleaned text), and running them before stage 1 means chrome-only
     differences no longer defeat the exact-dedup hash.
 
+    ``exact_substr_k`` (optional) appends an ExactSubstr TRANSFORM
+    after the line cleanups: every corpus-repeated run of ≥ k chars is
+    cut from EVERY document that carries it
+    (`substr_dedup.exact_substring_spans` + `remove_spans`, the
+    arXiv:2107.06499 policy). Like the other transforms it rewrites
+    text instead of dropping rows; documents emptied by the cut are
+    dropped downstream by ``too_short``, whose ledger row then names
+    the real cause of death.
+
     ``language_model`` (optional, used with ``keep_langs``) swaps the
     language gate's signal from the precomputed ``lang_col`` to a
     fitted :func:`langid.train_langid` model scored over the stage's
@@ -178,6 +188,24 @@ def curate_corpus(
         docs = _swap_text(
             docs,
             remove_boilerplate_lines(docs, id_col, text_col, **boilerplate),
+        )
+    if exact_substr_k is not None:
+        # ExactSubstr TRANSFORM (arXiv:2107.06499, `substr_dedup`):
+        # cut every corpus-repeated ≥k-char run from every document
+        # BEFORE hashing — the paper's dedup acts on spans, not docs,
+        # so it is a rewrite like the line cleanups above, and runs
+        # last among them (it must see the cleaned text the gates will
+        # see). Docs hollowed out by the cut fall to the too_short
+        # gate, which owns emptiness.
+        from .substr_dedup import exact_substring_spans, remove_spans
+
+        docs = remove_spans(
+            docs,
+            exact_substring_spans(
+                docs, k=exact_substr_k, id_col=id_col, text_col=text_col
+            ),
+            id_col=id_col,
+            text_col=text_col,
         )
 
     # ---- stage 1: exact dedup (keep lowest id per identical text) -------

@@ -392,3 +392,46 @@ def test_language_model_gate_in_curation(spark):
     led = {r["doc_id"]: r for r in ledger.collect()}
     assert led[2]["stage"] == "language"
     assert led[2]["reason"] == "lang_pred=zh"
+
+
+def test_exact_substr_transform_in_curation(spark):
+    """exact_substr_k cuts every corpus-repeated >=k run BEFORE the
+    gates: both carriers keep their unique prose minus the shared
+    paragraph, a doc that WAS only the shared paragraph hollows out
+    and dies at too_short (which names the death), and the exact-dedup
+    hash sees cleaned text."""
+    shared = (
+        "this exact promotional paragraph appears verbatim in several "
+        "documents and must be cut from all of them before training "
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first document body with plenty of words here "
+                + shared + "and a unique tail for document one", "en"),
+            (2, shared + "second document unique content follows the "
+                "shared header with enough distinct words", "en"),
+            (3, shared, "en"),  # nothing but the shared span
+        ],
+        "doc_id int, text string, lang string",
+    )
+    kept, ledger = curate_corpus(
+        docs,
+        min_tokens=5,
+        jaccard_threshold=0.95,
+        exact_substr_k=40,
+    )
+    kept_rows = {r.doc_id: r.text for r in kept.collect()}
+    assert set(kept_rows) == {1, 2}
+    for t in kept_rows.values():
+        assert "promotional paragraph" not in t
+    assert "unique tail for document one" in kept_rows[1]
+    assert "second document unique content" in kept_rows[2]
+    entries = {r.doc_id: (r.stage, r.reason) for r in ledger.collect()}
+    assert entries[3] == ("quality", "too_short")
+    # transform off → the shared paragraph survives in kept docs
+    kept_off, _ = curate_corpus(
+        docs, min_tokens=5, jaccard_threshold=0.95
+    )
+    assert any(
+        "promotional paragraph" in r.text for r in kept_off.collect()
+    )

@@ -1108,3 +1108,48 @@ def test_warc_cdx_seekable_index(spark, tmp_path):
     assert [r.record_length for r in nolen[:-1]] == [
         r.record_length for r in got[:-1]
     ]
+
+
+def test_surt_key_differential_generated_urls(spark):
+    """surt_key vs an independently written Python SURT over
+    component-generated URLs (hosts × paths × queries × ports ×
+    case) — the recipe is the contract; the two implementations must
+    agree byte-for-byte."""
+    import itertools
+
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.warc import surt_key
+
+    def py_surt(url):
+        # independent implementation of the documented recipe
+        from urllib.parse import urlsplit
+
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            return None
+        host = (parts.hostname or "").lower()
+        if not host:
+            return None
+        if host.startswith("www."):
+            host = host[4:]
+        key = ",".join(reversed(host.split("."))) + ")"
+        path = (parts.path or "/").lower() or "/"
+        key += path
+        if parts.query:
+            key += "?" + "&".join(sorted(parts.query.lower().split("&")))
+        return key
+
+    hosts = ["example.com", "WWW.Example.COM", "sub.www.example.org",
+             "x.co.uk"]
+    paths = ["", "/", "/A/b", "/idx.HTML"]
+    queries = ["", "?b=2&a=1", "?Z=1&a=2&M=3"]
+    urls = [
+        f"http://{h}{p}{q}"
+        for h, p, q in itertools.product(hosts, paths, queries)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r.k for r in df.select(surt_key("url").alias("k")).collect()
+    ]
+    want = [py_surt(u) for u in urls]
+    assert got == want
