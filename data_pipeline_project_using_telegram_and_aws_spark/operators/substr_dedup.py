@@ -181,3 +181,184 @@ def remove_spans(
     return out.withColumn(
         text_col, F.when(F.col("__m").isNull(), text).otherwise(cut)
     ).drop("__spans", "__m")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (streaming) form — the `dedup_ingest` pattern applied to
+# spans: a persisted gram-position index classifies each new batch,
+# new documents land already cut, and repeats discovered against
+# ALREADY-LANDED documents become retro-span ledger rows for a
+# compaction pass (you cannot rewrite history inside the batch, and
+# silently keeping the old copy would break the cut-all-copies
+# policy — the ledger is the honest middle).
+
+
+def build_gram_index(
+    docs: DataFrame,
+    table: str,
+    k: int = 50,
+    buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist every k-gram position of the corpus as a bucketed
+    (gram_hash, doc_id, pos, admit_batch) table, hash-bucketed so
+    batch probes are co-located joins. One row per character of
+    corpus — the same n-entries cost the suffix array pays; the index
+    IS the dedup state, so it is priced like the corpus it guards.
+    Corpus-built rows carry ``admit_batch = -1`` (a foreachBatch id is
+    never negative, so the replay exemption in
+    :func:`exact_substr_against_index` can never fire on them)."""
+    spark = docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    text = F.col(text_col)
+    n_pos = F.length(text) - k + 1
+    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    (
+        docs.select(
+            F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("pos")
+        )
+        .select(
+            _gram_hash(F.col("__t"), F.col("pos"), k).alias("gram_hash"),
+            F.col(id_col).alias("doc_id"),
+            "pos",
+            F.lit(-1).cast("long").alias("admit_batch"),
+        )
+        .repartition(buckets, F.col("gram_hash"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "gram_hash")
+        .sortBy("gram_hash")
+        .saveAsTable(table)
+    )
+
+
+def append_to_gram_index(
+    spark,
+    docs: DataFrame,
+    table: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> None:
+    """Grow the index with an admitted batch's gram positions —
+    stamped with ``batch_id`` so replays of the same delivery are
+    exempted at probe time (None stamps -1, which never matches).
+    NOTE the grams indexed are those of the ORIGINAL batch text (the
+    probe input), not the cut text: a later doc repeating a span this
+    batch carried must still match it, exactly as it would have in
+    the one-shot batch computation."""
+    text = F.col(text_col)
+    n_pos = F.length(text) - k + 1
+    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    stamp = F.lit(int(batch_id) if batch_id is not None else -1).cast(
+        "long"
+    )
+    (
+        docs.select(
+            F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("pos")
+        )
+        .select(
+            _gram_hash(F.col("__t"), F.col("pos"), k).alias("gram_hash"),
+            F.col(id_col).alias("doc_id"),
+            "pos",
+            stamp.alias("admit_batch"),
+        )
+        .select(*spark.table(table).columns)
+        .write.mode("append")
+        .insertInto(table)
+    )
+
+
+def exact_substr_against_index(
+    spark,
+    batch: DataFrame,
+    table: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Classify one batch against the persisted gram index: returns
+    ``(cleaned, batch_spans, retro_spans)``.
+
+    - ``cleaned`` — the batch with every span cut whose k-windows
+      repeat either WITHIN the batch (the one-shot ``min_count=2``
+      semantics) or against the indexed corpus;
+    - ``batch_spans`` — the spans that were cut (id, span_start,
+      span_length), for the audit trail;
+    - ``retro_spans`` — spans over ALREADY-INDEXED documents whose
+      grams this batch re-matched: the corpus-side occurrences the
+      cut-all-copies policy still owes. Land them in a ledger and
+      apply with :func:`remove_spans` at compaction time (they merge
+      across batches by construction — remove_spans merges overlaps).
+
+    Replay contract (the `dedup_ingest` scoping): index rows stamped
+    with THIS ``batch_id`` are ignored at probe time, so an
+    at-least-once re-delivery classifies exactly as the first one —
+    same cleaned text, same span sets — and the partition rewrites
+    are byte-stable. A document re-sent under a NEW batch id matches
+    its own indexed grams like any other duplicate: its copy is cut
+    and the original earns retro spans, which `remove_spans`' overlap
+    merge makes idempotent downstream.
+
+    Plan: batch grams (projection + explode) → ONE hash-keyed join
+    against the bucketed index (batch side shuffles, corpus side
+    reads in place) → per-doc island windows on each side."""
+    text = F.col(text_col)
+    n_pos = F.length(text) - k + 1
+    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = batch.select(
+        F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("__p")
+    ).select(
+        F.col(id_col),
+        F.col("__p"),
+        _gram_hash(F.col("__t"), F.col("__p"), k).alias("__h"),
+    ).localCheckpoint(eager=False)
+    exempt = F.lit(int(batch_id) if batch_id is not None else -2)
+    idx = spark.table(table).filter(F.col("admit_batch") != exempt)
+    corpus_hits = idx.join(
+        grams.select("__h").distinct(),
+        idx["gram_hash"] == F.col("__h"),
+    ).localCheckpoint(eager=False)
+    within = (
+        grams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("__h")
+    )
+    dup_hashes = within.union(
+        corpus_hits.select(F.col("gram_hash").alias("__h"))
+    ).distinct()
+    marked = grams.join(dup_hashes, "__h").select(id_col, "__p")
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__p"))
+    batch_spans = (
+        marked.withColumn("__island", F.col("__p") - rn)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("__p").alias("span_start"),
+            (F.max("__p") - F.min("__p") + k).alias("span_length"),
+        )
+        .drop("__island")
+    )
+    cleaned = remove_spans(batch, batch_spans, id_col, text_col)
+    retro_pos = corpus_hits.select("doc_id", F.col("pos").alias("__p")).distinct()
+    rrn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("__p")
+    )
+    retro_spans = (
+        retro_pos.withColumn("__island", F.col("__p") - rrn)
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("__p").alias("span_start"),
+            (F.max("__p") - F.min("__p") + k).alias("span_length"),
+        )
+        .drop("__island")
+    )
+    return cleaned, batch_spans, retro_spans
