@@ -9,7 +9,10 @@ here so the shared `multimodal` injection points (features, resize)
 read JPEGs like any other container.
 
 Scope, stated exactly:
-- Baseline DCT (SOF0), 8-bit precision, grayscale or 3-component
+- Baseline DCT (SOF0) and extended sequential DCT (SOF1 — identical
+  entropy coding, the standard carrier for 12-bit samples), 8- or
+  12-bit precision (12-bit output is uint16 0..4095, level shift
+  2048, 16-bit DQT entries honored), grayscale or 3-component
   YCbCr, component sampling factors 1-2 in each axis (4:4:4, 4:2:2,
   4:2:0 and friends), restart intervals (DRI/RSTn), stuffed 0xFF00
   bytes, multiple DQT/DHT segments, APPn/COM skipped.
@@ -20,17 +23,16 @@ Scope, stated exactly:
   intervals; coefficients accumulate in per-component stores and the
   image reconstructs once at EOI through the same dequantize → IDCT →
   upsample tail as baseline.
-- REJECTED loudly, never approximated: extended sequential (SOF1)
-  and every other non-SOF0/SOF2 frame type, arithmetic coding (DAC),
-  12-bit precision, 4-component CMYK/Adobe transforms, sampling
-  factors > 2.
+- REJECTED loudly, never approximated: lossless/hierarchical and
+  every other non-SOF0/1/2 frame type, arithmetic coding (DAC),
+  4-component CMYK/Adobe transforms, sampling factors > 2.
 
 Pipeline per scan: canonical Huffman tables from DHT (code lengths →
 codes in count order), MSB-first bit reader over the de-stuffed
 entropy stream, per-block DC-diff + AC run-length decode into zigzag
 order, dequantize, de-zigzag, IDCT via two dense 8×8 matrix products
 (``A.T @ block @ A`` with the orthonormal DCT-II basis — exact to
-float64 round-off, no fast-IDCT integer approximations), +128 level
+float64 round-off, no fast-IDCT integer approximations), +2^(P-1) level
 shift, per-component planes assembled MCU by MCU, chroma replicated
 up to full resolution (the nearest-neighbor choice is stated — JPEG
 does not standardize the upsampling filter), BT.601 YCbCr→RGB.
@@ -215,9 +217,10 @@ def _decode_block(r, dc_table, ac_table, pred: int):
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 1) grayscale or (h, w, 3) RGB uint8.
-    Raises ValueError quoting exactly what it cannot honor (module
-    docstring has the supported/rejected matrix)."""
+    """JPEG → (h, w, 1) grayscale or (h, w, 3) RGB; uint8 for 8-bit
+    precision, uint16 (0..4095) for 12-bit. Raises ValueError quoting
+    exactly what it cannot honor (module docstring has the
+    supported/rejected matrix)."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError(f"not a jpeg (leading bytes {raw[:2]!r})")
     pos = 2
@@ -244,18 +247,20 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
+                if pq not in (0, 1):
                     raise ValueError(
-                        "jpeg 16-bit quantization tables unsupported "
-                        "(8-bit baseline only)"
+                        f"jpeg DQT element precision {pq} invalid"
                     )
-                qbody = body[i + 1 : i + 65]
-                if len(qbody) < 64:
+                # pq=1: 16-bit big-endian entries (the 12-bit-sample
+                # companion per T.81 B.2.4.1)
+                width = 64 * (pq + 1)
+                qbody = body[i + 1 : i + 1 + width]
+                if len(qbody) < width:
                     raise ValueError("jpeg DQT segment truncated")
                 qtables[tq] = np.frombuffer(
-                    qbody, dtype=np.uint8
+                    qbody, dtype=(">u2" if pq else np.uint8)
                 ).astype(np.int32)
-                i += 65
+                i += 1 + width
         elif marker == 0xC4:  # DHT: one or more tables
             i = 0
             while i < len(body):
@@ -275,13 +280,15 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                     )
                 htables[(tc, th)] = _build_huffman(counts, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (the 12-bit
+            # carrier, same entropy coding) / SOF2 progressive
             if frame is not None:
                 raise ValueError("jpeg has multiple SOF frame headers")
             precision = body[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise ValueError(
-                    f"jpeg precision {precision} unsupported (8 only)"
+                    f"jpeg precision {precision} unsupported (8/12 only)"
                 )
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -301,14 +308,15 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                     )
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {
-                "h": h, "w": w, "comps": comps,
+                "h": h, "w": w, "comps": comps, "precision": precision,
                 "progressive": marker == 0xC2,
             }
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"jpeg SOF 0x{marker:02x} unsupported - baseline "
-                "(SOF0) and progressive (SOF2) only"
+                "(SOF0), extended sequential (SOF1) and progressive "
+                "(SOF2) only"
             )
         elif marker == 0xCC:
             raise ValueError("jpeg arithmetic coding unsupported")
@@ -420,6 +428,12 @@ def _reconstruct(frame, coef_store, qtables) -> np.ndarray:
     if h < 1 or w < 1:
         raise ValueError(f"jpeg dimensions {w}x{h} invalid")
     hmax, vmax, mcux, mcuy = _geometry(frame)
+    # level shift / range / output dtype follow the sample precision
+    # (T.81 A.3.1: shift by 2^(P-1)); 12-bit output is uint16 0..4095
+    prec = frame.get("precision", 8)
+    mid = 1 << (prec - 1)
+    top = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     for c in comps:
         if c["tq"] not in qtables:
             raise ValueError(
@@ -431,7 +445,7 @@ def _reconstruct(frame, coef_store, qtables) -> np.ndarray:
         zz = coef_store[ci].reshape(-1, 64) * qtables[c["tq"]][None, :]
         blocks = np.zeros((zz.shape[0], 8, 8), dtype=np.float64)
         blocks[:, _ZZ_ROWS, _ZZ_COLS] = zz
-        spatial = _idct_blocks(blocks) + 128.0
+        spatial = _idct_blocks(blocks) + float(mid)
         by, bx = mcuy * c["v"], mcux * c["h"]
         plane = (
             spatial.reshape(by, bx, 8, 8)
@@ -446,14 +460,14 @@ def _reconstruct(frame, coef_store, qtables) -> np.ndarray:
         )
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(planes[0]), 0, top).astype(dtype)
         return y[:, :, None]
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - float(mid))
+    g = y - 0.344136 * (cb - float(mid)) - 0.714136 * (cr - float(mid))
+    b = y + 1.772 * (cb - float(mid))
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, top).astype(dtype)
 
 
 # --------------------------------------------------- progressive (SOF2)

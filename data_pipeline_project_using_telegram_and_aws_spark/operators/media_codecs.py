@@ -15,9 +15,9 @@ supported/rejected matrix). No PIL/ffmpeg needed. They plug into
 multi-frame shape now has a REAL decoder), upgrading that module's
 story from "deterministic fake, real plumbing" to "real decode for
 the common image containers, library-injection for the rest" — the
-environment gate now covers 12-bit JPEG, MP3/AAC, and video frames
-(progressive JPEG decodes for real since round 10; see
-`operators/jpeg.py`).
+environment gate now covers MP3/AAC and video frames only
+(progressive JPEG decodes for real since round 10, 12-bit
+sequential/extended JPEG since round 11; see `operators/jpeg.py`).
 
 Formats, exactly as published:
 - PPM P6 (Netpbm): ASCII header ``P6 <w> <h> <maxval>`` with
@@ -797,7 +797,8 @@ def numpy_image_decoder(batch: pd.DataFrame) -> pd.DataFrame:
         raw = bytes(media) if media is not None else b""
         try:
             n_frames = 1
-            if sniff_format(raw) == "gif":  # features from frame 0,
+            kind = sniff_format(raw)
+            if kind == "gif":  # features from frame 0,
                 # but report the REAL frame count (1→N metadata)
                 frames, _delays = decode_gif(raw)
                 n_frames = len(frames)
@@ -807,7 +808,16 @@ def numpy_image_decoder(batch: pd.DataFrame) -> pd.DataFrame:
         except ValueError as e:
             raise ValueError(f"media_id={media_id}: {e}") from e
         h, w = px.shape[:2]
-        f = px.reshape(-1, 3).astype(np.float64) / 255.0
+        # normalize by the CONTAINER's sample range so an image reads
+        # the same features at every precision: 12-bit JPEG decodes
+        # to uint16 0..4095, 16-bit PNG to uint16 0..65535, everything
+        # else 8-bit — the dtype alone cannot distinguish the first
+        # two, the container can
+        if px.dtype == np.uint16:
+            full = 4095.0 if kind == "jpeg" else 65535.0
+        else:
+            full = 255.0
+        f = px.reshape(-1, 3).astype(np.float64) / full
         means, stds = f.mean(axis=0), f.std(axis=0)
         luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
         feature = [

@@ -126,7 +126,8 @@ _AC_COUNTS = [0, 2, 0, 0, 0, 0, 0, 0, 160] + [0] * 7
 
 def _jpeg_bytes(
     h, w, comps, blocks_by_comp, qtables, *, restart_interval=0,
-    sof_marker=0xC0, dc_spec=None, ac_spec=None
+    sof_marker=0xC0, dc_spec=None, ac_spec=None, precision=8,
+    dqt_16bit=False
 ):
     """comps: [(cid, hs, vs, tq)]; blocks_by_comp[ci] = list of
     zigzag-order 64-int arrays in MCU scan order."""
@@ -136,8 +137,15 @@ def _jpeg_bytes(
     ac_map = _canon_encode_table(ac_counts, ac_syms)
     out = bytearray(b"\xff\xd8")
     for tq, table in qtables.items():
-        out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in table))
-    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        if dqt_16bit:
+            out += _seg(0xDB, bytes([0x10 | tq]) + b"".join(
+                int(x).to_bytes(2, "big") for x in table
+            ))
+        else:
+            out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in table))
+    sof_body = (
+        bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    )
     sof_body += bytes([len(comps)])
     for cid, hs, vs, tq in comps:
         sof_body += bytes([cid, (hs << 4) | vs, tq])
@@ -321,23 +329,30 @@ def test_jpeg_failures_are_loud():
     good = _jpeg_bytes(8, 8, [(1, 1, 1, 0)], [[_dc_block(4)]], {0: Q16})
     with pytest.raises(ValueError, match="not a jpeg"):
         decode_jpeg(b"PNGish")
-    # SOF2 is now a supported green path (tests/test_jpeg_progressive)
-    # — SOF1 extended-sequential stays loudly rejected
-    with pytest.raises(ValueError, match="SOF 0xc1"):
+    # SOF0/1/2 are supported green paths since round 11 — lossless
+    # (SOF3) stays loudly rejected
+    with pytest.raises(ValueError, match="SOF 0xc3"):
         decode_jpeg(
             _jpeg_bytes(8, 8, [(1, 1, 1, 0)], [[_dc_block(4)]],
-                        {0: Q16}, sof_marker=0xC1)
+                        {0: Q16}, sof_marker=0xC3)
         )
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(good[: len(good) // 2])
     with pytest.raises(ValueError, match="no decodable scan"):
         decode_jpeg(b"\xff\xd8\xff\xd9")
-    # 16-bit quant table
+    # flipping pq=1 on an 8-bit-sized DQT segment promises 128 bytes
+    # the segment does not hold — truncation, loudly
     bad = bytearray(good)
     dqt_at = bad.index(b"\xff\xdb")
     bad[dqt_at + 4] = 0x10
-    with pytest.raises(ValueError, match="16-bit quantization"):
+    with pytest.raises(ValueError, match="DQT segment truncated"):
         decode_jpeg(bytes(bad))
+    # precision 10 exists in no standard profile - rejected
+    with pytest.raises(ValueError, match="precision 10"):
+        decode_jpeg(
+            _jpeg_bytes(8, 8, [(1, 1, 1, 0)], [[_dc_block(4)]],
+                        {0: Q16}, precision=10)
+        )
     # truncated DHT: counts promise 5 symbols, segment ships 2 — must
     # be ValueError (quarantine contract), not an IndexError escaping
     # media_ingest._decode_or_error's per-row catch
@@ -465,3 +480,73 @@ def test_full_block_and_zrl_runs():
             )
         want = np.clip(np.round(want), 0, 255)
         assert np.abs(px - want).max() <= 1
+
+
+# --------------------------------------------- 12-bit precision (SOF1)
+
+_DC16_COUNTS = [0, 0, 0, 12, 4] + [0] * 11  # categories 0..15
+_DC16_SYMBOLS = list(range(16))
+
+
+def test_12bit_flat_gray_exact():
+    """Extended sequential (SOF1), 12-bit samples, 16-bit DQT with
+    q=1: a flat block with DC=7616 must decode to exactly
+    7616/8 + 2048 = 3000 at every pixel, as uint16."""
+    raw = _jpeg_bytes(
+        8, 8, [(1, 1, 1, 0)], [[_dc_block(7616)]], {0: Q1},
+        sof_marker=0xC1, precision=12, dqt_16bit=True,
+        dc_spec=(_DC16_COUNTS, _DC16_SYMBOLS),
+    )
+    px = decode_jpeg(raw)
+    assert px.dtype == np.uint16 and px.shape == (8, 8, 1)
+    assert (px == 3000).all()
+
+
+def test_12bit_16bit_dqt_large_entries():
+    """A quantizer entry above 255 (only representable in the pq=1
+    form) scales the DC exactly: q=300, DC=8 → 300*8/8 + 2048 =
+    2348."""
+    raw = _jpeg_bytes(
+        8, 8, [(1, 1, 1, 0)], [[_dc_block(8)]], {0: [300] * 64},
+        sof_marker=0xC1, precision=12, dqt_16bit=True,
+        dc_spec=(_DC16_COUNTS, _DC16_SYMBOLS),
+    )
+    px = decode_jpeg(raw)
+    assert (px == 2348).all()
+
+
+def test_12bit_color_conversion_centers_on_2048():
+    """4:4:4 color at 12-bit: flat Y/Cb/Cr planes convert with the
+    2048 chroma center (the 8-bit formulas' 128, scaled) — checked
+    against independently computed float expressions."""
+    y_v, cb_v, cr_v = 2600, 2300, 1800
+    blocks = [
+        [_dc_block((y_v - 2048) * 8)],
+        [_dc_block((cb_v - 2048) * 8)],
+        [_dc_block((cr_v - 2048) * 8)],
+    ]
+    raw = _jpeg_bytes(
+        8, 8, [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)], blocks,
+        {0: Q1}, sof_marker=0xC1, precision=12, dqt_16bit=True,
+        dc_spec=(_DC16_COUNTS, _DC16_SYMBOLS),
+    )
+    px = decode_jpeg(raw)
+    assert px.dtype == np.uint16 and px.shape == (8, 8, 3)
+    r = round(y_v + 1.402 * (cr_v - 2048))
+    g = round(y_v - 0.344136 * (cb_v - 2048) - 0.714136 * (cr_v - 2048))
+    b = round(y_v + 1.772 * (cb_v - 2048))
+    want = [min(max(v, 0), 4095) for v in (r, g, b)]
+    assert px[0, 0].tolist() == want
+    assert (px == np.array(want, dtype=np.uint16)).all()
+
+
+def test_sof1_8bit_decodes_like_baseline():
+    """SOF1 at 8-bit is byte-identical entropy coding to SOF0 — the
+    two markers must decode to the same pixels."""
+    base = _jpeg_bytes(8, 8, [(1, 1, 1, 0)], [[_dc_block(64)]], {0: Q16})
+    ext = _jpeg_bytes(
+        8, 8, [(1, 1, 1, 0)], [[_dc_block(64)]], {0: Q16},
+        sof_marker=0xC1,
+    )
+    assert (decode_jpeg(base) == decode_jpeg(ext)).all()
+    assert decode_jpeg(ext).dtype == np.uint8

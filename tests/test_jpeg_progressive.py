@@ -183,7 +183,8 @@ def _block_grid(comps, blocks_by_comp, h, w):
 
 
 def _progressive_jpeg_bytes(
-    h, w, comps, blocks_by_comp, qtables, scans, *, restart_interval=0
+    h, w, comps, blocks_by_comp, qtables, scans, *, restart_interval=0,
+    precision=8
 ):
     """comps: [(cid, hs, vs, tq)]; blocks_by_comp[ci]: zigzag blocks in
     MCU order (same convention as the baseline builder); scans: list of
@@ -192,7 +193,9 @@ def _progressive_jpeg_bytes(
     out = bytearray(b"\xff\xd8")
     for tq, table in qtables.items():
         out += _seg(0xDB, bytes([tq]) + bytes(int(x) for x in table))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof = (
+        bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    )
     sof += bytes([len(comps)])
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
@@ -463,3 +466,23 @@ def test_real_progressive_files_decode():
         # stripes are bright: the global mean must sit in the upper
         # half of the range (a garbled decode lands near 0 or noise)
         assert px.mean() > 128, (path, px.mean())
+
+
+def test_progressive_12bit_dc_then_ac():
+    """Progressive at 12-bit precision: a DC-first + AC-first scan
+    pair reconstructs with the 2048 level shift and uint16 output —
+    the shared `_reconstruct` tail, exercised through the SOF2
+    path."""
+    import numpy as np
+
+    blocks = [[0] * 64]
+    blocks[0][0] = 7616  # DC: 7616/8 + 2048 = 3000 flat
+    # DC-first at Al=3 keeps the sent magnitude in the encoder's
+    # category range; the decoder stores 952<<3 = 7616 directly
+    raw = _progressive_jpeg_bytes(
+        8, 8, [(1, 1, 1, 0)], [blocks], {0: [1] * 64},
+        [([0], 0, 0, 0, 3), ([0], 1, 63, 0, 0)],
+        precision=12,
+    )
+    px = decode_jpeg(raw)
+    assert px.dtype == np.uint16 and (px == 3000).all()
