@@ -474,6 +474,7 @@ def pagerank(
         )
 
     done = 0
+    delta = None  # None = convergence never measured (max_iters < 1)
     while done < max_iters:
         steps = min(check_every, max_iters - done)
         prev = ranks
@@ -491,8 +492,9 @@ def pagerank(
         if delta is not None and delta < tol:
             return ranks
     raise RuntimeError(
-        f"pagerank did not converge in {max_iters} rounds "
-        f"(last L1 delta {delta:.2e} >= tol {tol:.0e})"
+        f"pagerank did not converge in {max_iters} rounds (last L1 "
+        f"delta {'unmeasured' if delta is None else f'{delta:.2e}'} "
+        f">= tol {tol:.0e})"
     )
 
 
@@ -506,8 +508,9 @@ def schedule_fetches(
 ) -> DataFrame:
     """Politeness schedule for a fetch round: each frontier URL gets
     its host's crawl-delay (from `robots.robots_directives` rows,
-    specific user-agent beating ``*``, parse-failures and
-    out-of-range values clamped into ``(0, max_delay]``), a
+    specific user-agent beating ``*``; parse failures and
+    non-positive values fall back to ``default_delay``, oversized
+    ones cap at ``max_delay``), a
     deterministic per-host ``fetch_slot`` (md5 order — the same dice
     `build_frontier`'s cap uses), and ``planned_offset_s = slot ×
     delay``: the earliest start time relative to the round's t0 that
@@ -524,12 +527,11 @@ def schedule_fetches(
     out = frontier.withColumn("host", host)
     if directives is not None:
         ua = F.lower(F.col("user_agent"))
+        # only rows addressed to THIS agent or to '*' apply — a
+        # generic crawler must not adopt another bot's delay
         cand = (
             directives.filter(F.col("kind") == "crawl-delay")
-            .filter(
-                ua.isin(user_agent.lower(), "*")
-                | F.lit(user_agent == "*")
-            )
+            .filter(ua.isin(user_agent.lower(), "*"))
             .select(
                 "host",
                 # specific-UA rows beat '*' rows: rank and keep min
@@ -538,7 +540,12 @@ def schedule_fetches(
                 .alias("__pref"),
                 F.col("value").try_cast("double").alias("__delay"),
             )
-            .filter(F.col("__delay").isNotNull())
+            # non-positive delays are malformed like unparseable ones:
+            # both fall back to default_delay (docstring: the usable
+            # range is (0, max_delay])
+            .filter(
+                F.col("__delay").isNotNull() & (F.col("__delay") > 0)
+            )
         )
         best = F.row_number().over(
             Window.partitionBy("host").orderBy("__pref", "__delay")
@@ -548,10 +555,9 @@ def schedule_fetches(
             .filter(F.col("__rn") == 1)
             .select(
                 "host",
-                F.least(
-                    F.greatest(F.col("__delay"), F.lit(0.0)),
-                    F.lit(max_delay),
-                ).alias("crawl_delay"),
+                F.least(F.col("__delay"), F.lit(max_delay)).alias(
+                    "crawl_delay"
+                ),
             )
         )
         out = out.join(F.broadcast(delays), "host", "left")
@@ -661,6 +667,7 @@ def hits(
         eager=False
     )
     done = 0
+    delta = None  # None = convergence never measured (max_iters < 1)
     while done < max_iters:
         steps = min(check_every, max_iters - done)
         prev = hub
@@ -679,8 +686,9 @@ def hits(
             break
     else:
         raise RuntimeError(
-            f"hits did not converge in {max_iters} rounds "
-            f"(last L1 delta {delta:.2e} >= tol {tol:.0e})"
+            f"hits did not converge in {max_iters} rounds (last L1 "
+            f"delta {'unmeasured' if delta is None else f'{delta:.2e}'} "
+            f">= tol {tol:.0e})"
         )
     # final authority from the converged hub, one more half-step
     auth = normalized(

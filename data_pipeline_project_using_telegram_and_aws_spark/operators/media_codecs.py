@@ -780,8 +780,9 @@ def _decode(raw: bytes):
         return decode_jpeg(raw)
     raise ValueError(
         f"undecodable container (leading bytes {raw[:8]!r}): this "
-        "environment decodes ppm/bmp/png/gif/baseline-jpeg only - "
-        "inject a PIL/ffmpeg decoder for other formats"
+        "environment decodes ppm/bmp/png/gif/jpeg (baseline, "
+        "progressive, 12-bit extended sequential) only - inject a "
+        "PIL/ffmpeg decoder for other formats"
     )
 
 

@@ -57,6 +57,45 @@ def _gram_hash(text, pos, k: int):
     ).cast("long")
 
 
+def _gram_rows(
+    df: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __p, __h) — one row per k-gram position (1-based), hashed.
+    The ONE implementation of the explode+hash projection every
+    function in this module builds on, so the gram recipe cannot
+    drift between the batch, index-build, and probe paths."""
+    text = F.col(text_col)
+    n_pos = F.length(text) - k + 1
+    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("__p")
+    ).select(
+        F.col(id_col),
+        F.col("__p"),
+        _gram_hash(F.col("__t"), F.col("__p"), k).alias("__h"),
+    )
+
+
+def _stitch_spans(
+    marked: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Maximal runs of consecutive marked positions → (id, span_start,
+    span_length) — the gaps-and-islands stitch (consecutive positions
+    share ``p - row_number``), shared by every span producer here."""
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__p"))
+    return (
+        marked.withColumn("__island", F.col("__p") - rn)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("__p").alias("span_start"),
+            (F.max("__p") - F.min("__p") + k).alias("span_length"),
+        )
+        .drop("__island")
+    )
+
+
 def exact_substring_spans(
     df: DataFrame,
     k: int = 50,
@@ -76,18 +115,7 @@ def exact_substring_spans(
     same n log n on one machine). It shuffles on a uniform 48-bit
     hash, so there is no skew; duplicated-hash survivors are the only
     rows that travel into the join."""
-    text = F.col(text_col)
-    n_pos = F.length(text) - k + 1
-    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = df.select(
-        F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("__p")
-    ).select(
-        F.col(id_col),
-        F.col("__p"),
-        _gram_hash(F.col("__t"), F.col("__p"), k).alias("__h"),
-    )
+    grams = _gram_rows(df, k, id_col, text_col)
     dup = (
         grams.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -95,18 +123,7 @@ def exact_substring_spans(
         .select("__h")
     )
     marked = grams.join(dup, "__h").select(id_col, "__p")
-    # island stitch: consecutive duplicated positions share
-    # (p - row_number) — the classic gaps-and-islands key
-    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__p"))
-    islands = marked.withColumn("__island", F.col("__p") - rn)
-    return (
-        islands.groupBy(id_col, "__island")
-        .agg(
-            F.min("__p").alias("span_start"),
-            (F.max("__p") - F.min("__p") + k).alias("span_length"),
-        )
-        .drop("__island")
-    )
+    return _stitch_spans(marked, k, id_col)
 
 
 def remove_spans(
@@ -211,19 +228,12 @@ def build_gram_index(
     :func:`exact_substr_against_index` can never fire on them)."""
     spark = docs.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    text = F.col(text_col)
-    n_pos = F.length(text) - k + 1
-    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
-        F.array().cast("array<int>")
-    )
     (
-        docs.select(
-            F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("pos")
-        )
+        _gram_rows(docs, k, id_col, text_col)
         .select(
-            _gram_hash(F.col("__t"), F.col("pos"), k).alias("gram_hash"),
+            F.col("__h").alias("gram_hash"),
             F.col(id_col).alias("doc_id"),
-            "pos",
+            F.col("__p").alias("pos"),
             F.lit(-1).cast("long").alias("admit_batch"),
         )
         .repartition(buckets, F.col("gram_hash"))
@@ -250,22 +260,15 @@ def append_to_gram_index(
     probe input), not the cut text: a later doc repeating a span this
     batch carried must still match it, exactly as it would have in
     the one-shot batch computation."""
-    text = F.col(text_col)
-    n_pos = F.length(text) - k + 1
-    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
-        F.array().cast("array<int>")
-    )
     stamp = F.lit(int(batch_id) if batch_id is not None else -1).cast(
         "long"
     )
     (
-        docs.select(
-            F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("pos")
-        )
+        _gram_rows(docs, k, id_col, text_col)
         .select(
-            _gram_hash(F.col("__t"), F.col("pos"), k).alias("gram_hash"),
+            F.col("__h").alias("gram_hash"),
             F.col(id_col).alias("doc_id"),
-            "pos",
+            F.col("__p").alias("pos"),
             stamp.alias("admit_batch"),
         )
         .select(*spark.table(table).columns)
@@ -309,18 +312,9 @@ def exact_substr_against_index(
     Plan: batch grams (projection + explode) → ONE hash-keyed join
     against the bucketed index (batch side shuffles, corpus side
     reads in place) → per-doc island windows on each side."""
-    text = F.col(text_col)
-    n_pos = F.length(text) - k + 1
-    pos_seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
-        F.array().cast("array<int>")
+    grams = _gram_rows(batch, k, id_col, text_col).localCheckpoint(
+        eager=False
     )
-    grams = batch.select(
-        F.col(id_col), text.alias("__t"), F.explode(pos_seq).alias("__p")
-    ).select(
-        F.col(id_col),
-        F.col("__p"),
-        _gram_hash(F.col("__t"), F.col("__p"), k).alias("__h"),
-    ).localCheckpoint(eager=False)
     exempt = F.lit(int(batch_id) if batch_id is not None else -2)
     idx = spark.table(table).filter(F.col("admit_batch") != exempt)
     corpus_hits = idx.join(
@@ -337,28 +331,95 @@ def exact_substr_against_index(
         corpus_hits.select(F.col("gram_hash").alias("__h"))
     ).distinct()
     marked = grams.join(dup_hashes, "__h").select(id_col, "__p")
-    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("__p"))
-    batch_spans = (
-        marked.withColumn("__island", F.col("__p") - rn)
-        .groupBy(id_col, "__island")
-        .agg(
-            F.min("__p").alias("span_start"),
-            (F.max("__p") - F.min("__p") + k).alias("span_length"),
-        )
-        .drop("__island")
-    )
+    batch_spans = _stitch_spans(marked, k, id_col)
     cleaned = remove_spans(batch, batch_spans, id_col, text_col)
-    retro_pos = corpus_hits.select("doc_id", F.col("pos").alias("__p")).distinct()
-    rrn = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("__p")
-    )
-    retro_spans = (
-        retro_pos.withColumn("__island", F.col("__p") - rrn)
-        .groupBy("doc_id", "__island")
-        .agg(
-            F.min("__p").alias("span_start"),
-            (F.max("__p") - F.min("__p") + k).alias("span_length"),
-        )
-        .drop("__island")
-    )
+    retro_pos = corpus_hits.select(
+        "doc_id", F.col("pos").alias("__p")
+    ).distinct()
+    retro_spans = _stitch_spans(retro_pos, k, "doc_id")
     return cleaned, batch_spans, retro_spans
+
+
+def translate_spans_to_cut(
+    spans: DataFrame,
+    door_spans: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map spans expressed in a document's ORIGINAL coordinates onto
+    the text that remains after ``door_spans`` were cut from it
+    (`remove_spans` semantics: merged intervals deleted, pieces
+    concatenated). Needed because the streaming gram index speaks
+    original coordinates while the good zone stores door-cut text —
+    settling a retro span without this translation deletes the wrong
+    bytes whenever the landed document was itself cut at admission.
+
+    For each span ``[s, e)``: the landed position of original offset
+    ``x`` is ``x − Σ |d ∩ [1, x)|`` over the (merged) door intervals
+    ``d``; the translated span is ``[m(s), m(e))``, which clips away
+    any part the door already deleted, and vanishes (dropped) when it
+    lay entirely inside door cuts. One broadcast-sized groupBy on the
+    door spans + one keyed join + two HOF folds — no Python."""
+    doors = door_spans.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start").alias("s"),
+                        (
+                            F.col("span_start") + F.col("span_length")
+                        ).alias("e"),
+                    )
+                )
+            ),
+            F.expr("cast(array() as array<struct<s:int,e:int>>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (x["s"] <= F.element_at(acc, -1)["e"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], x["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("__doors")
+    )
+
+    def removed_before(x):
+        # total door-interval length strictly before original offset x
+        return F.aggregate(
+            F.coalesce(
+                F.col("__doors"),
+                F.expr("cast(array() as array<struct<s:int,e:int>>)"),
+            ),
+            F.lit(0),
+            lambda acc, d: acc
+            + F.greatest(F.least(d["e"], x) - d["s"], F.lit(0)),
+        )
+
+    e = F.col("span_start") + F.col("span_length")
+    new_s = F.col("span_start") - removed_before(F.col("span_start"))
+    new_e = e - removed_before(e)
+    # collision-free output names first: aliasing the translated value
+    # back to "span_start" in the same select would let lateral column
+    # alias resolution rewrite the sibling expression to read the NEW
+    # value (observed: the translated span_length silently went ≤ 0)
+    return (
+        spans.join(doors, id_col, "left")
+        .select(
+            id_col,
+            new_s.alias("__ns"),
+            (new_e - new_s).alias("__nl"),
+        )
+        .filter(F.col("__nl") > 0)
+        .select(
+            id_col,
+            F.col("__ns").alias("span_start"),
+            F.col("__nl").alias("span_length"),
+        )
+    )

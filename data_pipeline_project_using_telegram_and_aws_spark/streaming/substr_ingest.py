@@ -37,6 +37,7 @@ from ..operators.substr_dedup import (
     build_gram_index,
     exact_substr_against_index,
     remove_spans,
+    translate_spans_to_cut,
 )
 
 
@@ -140,6 +141,7 @@ def start_substr_ingest_stream(
 def apply_retro_spans(
     corpus: DataFrame,
     retro: DataFrame,
+    door_spans: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -147,10 +149,24 @@ def apply_retro_spans(
     recorded span from the landed corpus (`remove_spans` merges
     overlapping rows from different batches, so accumulation is
     idempotent). Run it when rewriting the good zone anyway —
-    compaction, erasure, re-packing — never as its own scan."""
-    return remove_spans(
-        corpus,
-        retro.select(id_col, "span_start", "span_length"),
-        id_col,
-        text_col,
-    )
+    compaction, erasure, re-packing — never as its own scan.
+
+    COORDINATES: retro spans speak the documents' ORIGINAL text (the
+    gram index is built from pre-cut batch text, by contract), but
+    the good zone stores DOOR-CUT text. Pass the spans audit zone
+    (``spans_path``) as ``door_spans`` and the ledger rows are
+    translated through the door cuts
+    (`substr_dedup.translate_spans_to_cut`) before cutting —
+    without it (None), the settlement asserts the corpus text was
+    never door-cut (true for corpora built by the BATCH operator with
+    pre-cut input, false in general for the streaming good zone:
+    passing None there deletes the wrong bytes from any landed doc
+    that was itself cut at admission)."""
+    spans = retro.select(id_col, "span_start", "span_length")
+    if door_spans is not None:
+        spans = translate_spans_to_cut(
+            spans,
+            door_spans.select(id_col, "span_start", "span_length"),
+            id_col,
+        )
+    return remove_spans(corpus, spans, id_col, text_col)

@@ -187,6 +187,13 @@ def test_pagerank_matches_reference_and_analytic_cases(spark):
             spark.createDataFrame(star, "src long, dst long"),
             max_iters=1, tol=1e-15,
         )
+    # max_iters=0 raises the same RuntimeError (delta never measured),
+    # not a NameError from the unbound loop variable
+    with pytest.raises(RuntimeError, match="unmeasured"):
+        pagerank(
+            spark.createDataFrame(star, "src long, dst long"),
+            max_iters=0,
+        )
 
 
 def test_build_frontier_splice(spark):
@@ -305,6 +312,19 @@ def test_schedule_fetches_politeness(spark):
         assert got[u] == ("a.com", slot, 0.5, slot * 0.5)
     # b.com's '*' delay does not parse → default_delay 1.0
     assert got["http://b.com/x"] == ("b.com", 0, 1.0, 0.0)
+    # a delay scoped to ANOTHER bot never applies to this agent, and
+    # non-positive delays fall back to the default like parse failures
+    other = spark.createDataFrame(
+        [("a.com", "crawl-delay", "slowbot", "0.1"),
+         ("b.com", "crawl-delay", "*", "-5")],
+        "host string, kind string, user_agent string, value string",
+    )
+    scoped = {
+        r.url: r.crawl_delay
+        for r in schedule_fetches(frontier, other).collect()
+    }
+    assert scoped["http://a.com/1"] == 1.0  # slowbot's 0.1 ignored
+    assert scoped["http://b.com/x"] == 1.0  # -5 rejected
     # generic agent: '*' applies (2.5s), capped at max_delay
     star = {
         r.url: r.crawl_delay

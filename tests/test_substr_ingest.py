@@ -91,12 +91,14 @@ def test_substr_ingest_end_to_end(spark, tmp_path):
         "a completely unrelated document body"
     )
 
-    # settle the ledger: the corpus copy is cut too
+    # settle the ledger: the corpus copy is cut too (the spans audit
+    # zone rides along as the door-cut coordinate base)
     settled = {
         r.doc_id: r.text
         for r in apply_retro_spans(
             spark.read.parquet(str(tmp_path / "good")).drop("ingest_batch"),
             spark.read.parquet(str(tmp_path / "retro")),
+            door_spans=spark.read.parquet(str(tmp_path / "spans")),
         ).collect()
     }
     assert settled[3] == ""
@@ -152,4 +154,54 @@ def test_replay_of_indexed_batch_is_stable(spark, tmp_path):
     )
     assert cleaned2.collect()[0].text == ""
     assert retro2.collect()[0].doc_id == 1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_retro_spans_translate_through_door_cuts(spark, tmp_path):
+    """The landed doc was ITSELF cut at its own admission: retro
+    spans (original coordinates) must translate through the door cuts
+    before settling, or the wrong bytes are deleted. Batch 0 lands
+    A = P+X and B = P+Y (P repeats in-batch, cut from both); batch 1
+    brings C containing X → retro span for A in ORIGINAL coordinates.
+    Settlement with the spans zone removes exactly X from A's landed
+    text (leaving the empty string); without translation it would
+    leave a prefix of X behind."""
+    table = "substr_door_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    src = tmp_path / "src"
+    src.mkdir()
+    P = "shared-prefix-paragraph repeated across both documents!"
+    X = "unique continuation for document A long enough to match"
+    Y = "a different continuation for document B with other words"
+    assert len(P) >= K and len(X) >= K
+    spark.createDataFrame(
+        [(1, P + X), (2, P + Y)], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+    _start(spark, src, table, tmp_path).awaitTermination(120)
+    good = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "good")).collect()
+    }
+    assert good[1] == X and good[2] == Y  # P cut at the door
+
+    spark.createDataFrame(
+        [(9, "zz " + X + " tail")], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    _start(spark, src, table, tmp_path).awaitTermination(120)
+    retro = spark.read.parquet(str(tmp_path / "retro")).collect()
+    assert {r.doc_id for r in retro} == {1}
+    (r1,) = retro
+    # original coordinates: X begins after P
+    assert r1.span_start == len(P) + 1 and r1.span_length == len(X)
+
+    settled = {
+        r.doc_id: r.text
+        for r in apply_retro_spans(
+            spark.read.parquet(str(tmp_path / "good")).drop("ingest_batch"),
+            spark.read.parquet(str(tmp_path / "retro")),
+            door_spans=spark.read.parquet(str(tmp_path / "spans")),
+        ).collect()
+    }
+    assert settled[1] == ""   # X fully removed from the landed text
+    assert settled[2] == Y    # untouched
     spark.sql(f"DROP TABLE IF EXISTS {table}")
