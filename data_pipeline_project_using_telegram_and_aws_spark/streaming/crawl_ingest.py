@@ -49,6 +49,7 @@ def ingest_crawl_batch(
     good_path: str,
     other_path: str,
     quarantine_path: str,
+    cdx_path: str | None = None,
 ) -> None:
     spark = batch.sparkSession
 
@@ -106,6 +107,24 @@ def ingest_crawl_batch(
         .partitionBy("ingest_batch")
         .parquet(other_path)
     )
+    if cdx_path is not None:
+        # CDX sidecar: the seek index over every clean response record
+        # in the batch's archives (the CDX convention indexes the
+        # whole archive — 404s and media too, not just the good zone),
+        # with record lengths completed from binaryFile's file sizes.
+        from ..sources.warc import warc_cdx
+
+        flen = batch.select(
+            F.col("path").alias("warc_file"),
+            F.col("length").alias("file_length"),
+        )
+        (
+            warc_cdx(parsed, file_lengths=flen)
+            .select("*", stamp)
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(cdx_path)
+        )
     pages = parsed.filter(is_good).select(
         "record_id",
         F.col("target_uri").alias("url"),
@@ -141,10 +160,13 @@ def start_crawl_ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    cdx_path: str | None = None,
 ) -> StreamingQuery:
     """Streaming WARC landing dir → good/other/quarantine zones (module
-    recipe). The binaryFile source discovers whole files — matching the
-    crawl's own delivery unit."""
+    recipe), plus an optional CDX seek-index sidecar (``cdx_path`` —
+    `sources/warc.py warc_cdx` rows per batch, the archive+index
+    layout public crawl corpora ship). The binaryFile source discovers
+    whole files — matching the crawl's own delivery unit."""
     # streaming sources need the schema stated; binaryFile's is fixed
     reader = spark.readStream.format("binaryFile").schema(
         "path string, modificationTime timestamp, "
@@ -158,7 +180,8 @@ def start_crawl_ingest_stream(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         ingest_crawl_batch(
-            batch, batch_id, good_path, other_path, quarantine_path
+            batch, batch_id, good_path, other_path, quarantine_path,
+            cdx_path=cdx_path,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

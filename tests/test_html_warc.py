@@ -739,12 +739,31 @@ def test_streaming_crawl_front_door(spark, tmp_path):
     raw = open(str(src / "b0.warc.gz"), "rb").read()
     open(str(src / "broken.warc.gz"), "wb").write(raw[:100])
 
+    cdx = str(tmp_path / "cdx")
     start_crawl_ingest_stream(
-        spark, str(src), good, other, quar, ck
+        spark, str(src), good, other, quar, ck, cdx_path=cdx
     ).awaitTermination(120)
     g = spark.read.parquet(good).collect()
     o = spark.read.parquet(other).collect()
     q = spark.read.parquet(quar).collect()
+    # CDX sidecar: every CLEAN response record of the batch indexed
+    # (good + other zones; the torn file contributed only quarantine),
+    # lengths completed from binaryFile file sizes, offsets seekable
+    import gzip as _gz
+
+    c = sorted(
+        spark.read.parquet(cdx).collect(), key=lambda r: r.record_offset
+    )
+    assert [r.url for r in c] == [
+        "http://a.com/", "http://a.com/img", "http://a.com/gone",
+    ]
+    assert [r.status for r in c] == [200, 200, 404]
+    assert c[0].urlkey == "com,a)/"
+    blob = open(str(src / "b0.warc.gz"), "rb").read()
+    for r in c:
+        piece = blob[r.record_offset:r.record_offset + r.record_length]
+        assert piece[:2] == b"\x1f\x8b" and _gz.decompress(piece)
+    assert c[-1].record_offset + c[-1].record_length == len(blob)
     assert [r.url for r in g] == ["http://a.com/"]
     assert g[0].meta["title"] == "A" and prose in g[0].text
     assert prose in g[0].main_text
