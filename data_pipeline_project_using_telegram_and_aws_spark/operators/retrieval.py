@@ -248,3 +248,141 @@ def _score(
         .filter(F.col("rank") <= top)
         .orderBy(query_id_col, "rank")
     )
+
+
+def bm25f_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: dict[str, float],
+    top: int | None = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = K1,
+    b: float | dict[str, float] = B,
+) -> DataFrame:
+    """(query_id, doc_id, bm25f) — simple BM25F (Robertson &
+    Zaragoza's field-weighted variant): per-field term frequencies are
+    length-normalized within their OWN field, weight-combined into one
+    pseudo-frequency, and saturated once —
+
+        tf̃(t, d) = Σ_f  w_f · tf_{t,f} / B_f,
+        B_f = (1 − b_f) + b_f · dl_f / avgdl_f,
+        score = Σ_t idf(t) · tf̃ / (k1 + tf̃)
+
+    — which is what makes anchor text usable as a retrieval field: a
+    repeated two-word anchor must not saturate the whole document the
+    way concatenating it into the body would. ``fields`` maps column
+    names on ``docs`` (e.g. title/body/anchor text columns) to their
+    weights; ``b`` is a scalar or a per-field dict. idf uses the same
+    +0.5 Robertson form as :func:`bm25_scores`, with df = number of
+    documents containing the term in ANY field.
+
+    Plan shape: one explode + (doc, term)-keyed aggregation per field
+    (each restricted to the broadcast query-term set BEFORE its
+    shuffle, like the large-query bm25 path), a union, one combine
+    aggregation, and broadcast scalar field averages. Missing/empty
+    fields contribute nothing (B_f guarded against zero-length
+    fields). The dedicated single-field machinery keeps its faster
+    row-local dispatch; this function is the multi-field serving
+    shape."""
+    if not fields:
+        raise ValueError("bm25f_scores: fields must be non-empty")
+    b_of = (
+        {f: float(b) for f in fields} if not isinstance(b, dict) else b
+    )
+    missing = [f for f in fields if f not in b_of]
+    if missing:
+        raise ValueError(f"bm25f_scores: b missing for fields {missing}")
+    qterms = (
+        _term_rows(queries, query_id_col, query_text_col)
+        .select(query_id_col, "term")
+        .dropDuplicates([query_id_col, "term"])
+    )
+    qset = qterms.select("term").dropDuplicates(["term"])
+
+    # broadcast per-field corpus averages + doc count (fields of docs
+    # with zero tokens in a field count as length 0 there; a document
+    # participates if ANY field has tokens)
+    def toklen(col):
+        return F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(col), F.lit("")), " "),
+                lambda t: t != "",
+            )
+        )
+
+    consts = docs.select(
+        *[toklen(f).alias(f"__dl_{f}") for f in fields]
+    ).filter(
+        sum(F.col(f"__dl_{f}") for f in fields) > 0
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.avg(f"__dl_{f}").alias(f"avgdl_{f}") for f in fields],
+    )
+
+    parts = []
+    for f, w in fields.items():
+        tf_f = (
+            _term_rows(
+                docs.select(
+                    id_col, F.coalesce(F.col(f), F.lit("")).alias(f)
+                ),
+                id_col,
+                f,
+            )
+            .join(F.broadcast(qset), "term")
+            .groupBy(id_col, "term", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .crossJoin(F.broadcast(consts))
+        )
+        bf = F.lit(1.0 - b_of[f]) + F.lit(b_of[f]) * F.col("dl") / F.col(
+            f"avgdl_{f}"
+        )
+        parts.append(
+            tf_f.select(
+                id_col,
+                "term",
+                "n_docs",
+                (F.lit(float(w)) * F.col("tf") / bf).alias("__wtf"),
+            )
+        )
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.unionByName(p)
+    pseudo = combined.groupBy(id_col, "term", "n_docs").agg(
+        F.sum("__wtf").alias("__tfc"), F.count(F.lit(1)).alias("__nf")
+    )
+    # df: documents containing the term in any field
+    dfreq = pseudo.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        pseudo.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    idf * F.col("__tfc") / (F.lit(float(k1)) + F.col("__tfc"))
+                ),
+                4,
+            ).alias("bm25f")
+        )
+    )
+    if top is None:
+        return scored
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.desc("bm25f"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w_rank).cast("long")
+        )
+        .filter(F.col("rank") <= top)
+        .orderBy(query_id_col, "rank")
+    )

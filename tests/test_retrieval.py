@@ -146,3 +146,108 @@ def test_rowlocal_and_explode_paths_agree(spark, monkeypatch):
     assert {(r.doc_id, r.bm25) for r in fast} == {
         (r.doc_id, r.bm25) for r in slow
     }
+
+
+def test_bm25f_matches_independent_implementation(spark):
+    """Simple BM25F vs a dict-based Python reference on a
+    three-field corpus (body/title/anchor) — scores equal to the
+    4-dp rounding, ranking included, and the field saturation
+    property holds (anchor-term spam cannot outrank a genuine body
+    match the weights favor)."""
+    import math
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval import (
+        bm25f_scores,
+    )
+
+    docs = [
+        # (id, body, title, anchor)
+        (1, "spark engine for large data processing jobs",
+         "spark engine", "spark"),
+        (2, "a cooking blog about pasta and sauces",
+         "pasta sauces", "spark spark spark spark spark spark"),
+        (3, "distributed query engine internals and planning",
+         "query planning", ""),
+        (4, "", None, "engine"),
+    ]
+    fields = {"body": 1.0, "title": 2.0, "anchor": 0.5}
+    K1, B = 1.2, 0.75
+
+    def py_bm25f(query):
+        qts = sorted(set(query.split()))
+        # field lengths + averages over docs with any tokens
+        dls = {
+            d: {
+                "body": len(b.split()),
+                "title": len((t or "").split()),
+                "anchor": len((a or "").split()),
+            }
+            for d, b, t, a in docs
+        }
+        pop = [d for d in dls if sum(dls[d].values()) > 0]
+        avg = {
+            f: sum(dls[d][f] for d in pop) / len(pop)
+            for f in fields
+        }
+        txt = {d: {"body": b, "title": t or "", "anchor": a or ""}
+               for d, b, t, a in docs}
+        out = {}
+        for d in pop:
+            s = 0.0
+            for t in qts:
+                tfc = 0.0
+                for f, w in fields.items():
+                    tf = txt[d][f].split().count(t)
+                    if tf == 0:
+                        continue
+                    bf = (1 - B) + B * dls[d][f] / avg[f]
+                    tfc += w * tf / bf
+                if tfc == 0.0:
+                    continue
+                df = sum(
+                    1 for d2 in pop
+                    if any(t in txt[d2][f].split() for f in fields)
+                )
+                idf = math.log(
+                    1.0 + (len(pop) - df + 0.5) / (df + 0.5)
+                )
+                s += idf * tfc / (K1 + tfc)
+            if s > 0:
+                out[d] = round(s, 4)
+        return out
+
+    queries = spark.createDataFrame(
+        [(1, "spark engine"), (2, "pasta")],
+        "query_id int, query_text string",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.bm25f
+        for r in bm25f_scores(
+            spark.createDataFrame(
+                docs, "doc_id int, body string, title string, anchor string"
+            ),
+            queries,
+            fields,
+            top=None,
+        ).collect()
+    }
+    for qid, qtext in [(1, "spark engine"), (2, "pasta")]:
+        want = py_bm25f(qtext)
+        mine = {d: s for (q, d), s in got.items() if q == qid}
+        assert mine == want, (qid, mine, want)
+    # saturation property: doc 1 (real body+title match) beats doc 2
+    # (anchor-spam only) on "spark"
+    ranked = {
+        r.doc_id: r.rank
+        for r in bm25f_scores(
+            spark.createDataFrame(
+                docs, "doc_id int, body string, title string, anchor string"
+            ),
+            spark.createDataFrame(
+                [(9, "spark")], "query_id int, query_text string"
+            ),
+            fields,
+            top=5,
+        ).collect()
+    }
+    assert ranked[1] < ranked[2]
