@@ -951,6 +951,7 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
     from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
         build_frontier,
         link_graph,
+        schedule_fetches,
     )
     from data_pipeline_project_using_telegram_and_aws_spark.operators.robots import parse_robots_txt
     from data_pipeline_project_using_telegram_and_aws_spark.streaming.crawl_ingest import (
@@ -1000,6 +1001,25 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
     want_next = {"http://b.com/open"}
     assert {r.url for r in frontier.collect()} == want_next
     # a.com/1 <-> a.com/2 already crawled; /private robots-blocked
+
+    # politeness: the frontier schedules against the hosts' robots
+    # crawl-delays before fetching (operators/links.schedule_fetches)
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.robots import (
+        robots_directives,
+    )
+
+    directives = robots_directives(
+        spark.createDataFrame(
+            [("b.com",
+              "User-agent: *\nCrawl-delay: 2.5\nDisallow: /private\n")],
+            "host string, body string",
+        )
+    )
+    sched = {
+        r.url: (r.crawl_delay, r.planned_offset_s)
+        for r in schedule_fetches(frontier, directives).collect()
+    }
+    assert sched["http://b.com/open"] == (2.5, 0.0)
 
     # round 2: 'fetch' the frontier, land it, resume the stream
     write_warc_responses(

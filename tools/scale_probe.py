@@ -507,12 +507,21 @@ def probe_graph(spark, n_edges: int) -> dict:
         .count()
     )
     t_star = time.time() - t0
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import hits
+
+    t0 = time.time()
+    hits(edges, tol=1e-4, max_iters=60).agg(
+        F.sum("authority")
+    ).collect()
+    t_hits = time.time() - t0
     return {
         "n_edges": n_edges,
         "n_nodes": n_nodes,
         "components": n_comp,
         "pagerank_sec": round(t_pr, 2),
         "star_cc_sec": round(t_star, 2),
+        "hits_sec": round(t_hits, 2),
     }
 
 
