@@ -400,6 +400,7 @@ def pagerank(
     max_iters: int = 100,
     tol: float = 1e-6,
     check_every: int = 4,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) with Σrank = 1 over the DIRECTED edge set —
     damped power iteration with uniform dangling-mass redistribution
@@ -418,7 +419,16 @@ def pagerank(
     — last round vs the one before it) is collected only every
     ``check_every`` rounds. One action per ``check_every`` rounds; a
     convergence hit between checks costs at most ``check_every - 1``
-    extra cheap rounds."""
+    extra cheap rounds.
+
+    ``init`` (optional): a previous (node, rank) result to WARM-START
+    from — the crawl loop's shape, where each round adds a few edges
+    to a big graph and the old ranks are already near the new fixed
+    point, so convergence needs a handful of rounds instead of the
+    full log(tol)/log(d) budget. New nodes (absent from ``init``)
+    enter at 1/n; the seed is L1-renormalized over the CURRENT node
+    set, so stale extra nodes in ``init`` are ignored and Σrank = 1
+    holds from round one."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -434,9 +444,24 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=False
-    )
+    if init is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        seeded = nodes.join(
+            init.select("node", F.col("rank").alias("__seed")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce("__seed", F.lit(1.0 / n)).alias("rank"),
+        )
+        total = seeded.agg(
+            F.coalesce(F.sum("rank"), F.lit(1.0)).alias("__z")
+        )
+        ranks = seeded.crossJoin(F.broadcast(total)).select(
+            "node", (F.col("rank") / F.col("__z")).alias("rank")
+        )
+    ranks = ranks.localCheckpoint(eager=False)
 
     def one_round(cur: DataFrame) -> DataFrame:
         with_deg = cur.join(

@@ -391,3 +391,61 @@ def test_hits_matches_reference_and_analytic_cases(spark):
     for k in hub:
         assert abs(got[k][0] - hub[k]) < 1e-5, ("hub", k)
         assert abs(got[k][1] - auth[k]) < 1e-5, ("auth", k)
+
+
+def test_pagerank_warm_start_same_fixed_point(spark):
+    """Warm-starting from a previous result converges to the SAME
+    ranks (the fixed point is unique), handles new nodes entering at
+    uniform, ignores stale nodes, and renormalizes the seed; a
+    converged seed re-converges within one check segment."""
+    import random
+
+    rng = random.Random(11)
+    edges = list({
+        (rng.randrange(10), rng.randrange(10)) for _ in range(25)
+    })
+    edges = [(s, t) for s, t in edges if s != t]
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    cold = pagerank(e1, tol=1e-10, max_iters=300)
+    warm = pagerank(e1, tol=1e-10, max_iters=300, init=cold)
+    c = {r.node: r.rank for r in cold.collect()}
+    w = {r.node: r.rank for r in warm.collect()}
+    assert set(c) == set(w)
+    for k in c:
+        assert abs(c[k] - w[k]) < 1e-8, k
+
+    # grow the graph: a new node 99 hanging off node 0 — warm start
+    # from the OLD result (99 absent, every old node present)
+    e2 = spark.createDataFrame(
+        edges + [(0, 99)], "src long, dst long"
+    )
+    grown_cold = {
+        r.node: r.rank
+        for r in pagerank(e2, tol=1e-10, max_iters=300).collect()
+    }
+    grown_warm = {
+        r.node: r.rank
+        for r in pagerank(
+            e2, tol=1e-10, max_iters=300, init=cold
+        ).collect()
+    }
+    assert set(grown_cold) == set(grown_warm)
+    for k in grown_cold:
+        assert abs(grown_cold[k] - grown_warm[k]) < 1e-7, k
+    assert abs(sum(grown_warm.values()) - 1.0) < 1e-8
+
+    # stale seed nodes (a shrunk graph) are ignored
+    e3 = spark.createDataFrame(edges[:5], "src long, dst long")
+    shrunk = {
+        r.node: r.rank
+        for r in pagerank(
+            e3, tol=1e-10, max_iters=300, init=cold
+        ).collect()
+    }
+    want = {
+        r.node: r.rank
+        for r in pagerank(e3, tol=1e-10, max_iters=300).collect()
+    }
+    assert set(shrunk) == set(want)
+    for k in want:
+        assert abs(shrunk[k] - want[k]) < 1e-8, k
