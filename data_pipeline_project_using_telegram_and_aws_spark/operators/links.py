@@ -349,6 +349,7 @@ def build_frontier(
     crawled_url_col: str = "url",
     user_agent: str = "*",
     max_per_host: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """The next crawl round's fetch list from the good zone's
     ``outlinks`` arrays (the `streaming/crawl_ingest.py` output):
@@ -358,13 +359,23 @@ def build_frontier(
     are given) → optionally capped per host in deterministic md5
     order (the politeness bound a fetch scheduler wants). One
     explode + one anti-join + one host-keyed window when capped —
-    every step keyed, nothing all-pairs."""
+    every step keyed, nothing all-pairs.
+
+    ``seeds`` (optional): extra candidate URLs unioned in BEFORE the
+    canonical-key dedup — the `sitemap_urls` hookup (robots
+    `robots_directives` sitemap rows → fetched sitemaps → seed URLs)
+    and the operator's entry point for hand-curated seed lists; they
+    ride the same crawled-set anti-join and robots gate as
+    discovered outlinks."""
     from pyspark.sql.window import Window
 
     from .robots import robots_gate
 
+    cand = good.select(F.explode(F.col(outlinks_col)).alias("url"))
+    if seeds is not None:
+        cand = cand.unionByName(seeds.select(F.col("url")))
     cand = (
-        good.select(F.explode(F.col(outlinks_col)).alias("url"))
+        cand
         .withColumn("__key", normalize_url("url"))
         .filter(F.col("__key").isNotNull())
         # ONE candidate per canonical key (not per raw string):
@@ -401,6 +412,7 @@ def pagerank(
     tol: float = 1e-6,
     check_every: int = 4,
     init: DataFrame | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) with Σrank = 1 over the DIRECTED edge set —
     damped power iteration with uniform dangling-mass redistribution
@@ -428,7 +440,16 @@ def pagerank(
     full log(tol)/log(d) budget. New nodes (absent from ``init``)
     enter at 1/n; the seed is L1-renormalized over the CURRENT node
     set, so stale extra nodes in ``init`` are ignored and Σrank = 1
-    holds from round one."""
+    holds from round one.
+
+    ``personalization`` (optional): a (node, weight) frame making this
+    PERSONALIZED PageRank — teleport probability and dangling mass
+    both flow to the weighted nodes instead of uniformly (weights are
+    L1-normalized over the matched graph nodes; unmatched graph nodes
+    teleport-weight 0). The seed-focused authority signal
+    topic-targeted crawling ranks its frontier with. Raises if no
+    weight lands on any graph node (the teleport target would be
+    empty)."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -444,6 +465,25 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    if personalization is None:
+        pnodes = nodes.withColumn("__p", F.lit(1.0 / n))
+    else:
+        w = personalization.select(
+            F.col("node"), F.col("weight").cast("double").alias("__w")
+        )
+        matched = nodes.join(w, "node", "left").select(
+            "node", F.coalesce("__w", F.lit(0.0)).alias("__w")
+        )
+        z = matched.agg(F.sum("__w")).collect()[0][0]
+        if not z or z <= 0:
+            raise ValueError(
+                "pagerank: personalization weights match no graph "
+                "node (teleport target empty)"
+            )
+        pnodes = matched.select(
+            "node", (F.col("__w") / F.lit(float(z))).alias("__p")
+        )
+    pnodes = pnodes.localCheckpoint(eager=False)
     if init is None:
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     else:
@@ -485,14 +525,14 @@ def pagerank(
             .agg(F.sum("__share").alias("__in"))
         )
         return (
-            cur.select("node")
+            pnodes
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("__dangling") / n
+                    F.lit(1.0 - damping) * F.col("__p")
+                    + F.lit(damping) * F.col("__dangling") * F.col("__p")
                     + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
                 ).alias("rank"),
             )

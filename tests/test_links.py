@@ -449,3 +449,102 @@ def test_pagerank_warm_start_same_fixed_point(spark):
     assert set(shrunk) == set(want)
     for k in want:
         assert abs(shrunk[k] - want[k]) < 1e-8, k
+
+
+def test_personalized_pagerank(spark):
+    """Personalized teleport: ranks match an independent Python PPR
+    (teleport AND dangling mass flow to the weighted nodes), weights
+    renormalize over matched nodes, and an unmatched-only
+    personalization raises."""
+    import random
+
+    import pytest as _pytest
+
+    def py_ppr(edges, weights, d=0.85, iters=400):
+        nodes = sorted({x for e in edges for x in e})
+        z = sum(weights.get(x, 0.0) for x in nodes)
+        p = {x: weights.get(x, 0.0) / z for x in nodes}
+        out = {}
+        for s_, t_ in set(edges):
+            out.setdefault(s_, set()).add(t_)
+        rank = {x: 1.0 / len(nodes) for x in nodes}
+        for _ in range(iters):
+            dang = sum(rank[x] for x in nodes if x not in out)
+            nxt = {x: (1 - d) * p[x] + d * dang * p[x] for x in nodes}
+            for s_, ts in out.items():
+                for t_ in ts:
+                    nxt[t_] += d * rank[s_] / len(ts)
+            rank = nxt
+        return rank
+
+    rng = random.Random(23)
+    edges = list({
+        (rng.randrange(9), rng.randrange(9)) for _ in range(22)
+    })
+    edges = [(s, t) for s, t in edges if s != t]
+    weights = {0: 3.0, 4: 1.0, 777: 9.0}  # 777 not in the graph
+    e = spark.createDataFrame(edges, "src long, dst long")
+    pers = spark.createDataFrame(
+        list(weights.items()), "node long, weight double"
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            e, tol=1e-10, max_iters=400, personalization=pers
+        ).collect()
+    }
+    want = py_ppr(edges, weights)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+    # every weighted node in-graph beats its unpersonalized self is
+    # not guaranteed in general, but the teleport targets must carry
+    # positive rank
+    assert got[0] > 0 and got[4] > 0
+
+    with _pytest.raises(ValueError, match="match no graph node"):
+        pagerank(
+            e,
+            personalization=spark.createDataFrame(
+                [(777, 1.0)], "node long, weight double"
+            ),
+        )
+
+
+def test_build_frontier_seeds(spark):
+    """Sitemap/hand-curated seeds union into the frontier before the
+    canonical-key dedup, the crawled anti-join, and the robots gate."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
+        build_frontier,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.robots import (
+        parse_robots_txt,
+    )
+
+    good = spark.createDataFrame(
+        [(["http://a.com/found"],)], "outlinks array<string>"
+    )
+    seeds = spark.createDataFrame(
+        [("http://a.com/seeded",),
+         ("http://a.com/found?utm_source=x",),   # dup of discovered
+         ("http://a.com/crawled",),              # already crawled
+         ("http://a.com/private/x",)],           # robots-blocked
+        "url string",
+    )
+    crawled = spark.createDataFrame(
+        [("http://a.com/crawled",)], "url string"
+    )
+    rules = parse_robots_txt(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private\n")],
+            "host string, body string",
+        )
+    )
+    got = {
+        r.url
+        for r in build_frontier(
+            good, rules=rules, crawled=crawled, seeds=seeds
+        ).collect()
+    }
+    assert got == {"http://a.com/found", "http://a.com/seeded"}
