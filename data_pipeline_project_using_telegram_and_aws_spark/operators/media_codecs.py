@@ -1179,15 +1179,151 @@ AUDIO_FEATURE_SCHEMA_DDL = (
 )
 
 
+# G.711 companded byte → linear LUTs, built once from the spec
+# formulas (the published decode tables are exactly these expansions).
+_ULAW_LUT = None
+_ALAW_LUT = None
+
+
+def _g711_luts():
+    global _ULAW_LUT, _ALAW_LUT
+    if _ULAW_LUT is not None:
+        return _ULAW_LUT, _ALAW_LUT
+    b = np.arange(256, dtype=np.int32)
+    # μ-law (G.711 §4.2): complement, then BIAS-shifted exponent expand
+    u = ~b & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    _ULAW_LUT = np.where(u & 0x80, 0x84 - mag, mag - 0x84).astype(
+        np.float64
+    ) / 32768.0
+    # A-law (G.711 §4.1): XOR 0x55, segment 0 is linear, sign bit SET
+    # means positive (the opposite convention from μ-law)
+    a = b ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = ((a & 0x0F) << 4) + np.where(seg == 0, 8, 0x108)
+    mag = t << np.maximum(seg - 1, 0)
+    _ALAW_LUT = np.where(a & 0x80, mag, -mag).astype(np.float64) / 32768.0
+    return _ULAW_LUT, _ALAW_LUT
+
+
+# IMA/DVI ADPCM tables (IMA ADPCM reference algorithm): 89-entry step
+# sizes and the per-nibble step-index adjustment (sign bit irrelevant).
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJ = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _decode_ima_adpcm(
+    data: bytes,
+    channels: int,
+    block_align: int,
+    samples_per_block: int,
+    fact_samples: int | None,
+) -> np.ndarray:
+    """IMA ADPCM (WAVE format tag 0x11) → (n, channels) int32 PCM.
+    Block layout per the IMA WAV mapping: each ``block_align`` block
+    carries a 4-byte header per channel (int16 predictor = sample 0,
+    uint8 step index, reserved), then 4-byte-per-channel interleaved
+    groups of 8 low-nibble-first 4-bit codes. The nibble recurrence
+    is sequential WITHIN a block, so the loop runs over the ≤~500
+    in-block sample positions while every block (and channel) decodes
+    in one vectorized lane — the axis that grows with data size."""
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        raise ValueError(
+            f"ima adpcm data ({len(data)} bytes) shorter than one "
+            f"block (block_align={block_align})"
+        )
+    if block_align < 4 * channels + 4 * channels:
+        raise ValueError(
+            f"ima adpcm block_align={block_align} cannot hold "
+            f"{channels}-channel headers + one sample group"
+        )
+    blocks = np.frombuffer(
+        data[: n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+    hdr = blocks[:, : 4 * channels].reshape(n_blocks, channels, 4)
+    pred = (
+        (hdr[:, :, 0].astype(np.int32) | (hdr[:, :, 1].astype(np.int32) << 8))
+        .astype(np.uint16)
+        .astype(np.int16)
+        .astype(np.int32)
+    )
+    index = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4 * channels :]
+    n_groups = body.shape[1] // (4 * channels)
+    body = body[:, : n_groups * 4 * channels].reshape(
+        n_blocks, n_groups, channels, 4
+    )
+    nib = np.empty((n_blocks, n_groups, channels, 8), dtype=np.uint8)
+    nib[..., 0::2] = body & 0x0F
+    nib[..., 1::2] = body >> 4
+    nib = nib.transpose(0, 2, 1, 3).reshape(
+        n_blocks, channels, n_groups * 8
+    )
+    capacity = 1 + n_groups * 8
+    out = np.empty((n_blocks, channels, capacity), dtype=np.int32)
+    out[:, :, 0] = pred
+    for t in range(n_groups * 8):
+        n = nib[:, :, t].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(
+            pred + np.where(n & 8, -diff, diff), -32768, 32767
+        )
+        index = np.clip(index + _IMA_INDEX_ADJ[n & 7], 0, 88)
+        out[:, :, t + 1] = pred
+    if 0 < samples_per_block < capacity:
+        out = out[:, :, :samples_per_block]
+    samples = out.transpose(0, 2, 1).reshape(-1, channels)
+    if fact_samples is not None and 0 < fact_samples <= samples.shape[0]:
+        samples = samples[:fact_samples]
+    return samples
+
+
+# the fixed 14-byte tail every WAVE_FORMAT_EXTENSIBLE SubFormat GUID
+# shares (KSDATAFORMAT_SUBTYPE_*): the leading 2 bytes are the tag
+_WAVE_EXT_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def decode_wav(raw: bytes):
-    """RIFF/WAVE PCM (8- or 16-bit integer, format tag 1) →
-    (sample_rate, (n_samples, n_channels) float64 array in [-1, 1]).
-    Chunk-walks the container properly (fmt /data may be preceded by
-    LIST/fact chunks); raises ValueError naming anything it cannot
-    honor — compressed format tags need ffmpeg, not this module."""
+    """RIFF/WAVE → (sample_rate, (n_samples, n_channels) float64 in
+    [-1, 1]). Chunk-walks the container properly (fmt /data may be
+    preceded by LIST/fact chunks). Decodes, pure NumPy:
+
+    - tag 1 integer PCM at 8 (unsigned), 16, 24, 32 bits;
+    - tag 3 IEEE float at 32/64 bits (clipped to [-1, 1] — float WAV
+      may legally overshoot);
+    - tag 6/7 G.711 A-law/μ-law (LUT expansion per the spec formulas);
+    - tag 0x11 IMA/DVI ADPCM (block-vectorized, see
+      :func:`_decode_ima_adpcm`), honoring the fact chunk's sample
+      count and the fmt extension's wSamplesPerBlock;
+    - tag 0xFFFE WAVE_FORMAT_EXTENSIBLE, unwrapped to its SubFormat
+      tag (GUID tail validated).
+
+    Raises ValueError naming anything else (MP3-in-WAV and other
+    codec tags need external decoders, not this module)."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError(f"not a riff/wave (leading bytes {raw[:4]!r})")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
         size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
@@ -1196,20 +1332,59 @@ def decode_wav(raw: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = int.from_bytes(body[:4], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("wave missing fmt /data chunk")
     tag = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if tag != 1 or bits not in (8, 16):
-        raise ValueError(
-            f"wave format tag={tag} bits={bits}: only integer PCM "
-            "8/16-bit decodes without external codecs"
-        )
     if channels < 1 or rate < 1:
         raise ValueError(f"wave channels={channels} rate={rate} invalid")
+    if tag == 0xFFFE:
+        if len(fmt) < 40:
+            raise ValueError("wave extensible fmt chunk truncated")
+        if fmt[26:40] != _WAVE_EXT_GUID_TAIL:
+            raise ValueError(
+                f"wave extensible SubFormat GUID {fmt[24:40].hex()} "
+                "is not a KSDATAFORMAT subtype"
+            )
+        tag = int.from_bytes(fmt[24:26], "little")
+    if tag == 0x11:  # IMA ADPCM: bits is 4 (the code width), not PCM
+        spb = (
+            int.from_bytes(fmt[18:20], "little") if len(fmt) >= 20 else 0
+        )
+        samples = _decode_ima_adpcm(
+            data, channels, block_align, spb, fact
+        ).astype(np.float64) / 32768.0
+        return rate, samples
+    if tag in (6, 7):
+        if bits != 8:
+            raise ValueError(f"wave g711 tag={tag} bits={bits}: want 8")
+        ulaw, alaw = _g711_luts()
+        lut = ulaw if tag == 7 else alaw
+        n = len(data) // channels
+        codes = np.frombuffer(data[: n * channels], dtype=np.uint8)
+        return rate, lut[codes].reshape(n, channels)
+    if tag == 3:
+        if bits not in (32, 64):
+            raise ValueError(f"wave float bits={bits}: want 32/64")
+        dtype = "<f4" if bits == 32 else "<f8"
+        width = bits // 8
+        n = len(data) // (width * channels)
+        samples = np.frombuffer(
+            data[: n * width * channels], dtype=dtype
+        ).astype(np.float64)
+        return rate, np.clip(samples, -1.0, 1.0).reshape(n, channels)
+    if tag != 1 or bits not in (8, 16, 24, 32):
+        raise ValueError(
+            f"wave format tag={tag} bits={bits}: only PCM "
+            "8/16/24/32-bit, float, G.711, and IMA ADPCM decode "
+            "without external codecs"
+        )
     width = bits // 8
     n = len(data) // (width * channels)
     data = data[: n * width * channels]
@@ -1217,6 +1392,18 @@ def decode_wav(raw: bytes):
         samples = (
             np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
         )
+    elif bits == 32:
+        samples = (
+            np.frombuffer(data, dtype="<i4").astype(np.float64)
+            / 2147483648.0
+        )
+    elif bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(
+            np.int32
+        )
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend bit 23
+        samples = v.astype(np.float64) / 8388608.0
     else:  # 8-bit wav is UNSIGNED, midpoint 128
         samples = (
             np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0

@@ -195,7 +195,7 @@ def test_wav_failures_are_loud():
     # format tag 85 = mp3-in-wav: needs ffmpeg
     raw = bytearray(_wav_bytes())
     raw[20] = 85
-    with pytest.raises(ValueError, match="only integer PCM"):
+    with pytest.raises(ValueError, match="only PCM"):
         decode_wav(bytes(raw))
 
 
