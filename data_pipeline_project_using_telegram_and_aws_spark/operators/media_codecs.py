@@ -15,9 +15,12 @@ supported/rejected matrix). No PIL/ffmpeg needed. They plug into
 multi-frame shape now has a REAL decoder), upgrading that module's
 story from "deterministic fake, real plumbing" to "real decode for
 the common image containers, library-injection for the rest" — the
-environment gate now covers MP3/AAC and video frames only
-(progressive JPEG decodes for real since round 10, 12-bit
-sequential/extended JPEG since round 11; see `operators/jpeg.py`).
+environment gate now covers MP3/AAC audio and the compressed video
+bitstreams (H.264/H.265/VP9) only — progressive JPEG decodes for
+real since round 10, 12-bit sequential/extended JPEG since round 11
+(`operators/jpeg.py`); WAV now covers G.711 μ-law/A-law, IMA ADPCM,
+float and 24/32-bit PCM alongside FLAC; Y4M and AVI (MJPG/DIB)
+video frames decode for real in `operators/video.py`.
 
 Formats, exactly as published:
 - PPM P6 (Netpbm): ASCII header ``P6 <w> <h> <maxval>`` with
@@ -1127,12 +1130,17 @@ def probe_mp4(raw: bytes) -> dict:
 def extract_video_metadata(
     df, id_col: str = "media_id", media_col: str = "media"
 ):
-    """Distributed MP4 metadata triage — the video twin of
+    """Distributed video metadata triage — the video twin of
     `extract_audio_features`: same slim-projection ``mapInPandas``
     plumbing, VIDEO_META_SCHEMA_DDL rows, raises naming the media id
-    on non-BMFF bytes. Frame decode is NOT attempted (module note);
-    this is the filter stage before any codec-backed work."""
+    on unrecognized bytes. Container-dispatched (MP4 boxes, AVI
+    headers, Y4M stream scan — `operators/video.py probe_video`);
+    frame PIXELS are never touched here — this is the filter stage
+    before any codec-backed work (y4m/avi frames then decode for
+    real via `video.decode_video_frames`)."""
     from pyspark.sql import functions as F
+
+    from .video import probe_video
 
     slim = df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -1147,7 +1155,7 @@ def extract_video_metadata(
             for media_id, media in zip(batch["media_id"], batch["media"]):
                 raw = bytes(media) if media is not None else b""
                 try:
-                    meta = probe_mp4(raw)
+                    meta = probe_video(raw)
                 except ValueError as e:
                     raise ValueError(f"media_id={media_id}: {e}") from e
                 out.append(

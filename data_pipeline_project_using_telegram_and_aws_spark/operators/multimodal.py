@@ -188,8 +188,11 @@ def sample_frames(
     if frame_sampler is None:
         if not fake:
             raise NotImplementedError(
-                "frame sampling requires ffmpeg/OpenCV, not available in "
-                "this container; pass fake=True for the deterministic stub"
+                "no frame_sampler given: pass media_codecs."
+                "numpy_gif_frame_sampler (GIF) or video."
+                "numpy_video_frame_sampler (y4m / MJPG- or DIB-AVI) "
+                "for real decode, an ffmpeg/OpenCV sampler for other "
+                "codecs, or fake=True for the deterministic stub"
             )
         frame_sampler = fake_frame_batch
     slim = df.select(
