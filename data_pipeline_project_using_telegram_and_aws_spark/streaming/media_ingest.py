@@ -394,3 +394,176 @@ def start_audio_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------- video front door
+# The VIDEO edition of the same three-zone recipe. The triage stage is
+# METADATA-ONLY (`operators/video.py probe_video`: MP4 boxes, AVI
+# headers, Y4M stream scan) — frame pixels are never decoded at the
+# door, because at crawl scale the overwhelming video cost is codec
+# work that belongs to a downstream stage with its own budget
+# (`video.decode_video_frames` / `multimodal.sample_frames`).
+# Quarantine = probe raise (not a recognized container, torn
+# structure); reject = probed fine but below the resolution/duration
+# floors; good = the rest WITH the probe columns and a
+# ``frames_decodable`` flag telling downstream which rows the in-repo
+# decoders (y4m, MJPG/DIB-AVI) can open without external codecs.
+
+VIDEO_TRIAGE_DDL = (
+    "media_id long, container string, width int, height int, "
+    "duration_s double, n_tracks int, codecs array<string>, "
+    "frames_decodable boolean, decode_error string"
+)
+
+
+def _probe_video_or_error(batch_iter):
+    """Per-row container probe that converts ANY raise into a
+    (media_id, decode_error) row — the front-door doctrine."""
+    import pandas as pd
+
+    from ..operators.video import probe_video, sniff_video
+
+    cols = [
+        "media_id", "container", "width", "height", "duration_s",
+        "n_tracks", "codecs", "frames_decodable", "decode_error",
+    ]
+    for batch in batch_iter:
+        out = []
+        for media_id, media in zip(batch["media_id"], batch["media"]):
+            raw = bytes(media) if media is not None else b""
+            row = dict.fromkeys(cols)
+            row["media_id"] = media_id
+            try:
+                kind = sniff_video(raw)
+                meta = probe_video(raw)
+            except Exception as e:  # noqa: BLE001 — quarantine policy
+                row["decode_error"] = (
+                    f"{type(e).__name__}: {e}"[:200]
+                    if not isinstance(e, ValueError)
+                    else str(e)[:200]
+                )
+                out.append(row)
+                continue
+            codecs = meta.get("codecs") or []
+            row.update(
+                container=kind,
+                width=meta.get("width"),
+                height=meta.get("height"),
+                duration_s=meta.get("duration_s"),
+                n_tracks=meta.get("n_tracks"),
+                codecs=codecs,
+                frames_decodable=(
+                    kind == "y4m"
+                    or (
+                        kind == "avi"
+                        and any(c in ("MJPG", "DIB") for c in codecs)
+                    )
+                ),
+            )
+            out.append(row)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def ingest_video_batch(
+    batch: DataFrame,
+    batch_id: int,
+    good_path: str,
+    reject_path: str,
+    quarantine_path: str,
+    min_duration_s: float = 0.2,
+    min_width: int = 16,
+    min_height: int = 16,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> None:
+    spark = batch.sparkSession
+    slim = batch.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    ).localCheckpoint(eager=True)
+    stats = slim.mapInPandas(
+        _probe_video_or_error, VIDEO_TRIAGE_DDL
+    ).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stamp = F.lit(int(batch_id)).alias("ingest_batch")
+
+    quarantined = stats.filter(F.col("decode_error").isNotNull()).select(
+        "media_id", F.col("decode_error").alias("reason"), stamp
+    )
+    (
+        slim.join(F.broadcast(quarantined), "media_id")
+        .select("media_id", "media", "reason", "ingest_batch")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(quarantine_path)
+    )
+    scored = stats.filter(F.col("decode_error").isNull()).drop(
+        "decode_error"
+    )
+    # NULL probe values (duration unknown for some containers) pass
+    # the floor — rejecting on absent evidence would silently drop
+    # whole container families; the floors gate MEASURED defects
+    passes = (
+        F.coalesce(F.col("duration_s") >= min_duration_s, F.lit(True))
+        & F.coalesce(F.col("width") >= min_width, F.lit(True))
+        & F.coalesce(F.col("height") >= min_height, F.lit(True))
+    )
+    (
+        scored.filter(~passes)
+        .select("*", stamp)
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(reject_path)
+    )
+    good = scored.filter(passes)
+    (
+        slim.join(F.broadcast(good), "media_id")
+        .select(
+            "media_id", "media", "container", "width", "height",
+            "duration_s", "n_tracks", "codecs", "frames_decodable",
+            stamp,
+        )
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(good_path)
+    )
+
+
+def start_video_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    good_path: str,
+    reject_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    min_duration_s: float = 0.2,
+    min_width: int = 16,
+    min_height: int = 16,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """File-source stream of (media_id, media binary) parquet →
+    quarantine / reject / good zones, video edition (probe-only
+    triage; see the section note)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    stream = reader.parquet(source_dir)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ingest_video_batch(
+            batch, batch_id, good_path, reject_path, quarantine_path,
+            min_duration_s, min_width, min_height, id_col, media_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -286,3 +286,95 @@ def test_progressive_jpeg_flows_through_front_door(spark, tmp_path):
     q = {r.media_id: r for r in spark.read.parquet(quar).collect()}
     assert set(g) == {1} and set(q) == {2}
     assert g[1].width > 0 and g[1].brightness > 0.5  # white stripe
+
+
+def test_video_front_door_zones_resume_and_frame_sampling(spark, tmp_path):
+    """The video edition: probe-only triage (no pixels touched at the
+    door), Y4M/AVI goods with frames_decodable set, a tiny clip in
+    the reject zone WITH its probe columns, unknown containers
+    quarantined, conservation per batch, checkpoint resume, and the
+    good zone feeding the real frame sampler downstream."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        sample_frames,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.video import (
+        numpy_video_frame_sampler,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.media_ingest import (
+        start_video_ingest_stream,
+    )
+    from tests.test_video import _avi_bytes, _dib_frame, _y4m_bytes
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good, reject, quar = (
+        str(tmp_path / z) for z in ("good", "reject", "quar")
+    )
+    ck = str(tmp_path / "ck")
+    y4m = _y4m_bytes(
+        [
+            (np.full((16, 16), 60 + 20 * i), np.full((8, 8), 128),
+             np.full((8, 8), 128))
+            for i in range(6)
+        ],
+        16, 16,
+    )
+    avi = _avi_bytes(
+        [
+            _dib_frame(np.full((16, 16, 3), v, np.uint8))
+            for v in (10, 200)
+        ],
+        16, 16, b"\x00" * 4, rate=10, scale=1,
+    )
+    # 2x2 one-frame clip: probes fine, below both floors
+    tiny = _y4m_bytes(
+        [(np.full((2, 2), 80), np.full((1, 1), 128),
+          np.full((1, 1), 128))], 2, 2,
+    )
+    rows = [
+        (1, bytearray(y4m)),                         # good
+        (2, bytearray(avi)),                         # good
+        (3, bytearray(tiny)),                        # reject: floors
+        (4, bytearray(b"RIFF\x10\x00\x00\x00AVI corrupt")),  # quarantine
+        (5, bytearray(b"not video at all")),         # quarantine
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_video_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar, ck
+    ).awaitTermination(120)
+    g = {r.media_id: r for r in spark.read.parquet(good).collect()}
+    rj = {r.media_id: r for r in spark.read.parquet(reject).collect()}
+    q = {r.media_id: r for r in spark.read.parquet(quar).collect()}
+    assert set(g) == {1, 2} and set(rj) == {3} and set(q) == {4, 5}
+    assert len(g) + len(rj) + len(q) == len(rows)  # conservation
+    assert bytes(g[1].media) == y4m
+    assert g[1].container == "y4m" and g[1].frames_decodable
+    assert g[2].codecs == ["DIB"] and g[2].frames_decodable
+    # reject carries the probe columns that failed the gate
+    assert (rj[3].width, rj[3].height) == (2, 2)
+    assert q[4].reason and q[5].reason
+
+    # resume: only the new landing flows
+    spark.createDataFrame(
+        [(10, bytearray(avi))], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    start_video_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar, ck
+    ).awaitTermination(120)
+    gread = spark.read.parquet(good)
+    assert {r.media_id for r in gread.collect()} == {1, 2, 10}
+
+    # good zone -> real frame sampling downstream, decodable rows only
+    frames = sample_frames(
+        gread.filter("frames_decodable"),
+        max_frames=3,
+        frame_sampler=numpy_video_frame_sampler,
+    ).collect()
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r.media_id, set()).add(r.frame_index)
+    assert per_media[1] == {0, 2, 4}  # 6 frames strided to 3
+    assert per_media[2] == {0, 1}
+    assert per_media[10] == {0, 1}
