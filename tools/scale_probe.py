@@ -567,7 +567,86 @@ def probe_substr(spark, n_docs: int) -> dict:
     }
 
 
+def probe_video(spark, n_rows: int) -> dict:
+    """The video surface at growing corpus sizes: per-stage wall
+    times for (a) the front door's probe-only triage (header walks,
+    no pixels) and (b) real Y4M frame decode + hashing through
+    `multimodal.sample_frames`. Both are single mapInPandas stages
+    with zero data-dependent shuffles — per-row work is constant
+    (fixed 6-frame 64x32 clips), so the exponent over n_rows is the
+    thing to watch (~1.0 expected; parallelism is rows-per-batch)."""
+    import numpy as np
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        sample_frames,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.video import (
+        numpy_video_frame_sampler,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.streaming.media_ingest import (
+        VIDEO_TRIAGE_DDL,
+        _probe_video_or_error,
+    )
+
+    w, h, n_frames = 64, 32, 6
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\x0a".encode()
+
+    def clip(i: int) -> bytearray:
+        rng = np.random.default_rng(i)
+        out = bytearray(head)
+        for _ in range(n_frames):
+            out += b"FRAME\x0a"
+            out += rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+            out += rng.integers(
+                0, 256, (w // 2) * (h // 2) * 2, dtype=np.uint8
+            ).tobytes()
+        return out
+
+    df = spark.createDataFrame(
+        [(i, clip(i)) for i in range(n_rows)],
+        "media_id long, media binary",
+    ).repartition(32).localCheckpoint(eager=True)
+
+    def probe_stage():
+        return df.mapInPandas(
+            _probe_video_or_error, VIDEO_TRIAGE_DDL
+        ).filter("decode_error is null").count()
+
+    def decode_stage():
+        return sample_frames(
+            df, max_frames=3, frame_sampler=numpy_video_frame_sampler
+        ).count()
+
+    def timed_best2(fn) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # warmup both Python-worker pools, then best-of-2 (same method as
+    # the other probe families: fixed overhead out of the exponent)
+    assert probe_stage() == n_rows
+    assert decode_stage() == 3 * n_rows
+    t_probe = timed_best2(probe_stage)
+    t_decode = timed_best2(decode_stage)
+    return {
+        "n_rows": n_rows,
+        "probe_s": round(t_probe, 3),
+        "decode_sample_s": round(t_decode, 3),
+    }
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--video"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [500, 1500, 5000]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            print(json.dumps({"family": "video", **probe_video(spark, n)}))
+        return
     if sys.argv[1:2] == ["--substr"]:
         sizes = [int(a) for a in sys.argv[2:]] or [2000, 6000, 20000]
         spark = get_spark("scale-probe")
