@@ -628,3 +628,48 @@ def sample_frame_images(
                 yield _frames(batch)
 
     return slim.mapInPandas(run, FRAME_IMAGE_SCHEMA_DDL)
+
+
+def numpy_video_decoder(batch: pd.DataFrame) -> pd.DataFrame:
+    """A REAL `multimodal.BatchDecoder` for video: decode y4m/avi
+    bytes into `multimodal.MEDIA_FEATURE_SCHEMA` rows — width/height
+    from the first frame, n_frames the container's frame count, and
+    an 8-dim feature (first and last frames' mean R,G,B in [0,1],
+    then fps/100 and n_frames/100, 6-dp rounded — deterministic, so
+    driver rows can pin it). Plugs into
+    ``extract_media_features(decoder=numpy_video_decoder)`` exactly
+    like the image/audio decoders; raises naming the media id."""
+    out = []
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        try:
+            frames, fps = decode_video_frames(raw)
+            if not frames:
+                raise ValueError("video has no frames")
+        except ValueError as e:
+            raise ValueError(f"media_id={media_id}: {e}") from e
+        first, last = frames[0], frames[-1]
+        feat = [
+            *(first.reshape(-1, 3).mean(axis=0) / 255.0),
+            *(last.reshape(-1, 3).mean(axis=0) / 255.0),
+            fps / 100.0,
+            len(frames) / 100.0,
+        ]
+        out.append(
+            {
+                "media_id": media_id,
+                "n_bytes": len(raw),
+                "content_hash": hashlib.md5(raw).hexdigest(),
+                "width": int(first.shape[1]),
+                "height": int(first.shape[0]),
+                "n_frames": len(frames),
+                "feature": [round(float(x), 6) for x in feat],
+            }
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "media_id", "n_bytes", "content_hash", "width", "height",
+            "n_frames", "feature",
+        ],
+    )

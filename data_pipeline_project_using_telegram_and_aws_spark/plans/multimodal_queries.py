@@ -74,6 +74,38 @@ _REAL_FIXTURES = [
      331, "0dfb62cd080fc2ad9c8204c805e68ce8", 2, 2, 1),
 ]
 
+# Fixed REAL VIDEO container bytes (round 11): a 2-frame 4x2 C420 Y4M
+# (solid red / solid green via BT.601 — construction constants pinned
+# by tests/test_video.py's scalar conversion) and a 330-byte MJPG AVI
+# whose single 8x8 frame OMITS its Huffman tables — so this driver row
+# exercises the Annex K DHT-splice path (`operators/video.py
+# _ensure_jpeg_tables`) plus the RIFF walk and the shared JPEG
+# decoder. Bytes built by the INDEPENDENT test encoders
+# (tests/test_video.py builders) at authoring time and frozen as hex;
+# md5/n_bytes are authoring-time hashlib literals, dimensions and
+# frame counts construction constants.
+_REAL_VIDEO_FIXTURES = [
+    # (media_id, media_type, hex, n_bytes, md5, width, height, n_frames)
+    (9000005, "video/x-yuv4mpeg",
+     "595556344d50454732205734204832204633303a312049702041313a31204334"
+     "32306a7065670a4652414d450a51515151515151515a5af0f04652414d450a91"
+     "9191919191919136362222",
+     75, "0ced133b997720d65bf8e098998c438a", 4, 2, 2),
+    (9000006, "video/x-msvideo",
+     "5249464642010000415649204c495354c00000006864726c6176696838000000"
+     "409c000000000000000000000000000001000000000000000100000000000000"
+     "0800000008000000000000000000000000000000000000004c49535474000000"
+     "7374726c7374726838000000766964734d4a5047000000000000000000000000"
+     "0100000019000000000000000100000000000000000000000000000000000000"
+     "000000007374726628000000280000000800000008000000010018004d4a5047"
+     "00000000000000000000000000000000000000004c4953546e0000006d6f7669"
+     "3030646362000000ffd8ffdb0043001010101010101010101010101010101010"
+     "1010101010101010101010101010101010101010101010101010101010101010"
+     "101010101010101010101010101010ffc0000b080008000801011100ffda0008"
+     "010100003f00b15fffd9",
+     330, "369abe3364b5365cb58140cabddd189a", 8, 8, 1),
+]
+
 
 def mm2_decode_features(spark, sf_dir):
     """Distributed decode via mapInPandas → typed feature rows, TWO
@@ -90,7 +122,12 @@ def mm2_decode_features(spark, sf_dir):
       width/height/n_frames as CONSTRUCTION constants and their
       n_bytes/md5 as authoring-time literals — a broken real decoder
       turns the driver row red, closing the r9 gap where the real
-      decode path was pytest-only.
+      decode path was pytest-only;
+    - two fixed REAL VIDEO containers (``_REAL_VIDEO_FIXTURES``,
+      round 11: a 2-frame C420 Y4M and a DHT-less MJPG AVI) run
+      `operators/video.py numpy_video_decoder` — RIFF/Y4M container
+      walks, BT.601 conversion, and the Annex K Huffman-splice path
+      all turn this row red on break.
 
     Also carries the JVM-side metadata surface that was row mm1 through
     round 3 (registry consolidation): ``media_type`` plus two booleans
@@ -102,6 +139,7 @@ def mm2_decode_features(spark, sf_dir):
     divergence turns the row red. ``mm1_binary_metadata`` stays callable
     and pytest-covered."""
     from ..operators.media_codecs import numpy_image_decoder
+    from ..operators.video import numpy_video_decoder
 
     docs_media = _media_df(spark, sf_dir)
     real_media = spark.createDataFrame(
@@ -111,7 +149,14 @@ def mm2_decode_features(spark, sf_dir):
         ],
         "media_id long, media binary, media_type string",
     )
-    media = docs_media.unionByName(real_media)
+    video_media = spark.createDataFrame(
+        [
+            (i, bytearray(bytes.fromhex(h)), t)
+            for i, t, h, *_ in _REAL_VIDEO_FIXTURES
+        ],
+        "media_id long, media binary, media_type string",
+    )
+    media = docs_media.unionByName(real_media).unionByName(video_media)
     meta = attach_media_metadata(media).select(
         "media_id",
         "media_type",
@@ -122,6 +167,8 @@ def mm2_decode_features(spark, sf_dir):
         docs_media, fake=True, partitions=8
     ).unionByName(
         extract_media_features(real_media, decoder=numpy_image_decoder)
+    ).unionByName(
+        extract_media_features(video_media, decoder=numpy_video_decoder)
     )
     return (
         feats.join(meta, "media_id")
@@ -186,7 +233,9 @@ ORACLE = {
             (CAST(9000001 AS BIGINT), 'image/x-portable-pixmap', CAST(29 AS BIGINT), '9c08ad28c64b3e2864d36ad26f00366d', TRUE, TRUE, CAST(3 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)),
             (CAST(9000002 AS BIGINT), 'image/png', CAST(74 AS BIGINT), 'c86866b9e252bc1d3faeb0334e91fccc', TRUE, TRUE, CAST(5 AS INTEGER), CAST(4 AS INTEGER), CAST(1 AS INTEGER)),
             (CAST(9000003 AS BIGINT), 'image/gif', CAST(100 AS BIGINT), '26ec25c00304a3eda955546321ccaefb', TRUE, TRUE, CAST(3 AS INTEGER), CAST(3 AS INTEGER), CAST(2 AS INTEGER)),
-            (CAST(9000004 AS BIGINT), 'image/jpeg', CAST(331 AS BIGINT), '0dfb62cd080fc2ad9c8204c805e68ce8', TRUE, TRUE, CAST(2 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER))
+            (CAST(9000004 AS BIGINT), 'image/jpeg', CAST(331 AS BIGINT), '0dfb62cd080fc2ad9c8204c805e68ce8', TRUE, TRUE, CAST(2 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)),
+            (CAST(9000005 AS BIGINT), 'video/x-yuv4mpeg', CAST(75 AS BIGINT), '0ced133b997720d65bf8e098998c438a', TRUE, TRUE, CAST(4 AS INTEGER), CAST(2 AS INTEGER), CAST(2 AS INTEGER)),
+            (CAST(9000006 AS BIGINT), 'video/x-msvideo', CAST(330 AS BIGINT), '369abe3364b5365cb58140cabddd189a', TRUE, TRUE, CAST(8 AS INTEGER), CAST(8 AS INTEGER), CAST(1 AS INTEGER))
         ) AS real_fixtures(media_id, media_type, n_bytes, content_hash,
                            jvm_python_bytes_agree, jvm_python_hash_agree,
                            width, height, n_frames)

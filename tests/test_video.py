@@ -410,3 +410,43 @@ def test_video_metadata_dispatch_through_spark(spark):
     assert rows[2].major_brand == "avi"
     assert rows[2].codecs == ["MJPG"]
     assert (rows[2].width, rows[2].height) == (6, 4)
+
+
+def test_numpy_video_decoder_feature_rows(spark):
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.video import (
+        numpy_video_decoder,
+    )
+
+    w, h = 4, 2
+    y4m = _y4m_bytes(
+        [
+            (np.full((h, w), 81), np.full((1, 2), 90),
+             np.full((1, 2), 240)),                       # solid red
+            (np.full((h, w), 145), np.full((1, 2), 54),
+             np.full((1, 2), 34)),                        # solid green
+        ],
+        w, h, f="30:1",
+    )
+    df = spark.createDataFrame(
+        [(5, bytearray(y4m))], "media_id long, media binary"
+    )
+    r = extract_media_features(df, decoder=numpy_video_decoder).collect()[0]
+    assert (r.width, r.height, r.n_frames) == (w, h, 2)
+    assert r.n_bytes == len(y4m)
+    # feature: first-frame mean RGB (254,0,0)/255, last (0,255,0)/255,
+    # fps/100, n_frames/100
+    assert r.feature[0] == pytest.approx(254 / 255, abs=1e-5)
+    assert r.feature[1] == 0.0 and r.feature[2] == 0.0
+    assert r.feature[4] == pytest.approx(1.0, abs=1e-5)
+    assert r.feature[6] == pytest.approx(0.3, abs=1e-6)
+    assert r.feature[7] == pytest.approx(0.02, abs=1e-6)
+    # loud on undecodable bytes, naming the id
+    bad = spark.createDataFrame(
+        [(7, bytearray(b"\x00\x00\x00\x18ftypisom"))],
+        "media_id long, media binary",
+    )
+    with pytest.raises(Exception, match="media_id=7"):
+        extract_media_features(bad, decoder=numpy_video_decoder).collect()
