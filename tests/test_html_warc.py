@@ -1059,6 +1059,47 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
     ).collect()}
     assert hg == {("a.com", "b.com")}  # intra-host edges collapse away
 
+    # round 3 — the REVISIT side (operators/recrawl.py): refetch all
+    # three pages, a.com/1 with CHANGED content; the fetch ledger is
+    # the accumulated good zone (url x ingest_batch), digest = md5 of
+    # the stored text, fetch_time = the round clock
+    write_warc_responses(
+        [
+            ("http://a.com/1", 200, "text/html",
+             page(prose + " Completely rewritten body.", [])),
+            ("http://a.com/2", 200, "text/html",
+             page(prose + " Two.", ["http://a.com/1"])),
+            ("http://b.com/open", 200, "text/html",
+             page(prose + " New.", [])),
+        ],
+        str(src / "r3.warc.gz"),
+    )
+    start_crawl_ingest_stream(
+        spark, str(src), zones["good"], zones["other"], zones["quar"],
+        str(tmp_path / "ck"),
+    ).awaitTermination(120)
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.recrawl import (
+        estimate_change_rates,
+        schedule_revisits,
+    )
+
+    ledger = spark.read.parquet(zones["good"]).select(
+        "url",
+        (F.col("ingest_batch").cast("double") * 100.0).alias(
+            "fetch_time"
+        ),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+    )
+    rates = estimate_change_rates(ledger)
+    by_url = {r.url: r for r in rates.collect()}
+    assert by_url["http://a.com/1"].n_changes == 1
+    assert by_url["http://a.com/1"].change_rate > 0
+    assert by_url["http://a.com/2"].change_rate == 0.0
+    assert by_url["http://b.com/open"].change_rate == 0.0
+    revisit = schedule_revisits(rates, now_s=400.0).collect()
+    assert revisit[0].url == "http://a.com/1"  # the page that churns
+    assert all(r.staleness_p == 0.0 for r in revisit[1:])
+
 
 def test_surt_key_recipe(spark):
     """The documented SURT recipe: reversed lowercase host labels
