@@ -1249,16 +1249,16 @@ def _decode_ima_adpcm(
     is sequential WITHIN a block, so the loop runs over the ≤~500
     in-block sample positions while every block (and channel) decodes
     in one vectorized lane — the axis that grows with data size."""
+    if block_align < 4 * channels + 4 * channels:
+        raise ValueError(
+            f"ima adpcm block_align={block_align} cannot hold "
+            f"{channels}-channel headers + one sample group"
+        )
     n_blocks = len(data) // block_align
     if n_blocks == 0:
         raise ValueError(
             f"ima adpcm data ({len(data)} bytes) shorter than one "
             f"block (block_align={block_align})"
-        )
-    if block_align < 4 * channels + 4 * channels:
-        raise ValueError(
-            f"ima adpcm block_align={block_align} cannot hold "
-            f"{channels}-channel headers + one sample group"
         )
     blocks = np.frombuffer(
         data[: n_blocks * block_align], dtype=np.uint8

@@ -55,19 +55,15 @@ def estimate_change_rates(
     Duplicate fetch timestamps contribute zero-length intervals to
     Ī and count a change only if the digest moved — honest for
     at-least-once fetch ledgers."""
-    w = Window.partitionBy(url_col).orderBy(time_col)
+    w = Window.partitionBy("url").orderBy("__t", "__d")
     lagged = observations.select(
         F.col(url_col).alias("url"),
         F.col(time_col).cast("double").alias("__t"),
         F.col(digest_col).alias("__d"),
     ).select(
         "url", "__t", "__d",
-        F.lag("__t").over(
-            Window.partitionBy("url").orderBy("__t", "__d")
-        ).alias("__pt"),
-        F.lag("__d").over(
-            Window.partitionBy("url").orderBy("__t", "__d")
-        ).alias("__pd"),
+        F.lag("__t").over(w).alias("__pt"),
+        F.lag("__d").over(w).alias("__pd"),
     )
     per_url = lagged.groupBy("url").agg(
         F.count(F.lit(1)).alias("n_fetches"),

@@ -56,7 +56,15 @@ def _y4m_params(line: bytes) -> dict:
 
 
 _Y4M_CHROMA = {
-    # tag prefix → (x_div, y_div); the 420 variants share geometry
+    # EXACT supported tags → (x_div, y_div); the 420 variants share
+    # plane geometry. Matched exactly, not by prefix: C420p10/C422p16
+    # etc. are 2-bytes-per-sample streams that would misalign the
+    # frame walk if treated as their 8-bit namesakes — they get the
+    # unsupported-colorspace error instead of a misleading
+    # bad-FRAME-marker one.
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
     "420": (2, 2),
     "422": (2, 1),
     "444": (1, 1),
@@ -76,11 +84,12 @@ def _y4m_geometry(params: dict):
             "(deinterlacing needs field-aware filtering)"
         )
     cs = params.get("C", "420jpeg")
-    sub = next(
-        (v for k, v in _Y4M_CHROMA.items() if cs.startswith(k)), False
-    )
+    sub = _Y4M_CHROMA.get(cs, False)
     if sub is False:
-        raise ValueError(f"y4m colorspace C{cs} unsupported")
+        raise ValueError(
+            f"y4m colorspace C{cs} unsupported (8-bit "
+            f"{'/'.join(sorted(_Y4M_CHROMA))} decode here)"
+        )
     if sub is not None and (w % sub[0] or h % sub[1]):
         raise ValueError(
             f"y4m C{cs} needs dimensions divisible by {sub[0]}x{sub[1]},"
@@ -456,7 +465,11 @@ def decode_avi_frames(raw: bytes):
     if vidx is None:
         raise ValueError("avi has no video stream")
     v = streams[vidx]
-    comp = v.get("compression", "DIB")
+    comp = v.get("compression")
+    if comp is None:  # strh said vids but no strf arrived
+        raise ValueError(
+            "avi vids stream has no strf format header (torn hdrl?)"
+        )
     fps = (
         v["rate"] / v["scale"]
         if v.get("scale") and v.get("rate")
@@ -468,11 +481,21 @@ def decode_avi_frames(raw: bytes):
 
         for chunk in _movi_video_chunks(raw, vidx):
             px = decode_jpeg(_ensure_jpeg_tables(bytes(chunk)))
+            if px.dtype != np.uint8:
+                # 12-bit MJPEG: essentially nonexistent in the wild,
+                # and the frame pipeline is 8-bit — reject loudly
+                # rather than wrap values mod 256 (doctrine: never
+                # silently corrupt pixels)
+                raise ValueError(
+                    "avi MJPG frame decoded to 12-bit samples; the "
+                    "8-bit frame pipeline does not rescale — inject "
+                    "a frame_sampler that handles high-bit-depth"
+                )
             if px.ndim == 2:
                 px = px[:, :, None]
             if px.shape[-1] == 1:  # grayscale → 3-channel parity
                 px = np.repeat(px, 3, axis=-1)
-            frames.append(px.astype(np.uint8))
+            frames.append(px)
     elif comp == "DIB":
         for chunk in _movi_video_chunks(raw, vidx):
             frames.append(
@@ -532,9 +555,49 @@ def decode_video_frames(raw: bytes):
     )
 
 
+def frames_decodable(raw: bytes) -> bool:
+    """True when :func:`decode_video_frames` would open this
+    container's frames — mirroring its ACTUAL selection (the FIRST
+    ``vids`` stream's compression for AVI, not any-stream fourcc:
+    an XVID-first AVI with a later MJPG stream is NOT decodable
+    here). Probe-cheap (headers only); never raises — unprobeable
+    bytes are simply not decodable."""
+    try:
+        kind = sniff_video(raw)
+        if kind == "y4m":
+            _y4m_geometry(_y4m_params(raw[: raw.index(b"\x0a")]))
+            return True
+        if kind == "avi":
+            _, streams = _avi_header_info(raw)
+            v = next(
+                (s for s in streams if s.get("type") == "vids"), None
+            )
+            return v is not None and v.get("compression") in (
+                "MJPG", "DIB",
+            )
+    except ValueError:
+        return False
+    return False
+
+
 def _stride_indices(n_frames: int, max_frames: int) -> range:
     stride = max(1, -(-n_frames // max_frames))  # ceil division
     return range(0, n_frames, stride)
+
+
+def _iter_sampled_frames(batch: pd.DataFrame, max_frames: int):
+    """The shared decode/stride walk both frame surfaces ride:
+    yields (media_id, frame_index, n_frames, frame) with the
+    media_id-naming error wrap — one place for the policy."""
+    for media_id, media in zip(batch["media_id"], batch["media"]):
+        raw = bytes(media) if media is not None else b""
+        try:
+            frames, _fps = decode_video_frames(raw)
+        except ValueError as e:
+            raise ValueError(f"media_id={media_id}: {e}") from e
+        n = len(frames)
+        for idx in _stride_indices(n, max_frames):
+            yield media_id, idx, n, frames[idx]
 
 
 def numpy_video_frame_sampler(
@@ -545,25 +608,19 @@ def numpy_video_frame_sampler(
     media row as FRAME_SCHEMA rows; frame_hash is the md5 of the
     decoded RGB pixel buffer (stable across containers encoding the
     same pixels). Raises naming the media id on undecodable bytes."""
-    out = []
-    for media_id, media in zip(batch["media_id"], batch["media"]):
-        raw = bytes(media) if media is not None else b""
-        try:
-            frames, _fps = decode_video_frames(raw)
-        except ValueError as e:
-            raise ValueError(f"media_id={media_id}: {e}") from e
-        n = len(frames)
-        for idx in _stride_indices(n, max_frames):
-            out.append(
-                {
-                    "media_id": media_id,
-                    "frame_index": idx,
-                    "n_frames": n,
-                    "frame_hash": hashlib.md5(
-                        np.ascontiguousarray(frames[idx]).tobytes()
-                    ).hexdigest(),
-                }
-            )
+    out = [
+        {
+            "media_id": media_id,
+            "frame_index": idx,
+            "n_frames": n,
+            "frame_hash": hashlib.md5(
+                np.ascontiguousarray(frame).tobytes()
+            ).hexdigest(),
+        }
+        for media_id, idx, n, frame in _iter_sampled_frames(
+            batch, max_frames
+        )
+    ]
     return pd.DataFrame(
         out,
         columns=["media_id", "frame_index", "n_frames", "frame_hash"],
@@ -598,23 +655,17 @@ def sample_frame_images(
     )
 
     def _frames(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for media_id, media in zip(batch["media_id"], batch["media"]):
-            raw = bytes(media) if media is not None else b""
-            try:
-                frames, _fps = decode_video_frames(raw)
-            except ValueError as e:
-                raise ValueError(f"media_id={media_id}: {e}") from e
-            n = len(frames)
-            for idx in _stride_indices(n, max_frames):
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "frame_index": idx,
-                        "n_frames": n,
-                        "frame_ppm": encode_ppm(frames[idx]),
-                    }
-                )
+        out = [
+            {
+                "media_id": media_id,
+                "frame_index": idx,
+                "n_frames": n,
+                "frame_ppm": encode_ppm(frame),
+            }
+            for media_id, idx, n, frame in _iter_sampled_frames(
+                batch, max_frames
+            )
+        ]
         return pd.DataFrame(
             out,
             columns=[

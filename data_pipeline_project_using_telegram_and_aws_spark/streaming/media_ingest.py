@@ -421,7 +421,11 @@ def _probe_video_or_error(batch_iter):
     (media_id, decode_error) row — the front-door doctrine."""
     import pandas as pd
 
-    from ..operators.video import probe_video, sniff_video
+    from ..operators.video import (
+        frames_decodable,
+        probe_video,
+        sniff_video,
+    )
 
     cols = [
         "media_id", "container", "width", "height", "duration_s",
@@ -444,21 +448,17 @@ def _probe_video_or_error(batch_iter):
                 )
                 out.append(row)
                 continue
-            codecs = meta.get("codecs") or []
             row.update(
                 container=kind,
                 width=meta.get("width"),
                 height=meta.get("height"),
                 duration_s=meta.get("duration_s"),
                 n_tracks=meta.get("n_tracks"),
-                codecs=codecs,
-                frames_decodable=(
-                    kind == "y4m"
-                    or (
-                        kind == "avi"
-                        and any(c in ("MJPG", "DIB") for c in codecs)
-                    )
-                ),
+                codecs=meta.get("codecs") or [],
+                # mirrors decode_video_frames' ACTUAL stream
+                # selection (first vids stream's compression), so the
+                # flag never promises what the decoder refuses
+                frames_decodable=frames_decodable(raw),
             )
             out.append(row)
         yield pd.DataFrame(out, columns=cols)

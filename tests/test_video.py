@@ -450,3 +450,80 @@ def test_numpy_video_decoder_feature_rows(spark):
     )
     with pytest.raises(Exception, match="media_id=7"):
         extract_media_features(bad, decoder=numpy_video_decoder).collect()
+
+
+# --------------------------------- round-11 self-review regression pins
+
+
+def test_avi_vids_without_strf_is_loud():
+    strl_v = _lst(b"strl", _strh(b"vids", b"MJPG", 1, 25, 1))
+    body = _lst(b"hdrl", _avih(8, 8, 1, 1) + strl_v) + _lst(
+        b"movi", _chunk(b"00dc", b"\xff\xd8\xff\xd9")
+    )
+    raw = (
+        b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
+    )
+    with pytest.raises(ValueError, match="no strf"):
+        decode_avi_frames(raw)
+
+
+def test_avi_12bit_mjpeg_rejects_loudly_not_mod256():
+    from tests.test_jpeg import _dc_block, _jpeg_bytes
+
+    frame12 = _jpeg_bytes(
+        8, 8, [(1, 1, 1, 0)], [[_dc_block(7616)]], {0: [1] * 64},
+        sof_marker=0xC1, precision=12, dqt_16bit=True,
+        dc_spec=([0, 0, 0, 12, 4] + [0] * 11, list(range(16))),
+    )
+    raw = _avi_bytes([frame12], 8, 8, b"MJPG")
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_avi_frames(raw)
+
+
+def test_y4m_high_bit_depth_colorspace_named_unsupported():
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.video import (
+        frames_decodable,
+    )
+
+    raw = _y4m_bytes(
+        [(np.full((2, 2), 80), np.full((1, 1), 128),
+          np.full((1, 1), 128))], 2, 2,
+    ).replace(b"C420jpeg", b"C420p10 ")
+    # named as a colorspace limit, NOT a misleading bad-FRAME error
+    with pytest.raises(ValueError, match="colorspace C420p10"):
+        decode_y4m(raw)
+    with pytest.raises(ValueError, match="colorspace C420p10"):
+        probe_y4m(raw)
+    assert not frames_decodable(raw)
+
+
+def test_frames_decodable_mirrors_first_vids_stream():
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.video import (
+        frames_decodable,
+    )
+
+    # first vids stream XVID, even with an MJPG-handler audio strl:
+    # the flag must say False because decode_avi_frames will refuse
+    strl_v = _lst(
+        b"strl",
+        _strh(b"vids", b"XVID", 1, 25, 1)
+        + _strf_vids(8, 8, 24, b"XVID"),
+    )
+    strl_a = _lst(
+        b"strl", _strh(b"auds", b"MJPG", 1, 8000, 0)
+    )
+    body = _lst(b"hdrl", _avih(8, 8, 1, 2) + strl_v + strl_a) + _lst(
+        b"movi", _chunk(b"00dc", b"xxxx")
+    )
+    raw = (
+        b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
+    )
+    assert not frames_decodable(raw)
+    with pytest.raises(ValueError, match="XVID"):
+        decode_avi_frames(raw)
+    # and a genuinely decodable DIB stream says True
+    ok = _avi_bytes(
+        [_dib_frame(np.zeros((2, 2, 3), np.uint8))], 2, 2, b"\x00" * 4
+    )
+    assert frames_decodable(ok)
+    assert not frames_decodable(b"not a container")

@@ -344,3 +344,9 @@ def test_g711_flows_through_audio_features(spark):
     assert (row.sample_rate, row.n_channels, row.n_samples) == (8000, 1, 400)
     # 15000/32768 sine → rms ≈ amp/√2 ≈ 0.3237 within companding error
     assert abs(row.feature[0] - 0.3237) < 0.01
+
+
+def test_zero_block_align_adpcm_raises_valueerror_not_zerodivision():
+    raw = _wav(0x11, 1, 8000, 4, 0, b"\x00" * 64)
+    with pytest.raises(ValueError, match="block_align=0"):
+        decode_wav(raw)
