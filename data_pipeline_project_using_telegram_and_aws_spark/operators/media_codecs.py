@@ -1571,3 +1571,119 @@ def audio_frame_energies(
                 yield _frames(batch)
 
     return slim.mapInPandas(run, AUDIO_FRAME_SCHEMA_DDL)
+
+
+AUDIO_SPECTRAL_SCHEMA_DDL = (
+    "media_id long, frame_index int, n_frames int, start_s double, "
+    "spectral_centroid_hz double, spectral_bandwidth_hz double, "
+    "spectral_rolloff_hz double, spectral_flatness double"
+)
+
+
+def audio_spectral_features(
+    df,
+    frame_ms: int = 25,
+    rolloff: float = 0.85,
+    id_col: str = "media_id",
+    media_col: str = "media",
+):
+    """Per-frame SPECTRAL rows over audio binaries — the frequency-
+    domain companion to :func:`audio_frame_energies` (same 1→N
+    decode shape, same non-overlapping ``frame_ms`` windows, final
+    partial window kept, channel-pooled by averaging before the
+    transform). Per window, from the real FFT magnitude spectrum
+    (DC bin excluded — it is the frame's mean, not spectral shape):
+
+    - ``spectral_centroid_hz`` — magnitude-weighted mean frequency
+      (the classic brightness measure);
+    - ``spectral_bandwidth_hz`` — magnitude-weighted standard
+      deviation around the centroid;
+    - ``spectral_rolloff_hz`` — the lowest frequency below which
+      ``rolloff`` (default 85%) of the total magnitude lies;
+    - ``spectral_flatness`` — geometric/arithmetic mean ratio of the
+      POWER spectrum in (0, 1]: →1 for noise, →0 for pure tones
+      (computed in log space for stability; zero-magnitude bins
+      floored at 1e-12).
+
+    A silent frame (all-zero spectrum) reports NULL centroid/
+    bandwidth/rolloff and flatness 1.0 — stated contract: silence
+    has no spectral shape, and NULL-vs-0 Hz keeps it filterable.
+    All values 6-dp rounded. Same slim-projection ``mapInPandas``
+    plumbing; raises naming the media id on undecodable bytes."""
+    from pyspark.sql import functions as F
+
+    if frame_ms <= 0:
+        raise ValueError(f"audio_spectral_features: frame_ms={frame_ms}")
+    if not 0 < rolloff <= 1:
+        raise ValueError(f"audio_spectral_features: rolloff={rolloff}")
+
+    def _frames(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        cols = [
+            "media_id", "frame_index", "n_frames", "start_s",
+            "spectral_centroid_hz", "spectral_bandwidth_hz",
+            "spectral_rolloff_hz", "spectral_flatness",
+        ]
+        for media_id, media in zip(batch["media_id"], batch["media"]):
+            raw = bytes(media) if media is not None else b""
+            try:
+                rate, x = _decode_audio(raw)
+            except ValueError as e:
+                raise ValueError(f"media_id={media_id}: {e}") from e
+            mono = x.mean(axis=1)
+            hop = max(1, rate * frame_ms // 1000)
+            n = mono.shape[0]
+            n_frames = max(1, -(-n // hop))
+            for i in range(n_frames):
+                seg = mono[i * hop : (i + 1) * hop]
+                mag = np.abs(np.fft.rfft(seg))[1:]  # DC excluded
+                freqs = np.fft.rfftfreq(seg.shape[0], 1.0 / rate)[1:]
+                row = {
+                    "media_id": media_id,
+                    "frame_index": i,
+                    "n_frames": n_frames,
+                    "start_s": round(i * hop / rate, 6),
+                    "spectral_centroid_hz": None,
+                    "spectral_bandwidth_hz": None,
+                    "spectral_rolloff_hz": None,
+                    "spectral_flatness": 1.0,
+                }
+                total = mag.sum()
+                if mag.size and total > 0:
+                    centroid = float((freqs * mag).sum() / total)
+                    bw = float(
+                        np.sqrt(
+                            ((freqs - centroid) ** 2 * mag).sum()
+                            / total
+                        )
+                    )
+                    cum = np.cumsum(mag)
+                    ro = float(
+                        freqs[np.searchsorted(
+                            cum, rolloff * total
+                        ).clip(0, mag.size - 1)]
+                    )
+                    power = np.maximum(mag**2, 1e-12)
+                    flat = float(
+                        np.exp(np.log(power).mean()) / power.mean()
+                    )
+                    row.update(
+                        spectral_centroid_hz=round(centroid, 6),
+                        spectral_bandwidth_hz=round(bw, 6),
+                        spectral_rolloff_hz=round(ro, 6),
+                        spectral_flatness=round(min(flat, 1.0), 6),
+                    )
+                out.append(row)
+        return pd.DataFrame(out, columns=cols)
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(media_col).alias("media"),
+    )
+
+    def run(batches):
+        for batch in batches:
+            if len(batch):
+                yield _frames(batch)
+
+    return slim.mapInPandas(run, AUDIO_SPECTRAL_SCHEMA_DDL)

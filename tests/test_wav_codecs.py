@@ -350,3 +350,61 @@ def test_zero_block_align_adpcm_raises_valueerror_not_zerodivision():
     raw = _wav(0x11, 1, 8000, 4, 0, b"\x00" * 64)
     with pytest.raises(ValueError, match="block_align=0"):
         decode_wav(raw)
+
+
+def test_spectral_features_pure_tone_vs_noise(spark):
+    """A pure 1 kHz tone: centroid ~1 kHz, tiny bandwidth, rolloff at
+    the tone, flatness near 0. White noise: centroid near band
+    middle, flatness near 1. A silent frame: NULL shape, flatness 1
+    (the stated contract)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.media_codecs import (
+        audio_spectral_features,
+    )
+
+    rate = 8000
+    n = rate // 10  # 100 ms = 4 x 25ms frames
+    tone = [0.8 * math.sin(2 * math.pi * 1000 * i / rate) for i in range(n)]
+    rng = np.random.default_rng(3)
+    noise = (rng.uniform(-0.9, 0.9, n)).tolist()
+    silence = [0.0] * n
+
+    def wav(samples):
+        body = b"".join(
+            struct.pack("<h", int(s * 32767)) for s in samples
+        )
+        return _wav(1, 1, rate, 16, 2, body)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav(tone))),
+            (2, bytearray(wav(noise))),
+            (3, bytearray(wav(silence))),
+        ],
+        "media_id long, media binary",
+    )
+    rows = audio_spectral_features(df, frame_ms=25).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert all(len(v) == 4 for v in by_id.values())
+    t0 = by_id[1][0]
+    assert t0.spectral_centroid_hz == pytest.approx(1000, abs=30)
+    assert t0.spectral_bandwidth_hz < 150
+    assert t0.spectral_rolloff_hz == pytest.approx(1000, abs=50)
+    assert t0.spectral_flatness < 0.2
+    n0 = by_id[2][0]
+    assert 1200 < n0.spectral_centroid_hz < 2800  # band middle-ish
+    assert n0.spectral_flatness > 0.5
+    assert n0.spectral_rolloff_hz > 2500
+    s0 = by_id[3][0]
+    assert s0.spectral_centroid_hz is None
+    assert s0.spectral_flatness == 1.0
+    # centroid/rolloff hand-check on one tiny frame: 4 samples of
+    # alternating +-1 at 8 kHz = energy at Nyquist (4 kHz) only
+    alt = [1.0, -1.0, 1.0, -1.0]
+    df2 = spark.createDataFrame(
+        [(9, bytearray(wav(alt)))], "media_id long, media binary"
+    )
+    r = audio_spectral_features(df2, frame_ms=1000).collect()[0]
+    assert r.spectral_centroid_hz == pytest.approx(4000, abs=1e-3)
+    assert r.spectral_bandwidth_hz == pytest.approx(0.0, abs=1e-3)
