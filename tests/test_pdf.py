@@ -1,0 +1,511 @@
+"""PDF extraction (`operators/pdf.py`) — fixtures produced by an
+independently written PDF writer below (the JPEG test-encoder
+pattern: the extractor never sees bytes it produced itself). The
+writer builds real cross-reference tables, xref streams + object
+streams with PNG predictors, incremental updates, and every filter
+the decoder claims."""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import pytest
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.pdf import (
+    extract_pdf,
+    extract_pdf_text,
+)
+
+
+# ---------------------------------------------------------------------------
+# independent writer
+
+class PdfWriter:
+    """Minimal but spec-honest PDF producer: classic xref, correct
+    offsets, optional compression. Object bodies are given as bytes
+    (already-serialized dict/stream content)."""
+
+    def __init__(self, version: str = "1.4"):
+        self.version = version
+        self.objects: dict[int, bytes] = {}
+        self._next = 1
+
+    def add(self, body: bytes) -> int:
+        num = self._next
+        self._next += 1
+        self.objects[num] = body
+        return num
+
+    def stream(self, extra: bytes, data: bytes,
+               flate: bool = False) -> int:
+        if flate:
+            data = zlib.compress(data)
+            extra += b" /Filter /FlateDecode"
+        body = (b"<< /Length " + str(len(data)).encode() + b" "
+                + extra + b" >>\nstream\n" + data + b"\nendstream")
+        return self.add(body)
+
+    def build(self, root: int, info: int | None = None) -> bytes:
+        out = bytearray(b"%PDF-" + self.version.encode()
+                        + b"\n%\xe2\xe3\xcf\xd3\n")
+        offsets = {}
+        for num in sorted(self.objects):
+            offsets[num] = len(out)
+            out += (str(num).encode() + b" 0 obj\n"
+                    + self.objects[num] + b"\nendobj\n")
+        xref_at = len(out)
+        size = max(self.objects) + 1
+        out += b"xref\n0 " + str(size).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            off = offsets.get(num, 0)
+            out += f"{off:010d} 00000 n \n".encode()
+        trailer = (b"trailer\n<< /Size " + str(size).encode()
+                   + b" /Root " + str(root).encode() + b" 0 R")
+        if info is not None:
+            trailer += b" /Info " + str(info).encode() + b" 0 R"
+        trailer += b" >>\nstartxref\n" + str(xref_at).encode() \
+            + b"\n%%EOF\n"
+        out += trailer
+        return bytes(out)
+
+
+def _simple_pdf(page_streams: list[bytes], font_body: bytes | None = None,
+                info: bytes | None = None, flate: bool = False) -> bytes:
+    """One /Pages node, one page per content stream, one shared font."""
+    w = PdfWriter()
+    font = w.add(font_body if font_body is not None else
+                 b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                 b" /Encoding /WinAnsiEncoding >>")
+    page_nums = []
+    contents = [w.stream(b"", s, flate=flate) for s in page_streams]
+    pages = w._next + len(page_streams)  # reserved below
+    for c in contents:
+        page_nums.append(w.add(
+            b"<< /Type /Page /Parent " + str(pages).encode()
+            + b" 0 R /Contents " + str(c).encode() + b" 0 R"
+            b" /Resources << /Font << /F1 " + str(font).encode()
+            + b" 0 R >> >> >>"
+        ))
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_nums)
+    got_pages = w.add(b"<< /Type /Pages /Kids [" + kids
+                      + b"] /Count " + str(len(page_nums)).encode()
+                      + b" >>")
+    assert got_pages == pages
+    root = w.add(b"<< /Type /Catalog /Pages " + str(pages).encode()
+                 + b" 0 R >>")
+    info_num = w.add(info) if info else None
+    return w.build(root, info_num)
+
+
+HELLO = b"BT /F1 12 Tf 72 720 Td (Hello world) Tj ET"
+
+
+# ---------------------------------------------------------------------------
+
+class TestBasics:
+    def test_hello_world(self):
+        got = extract_pdf(_simple_pdf([HELLO]))
+        assert got["text"] == "Hello world"
+        assert got["n_pages"] == 1
+        assert got["n_unmapped"] == 0
+        assert got["pdf_version"] == "1.4"
+
+    def test_flate_compressed_content(self):
+        got = extract_pdf(_simple_pdf([HELLO], flate=True))
+        assert got["text"] == "Hello world"
+
+    def test_two_pages_form_feed_separator(self):
+        got = extract_pdf(_simple_pdf(
+            [HELLO, b"BT /F1 12 Tf (page two) Tj ET"]))
+        assert got["text"] == "Hello world\n\x0c\npage two"
+        assert got["n_pages"] == 2
+
+    def test_line_moves_and_quotes(self):
+        content = (b"BT /F1 12 Tf 72 720 Td (line1) Tj "
+                   b"0 -14 Td (line2) Tj "
+                   b"T* (line3) Tj "
+                   b"(line4) ' "
+                   b"2 2 (line5) \" ET")
+        got = extract_pdf(_simple_pdf([content]))
+        assert got["text"] == "line1\nline2\nline3\nline4\nline5"
+
+    def test_tj_kerning_threshold(self):
+        content = (b"BT /F1 12 Tf "
+                   b"[(Hello) -250 (world) -50 (!)] TJ ET")
+        # -250 is a word gap (space), -50 is kerning (no space)
+        got = extract_pdf(_simple_pdf([content]))
+        assert got["text"] == "Hello world!"
+
+    def test_string_escapes_and_hex_strings(self):
+        content = (b"BT /F1 12 Tf "
+                   br"(paren \( close \) back \\ octal \101 nl\nx) Tj "
+                   b"<48656C6C6F> Tj ET")
+        got = extract_pdf(_simple_pdf([content]))
+        assert got["text"] == "paren ( close ) back \\ octal A nl\nxHello"
+
+    def test_info_metadata_utf16(self):
+        info = (b"<< /Title <FEFF004800692019> /Author (Ada) "
+                b"/Producer (testwriter) "
+                b"/CreationDate (D:20260816120000Z) >>")
+        got = extract_pdf(_simple_pdf([HELLO], info=info))
+        assert got["title"] == "Hi’"
+        assert got["author"] == "Ada"
+        assert got["producer"] == "testwriter"
+        assert got["created"] == "D:20260816120000Z"
+
+    def test_inherited_resources(self):
+        # font lives on the Pages node; the page has no /Resources
+        w = PdfWriter()
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont"
+                     b" /Helvetica /Encoding /WinAnsiEncoding >>")
+        c = w.stream(b"", HELLO)
+        page = w.add(b"<< /Type /Page /Parent 4 0 R /Contents "
+                     + str(c).encode() + b" 0 R >>")
+        pages = w.add(b"<< /Type /Pages /Kids [" + str(page).encode()
+                      + b" 0 R] /Count 1 /Resources << /Font"
+                      b" << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        assert pages == 4
+        root = w.add(b"<< /Type /Catalog /Pages 4 0 R >>")
+        got = extract_pdf(w.build(root))
+        assert got["text"] == "Hello world"
+        assert got["n_unmapped"] == 0
+
+    def test_inline_image_skipped(self):
+        content = (b"BT /F1 12 Tf (before) Tj ET\n"
+                   b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\xffEI\x01\x02 EI\n"
+                   b"BT /F1 12 Tf (after) Tj ET")
+        # the first 'EI' inside the binary is NOT whitespace-delimited
+        # on the left; the real one is
+        got = extract_pdf(_simple_pdf([content]))
+        assert got["text"] == "beforeafter"
+
+
+class TestFonts:
+    def test_winansi_bytes(self):
+        content = b"BT /F1 12 Tf (caf\xe9 \x93q\x94) Tj ET"
+        got = extract_pdf(_simple_pdf([content]))
+        assert got["text"] == "caf\xe9 “q”"
+
+    def test_differences_glyph_names(self):
+        font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+                b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+                b" /Differences [65 /eacute /bullet 97 /uni0394] >> >>")
+        content = b"BT /F1 12 Tf (AB a B) Tj ET"
+        got = extract_pdf(_simple_pdf([content], font_body=font))
+        # A->eacute, B->bullet, a->uni0394; plain B untouched after 97
+        assert got["text"] == "\xe9• Δ •"
+
+    def test_tounicode_overrides_base_encoding(self):
+        cmap = (b"/CIDInit /ProcSet findresource begin\n"
+                b"begincmap\n"
+                b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+                b"2 beginbfchar <41> <20AC> <42> <00480069>"
+                b" endbfchar\n"
+                b"endcmap end")
+        w = PdfWriter()
+        tu = w.stream(b"", cmap, flate=True)
+        font = w.add(b"<< /Type /Font /Subtype /TrueType /BaseFont"
+                     b" /X /Encoding /WinAnsiEncoding /ToUnicode "
+                     + str(tu).encode() + b" 0 R >>")
+        c = w.stream(b"", b"BT /F1 9 Tf (ABC) Tj ET")
+        page = w.add(b"<< /Type /Page /Parent 5 0 R /Contents "
+                     + str(c).encode() + b" 0 R /Resources << /Font"
+                     b" << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        pages = w.add(b"<< /Type /Pages /Kids [" + str(page).encode()
+                      + b" 0 R] /Count 1 >>")
+        assert pages == 5
+        root = w.add(b"<< /Type /Catalog /Pages 5 0 R >>")
+        got = extract_pdf(w.build(root))
+        # A and B via ToUnicode (multi-char target included), C via base
+        assert got["text"] == "€HiC"
+
+    def test_type0_identity_bfrange(self):
+        cmap = (b"begincmap\n"
+                b"1 begincodespacerange <0000> <FFFF>"
+                b" endcodespacerange\n"
+                b"1 beginbfrange <0001> <0003> <0041> endbfrange\n"
+                b"1 beginbfrange <0010> <0011> [<0058> <0059>]"
+                b" endbfrange\n"
+                b"endcmap")
+        w = PdfWriter()
+        tu = w.stream(b"", cmap)
+        font = w.add(b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+                     b" /Encoding /Identity-H /ToUnicode "
+                     + str(tu).encode() + b" 0 R >>")
+        c = w.stream(b"", b"BT /F1 9 Tf <00010002000300100011> Tj"
+                     b" <0099> Tj ET")
+        page = w.add(b"<< /Type /Page /Parent 5 0 R /Contents "
+                     + str(c).encode() + b" 0 R /Resources << /Font"
+                     b" << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        pages = w.add(b"<< /Type /Pages /Kids [" + str(page).encode()
+                      + b" 0 R] /Count 1 >>")
+        assert pages == 5
+        root = w.add(b"<< /Type /Catalog /Pages 5 0 R >>")
+        got = extract_pdf(w.build(root))
+        # bfrange increments; array form maps; 0x99 unmapped → U+FFFD
+        assert got["text"] == "ABCXY�"
+        assert got["n_unmapped"] == 1
+
+    def test_text_without_font_counts_unmapped(self):
+        got = extract_pdf(_simple_pdf([b"BT (orphan) Tj ET"]))
+        assert got["n_unmapped"] >= 1
+        assert "�" in got["text"]
+
+
+class TestFilters:
+    def _one(self, filter_name: bytes, data: bytes) -> str:
+        w = PdfWriter()
+        font = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont"
+                     b" /Helvetica /Encoding /WinAnsiEncoding >>")
+        c = w.add(b"<< /Length " + str(len(data)).encode()
+                  + b" /Filter /" + filter_name + b" >>\nstream\n"
+                  + data + b"\nendstream")
+        page = w.add(b"<< /Type /Page /Parent 4 0 R /Contents "
+                     + str(c).encode() + b" 0 R /Resources << /Font"
+                     b" << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        pages = w.add(b"<< /Type /Pages /Kids [" + str(page).encode()
+                      + b" 0 R] /Count 1 >>")
+        assert pages == 4
+        root = w.add(b"<< /Type /Catalog /Pages 4 0 R >>")
+        return extract_pdf(w.build(root))["text"]
+
+    def test_ascii_hex(self):
+        data = HELLO.hex().encode() + b">"
+        assert self._one(b"ASCIIHexDecode", data) == "Hello world"
+
+    def test_ascii85(self):
+        data = base64.a85encode(HELLO) + b"~>"
+        assert self._one(b"ASCII85Decode", data) == "Hello world"
+
+    def test_run_length(self):
+        # literal-run encoder: (len-1, bytes) chunks + 128 EOD
+        out = bytearray()
+        for i in range(0, len(HELLO), 100):
+            chunk = HELLO[i:i + 100]
+            out += bytes([len(chunk) - 1]) + chunk
+        out.append(128)
+        assert self._one(b"RunLengthDecode", bytes(out)) == "Hello world"
+
+    def test_lzw(self):
+        # independent LZW encoder mirroring the spec's table growth
+        def lzw_encode(data: bytes) -> bytes:
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            bits: list[tuple[int, int]] = [(256, 9)]
+            cur = b""
+            for byte in data:
+                nxt = cur + bytes([byte])
+                if nxt in table:
+                    cur = nxt
+                    continue
+                bits.append((table[cur], width))
+                table[nxt] = next_code
+                next_code += 1
+                if next_code + 1 - 1 >= (1 << width) and width < 12:
+                    width += 1
+                cur = bytes([byte])
+            if cur:
+                bits.append((table[cur], width))
+            bits.append((257, width))
+            acc = nacc = 0
+            out = bytearray()
+            for code, wd in bits:
+                acc = (acc << wd) | code
+                nacc += wd
+                while nacc >= 8:
+                    out.append((acc >> (nacc - 8)) & 0xFF)
+                    nacc -= 8
+            if nacc:
+                out.append((acc << (8 - nacc)) & 0xFF)
+            return bytes(out)
+
+        payload = (b"BT /F1 12 Tf (abababababab repeated repeated"
+                   b" repeated) Tj ET")
+        assert self._one(b"LZWDecode", lzw_encode(payload)) \
+            == "abababababab repeated repeated repeated"
+
+    def test_lying_length_falls_back_to_endstream_scan(self):
+        raw = _simple_pdf([HELLO])
+        # corrupt the /Length of the content stream (object 2)
+        bad = raw.replace(b"/Length " + str(len(HELLO)).encode(),
+                          b"/Length 999999", 1)
+        assert extract_pdf(bad)["text"] == "Hello world"
+
+
+class TestXrefVariants:
+    def _xref_stream_pdf(self, predictor: bool) -> bytes:
+        """PDF 1.5 layout: non-stream objects inside an ObjStm,
+        xref as a stream, optionally PNG-predictor-12 packed."""
+        # object numbers: 1 catalog, 2 pages, 3 page, 4 font (all
+        # compressed into objstm 5); 6 content stream; 7 xref stream
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R"
+                b" /Resources << /Font << /F1 4 0 R >> >> >>"),
+            4: (b"<< /Type /Font /Subtype /Type1 /BaseFont"
+                b" /Helvetica /Encoding /WinAnsiEncoding >>"),
+        }
+        header = bytearray()
+        body = bytearray()
+        for num, data in objs.items():
+            header += str(num).encode() + b" " \
+                + str(len(body)).encode() + b" "
+            body += data + b" "
+        stm_data = bytes(header) + bytes(body)
+        first = len(header)
+
+        out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        offsets = {}
+
+        def emit(num: int, body_bytes: bytes):
+            offsets[num] = len(out)
+            out.extend(str(num).encode() + b" 0 obj\n" + body_bytes
+                       + b"\nendobj\n")
+
+        z = zlib.compress(stm_data)
+        emit(5, b"<< /Type /ObjStm /N 4 /First " + str(first).encode()
+             + b" /Length " + str(len(z)).encode()
+             + b" /Filter /FlateDecode >>\nstream\n" + z
+             + b"\nendstream")
+        content = HELLO
+        emit(6, b"<< /Length " + str(len(content)).encode()
+             + b" >>\nstream\n" + content + b"\nendstream")
+
+        xref_at = len(out)
+        # W = [1 2 1]; entries for objects 0..7
+        rows = []
+        rows.append(bytes([0]) + (0).to_bytes(2, "big") + bytes([255]))
+        for num in (1, 2, 3, 4):
+            idx = list(objs).index(num)
+            rows.append(bytes([2]) + (5).to_bytes(2, "big")
+                        + bytes([idx]))
+        for num in (5, 6):
+            rows.append(bytes([1]) + offsets[num].to_bytes(2, "big")
+                        + bytes([0]))
+        rows.append(bytes([1]) + xref_at.to_bytes(2, "big") + bytes([0]))
+        table = b"".join(rows)
+        extra = b""
+        if predictor:
+            # PNG Up filter (type 2) rows over rowlen-4 data
+            filtered = bytearray()
+            prev = bytes(4)
+            for i in range(0, len(table), 4):
+                row = table[i:i + 4]
+                filtered.append(2)
+                filtered += bytes((row[j] - prev[j]) % 256
+                                  for j in range(4))
+                prev = row
+            table = bytes(filtered)
+            extra = (b" /DecodeParms << /Predictor 12 /Colors 1"
+                     b" /BitsPerComponent 8 /Columns 4 >>")
+        z = zlib.compress(table)
+        emit(7, b"<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R"
+             b" /Length " + str(len(z)).encode()
+             + b" /Filter /FlateDecode" + extra
+             + b" >>\nstream\n" + z + b"\nendstream")
+        out += (b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n")
+        return bytes(out)
+
+    def test_xref_stream_and_object_stream(self):
+        got = extract_pdf(self._xref_stream_pdf(predictor=False))
+        assert got["text"] == "Hello world"
+        assert got["pdf_version"] == "1.5"
+
+    def test_xref_stream_png_predictor(self):
+        got = extract_pdf(self._xref_stream_pdf(predictor=True))
+        assert got["text"] == "Hello world"
+
+    def test_incremental_update_newest_wins(self):
+        base = _simple_pdf([HELLO])
+        # the content stream is object 2 in _simple_pdf's layout
+        new_content = b"BT /F1 12 Tf (updated text) Tj ET"
+        upd = bytearray(base)
+        off2 = len(upd)
+        upd += (b"2 0 obj\n<< /Length "
+                + str(len(new_content)).encode() + b" >>\nstream\n"
+                + new_content + b"\nendstream\nendobj\n")
+        prev_xref = base.rindex(b"xref\n0 ")
+        xref_at = len(upd)
+        upd += (b"xref\n0 1\n0000000000 65535 f \n"
+                b"2 1\n" + f"{off2:010d} 00000 n \n".encode())
+        size = base.count(b" 0 obj") + 1
+        upd += (b"trailer\n<< /Size " + str(size).encode()
+                + b" /Root 5 0 R /Prev " + str(prev_xref).encode()
+                + b" >>\nstartxref\n" + str(xref_at).encode()
+                + b"\n%%EOF\n")
+        got = extract_pdf(bytes(upd))
+        assert got["text"] == "updated text"
+        # and the original still reads the original
+        assert extract_pdf(base)["text"] == "Hello world"
+
+    def test_repair_scan_on_torn_xref(self):
+        raw = _simple_pdf([HELLO])
+        torn = raw[:raw.rfind(b"xref")]  # xref + trailer gone
+        got = extract_pdf(torn)
+        assert got["text"] == "Hello world"
+
+    def test_encrypted_raises(self):
+        raw = _simple_pdf([HELLO])
+        bad = raw.replace(b"/Root", b"/Encrypt 1 0 R /Root", 1)
+        with pytest.raises(ValueError, match="encrypted"):
+            extract_pdf(bad)
+
+    def test_not_a_pdf_raises(self):
+        with pytest.raises(ValueError, match="%PDF-"):
+            extract_pdf(b"PK\x03\x04 definitely a zip")
+
+
+class TestSpark:
+    def test_mixed_batch_conservation(self, spark):
+        rows = [
+            (1, _simple_pdf([HELLO], flate=True)),
+            (2, b"not a pdf"),
+            (3, _simple_pdf([b"BT /F1 9 Tf (row three) Tj ET"])),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, doc binary")
+        out = {r["doc_id"]: r for r in extract_pdf_text(df).collect()}
+        assert len(out) == 3
+        assert out[1]["text"] == "Hello world"
+        assert out[1]["error"] is None
+        assert out[1]["n_pages"] == 1
+        assert out[2]["error"].startswith("ValueError")
+        assert out[3]["text"] == "row three"
+
+
+class TestRoundTripProperty:
+    def test_multiline_cp1252_round_trip(self):
+        from hypothesis import given, settings, strategies as st
+
+        # cp1252-encodable printable text, no PDF string delimiters
+        # (the writer's escaping covers \ ( ) — include them too)
+        alphabet = st.sampled_from(
+            [chr(c) for c in range(32, 127)]
+            + ["é", "ü", "ñ", "“", "—", "€"]
+        )
+        lines = st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=40),
+            min_size=1, max_size=6,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(lines=lines)
+        def run(lines):
+            def esc(s: bytes) -> bytes:
+                return (s.replace(b"\\", b"\\\\")
+                        .replace(b"(", b"\\(").replace(b")", b"\\)"))
+
+            ops = [b"BT /F1 12 Tf 72 720 Td"]
+            for i, line in enumerate(lines):
+                if i:
+                    ops.append(b"0 -14 Td")
+                ops.append(b"(" + esc(line.encode("cp1252")) + b") Tj")
+            ops.append(b"ET")
+            got = extract_pdf(_simple_pdf([b" ".join(ops)]))
+            assert got["text"] == "\n".join(lines)
+            assert got["n_unmapped"] == 0
+
+        run()
