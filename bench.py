@@ -144,6 +144,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    # pk2 left the driver registry in round 11 (funded dx1's gate row)
+    # but stays a BENCH row so the headline series remains comparable
+    # round-over-round — same rows, same total semantics.
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.pipeline_queries import (
+        pk2_materialized_sequences,
+    )
+
+    qs.setdefault("pk2_materialized_sequences", pk2_materialized_sequences)
     names = [n for n in HEADLINE if n in qs]
 
     # warm the JVM + parquet footers with the cheapest query once

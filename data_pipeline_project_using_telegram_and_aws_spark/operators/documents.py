@@ -1,0 +1,146 @@
+"""Unified document front door — one ``binary`` column in, one text
+row out, for every document container the engine can open: PDF
+(`operators/pdf.py`), DOCX/PPTX/XLSX/EPUB (`operators/office.py`).
+
+The reference pipeline's front door accepts exactly one shape
+(Telegram message JSON); a corpus front door meets arbitrary bytes.
+This module is the dispatch layer: magic-byte routing (``%PDF-`` /
+``PK``) into the per-format extractors, all inside ONE ``mapInPandas``
+Arrow stage, with the standard quarantine contract — a row that
+cannot be opened lands with ``error`` set and every other field NULL,
+|input| == |output| always.
+
+Unified schema notes:
+
+- ``n_units`` is the format's natural size unit (PDF pages, DOCX
+  lines, PPTX slides, XLSX sheets, EPUB chapters) — the auditable
+  size signal a quota/quality gate thresholds on.
+- ``n_unmapped`` is PDF-only (glyph codes with no Unicode meaning);
+  0 for formats whose text is stored as text.
+- ``is_markup`` marks rows whose ``text`` is HTML (EPUB chapters):
+  downstream must route those through `operators/html.py`
+  (``html_to_text`` / ``extract_main_text``) — which
+  :func:`document_plain_text` does as a JVM column expression, so
+  the markup→text step costs no second Python stage.
+- ``creator`` carries PDF ``/Author`` and OPC ``dc:creator`` — the
+  same role under both names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .office import _EXTRACTORS as _OFFICE_EXTRACTORS
+from .office import sniff_office
+from .pdf import extract_pdf
+
+__all__ = [
+    "sniff_document",
+    "extract_document",
+    "extract_documents",
+    "document_plain_text",
+    "DOCUMENT_TEXT_DDL",
+]
+
+DOCUMENT_TEXT_DDL = (
+    "doc_id long, format string, text string, is_markup boolean, "
+    "title string, creator string, created string, modified string, "
+    "language string, n_units int, n_unmapped int, error string"
+)
+
+
+def sniff_document(raw: bytes) -> str:
+    """``pdf | docx | pptx | xlsx | epub | zip | unknown`` from the
+    leading bytes (zip subtypes via the central directory)."""
+    if raw[:5] == b"%PDF-":
+        return "pdf"
+    got = sniff_office(raw)
+    return "unknown" if got == "not-zip" else got
+
+
+def extract_document(raw: bytes) -> dict:
+    """One document's unified row (sans doc_id/error) — raises
+    ValueError on unsupported containers and structural defects."""
+    fmt = sniff_document(raw)
+    out = {
+        "format": fmt, "text": None, "is_markup": False,
+        "title": None, "creator": None, "created": None,
+        "modified": None, "language": None, "n_units": None,
+        "n_unmapped": 0,
+    }
+    if fmt == "pdf":
+        got = extract_pdf(raw)
+        out.update(
+            text=got["text"], title=got["title"], creator=got["author"],
+            created=got["created"], modified=got["modified"],
+            n_units=got["n_pages"], n_unmapped=got["n_unmapped"],
+        )
+        return out
+    extractor = _OFFICE_EXTRACTORS.get(fmt)
+    if extractor is None:
+        raise ValueError(f"unsupported container: {fmt}")
+    got = extractor(raw)
+    out["is_markup"] = fmt == "epub"
+    out["text"] = got["text"]
+    out["n_units"] = got["n_parts"]
+    for k in ("title", "creator", "created", "modified", "language"):
+        if got.get(k) is not None:
+            out[k] = got[k]
+    return out
+
+
+def _document_rows(batch_iter) -> Iterator[pd.DataFrame]:
+    cols = [f.split()[0] for f in DOCUMENT_TEXT_DDL.split(", ")]
+    for batch in batch_iter:
+        out = []
+        for doc_id, raw in zip(batch["doc_id"], batch["doc"]):
+            data = bytes(raw) if raw is not None else b""
+            row = dict.fromkeys(cols)
+            row["doc_id"] = doc_id
+            try:
+                row.update(extract_document(data))
+            except Exception as e:  # noqa: BLE001 — quarantine IS the
+                # stated policy for ANY extraction failure (front-door
+                # doctrine: a parser bug on malformed bytes must land
+                # the row, not fail the batch)
+                row["format"] = sniff_document(data)
+                row["error"] = f"{type(e).__name__}: {e}"[:200]
+            out.append(row)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def extract_documents(
+    df,
+    id_col: str = "doc_id",
+    doc_col: str = "doc",
+    partitions: int | None = None,
+):
+    """Distributed unified extraction via ``mapInPandas`` — the slim
+    (id, bytes) projection from `multimodal.py`; one Python stage for
+    every format. See module docstring for the schema contract."""
+    from pyspark.sql import functions as F
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(doc_col).alias("doc"),
+    )
+    if partitions:
+        slim = slim.repartition(partitions, "doc_id")
+    return slim.mapInPandas(_document_rows, schema=DOCUMENT_TEXT_DDL)
+
+
+def document_plain_text(df):
+    """Resolve ``is_markup`` rows (EPUB) to visible text via the
+    existing JVM `operators.html.html_to_text` — no extra Python
+    stage. Adds ``plain_text``; other columns pass through."""
+    from pyspark.sql import functions as F
+
+    from .html import html_to_text
+
+    return df.withColumn(
+        "plain_text",
+        F.when(F.col("is_markup"), html_to_text(F.col("text")))
+        .otherwise(F.col("text")),
+    )

@@ -18,6 +18,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         crawl_queries,
         curation_queries,
         dedup_queries,
+        document_queries,
         multimodal_queries,
         pipeline_queries,
         reference_queries,
@@ -34,7 +35,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in (reference_queries, temporal_queries, dedup_queries,
                 curation_queries, pipeline_queries, similarity_queries,
                 text_queries, multimodal_queries, crawl_queries,
-                starschema_queries):
+                document_queries, starschema_queries):
         merged.update(mod.QUERIES)
     return merged
 
@@ -44,6 +45,7 @@ def all_oracles() -> dict[str, str]:
         crawl_queries,
         curation_queries,
         dedup_queries,
+        document_queries,
         multimodal_queries,
         pipeline_queries,
         reference_queries,
@@ -57,6 +59,6 @@ def all_oracles() -> dict[str, str]:
     for mod in (reference_queries, temporal_queries, dedup_queries,
                 curation_queries, pipeline_queries, similarity_queries,
                 text_queries, multimodal_queries, crawl_queries,
-                starschema_queries):
+                document_queries, starschema_queries):
         merged.update(mod.ORACLE)
     return merged

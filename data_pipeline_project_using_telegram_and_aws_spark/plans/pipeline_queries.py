@@ -176,7 +176,10 @@ def rt1_bm25_topk(spark, sf_dir):
 QUERIES = {
     "pk1_sequence_packing": pk1_sequence_packing,
     "dc1_decontamination": dc1_decontamination,
-    "pk2_materialized_sequences": pk2_materialized_sequences,
+    # pk2_materialized_sequences left the 50-row registry in round 11
+    # (funded dx1_document_extract): it shares pk1's pack_sequences
+    # call verbatim, and the materialize projection it adds is replayed
+    # against PK2_RETIRED_ORACLE in test_registry_consolidation.py
     "vc1_vocab_encode": vc1_vocab_encode,
     "sp1_split_mixture": sp1_split_mixture,
     "lm1_unigram_quality": lm1_unigram_quality,
@@ -240,36 +243,6 @@ ORACLE = {
         FROM tg JOIN eg USING (gram)
         GROUP BY train_doc_id, eval_doc_id, eval_ngrams
         ORDER BY contamination DESC, train_doc_id, eval_doc_id
-    """,
-    # within a (shard, seq_id) group, ORDER BY cum_before equals ORDER BY
-    # seq_offset; ties (zero-token docs) break on text, mirroring the
-    # Spark side's (seq_offset, text) struct sort
-    "pk2_materialized_sequences": f"""
-        WITH t AS (
-            SELECT doc_id, text,
-                   CAST(len(list_filter(string_split(text, ' '),
-                                        x -> x <> '')) AS BIGINT) AS n_tokens,
-                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
-                        AS BIGINT) % {PK_SHARDS} AS shard,
-                   md5(CAST(doc_id AS VARCHAR)) AS ord_key
-            FROM documents
-        ),
-        c AS (
-            SELECT shard, text, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (
-                       PARTITION BY shard ORDER BY ord_key, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS cum_before
-            FROM t
-        )
-        SELECT CAST(shard AS BIGINT) AS shard,
-               CAST(FLOOR(cum_before / {PK_BUDGET}) AS BIGINT) AS seq_id,
-               COUNT(1) AS n_docs,
-               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
-               string_agg(text, ' ' ORDER BY cum_before, text) AS seq_text
-        FROM c
-        GROUP BY shard, FLOOR(cum_before / {PK_BUDGET})
-        ORDER BY shard, seq_id
     """,
     "vc1_vocab_encode": f"""
         WITH toks0 AS (
@@ -523,3 +496,37 @@ ORACLE = {
         ORDER BY query_id, rank
     """,
 }
+
+# pk2_materialized_sequences' verbatim driver oracle, frozen at
+# retirement (round 11, funded dx1_document_extract) and replayed in
+# test_registry_consolidation.py. Within a (shard, seq_id) group,
+# ORDER BY cum_before equals ORDER BY seq_offset; ties (zero-token
+# docs) break on text, mirroring the Spark side's (seq_offset, text)
+# struct sort.
+PK2_RETIRED_ORACLE = f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        AS BIGINT) % {PK_SHARDS} AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS ord_key
+            FROM documents
+        ),
+        c AS (
+            SELECT shard, text, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY ord_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(FLOOR(cum_before / {PK_BUDGET}) AS BIGINT) AS seq_id,
+               COUNT(1) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+               string_agg(text, ' ' ORDER BY cum_before, text) AS seq_text
+        FROM c
+        GROUP BY shard, FLOOR(cum_before / {PK_BUDGET})
+        ORDER BY shard, seq_id
+    """

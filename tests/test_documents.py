@@ -1,0 +1,70 @@
+"""Unified document front door (`operators/documents.py`) + the dx1
+driver row (`plans/document_queries.py`) replayed against its
+authoring-time oracle — the same pytest twin wc1/wc2 carry."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.documents import (
+    extract_document,
+    sniff_document,
+)
+from data_pipeline_project_using_telegram_and_aws_spark.plans.document_queries import (
+    ORACLE,
+    _fixture_docx,
+    _fixture_epub,
+    _fixture_pdf,
+    dx1_document_extract,
+)
+
+
+class TestDispatch:
+    def test_sniff_routes_all_formats(self):
+        assert sniff_document(_fixture_pdf()) == "pdf"
+        assert sniff_document(_fixture_docx()) == "docx"
+        assert sniff_document(_fixture_epub()) == "epub"
+        assert sniff_document(b"\x89PNG\r\n") == "unknown"
+        assert sniff_document(b"") == "unknown"
+
+    def test_pdf_row_shape(self):
+        got = extract_document(_fixture_pdf())
+        assert got["format"] == "pdf"
+        assert got["n_units"] == 2
+        assert got["n_unmapped"] == 0
+        assert got["is_markup"] is False
+        assert got["title"] == "Fixture PDF"
+        assert got["creator"] == "Ada"
+        assert "Drip brewing, page one." in got["text"]
+        assert "Café pricing: €3." in got["text"]
+
+    def test_epub_is_markup(self):
+        got = extract_document(_fixture_epub())
+        assert got["is_markup"] is True
+        assert "<p>" in got["text"]
+        assert got["language"] == "en"
+
+    def test_unsupported_raises(self):
+        with pytest.raises(ValueError, match="unsupported container"):
+            extract_document(b"\x89PNG not a container")
+
+    def test_fixtures_are_deterministic(self):
+        # the driver row depends on byte-stable fixtures across calls
+        assert _fixture_pdf() == _fixture_pdf()
+        assert _fixture_docx() == _fixture_docx()
+        assert _fixture_epub() == _fixture_epub()
+
+
+def test_dx1_matches_retired_oracle(spark, sf_dir):
+    """The dx1 driver row replayed against its VALUES oracle — the
+    exact rows the driver hash-checks, kept red-on-break in pytest
+    too (markup resolution, quarantine routing, metadata)."""
+    import duckdb
+
+    got = [tuple(r) for r in dx1_document_extract(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(ORACLE["dx1_document_extract"]).fetchall()
+    ]
+    assert got == want

@@ -78,10 +78,17 @@ def test_mm1_metadata_subsumed_by_mm2(spark, sf_dir):
         for r in mm2_decode_features(spark, sf_dir).collect()
     }
     # mm2 carries mm1's whole surface over the documents, PLUS the
-    # round-10 real-decoder fixture rows (ids 9000001+)
+    # real-decoder fixture rows (ids 9000001+) — count derived from
+    # the fixture lists so adding a fixture can't silently skew this
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.multimodal_queries import (
+        _REAL_FIXTURES,
+        _REAL_VIDEO_FIXTURES,
+    )
+
     docs_side = {k: v for k, v in mm2.items() if k < 9000000}
     assert mm1 == docs_side and len(mm1) > 0
-    assert len(mm2) == len(mm1) + 4
+    assert len(mm2) == len(mm1) + len(_REAL_FIXTURES) \
+        + len(_REAL_VIDEO_FIXTURES)
 
 
 def test_mm2_cross_path_booleans_are_true(spark, sf_dir):
@@ -418,3 +425,27 @@ def test_q38_hash_sample_still_correct(spark, sf_dir):
     assert {r.l_returnflag: r.n_rows for r in got} == dict(want_n)
     for r in got:
         assert abs(r.sum_price - want_sum[r.l_returnflag]) < 1e-4
+
+
+def test_pk2_materialized_sequences_still_correct(spark, sf_dir):
+    """Round 11 (dx1 funded): pk2 shares pk1's pack_sequences call
+    verbatim — the registry row only added the materialize
+    projection, which is replayed here against its verbatim retired
+    DuckDB oracle — the exact check the driver used to run."""
+    import duckdb
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.pipeline_queries import (
+        PK2_RETIRED_ORACLE,
+        pk2_materialized_sequences,
+    )
+
+    got = [
+        (r.shard, r.seq_id, r.n_docs, r.seq_tokens, r.seq_text)
+        for r in pk2_materialized_sequences(spark, sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(PK2_RETIRED_ORACLE).fetchall()]
+    assert got == want

@@ -639,7 +639,128 @@ def probe_video(spark, n_rows: int) -> dict:
     }
 
 
+def probe_documents(spark, n_rows: int) -> dict:
+    """The document front door at growing corpus sizes: one
+    mapInPandas stage (`documents.extract_documents`) over a mixed
+    PDF/DOCX/EPUB corpus with per-row content scaled to a realistic
+    page (~2 KB of text per doc across pages/paragraphs/chapters).
+    Per-row work is constant by construction (no data-dependent
+    shuffle anywhere in the operator), so the exponent over n_rows is
+    the thing to watch (~1.0 expected)."""
+    import io
+    import zipfile
+    import zlib as _z
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.documents import (
+        extract_documents,
+    )
+
+    words = ("coffee roast brew filter grind water press steam "
+             "bean crop dry wash ferment").split()
+
+    def para(i: int, j: int) -> str:
+        return " ".join(words[(i + j + k) % len(words)]
+                        for k in range(24))
+
+    def pdf(i: int) -> bytes:
+        content = " ".join(
+            f"({para(i, j)}) Tj T*" for j in range(8)
+        ).encode()
+        body = b"BT /F1 10 Tf " + content + b" ET"
+        z = _z.compress(body)
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+                b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+            4: (b"<< /Length " + str(len(z)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + z
+                + b"\nendstream"),
+            5: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"),
+        }
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += (str(num).encode() + b" 0 obj\n" + objs[num]
+                    + b"\nendobj\n")
+        xref_at = len(out)
+        out += b"xref\n0 6\n0000000000 65535 f \n"
+        for num in range(1, 6):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+                + str(xref_at).encode() + b"\n%%EOF\n")
+        return bytes(out)
+
+    w_ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+    def docx(i: int) -> bytes:
+        ps = "".join(
+            f"<w:p><w:r><w:t>{para(i, j)}</w:t></w:r></w:p>"
+            for j in range(8)
+        )
+        doc = (f'<?xml version="1.0"?><w:document xmlns:w="{w_ns}">'
+               f"<w:body>{ps}</w:body></w:document>").encode()
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("word/document.xml", doc)
+        return buf.getvalue()
+
+    def epub(i: int) -> bytes:
+        chs = {
+            f"OEBPS/c{j}.xhtml":
+                f"<html><body><p>{para(i, j)}</p></body></html>".encode()
+            for j in range(4)
+        }
+        manifest = "".join(
+            f'<item id="c{j}" href="c{j}.xhtml" media-type="x"/>'
+            for j in range(4)
+        )
+        spine = "".join(f'<itemref idref="c{j}"/>' for j in range(4))
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("META-INF/container.xml",
+                        '<container><rootfiles><rootfile '
+                        'full-path="OEBPS/content.opf"/></rootfiles>'
+                        '</container>')
+            zf.writestr("OEBPS/content.opf",
+                        f"<package><manifest>{manifest}</manifest>"
+                        f"<spine>{spine}</spine></package>")
+            for name, data in chs.items():
+                zf.writestr(name, data)
+        return buf.getvalue()
+
+    makers = (pdf, docx, epub)
+    df = spark.createDataFrame(
+        [(i, makers[i % 3](i)) for i in range(n_rows)],
+        "doc_id long, doc binary",
+    ).repartition(32).localCheckpoint(eager=True)
+
+    def stage():
+        out = extract_documents(df)
+        return out.filter("error is null").count()
+
+    assert stage() == n_rows  # warmup; every synthetic doc extracts
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        stage()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {"n_rows": n_rows, "extract_s": round(best, 3)}
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--documents"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [1000, 3000, 10000]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            print(json.dumps(
+                {"family": "documents", **probe_documents(spark, n)}
+            ))
+        return
     if sys.argv[1:2] == ["--video"]:
         sizes = [int(a) for a in sys.argv[2:]] or [500, 1500, 5000]
         spark = get_spark("scale-probe")
