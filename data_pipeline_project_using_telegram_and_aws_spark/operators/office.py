@@ -36,6 +36,12 @@ XML parts", so one stdlib toolbox covers them:
   (``v``) as-is. Numbers stay in their stored lexical form — this is
   a TEXT extractor, not a spreadsheet evaluator (no number formats,
   no formula recompute).
+- :func:`extract_odf` — OpenDocument (ISO 26300: odt/odp/ods share
+  one layout): ``content.xml`` in document order — ``text:p``/
+  ``text:h`` one line each (``text:tab``/``text:line-break``/
+  ``text:s`` expanded), spreadsheet rows TAB-joined, presentation
+  pages blank-line separated; Dublin Core metadata from ``meta.xml``;
+  manifest ``encryption-data`` raises.
 - :func:`extract_epub` — OCF/OPF walk: ``META-INF/container.xml`` →
   first rootfile → OPF manifest (id→href) + spine (itemref order,
   including ``linear="no"`` items — they are content per the spec,
@@ -79,6 +85,7 @@ __all__ = [
     "extract_docx",
     "extract_pptx",
     "extract_xlsx",
+    "extract_odf",
     "extract_epub",
     "extract_office_text",
     "OFFICE_TEXT_DDL",
@@ -115,9 +122,9 @@ def _read_part(zf: zipfile.ZipFile, name: str) -> bytes:
 
 
 def sniff_office(raw: bytes) -> str:
-    """Container format from bytes: ``docx | pptx | xlsx | epub |
-    zip | not-zip``. Reads only the central directory (names), never
-    part contents, so it is safe as a cheap pre-gate."""
+    """Container format from bytes: ``docx | pptx | xlsx | odf |
+    epub | zip | not-zip``. Reads only the central directory (names),
+    never part contents, so it is safe as a cheap pre-gate."""
     if len(raw) < 4 or raw[:2] != b"PK":
         return "not-zip"
     try:
@@ -130,6 +137,8 @@ def sniff_office(raw: bytes) -> str:
         return "pptx"
     if "xl/workbook.xml" in names:
         return "xlsx"
+    if "content.xml" in names and "META-INF/manifest.xml" in names:
+        return "odf"  # odt/odp/ods share one layout and one extractor
     if "META-INF/container.xml" in names or "mimetype" in names:
         return "epub"
     return "zip"
@@ -345,6 +354,105 @@ def extract_xlsx(raw: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# ODF (OpenDocument: odt / odp / ods — ISO 26300)
+
+def _odf_paragraph_text(p: ET.Element) -> str:
+    """Flatten one ``text:p``/``text:h``: character data in document
+    order, ``text:tab`` → TAB, ``text:line-break`` → newline,
+    ``text:s c="n"`` → n spaces (ODF collapses literal runs)."""
+    parts: list[str] = []
+
+    def walk(el: ET.Element):
+        name = _local(el.tag)
+        if name == "tab":
+            parts.append("\t")
+        elif name == "line-break":
+            parts.append("\n")
+        elif name == "s":
+            parts.append(" " * int(el.get(
+                "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}c",
+                el.get("c", "1"),
+            ) or "1"))
+        if el.text:
+            parts.append(el.text)
+        for child in el:
+            walk(child)
+            if child.tail:
+                parts.append(child.tail)
+
+    if p.text:
+        parts.append(p.text)
+    for child in p:
+        walk(child)
+        if child.tail:
+            parts.append(child.tail)
+    return "".join(parts)
+
+
+def extract_odf(raw: bytes) -> dict:
+    """Text of an ODF document (odt/odp/ods share one layout):
+    ``content.xml`` walked in document order — ``text:p``/``text:h``
+    one line each, spreadsheet ``table:table-row`` one line with
+    cells TAB-joined, presentation pages separated by blank lines.
+    Metadata from ``meta.xml`` (dc:title/dc:creator/dc:language/
+    dc:date). Encrypted parts (``manifest`` encryption-data) raise."""
+    zf = _open_zip(raw)
+    names = zf.namelist()
+    if "META-INF/manifest.xml" in names and b"encryption-data" in \
+            _read_part(zf, "META-INF/manifest.xml"):
+        raise ValueError("encrypted odf (manifest encryption-data)")
+    root = _parse_xml(_read_part(zf, "content.xml"), "content.xml")
+    lines: list[str] = []
+
+    def walk_block(el: ET.Element):
+        name = _local(el.tag)
+        if name in ("p", "h"):
+            lines.append(_odf_paragraph_text(el))
+        elif name == "table-row":
+            cells = []
+            for tc in el:
+                if _local(tc.tag) != "table-cell":
+                    continue
+                cell_lines: list[str] = []
+                for sub in tc:
+                    if _local(sub.tag) in ("p", "h"):
+                        cell_lines.append(_odf_paragraph_text(sub))
+                cells.append(" ".join(s for s in cell_lines if s))
+            lines.append("\t".join(cells))
+        elif name == "page":
+            if lines and lines[-1] != "":
+                lines.append("")  # presentation page separator
+            for child in el:
+                walk_block(child)
+        else:
+            for child in el:
+                walk_block(child)
+
+    body = None
+    for el in root.iter():
+        if _local(el.tag) == "body":
+            body = el
+            break
+    if body is None:
+        raise ValueError("content.xml: no office:body element")
+    walk_block(body)
+    while lines and lines[-1] == "":
+        lines.pop()
+    meta = {"title": None, "creator": None, "created": None,
+            "modified": None, "language": None}
+    if "meta.xml" in names:
+        mroot = _parse_xml(_read_part(zf, "meta.xml"), "meta.xml")
+        for el in mroot.iter():
+            name = _local(el.tag)
+            key = {"title": "title", "creator": "creator",
+                   "language": "language", "date": "modified",
+                   "creation-date": "created"}.get(name)
+            if key and el.text and meta[key] is None:
+                meta[key] = el.text.strip() or None
+    return {"text": "\n".join(lines), "n_parts": len(lines), **meta}
+
+
+# ---------------------------------------------------------------------------
 # EPUB
 
 def _epub_opf_path(zf: zipfile.ZipFile) -> str:
@@ -421,6 +529,7 @@ _EXTRACTORS = {
     "docx": extract_docx,
     "pptx": extract_pptx,
     "xlsx": extract_xlsx,
+    "odf": extract_odf,
     "epub": extract_epub,
 }
 

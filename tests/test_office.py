@@ -321,3 +321,123 @@ class TestSpark:
         assert "Chapter one body." in epub_txt
         assert "Chapter two body." in epub_txt
         assert "<p>" not in epub_txt
+
+
+TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+OFFICE_NS = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+TABLE_NS = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+META_NS = "urn:oasis:names:tc:opendocument:xmlns:meta:1.0"
+
+
+def _odf(body: str, meta: str | None = None,
+         encrypted: bool = False) -> bytes:
+    content = (f'<?xml version="1.0"?>'
+               f'<office:document-content xmlns:office="{OFFICE_NS}"'
+               f' xmlns:text="{TEXT_NS}" xmlns:table="{TABLE_NS}">'
+               f"<office:body>{body}</office:body>"
+               f"</office:document-content>").encode()
+    manifest = b'<manifest:manifest xmlns:manifest="m"/>'
+    if encrypted:
+        manifest = (b'<manifest:manifest xmlns:manifest="m">'
+                    b'<manifest:encryption-data/></manifest:manifest>')
+    parts = {
+        "mimetype": b"application/vnd.oasis.opendocument.text",
+        "META-INF/manifest.xml": manifest,
+        "content.xml": content,
+    }
+    if meta:
+        parts["meta.xml"] = meta.encode()
+    return _zip_bytes(parts)
+
+
+class TestOdf:
+    def test_odt_paragraphs_tabs_breaks_spaces(self):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.office import (
+            extract_odf,
+        )
+
+        body = ("<office:text>"
+                "<text:h>Title here</text:h>"
+                "<text:p>before<text:tab/>after"
+                "<text:line-break/>next</text:p>"
+                '<text:p>a<text:s text:c="3"/>b</text:p>'
+                "<text:p>run <text:span>styled</text:span> tail</text:p>"
+                "</office:text>")
+        got = extract_odf(_odf(body))
+        assert got["text"] == (
+            "Title here\nbefore\tafter\nnext\na   b\nrun styled tail"
+        )
+        assert got["n_parts"] == 4
+
+    def test_ods_rows_tab_joined(self):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.office import (
+            extract_odf,
+        )
+
+        body = ("<office:spreadsheet><table:table>"
+                "<table:table-row>"
+                "<table:table-cell><text:p>Region</text:p></table:table-cell>"
+                "<table:table-cell><text:p>Sales</text:p></table:table-cell>"
+                "</table:table-row>"
+                "<table:table-row>"
+                "<table:table-cell><text:p>North</text:p></table:table-cell>"
+                "<table:table-cell><text:p>125</text:p></table:table-cell>"
+                "</table:table-row>"
+                "</table:table></office:spreadsheet>")
+        got = extract_odf(_odf(body))
+        assert got["text"] == "Region\tSales\nNorth\t125"
+
+    def test_odp_pages_blank_line_separated(self):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.office import (
+            extract_odf,
+        )
+
+        # draw:page localname is "page"
+        body = ('<office:presentation xmlns:draw="d">'
+                "<draw:page><text:p>slide one</text:p></draw:page>"
+                "<draw:page><text:p>slide two</text:p></draw:page>"
+                "</office:presentation>")
+        got = extract_odf(_odf(body))
+        assert got["text"] == "slide one\n\nslide two"
+
+    def test_meta_xml(self):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.office import (
+            extract_odf,
+        )
+
+        meta = (f'<?xml version="1.0"?>'
+                f'<office:document-meta xmlns:office="{OFFICE_NS}"'
+                f' xmlns:dc="{DC_NS}" xmlns:meta="{META_NS}">'
+                f"<office:meta><dc:title>Doc T</dc:title>"
+                f"<dc:creator>Di</dc:creator>"
+                f"<dc:language>de</dc:language>"
+                f"<meta:creation-date>2026-01-01</meta:creation-date>"
+                f"</office:meta></office:document-meta>")
+        got = extract_odf(
+            _odf("<office:text><text:p>x</text:p></office:text>",
+                 meta=meta))
+        assert (got["title"], got["creator"], got["language"],
+                got["created"]) == ("Doc T", "Di", "de", "2026-01-01")
+
+    def test_encrypted_raises(self):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.office import (
+            extract_odf,
+        )
+
+        with pytest.raises(ValueError, match="encrypted odf"):
+            extract_odf(_odf(
+                "<office:text><text:p>x</text:p></office:text>",
+                encrypted=True))
+
+    def test_sniff_and_dispatch(self):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.documents import (
+            extract_document,
+            sniff_document,
+        )
+
+        raw = _odf("<office:text><text:p>hello odf</text:p></office:text>")
+        assert sniff_office(raw) == "odf"
+        assert sniff_document(raw) == "odf"
+        got = extract_document(raw)
+        assert got["text"] == "hello odf"
+        assert got["is_markup"] is False
