@@ -509,3 +509,150 @@ class TestRoundTripProperty:
             assert got["n_unmapped"] == 0
 
         run()
+
+
+# --------------------------------------------------------------- axis 19
+# PDF object-model round-trip: random object trees serialized by an
+# INDEPENDENT writer (random whitespace/comments/string-form choices)
+# must parse back structurally identical — the lexer twin of fuzz
+# axes 1-18 (tests/test_differential_fuzz.py numbering).
+
+class TestObjectModelFuzz:
+    def test_random_object_trees_round_trip(self):
+        import random
+
+        from hypothesis import given, settings, strategies as st
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.pdf import (
+            _Lexer,
+            _Name,
+        )
+
+        regular = ("abcdefghijklmnopqrstuvwxyz"
+                   "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.-")
+        names = st.text(
+            alphabet=regular + " #/()", min_size=1, max_size=12
+        ).map(_Name)
+        scalars = st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-2**31, max_value=2**31),
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-1e6, max_value=1e6).map(
+                          lambda f: round(f, 4)),
+            st.binary(max_size=24),
+            names,
+        )
+        trees = st.recursive(
+            scalars,
+            lambda kids: st.one_of(
+                st.lists(kids, max_size=4),
+                st.dictionaries(
+                    st.text(alphabet=regular, min_size=1, max_size=8),
+                    kids, max_size=4,
+                ),
+            ),
+            max_leaves=12,
+        )
+
+        def ws(rng):
+            return rng.choice(
+                [" ", "\n", "\r\n", "\t", "  ", " % c\xf8mment\n"]
+            )
+
+        def ser(obj, rng) -> str:
+            if obj is None:
+                return "null"
+            if isinstance(obj, bool):
+                return "true" if obj else "false"
+            if isinstance(obj, int):
+                return str(obj)
+            if isinstance(obj, float):
+                return repr(obj)
+            if isinstance(obj, _Name):
+                out = "/"
+                for ch in str(obj):
+                    if ch in regular:
+                        out += ch
+                    else:
+                        out += f"#{ord(ch):02X}"
+                return out
+            if isinstance(obj, bytes):
+                if rng.random() < 0.5:
+                    return "<" + obj.hex() + ">"
+                out = "("
+                for b in obj:
+                    if b in (0x5C, 0x28, 0x29):
+                        out += "\\" + chr(b)
+                    elif 32 <= b < 127:
+                        out += chr(b)
+                    else:
+                        out += f"\\{b:03o}"
+                return out + ")"
+            if isinstance(obj, list):
+                inner = ws(rng).join(ser(x, rng) for x in obj)
+                return "[" + ws(rng) + inner + ws(rng) + "]"
+            if isinstance(obj, dict):
+                inner = ws(rng).join(
+                    ser(_Name(k), rng) + ws(rng) + ser(v, rng)
+                    for k, v in obj.items()
+                )
+                return "<<" + ws(rng) + inner + ws(rng) + ">>"
+            raise AssertionError(type(obj))
+
+        def same(a, b) -> bool:
+            if isinstance(a, _Name) or isinstance(b, _Name):
+                return (isinstance(a, _Name) and isinstance(b, _Name)
+                        and str(a) == str(b))
+            if isinstance(a, bool) or isinstance(b, bool):
+                return a is b
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+                return a == b
+            if isinstance(a, list) and isinstance(b, list):
+                return len(a) == len(b) and all(
+                    same(x, y) for x, y in zip(a, b))
+            if isinstance(a, dict) and isinstance(b, dict):
+                return a.keys() == b.keys() and all(
+                    same(a[k], b[k]) for k in a)
+            return type(a) is type(b) and a == b
+
+        @settings(max_examples=120, deadline=None)
+        @given(tree=trees, seed=st.integers(min_value=0, max_value=2**31))
+        def run(tree, seed):
+            rng = random.Random(seed)
+            blob = (ws(rng) + ser(tree, rng) + ws(rng)).encode("latin-1")
+            got = _Lexer(blob).parse_object()
+            assert same(got, tree), (got, tree)
+
+        run()
+
+    def test_mutated_pdfs_never_hang_or_escape_quarantine(self):
+        """Robustness sweep: random truncations and byte flips of a
+        valid PDF must complete promptly with either a successful
+        extraction or an exception (the operator wrapper's quarantine
+        class) — no hangs, no non-exception failures."""
+        import random
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.pdf import (
+            extract_pdf,
+        )
+
+        base = _simple_pdf([HELLO], flate=True)
+        rng = random.Random(0xD0C)
+        for trial in range(150):
+            raw = bytearray(base)
+            kind = trial % 3
+            if kind == 0:  # truncate
+                raw = raw[:rng.randrange(1, len(raw))]
+            elif kind == 1:  # flip 1-4 bytes
+                for _ in range(rng.randrange(1, 5)):
+                    raw[rng.randrange(len(raw))] = rng.randrange(256)
+            else:  # splice a chunk elsewhere
+                i = rng.randrange(len(raw))
+                j = rng.randrange(len(raw))
+                raw[i:i + 16] = raw[j:j + 16]
+            try:
+                got = extract_pdf(bytes(raw))
+                assert isinstance(got["text"], str)
+            except Exception:
+                pass  # quarantine class — the wrapper lands the row
