@@ -51,13 +51,24 @@ DOCUMENT_TEXT_DDL = (
 )
 
 
+_TEX_MARKERS = (b"\\documentclass", b"\\begin{document}",
+                b"\\section{", b"\\usepackage")
+
+
 def sniff_document(raw: bytes) -> str:
-    """``pdf | docx | pptx | xlsx | epub | zip | unknown`` from the
-    leading bytes (zip subtypes via the central directory)."""
+    """``pdf | docx | pptx | xlsx | odf | epub | tex | zip |
+    unknown`` from the leading bytes (zip subtypes via the central
+    directory; LaTeX by its unmistakable control words in the first
+    4 KB of an otherwise text-shaped buffer)."""
     if raw[:5] == b"%PDF-":
         return "pdf"
     got = sniff_office(raw)
-    return "unknown" if got == "not-zip" else got
+    if got != "not-zip":
+        return got
+    head = raw[:4096]
+    if any(m in head for m in _TEX_MARKERS) and b"\x00" not in head:
+        return "tex"
+    return "unknown"
 
 
 def extract_document(raw: bytes) -> dict:
@@ -77,6 +88,17 @@ def extract_document(raw: bytes) -> dict:
             created=got["created"], modified=got["modified"],
             n_units=got["n_pages"], n_unmapped=got["n_unmapped"],
         )
+        return out
+    if fmt == "tex":
+        # raw LaTeX source rides `text` with is_markup set — the JVM
+        # `operators/latex.py latex_to_text` resolves it in
+        # :func:`document_plain_text`, exactly the EPUB pattern
+        try:
+            source = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            source = raw.decode("latin-1")  # TeX predates UTF-8
+        out.update(text=source, is_markup=True,
+                   n_units=1 + source.count("\\section{"))
         return out
     extractor = _OFFICE_EXTRACTORS.get(fmt)
     if extractor is None:
@@ -132,15 +154,19 @@ def extract_documents(
 
 
 def document_plain_text(df):
-    """Resolve ``is_markup`` rows (EPUB) to visible text via the
-    existing JVM `operators.html.html_to_text` — no extra Python
-    stage. Adds ``plain_text``; other columns pass through."""
+    """Resolve ``is_markup`` rows to visible text JVM-side — EPUB
+    through `operators.html.html_to_text`, LaTeX through
+    `operators.latex.latex_to_text` — no extra Python stage. Adds
+    ``plain_text``; other columns pass through."""
     from pyspark.sql import functions as F
 
     from .html import html_to_text
+    from .latex import latex_to_text
 
     return df.withColumn(
         "plain_text",
-        F.when(F.col("is_markup"), html_to_text(F.col("text")))
+        F.when(F.col("format") == F.lit("tex"),
+               latex_to_text(F.col("text")))
+        .when(F.col("is_markup"), html_to_text(F.col("text")))
         .otherwise(F.col("text")),
     )

@@ -30,7 +30,19 @@ role for document corpora):
 - doc 3  EPUB: OPF metadata + two spine chapters; ``is_markup``
          rows resolve through the JVM html_to_text composition;
 - doc 4  arbitrary bytes → quarantine (unsupported container);
-- doc 5  DRM EPUB (META-INF/encryption.xml) → quarantine.
+- doc 5  DRM EPUB (META-INF/encryption.xml) → quarantine;
+- doc 6  LaTeX source: sniffed by control words, raw source rides
+         ``text`` and the JVM `operators/latex.py` pipeline resolves
+         it (section heading, \\emph unwrap, --- and \\$ escapes).
+
+Cost note (measured, the wc1 pattern): ~30 s cold at the oracle gate,
+nearly all PLAN cost — Python-worker spin-up plus Catalyst constant-
+folding of the html_to_text entity maps AND the ~100-fold latex
+regexp chain (which janino refuses past the method limit, so the
+fallback interpreter path compiles those regexes instead), not data
+(six rows). At corpus scale the same plan compiles once and the
+per-row work is the measured-linear document path (BENCH_NOTES
+round-11 fourth pass).
 """
 
 from __future__ import annotations
@@ -164,6 +176,15 @@ def _fixture_epub(encrypted: bool = False) -> bytes:
     return _zip_fixed(parts)
 
 
+_TEX_SOURCE = r"""\documentclass{article}
+\title{Notes}
+\begin{document}
+\section{Brewing}
+Pour over is \emph{simple} --- and \$5 cheap.
+\end{document}
+"""
+
+
 def dx1_document_extract(spark, sf_dir):
     """The document front door as one hash-checked row (module
     docstring): magic-byte dispatch → per-format extraction →
@@ -176,6 +197,7 @@ def dx1_document_extract(spark, sf_dir):
         (3, _fixture_epub()),
         (4, b"\x89PNG not a document container"),
         (5, _fixture_epub(encrypted=True)),
+        (6, _TEX_SOURCE.encode()),
     ]
     df = spark.createDataFrame(rows, "doc_id long, doc binary")
     out = document_plain_text(extract_documents(df))
@@ -205,6 +227,9 @@ _DOCX_TEXT = ("Quarterly report overview.{nl}Region\tSales{nl}"
               "North\t125{nl}End of report.")
 _EPUB_TEXT = ("Chapter one: coffee cultivation spread from Ethiopia."
               "{nl}{nl}Chapter two: roasting styles & brewing.")
+# latex contract: body cut, \section -> own line (blank-separated by
+# the source newlines), \emph unwraps, --- is an em dash, \$ restores
+_TEX_TEXT = "Brewing{nl}{nl}Pour over is simple — and $5 cheap."
 
 
 def _sqlq(s: str) -> str:
@@ -231,7 +256,11 @@ ORACLE = {
             (CAST(5 AS BIGINT), 'epub', 'ValueError',
              CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-             CAST(NULL AS VARCHAR))
+             CAST(NULL AS VARCHAR)),
+            (CAST(6 AS BIGINT), 'tex', CAST(NULL AS VARCHAR),
+             CAST(2 AS INTEGER), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             {_sqlq(_TEX_TEXT)})
         ) AS t(doc_id, format, error_kind, n_units, title, creator,
                language, plain_text)
         ORDER BY doc_id

@@ -24,8 +24,17 @@ class TestDispatch:
         assert sniff_document(_fixture_pdf()) == "pdf"
         assert sniff_document(_fixture_docx()) == "docx"
         assert sniff_document(_fixture_epub()) == "epub"
+        assert sniff_document(b"\\documentclass{article} x") == "tex"
+        # binary with an embedded marker is NOT tex (NUL guard)
+        assert sniff_document(b"\x00\\usepackage junk") == "unknown"
         assert sniff_document(b"\x89PNG\r\n") == "unknown"
         assert sniff_document(b"") == "unknown"
+
+    def test_tex_rides_text_as_markup(self):
+        got = extract_document(b"\\begin{document}Hi\\end{document}")
+        assert got["format"] == "tex"
+        assert got["is_markup"] is True
+        assert "\\begin{document}" in got["text"]  # raw source
 
     def test_pdf_row_shape(self):
         got = extract_document(_fixture_pdf())
