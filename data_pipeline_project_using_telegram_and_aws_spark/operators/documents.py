@@ -35,6 +35,7 @@ import pandas as pd
 from .office import _EXTRACTORS as _OFFICE_EXTRACTORS
 from .office import sniff_office
 from .pdf import extract_pdf
+from .rtf import extract_rtf
 
 __all__ = [
     "sniff_document",
@@ -56,12 +57,14 @@ _TEX_MARKERS = (b"\\documentclass", b"\\begin{document}",
 
 
 def sniff_document(raw: bytes) -> str:
-    """``pdf | docx | pptx | xlsx | odf | epub | tex | zip |
-    unknown`` from the leading bytes (zip subtypes via the central
+    """``pdf | rtf | docx | pptx | xlsx | odf | epub | tex |
+    zip | unknown`` from the leading bytes (zip subtypes via the central
     directory; LaTeX by its unmistakable control words in the first
     4 KB of an otherwise text-shaped buffer)."""
     if raw[:5] == b"%PDF-":
         return "pdf"
+    if raw.lstrip()[:5].startswith(b"{\\rtf"):
+        return "rtf"
     got = sniff_office(raw)
     if got != "not-zip":
         return got
@@ -88,6 +91,11 @@ def extract_document(raw: bytes) -> dict:
             created=got["created"], modified=got["modified"],
             n_units=got["n_pages"], n_unmapped=got["n_unmapped"],
         )
+        return out
+    if fmt == "rtf":
+        got = extract_rtf(raw)
+        out.update(text=got["text"], n_units=got["n_parts"],
+                   title=got["title"], creator=got["creator"])
         return out
     if fmt == "tex":
         # raw LaTeX source rides `text` with is_markup set — the JVM
