@@ -506,6 +506,10 @@ def extract_epub(raw: bytes) -> dict:
         if href is None:
             raise ValueError(f"{opf_path}: spine idref {idref!r} "
                              "not in manifest")
+        # OPF hrefs are URIs: percent-decode and drop any fragment
+        # before resolving against the zip's literal member names
+        from urllib.parse import unquote
+        href = unquote(href.split("#")[0])
         part = posixpath.normpath(posixpath.join(base, href)) if base \
             else href
         data = _read_part(zf, part)

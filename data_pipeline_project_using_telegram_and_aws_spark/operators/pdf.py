@@ -413,7 +413,13 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 raise ValueError(f"LZW code {code} out of range")
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # Width bump: the ENCODER bumps when its next assignable
+            # code reaches 2^width - EarlyChange; the decoder's table
+            # lags the encoder's by exactly ONE entry (it learns each
+            # entry one code later), hence the +1 — verified by
+            # round-trip against an independent encoder across the
+            # 9→10→11 boundaries at both EarlyChange settings
+            if len(table) + early + 1 >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -568,6 +574,9 @@ class PdfDocument:
             lex.pos = m.end()
             lex.skip_ws()
             m = _NUM_RE.match(self.raw, lex.pos)
+            if not m:  # ValueError, not AttributeError: the repair
+                # scan must get its chance on this damage class too
+                raise ValueError(f"bad xref section count at {lex.pos}")
             count = int(m.group())
             lex.pos = m.end()
             for i in range(count):
@@ -670,7 +679,12 @@ class PdfDocument:
     # -- access --------------------------------------------------------
 
     def _resolve(self, obj):
+        seen: set[int] = set()
         while isinstance(obj, _Ref):
+            if obj[0] in seen:  # ref cycle: null, not a hang — the
+                # quarantine wrapper can only catch exceptions
+                return None
+            seen.add(obj[0])
             obj = self.get_object(obj[0])
         return obj
 
@@ -691,6 +705,8 @@ class PdfDocument:
                 )
             lex.skip_ws()
             m = _NUM_RE.match(self.raw, lex.pos)
+            if not m:
+                raise ValueError(f"object {num}: bad generation")
             lex.pos = m.end()
             lex.skip_ws()
             if self.raw[lex.pos:lex.pos + 3] != b"obj":
@@ -1149,8 +1165,19 @@ _INHERITABLE = ("Resources",)
 
 
 def _walk_pages(doc: PdfDocument, node, inherited: dict,
-                out: list, depth: int = 0):
+                out: list, depth: int = 0,
+                visited: set | None = None):
     r = doc._resolve
+    if visited is None:
+        visited = set()
+    if isinstance(node, _Ref):
+        if node[0] in visited:
+            # a legitimate tree never shares nodes; a reused ref is
+            # a cycle/DAG bomb (B^depth blowup) — refuse loudly
+            raise ValueError(
+                f"page tree reuses node {node[0]} (cycle?)"
+            )
+        visited.add(node[0])
     node = r(node)
     if not isinstance(node, dict):
         return
@@ -1163,7 +1190,8 @@ def _walk_pages(doc: PdfDocument, node, inherited: dict,
     ntype = str(r(node.get("Type", "")))
     if ntype == "Pages" or (ntype != "Page" and "Kids" in node):
         for kid in r(node.get("Kids")) or []:
-            _walk_pages(doc, kid, inh, out, depth + 1)
+            _walk_pages(doc, kid, inh, out, depth + 1,
+                        visited)
     else:
         out.append((node, inh))
 

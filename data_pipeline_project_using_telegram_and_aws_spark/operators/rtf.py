@@ -161,7 +161,9 @@ def extract_rtf(raw: bytes) -> dict:
             word, param = m.group(1), m.group(2)
             pos = m.end()
             if word == b"bin":
-                pos += int(param or 0)  # raw bytes: count, not scan
+                # raw bytes: count, not scan; a NEGATIVE parameter is
+                # a crafted-input cursor rewind (infinite loop) — clamp
+                pos += max(0, int(param or 0))
             elif word == b"u":
                 cp = int(param or 0)
                 if cp < 0:
@@ -196,6 +198,11 @@ def extract_rtf(raw: bytes) -> dict:
             elif word == b"info":
                 in_info = True
                 info_depth = len(stack)
+                # the whole \info destination is metadata, never
+                # body text: default to skip; the _META_DESTS
+                # subgroups below override to COLLECT (\keywords,
+                # \doccomm etc. must not leak into the corpus)
+                dest = "skip"
             elif word in _SKIP_DESTS:
                 if dest is None:
                     dest = "skip"

@@ -441,3 +441,20 @@ class TestOdf:
         got = extract_document(raw)
         assert got["text"] == "hello odf"
         assert got["is_markup"] is False
+
+
+class TestEpubHrefRegressions:
+    """Round-11 self-review finding: OPF hrefs are URIs — percent
+    escapes decode and fragments drop before member lookup."""
+
+    def test_percent_encoded_href_and_fragment(self):
+        opf = OPF.replace(b'href="text/ch1.xhtml"',
+                          b'href="text/ch%201.xhtml"') \
+                 .replace(b'href="text/ch2.xhtml"',
+                          b'href="text/ch2.xhtml#start"')
+        raw = _epub({"OEBPS/content.opf": opf,
+                     "OEBPS/text/ch 1.xhtml": CH1})
+        got = extract_epub(raw)
+        assert got["n_parts"] == 2
+        assert "Chapter one body." in got["text"]
+        assert "Chapter two body." in got["text"]

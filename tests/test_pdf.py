@@ -304,7 +304,9 @@ class TestFilters:
                 bits.append((table[cur], width))
                 table[nxt] = next_code
                 next_code += 1
-                if next_code + 1 - 1 >= (1 << width) and width < 12:
+                # EarlyChange=1: bump when the NEXT code to assign
+                # would be 2^width - 1 (mirrors the decoder's rule)
+                if next_code + 1 >= (1 << width) and width < 12:
                     width += 1
                 cur = bytes([byte])
             if cur:
@@ -656,3 +658,92 @@ class TestObjectModelFuzz:
                 assert isinstance(got["text"], str)
             except Exception:
                 pass  # quarantine class — the wrapper lands the row
+
+
+class TestAdversarialRegressions:
+    """Round-11 self-review findings, each pinned (crafted inputs
+    must land in the quarantine class PROMPTLY — no hangs, no
+    non-ValueError escapes from documented repair paths)."""
+
+    def test_indirect_reference_cycle_terminates(self):
+        w = PdfWriter()
+        w.add(b"2 0 R")  # 1 -> 2
+        w.add(b"1 0 R")  # 2 -> 1
+        raw = w.build(root=1)
+        with pytest.raises(ValueError):
+            extract_pdf(raw)  # cycle resolves to null -> no catalog
+
+    def test_page_tree_dag_bomb_refused(self):
+        # each /Pages node lists the SAME kid twice: 2^40 leaf visits
+        # without a visited-set; must raise promptly instead
+        w = PdfWriter()
+        first = w._next
+        depth = 40
+        for i in range(depth):
+            kid = first + i + 1
+            w.add(b"<< /Type /Pages /Kids [" + str(kid).encode()
+                  + b" 0 R " + str(kid).encode() + b" 0 R] /Count 2 >>")
+        w.add(b"<< /Type /Page >>")
+        root = w.add(b"<< /Type /Catalog /Pages "
+                     + str(first).encode() + b" 0 R >>")
+        import time
+        t0 = time.time()
+        with pytest.raises(ValueError, match="reuses node"):
+            extract_pdf(w.build(root))
+        assert time.time() - t0 < 5
+
+    def test_garbled_xref_count_falls_back_to_repair(self):
+        raw = _simple_pdf([HELLO])
+        bad = raw.replace(b"xref\n0 6\n", b"xref\n0 zz\n", 1)
+        # the repair contract: torn xref machinery -> whole-file scan
+        assert extract_pdf(bad)["text"] == "Hello world"
+
+    def test_lzw_table_width_boundary(self):
+        # >253 new table entries so the 9->10 bit boundary is crossed;
+        # the old late-bump rule desyncs exactly there
+        import random
+
+        rng = random.Random(7)
+        words = ["alpha", "beta", "gamma", "delta", "rho", "tau"]
+        prose = " ".join(rng.choice(words) + str(rng.randrange(100))
+                         for _ in range(400))
+        payload = ("BT /F1 9 Tf (" + prose + ") Tj ET").encode()
+        filt = TestFilters()
+        assert filt._one.__func__  # reuse the helper below
+
+        # inline spec-correct encoder (same rule as the fixed one in
+        # TestFilters.test_lzw, which this payload also exercises)
+        def lzw_encode(data: bytes) -> bytes:
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+            bits = [(256, 9)]
+            cur = b""
+            for byte in data:
+                nxt = cur + bytes([byte])
+                if nxt in table:
+                    cur = nxt
+                    continue
+                bits.append((table[cur], width))
+                table[nxt] = next_code
+                next_code += 1
+                if next_code + 1 >= (1 << width) and width < 12:
+                    width += 1
+                cur = bytes([byte])
+            if cur:
+                bits.append((table[cur], width))
+            bits.append((257, width))
+            acc = nacc = 0
+            out = bytearray()
+            for code, wd in bits:
+                acc = (acc << wd) | code
+                nacc += wd
+                while nacc >= 8:
+                    out.append((acc >> (nacc - 8)) & 0xFF)
+                    nacc -= 8
+            if nacc:
+                out.append((acc << (8 - nacc)) & 0xFF)
+            return bytes(out)
+
+        assert len(lzw_encode(payload)) > 0
+        got = filt._one(b"LZWDecode", lzw_encode(payload))
+        assert got == prose

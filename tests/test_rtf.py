@@ -101,3 +101,25 @@ class TestDispatch:
         assert got["title"] == "T" and got["creator"] == "A"
         assert got["is_markup"] is False
         assert got["n_units"] == 2
+
+
+class TestAdversarialRegressions:
+    """Round-11 self-review findings, pinned."""
+
+    def test_negative_bin_terminates(self):
+        import time
+
+        t0 = time.time()
+        got = extract_rtf(b"{\\rtf1 hello \\bin-10 world}")
+        assert time.time() - t0 < 2
+        assert got["text"] == "hello world"
+
+    def test_info_subgroups_never_leak_into_body(self):
+        raw = (br"{\rtf1{\info{\title My Title}"
+               br"{\keywords secret internal tags}"
+               br"{\doccomm reviewer note}}Body text.\par}")
+        got = extract_rtf(raw)
+        assert got["text"] == "Body text."
+        assert got["title"] == "My Title"
+        assert "secret" not in got["text"]
+        assert "reviewer" not in got["text"]
