@@ -63,7 +63,7 @@ def _strip_tags(text: Column, keep_speakers: bool) -> Column:
     return F.trim(text)
 
 
-def _cues(col: Column, time_re: str, sep: str,
+def _cues(col: Column, time_re: str,
           keep_speakers: bool) -> Column:
     """Shared shape: find every ``TIME --> TIME<tail>`` header, pair
     it with the text up to the next blank line."""
@@ -93,7 +93,6 @@ def _cues(col: Column, time_re: str, sep: str,
             ).alias("text"),
         )
 
-    del sep
     return F.transform(blocks, cue)
 
 
@@ -101,7 +100,7 @@ def parse_srt_cues(source, keep_speakers: bool = True) -> Column:
     """SRT → array<struct(start_s, end_s, text)> (module contract)."""
     col = source if isinstance(source, Column) else F.col(source)
     col = F.regexp_replace(col, r"\r\n?", "\n")
-    return _cues(col, _SRT_TIME, ",", keep_speakers)
+    return _cues(col, _SRT_TIME, keep_speakers)
 
 
 def parse_vtt_cues(source, keep_speakers: bool = True) -> Column:
@@ -115,7 +114,7 @@ def parse_vtt_cues(source, keep_speakers: bool = True) -> Column:
         col, r"(?m)^(?:NOTE|STYLE|REGION)\b(?:[^\n]*\n)(?:(?!\n)[^\n]*\n?)*",
         "",
     )
-    return _cues(col, _VTT_TIME, ".", keep_speakers)
+    return _cues(col, _VTT_TIME, keep_speakers)
 
 
 def subtitle_text(cues: Column) -> Column:
