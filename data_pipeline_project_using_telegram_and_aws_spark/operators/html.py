@@ -332,3 +332,66 @@ def robots_noindex(html) -> Column:
     return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(
         F.coalesce(hit, F.lit(False))
     )
+
+
+def opengraph_metadata(html) -> Column:
+    """Struct(og_title, og_description, og_type, og_image, og_url,
+    article_published) from OpenGraph / article ``<meta property=..
+    content=..>`` tags — the social-graph metadata block news sites
+    carry; each NULL when absent. Same order-insensitive attribute
+    machinery as `html_metadata` (``property=`` instead of
+    ``name=``), one projection, no Python."""
+    col = F.col(html) if isinstance(html, str) else html
+
+    def prop(name: str) -> Column:
+        raw = _first_tag_attr(col, "meta", "property", name, "content")
+        return F.nullif(
+            F.trim(_decode_entities(F.coalesce(raw, F.lit("")))),
+            F.lit(""),
+        )
+
+    return F.struct(
+        prop("og:title").alias("og_title"),
+        prop("og:description").alias("og_description"),
+        prop("og:type").alias("og_type"),
+        prop("og:image").alias("og_image"),
+        prop("og:url").alias("og_url"),
+        prop("article:published_time").alias("article_published"),
+    )
+
+
+def jsonld_metadata(html) -> Column:
+    """Struct(ld_type, headline, author, date_published, publisher)
+    from the FIRST ``<script type="application/ld+json">`` block —
+    the schema.org metadata articles/recipes/products embed. The
+    block's JSON parses JVM-side via ``get_json_object``; an
+    ``@graph`` wrapper is followed one level (first element). Author
+    and publisher accept both the object form ({"name": ..}) and the
+    bare-string form. Unparseable JSON → all-NULL struct (metadata
+    absence is data, not a defect). One projection, no Python."""
+    col = F.col(html) if isinstance(html, str) else html
+    block = F.regexp_extract(
+        col,
+        r"(?is)<script\b[^>]*type\s*=\s*[\"']?application/ld\+json"
+        r"[\"']?[^>]*>(.*?)</script",
+        1,
+    )
+    block = F.nullif(F.trim(block), F.lit(""))
+    # follow an @graph wrapper one level; else use the block itself
+    graph0 = F.get_json_object(block, "$['@graph'][0]")
+    node = F.coalesce(graph0, block)
+
+    def field(path: str) -> Column:
+        return F.nullif(F.get_json_object(node, path), F.lit(""))
+
+    author = F.coalesce(field("$.author.name"), field("$.author[0].name"),
+                        field("$.author"))
+    publisher = F.coalesce(field("$.publisher.name"), field("$.publisher"))
+    return F.struct(
+        field("$['@type']").alias("ld_type"),
+        F.coalesce(field("$.headline"), field("$.name")).alias("headline"),
+        author.alias("author"),
+        F.coalesce(field("$.datePublished"),
+                   field("$.dateCreated")).alias("date_published"),
+        publisher.alias("publisher"),
+    )

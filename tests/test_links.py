@@ -548,3 +548,66 @@ def test_build_frontier_seeds(spark):
         ).collect()
     }
     assert got == {"http://a.com/found", "http://a.com/seeded"}
+
+
+class TestStructuredMetadata:
+    """OpenGraph + JSON-LD extraction (round-11 sixth pass) — pinned
+    on hand-authored page snippets."""
+
+    def test_opengraph(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+            opengraph_metadata,
+        )
+        from pyspark.sql import functions as F
+
+        page = (
+            '<html><head>'
+            '<meta content="Brewing &amp; You" property="og:title">'
+            "<meta property='og:type' content='article'>"
+            '<meta property="article:published_time" '
+            'content="2026-08-01T10:00:00Z">'
+            "</head><body/></html>"
+        )
+        df = spark.createDataFrame([(page,)], "html string")
+        m = df.select(opengraph_metadata(F.col("html")).alias("m")) \
+            .collect()[0]["m"]
+        # attribute order swapped on og:title; entity decoded
+        assert m["og_title"] == "Brewing & You"
+        assert m["og_type"] == "article"
+        assert m["article_published"] == "2026-08-01T10:00:00Z"
+        assert m["og_image"] is None
+
+    def test_jsonld_article_and_graph_wrapper(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+            jsonld_metadata,
+        )
+        from pyspark.sql import functions as F
+
+        direct = (
+            '<script type="application/ld+json">'
+            '{"@type": "NewsArticle", "headline": "Beans up 3%",'
+            ' "author": {"name": "Ada"},'
+            ' "datePublished": "2026-08-02"}'
+            "</script>"
+        )
+        graph = (
+            "<script type=application/ld+json>"
+            '{"@graph": [{"@type": "Recipe", "name": "Pour over",'
+            ' "author": "Bo"}]}'
+            "</script>"
+        )
+        broken = '<script type="application/ld+json">{oops</script>'
+        df = spark.createDataFrame(
+            [(1, direct), (2, graph), (3, broken), (4, "<p>none</p>")],
+            "id long, html string")
+        got = {r["id"]: r["m"] for r in df.select(
+            "id", jsonld_metadata(F.col("html")).alias("m")).collect()}
+        assert got[1]["ld_type"] == "NewsArticle"
+        assert got[1]["headline"] == "Beans up 3%"
+        assert got[1]["author"] == "Ada"
+        assert got[1]["date_published"] == "2026-08-02"
+        assert got[2]["ld_type"] == "Recipe"
+        assert got[2]["headline"] == "Pour over"
+        assert got[2]["author"] == "Bo"
+        assert got[3]["ld_type"] is None  # unparseable: absence
+        assert got[4]["headline"] is None
