@@ -28,6 +28,8 @@ Unified schema notes:
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -55,16 +57,25 @@ DOCUMENT_TEXT_DDL = (
 _TEX_MARKERS = (b"\\documentclass", b"\\begin{document}",
                 b"\\section{", b"\\usepackage")
 
+_SRT_HEAD = re.compile(
+    rb"\A\s*\d+\s*\r?\n\d{1,2}:\d{2}:\d{2},\d{3}[ \t]*-->"
+)
+
 
 def sniff_document(raw: bytes) -> str:
-    """``pdf | rtf | docx | pptx | xlsx | odf | epub | tex |
-    zip | unknown`` from the leading bytes (zip subtypes via the central
-    directory; LaTeX by its unmistakable control words in the first
-    4 KB of an otherwise text-shaped buffer)."""
+    """``pdf | rtf | docx | pptx | xlsx | odf | epub | tex | srt |
+    vtt | zip | unknown`` from the leading bytes (zip subtypes via
+    the central directory; LaTeX by its unmistakable control words
+    in the first 4 KB of an otherwise text-shaped buffer; WebVTT by
+    its header magic, SRT by the index + timestamp head shape)."""
     if raw[:5] == b"%PDF-":
         return "pdf"
     if raw.lstrip()[:5].startswith(b"{\\rtf"):
         return "rtf"
+    if raw.lstrip()[:6].startswith(b"WEBVTT"):
+        return "vtt"
+    if _SRT_HEAD.match(raw):
+        return "srt"
     got = sniff_office(raw)
     if got != "not-zip":
         return got
@@ -96,6 +107,18 @@ def extract_document(raw: bytes) -> dict:
         got = extract_rtf(raw)
         out.update(text=got["text"], n_units=got["n_parts"],
                    title=got["title"], creator=got["creator"])
+        return out
+    if fmt in ("srt", "vtt"):
+        # raw subtitle source rides `text` with is_markup set — the
+        # JVM `operators/subtitles.py` cue parser resolves it in
+        # :func:`document_plain_text` (the tex/EPUB pattern);
+        # n_units = cue count (the '-->' headers)
+        try:
+            source = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            source = raw.decode("latin-1")
+        out.update(text=source, is_markup=True,
+                   n_units=source.count("-->"))
         return out
     if fmt == "tex":
         # raw LaTeX source rides `text` with is_markup set — the JVM
@@ -171,10 +194,16 @@ def document_plain_text(df):
     from .html import html_to_text
     from .latex import latex_to_text
 
+    from .subtitles import parse_srt_cues, parse_vtt_cues, subtitle_text
+
     return df.withColumn(
         "plain_text",
         F.when(F.col("format") == F.lit("tex"),
                latex_to_text(F.col("text")))
+        .when(F.col("format") == F.lit("srt"),
+              subtitle_text(parse_srt_cues(F.col("text"))))
+        .when(F.col("format") == F.lit("vtt"),
+              subtitle_text(parse_vtt_cues(F.col("text"))))
         .when(F.col("is_markup"), html_to_text(F.col("text")))
         .otherwise(F.col("text")),
     )

@@ -33,7 +33,9 @@ role for document corpora):
 - doc 5  DRM EPUB (META-INF/encryption.xml) → quarantine;
 - doc 6  LaTeX source: sniffed by control words, raw source rides
          ``text`` and the JVM `operators/latex.py` pipeline resolves
-         it (section heading, \\emph unwrap, --- and \\$ escapes).
+         it (section heading, \\emph unwrap, --- and \\$ escapes);
+- doc 7  SRT subtitles (CRLF, styling tag): cue texts newline-joined;
+- doc 8  WebVTT (NOTE block skipped, voice tag → 'Ada: ' prefix).
 
 Cost note (measured, the wc1 pattern): ~30 s cold at the oracle gate,
 nearly all PLAN cost — Python-worker spin-up plus Catalyst constant-
@@ -185,6 +187,22 @@ Pour over is \emph{simple} --- and \$5 cheap.
 """
 
 
+_SRT_SOURCE = ("1\r\n"
+               "00:00:01,000 --> 00:00:02,000\r\n"
+               "Hello from cue one.\r\n"
+               "\r\n"
+               "2\r\n"
+               "00:00:03,000 --> 00:00:04,500\r\n"
+               "<i>Cue two styled.</i>\r\n")
+
+_VTT_SOURCE = ("WEBVTT\n"
+               "\n"
+               "NOTE authoring comment, not a cue\n"
+               "\n"
+               "00:01.000 --> 00:02.000\n"
+               "<v Ada>Welcome back</v>\n")
+
+
 def dx1_document_extract(spark, sf_dir):
     """The document front door as one hash-checked row (module
     docstring): magic-byte dispatch → per-format extraction →
@@ -198,6 +216,8 @@ def dx1_document_extract(spark, sf_dir):
         (4, b"\x89PNG not a document container"),
         (5, _fixture_epub(encrypted=True)),
         (6, _TEX_SOURCE.encode()),
+        (7, _SRT_SOURCE.encode()),
+        (8, _VTT_SOURCE.encode()),
     ]
     df = spark.createDataFrame(rows, "doc_id long, doc binary")
     out = document_plain_text(extract_documents(df))
@@ -230,6 +250,10 @@ _EPUB_TEXT = ("Chapter one: coffee cultivation spread from Ethiopia."
 # latex contract: body cut, \section -> own line (blank-separated by
 # the source newlines), \emph unwraps, --- is an em dash, \$ restores
 _TEX_TEXT = "Brewing{nl}{nl}Pour over is simple — and $5 cheap."
+# subtitle contract: cue texts newline-joined, styling tags stripped,
+# voice tag speaker kept as the 'Name: ' prefix
+_SRT_TEXT = "Hello from cue one.{nl}Cue two styled."
+_VTT_TEXT = "Ada: Welcome back"
 
 
 def _sqlq(s: str) -> str:
@@ -260,7 +284,15 @@ ORACLE = {
             (CAST(6 AS BIGINT), 'tex', CAST(NULL AS VARCHAR),
              CAST(2 AS INTEGER), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-             {_sqlq(_TEX_TEXT)})
+             {_sqlq(_TEX_TEXT)}),
+            (CAST(7 AS BIGINT), 'srt', CAST(NULL AS VARCHAR),
+             CAST(2 AS INTEGER), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             {_sqlq(_SRT_TEXT)}),
+            (CAST(8 AS BIGINT), 'vtt', CAST(NULL AS VARCHAR),
+             CAST(1 AS INTEGER), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             {_sqlq(_VTT_TEXT)})
         ) AS t(doc_id, format, error_kind, n_units, title, creator,
                language, plain_text)
         ORDER BY doc_id

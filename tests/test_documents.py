@@ -77,3 +77,27 @@ def test_dx1_matches_retired_oracle(spark, sf_dir):
         .execute(ORACLE["dx1_document_extract"]).fetchall()
     ]
     assert got == want
+
+
+def test_subtitles_ride_the_dispatcher(spark):
+    """Round-11 sixth pass: srt/vtt route like tex — raw source in
+    `text`, JVM cue parser resolves in document_plain_text."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.documents import (
+        document_plain_text,
+        extract_documents,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.document_queries import (
+        _SRT_SOURCE,
+        _VTT_SOURCE,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_SRT_SOURCE.encode())),
+         (2, bytearray(_VTT_SOURCE.encode()))],
+        "doc_id long, doc binary")
+    out = {r.doc_id: r for r in
+           document_plain_text(extract_documents(df)).collect()}
+    assert out[1].format == "srt" and out[1].n_units == 2
+    assert out[1].plain_text == "Hello from cue one.\nCue two styled."
+    assert out[2].format == "vtt" and out[2].n_units == 1
+    assert out[2].plain_text == "Ada: Welcome back"
