@@ -101,3 +101,51 @@ def test_subtitles_ride_the_dispatcher(spark):
     assert out[1].plain_text == "Hello from cue one.\nCue two styled."
     assert out[2].format == "vtt" and out[2].n_units == 1
     assert out[2].plain_text == "Ada: Welcome back"
+
+
+def test_fuzz_axis20_mutated_containers_quarantine_promptly(spark):
+    """Fuzz axis 20: random truncations/byte-flips/splices of every
+    fixture format through the REAL distributed front door — each
+    mutation must land as a row (text or error), never hang or fail
+    the batch. |in| == |out| conservation under adversarial bytes."""
+    import random
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.documents import (
+        document_plain_text,
+        extract_documents,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.document_queries import (
+        _SRT_SOURCE,
+        _TEX_SOURCE,
+        _VTT_SOURCE,
+    )
+
+    bases = [
+        _fixture_pdf(), _fixture_docx(), _fixture_epub(),
+        _TEX_SOURCE.encode(), _SRT_SOURCE.encode(),
+        _VTT_SOURCE.encode(),
+        (br"{\rtf1{\fonttbl{\f0 X;}} body \par}"),
+    ]
+    rng = random.Random(20)
+    rows = []
+    doc_id = 0
+    for base in bases:
+        for trial in range(12):
+            raw = bytearray(base)
+            kind = trial % 3
+            if kind == 0 and len(raw) > 2:
+                raw = raw[:rng.randrange(1, len(raw))]
+            elif kind == 1:
+                for _ in range(rng.randrange(1, 5)):
+                    raw[rng.randrange(len(raw))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(raw))
+                j = rng.randrange(len(raw))
+                raw[i:i + 12] = raw[j:j + 12]
+            rows.append((doc_id, bytearray(raw)))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, doc binary")
+    out = document_plain_text(extract_documents(df)).collect()
+    assert len(out) == len(rows)  # conservation, no batch failure
+    for r in out:
+        assert r.error is not None or r.plain_text is not None
