@@ -731,15 +731,37 @@ def probe_documents(spark, n_rows: int) -> dict:
                 zf.writestr(name, data)
         return buf.getvalue()
 
-    makers = (pdf, docx, epub)
+    def rtf(i: int) -> bytes:
+        body = " \\par ".join(para(i, j) for j in range(8))
+        return ("{\\rtf1\\ansi " + body + "}").encode()
+
+    def tex(i: int) -> bytes:
+        body = "\n\n".join(para(i, j) for j in range(8))
+        return ("\\begin{document}\n" + body
+                + "\n\\end{document}\n").encode()
+
+    def srt(i: int) -> bytes:
+        cues = "".join(
+            f"{j + 1}\n00:00:{j:02d},000 --> 00:00:{j + 1:02d},000\n"
+            f"{para(i, j)}\n\n" for j in range(8)
+        )
+        return cues.encode()
+
+    makers = (pdf, docx, epub, rtf, tex, srt)
     df = spark.createDataFrame(
-        [(i, makers[i % 3](i)) for i in range(n_rows)],
+        [(i, makers[i % len(makers)](i)) for i in range(n_rows)],
         "doc_id long, doc binary",
     ).repartition(32).localCheckpoint(eager=True)
 
     def stage():
-        out = extract_documents(df)
-        return out.filter("error is null").count()
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.documents import (
+            document_plain_text,
+        )
+
+        out = document_plain_text(extract_documents(df))
+        return out.filter(
+            "error is null and length(plain_text) > 0"
+        ).count()
 
     assert stage() == n_rows  # warmup; every synthetic doc extracts
     best = None
