@@ -58,8 +58,27 @@ _TEX_MARKERS = (b"\\documentclass", b"\\begin{document}",
                 b"\\section{", b"\\usepackage")
 
 _SRT_HEAD = re.compile(
-    rb"\A\s*\d+\s*\r?\n\d{1,2}:\d{2}:\d{2},\d{3}[ \t]*-->"
+    rb"\A\s*\d+\s*\r?\n\d{1,4}:\d{2}:\d{2},\d{3}[ \t]*-->"
 )
+
+# one timing line per cue — the auditable cue count (a '-->' inside a
+# NOTE comment or dialog text must not inflate n_units)
+_TIMING_LINE = re.compile(
+    r"(?m)^[ \t]*(?:\d{1,4}:)?\d{2}:\d{2}[.,]\d{3}[ \t]*-->"
+)
+
+
+def _strip_bom(raw: bytes) -> bytes:
+    return raw[3:] if raw[:3] == b"\xef\xbb\xbf" else raw
+
+
+def _decode_text(raw: bytes) -> str:
+    """Text-shaped formats (tex/srt/vtt): UTF-8 with BOM tolerance,
+    latin-1 fallback (these formats predate mandatory UTF-8)."""
+    try:
+        return raw.decode("utf-8-sig")
+    except UnicodeDecodeError:
+        return _strip_bom(raw).decode("latin-1")
 
 
 def sniff_document(raw: bytes) -> str:
@@ -72,14 +91,15 @@ def sniff_document(raw: bytes) -> str:
         return "pdf"
     if raw.lstrip()[:5].startswith(b"{\\rtf"):
         return "rtf"
-    if raw.lstrip()[:6].startswith(b"WEBVTT"):
+    text_head = _strip_bom(raw)  # the VTT spec permits a leading BOM
+    if text_head.lstrip()[:6].startswith(b"WEBVTT"):
         return "vtt"
-    if _SRT_HEAD.match(raw):
+    if _SRT_HEAD.match(text_head):
         return "srt"
     got = sniff_office(raw)
     if got != "not-zip":
         return got
-    head = raw[:4096]
+    head = text_head[:4096]
     if any(m in head for m in _TEX_MARKERS) and b"\x00" not in head:
         return "tex"
     return "unknown"
@@ -112,22 +132,17 @@ def extract_document(raw: bytes) -> dict:
         # raw subtitle source rides `text` with is_markup set — the
         # JVM `operators/subtitles.py` cue parser resolves it in
         # :func:`document_plain_text` (the tex/EPUB pattern);
-        # n_units = cue count (the '-->' headers)
-        try:
-            source = raw.decode("utf-8")
-        except UnicodeDecodeError:
-            source = raw.decode("latin-1")
+        # n_units = cue count (TIMING LINES, not raw '-->' hits — a
+        # '-->' inside a NOTE comment must not inflate the audit)
+        source = _decode_text(raw)
         out.update(text=source, is_markup=True,
-                   n_units=source.count("-->"))
+                   n_units=len(_TIMING_LINE.findall(source)))
         return out
     if fmt == "tex":
         # raw LaTeX source rides `text` with is_markup set — the JVM
         # `operators/latex.py latex_to_text` resolves it in
         # :func:`document_plain_text`, exactly the EPUB pattern
-        try:
-            source = raw.decode("utf-8")
-        except UnicodeDecodeError:
-            source = raw.decode("latin-1")  # TeX predates UTF-8
+        source = _decode_text(raw)
         out.update(text=source, is_markup=True,
                    n_units=1 + source.count("\\section{"))
         return out

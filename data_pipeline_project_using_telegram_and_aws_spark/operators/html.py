@@ -377,9 +377,11 @@ def jsonld_metadata(html) -> Column:
         1,
     )
     block = F.nullif(F.trim(block), F.lit(""))
-    # follow an @graph wrapper one level; else use the block itself
+    # follow an @graph wrapper one level, or a top-level ARRAY's
+    # first element (both common real-world shapes); else the block
     graph0 = F.get_json_object(block, "$['@graph'][0]")
-    node = F.coalesce(graph0, block)
+    arr0 = F.get_json_object(block, "$[0]")
+    node = F.coalesce(graph0, arr0, block)
 
     def field(path: str) -> Column:
         return F.nullif(F.get_json_object(node, path), F.lit(""))

@@ -34,8 +34,8 @@ from pyspark.sql import Column, functions as F
 __all__ = ["parse_srt_cues", "parse_vtt_cues", "subtitle_text"]
 
 # HH:MM:SS,mmm (SRT) / [HH:]MM:SS.mmm (VTT)
-_SRT_TIME = r"(\d{1,2}):(\d{2}):(\d{2}),(\d{3})"
-_VTT_TIME = r"(?:(\d{1,2}):)?(\d{2}):(\d{2})\.(\d{3})"
+_SRT_TIME = r"(\d{1,4}):(\d{2}):(\d{2}),(\d{3})"
+_VTT_TIME = r"(?:(\d{1,4}):)?(\d{2}):(\d{2})\.(\d{3})"
 
 
 def _hms_to_seconds(h: Column, m: Column, s: Column, ms: Column) -> Column:
@@ -67,9 +67,14 @@ def _cues(col: Column, time_re: str,
           keep_speakers: bool) -> Column:
     """Shared shape: find every ``TIME --> TIME<tail>`` header, pair
     it with the text up to the next blank line."""
+    # cue text: lines up to the next blank line that are NOT
+    # themselves timing lines — back-to-back cues missing their
+    # blank separator degrade to separate cues instead of fusing
+    # (the following cue's bare SRT index line is stripped from the
+    # captured tail below)
     block_re = (
         time_re + r"[ \t]*-->[ \t]*" + time_re
-        + r"[^\n]*\n((?:(?!\n)[^\n]*\n?)*)"
+        + r"[^\n]*\n((?:(?!\n)(?![^\n]*-->)[^\n]*\n?)*)"
     )
     blocks = F.regexp_extract_all(col, F.lit(block_re), F.lit(0))
     time_groups = 4
@@ -89,7 +94,12 @@ def _cues(col: Column, time_re: str,
             start.alias("start_s"),
             end.alias("end_s"),
             _strip_tags(
-                F.regexp_replace(raw_text, r"\n+$", ""), keep_speakers
+                F.regexp_replace(
+                    # a trailing bare-integer line is the NEXT cue's
+                    # SRT index when the blank separator is missing
+                    F.regexp_replace(raw_text, r"\n\d+[ \t]*\n?$", ""),
+                    r"\n+$", "",
+                ), keep_speakers
             ).alias("text"),
         )
 
@@ -108,10 +118,13 @@ def parse_vtt_cues(source, keep_speakers: bool = True) -> Column:
     REGION blocks and the header are ignored (module contract)."""
     col = source if isinstance(source, Column) else F.col(source)
     col = F.regexp_replace(col, r"\r\n?", "\n")
-    # NOTE/STYLE/REGION blocks could contain '-->'-looking text only
-    # inside comments; drop them wholesale before cue matching
+    # NOTE/STYLE/REGION introduce a block only at file start or
+    # after a blank line (per spec); a cue PAYLOAD line starting
+    # with 'NOTE' is ordinary dialog and must survive
     col = F.regexp_replace(
-        col, r"(?m)^(?:NOTE|STYLE|REGION)\b(?:[^\n]*\n)(?:(?!\n)[^\n]*\n?)*",
+        col,
+        r"(?:\A|(?<=\n\n))(?:NOTE|STYLE|REGION)\b"
+        r"(?:[^\n]*\n)(?:(?!\n)[^\n]*\n?)*",
         "",
     )
     return _cues(col, _VTT_TIME, keep_speakers)

@@ -149,3 +149,27 @@ def test_fuzz_axis20_mutated_containers_quarantine_promptly(spark):
     assert len(out) == len(rows)  # conservation, no batch failure
     for r in out:
         assert r.error is not None or r.plain_text is not None
+
+
+class TestSecondReviewRegressions:
+    """Round-11 second self-review findings over the dispatcher."""
+
+    def test_bom_does_not_defeat_subtitle_sniff(self):
+        bom = b"\xef\xbb\xbf"
+        assert sniff_document(bom + b"WEBVTT\n\n") == "vtt"
+        assert sniff_document(
+            bom + b"1\r\n00:00:01,000 --> x") == "srt"
+        got = extract_document(bom + b"WEBVTT\n\n")
+        assert got["format"] == "vtt"
+        assert not got["text"].startswith("﻿")
+
+    def test_n_units_counts_timing_lines_not_arrows(self):
+        src = ("WEBVTT\n\n"
+               "NOTE mentions 00:00:09.000 --> 00:00:10.000 in prose\n\n"
+               "00:01.000 --> 00:02.000\nHi\n")
+        got = extract_document(src.encode())
+        assert got["n_units"] == 1  # the NOTE's arrow doesn't count
+
+    def test_srt_sniff_accepts_three_digit_hours(self):
+        assert sniff_document(
+            b"1\n100:00:00,000 --> 100:00:01,000\nx\n") == "srt"

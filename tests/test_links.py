@@ -611,3 +611,18 @@ class TestStructuredMetadata:
         assert got[2]["author"] == "Bo"
         assert got[3]["ld_type"] is None  # unparseable: absence
         assert got[4]["headline"] is None
+
+    def test_jsonld_top_level_array(self, spark):
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.html import (
+            jsonld_metadata,
+        )
+        from pyspark.sql import functions as F
+
+        page = ('<script type="application/ld+json">'
+                '[{"@type": "NewsArticle", "headline": "Array form"}]'
+                "</script>")
+        df = spark.createDataFrame([(page,)], "html string")
+        m = df.select(jsonld_metadata(F.col("html")).alias("m")) \
+            .collect()[0]["m"]
+        assert m["ld_type"] == "NewsArticle"
+        assert m["headline"] == "Array form"

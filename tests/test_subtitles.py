@@ -81,3 +81,32 @@ class TestVtt:
     def test_empty_and_no_cues(self, spark):
         assert _one(spark, "", parse_vtt_cues) == []
         assert _one(spark, "WEBVTT\n\nNOTE only\n", parse_vtt_cues) == []
+
+
+class TestSecondReviewRegressions:
+    """Round-11 second self-review findings over this surface."""
+
+    def test_note_as_cue_payload_survives(self, spark):
+        src = ("WEBVTT\n\n"
+               "00:01.000 --> 00:02.000\n"
+               "NOTE the difference here\n"
+               "second line\n")
+        cues = _one(spark, src, parse_vtt_cues)
+        assert len(cues) == 1
+        assert cues[0]["text"] == "NOTE the difference here\nsecond line"
+
+    def test_hours_beyond_two_digits(self, spark):
+        src = ("WEBVTT\n\n"
+               "104:03:00.000 --> 104:03:02.000\n"
+               "marathon stream\n")
+        cues = _one(spark, src, parse_vtt_cues)
+        assert cues[0]["start_s"] == 104 * 3600 + 3 * 60
+        assert cues[0]["text"] == "marathon stream"
+
+    def test_back_to_back_cues_degrade_to_two(self, spark):
+        src = ("1\n00:00:01,000 --> 00:00:02,000\nline a\n"
+               "2\n00:00:03,000 --> 00:00:04,000\nline b\n")
+        cues = _one(spark, src, parse_srt_cues)
+        assert len(cues) == 2
+        assert cues[0]["text"] == "line a"  # next cue's index stripped
+        assert cues[1]["text"] == "line b"
