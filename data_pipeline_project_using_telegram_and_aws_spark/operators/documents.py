@@ -1,29 +1,33 @@
 """Unified document front door — one ``binary`` column in, one text
 row out, for every document container the engine can open: PDF
-(`operators/pdf.py`), DOCX/PPTX/XLSX/EPUB (`operators/office.py`).
+(`operators/pdf.py`), DOCX/PPTX/XLSX/ODF/EPUB (`operators/office.py`),
+RTF (`operators/rtf.py`), LaTeX (`operators/latex.py`), SRT/WebVTT
+(`operators/subtitles.py`).
 
 The reference pipeline's front door accepts exactly one shape
 (Telegram message JSON); a corpus front door meets arbitrary bytes.
 This module is the dispatch layer: magic-byte routing (``%PDF-`` /
-``PK``) into the per-format extractors, all inside ONE ``mapInPandas``
-Arrow stage, with the standard quarantine contract — a row that
-cannot be opened lands with ``error`` set and every other field NULL,
-|input| == |output| always.
+``PK`` / ``{\\rtf`` / ``WEBVTT`` / TeX control words / the SRT head
+shape, all BOM-tolerant) into the per-format extractors, all inside
+ONE ``mapInPandas`` Arrow stage, with the standard quarantine
+contract — a row that cannot be opened lands with ``error`` set and
+every other field NULL, |input| == |output| always.
 
 Unified schema notes:
 
-- ``n_units`` is the format's natural size unit (PDF pages, DOCX
-  lines, PPTX slides, XLSX sheets, EPUB chapters) — the auditable
-  size signal a quota/quality gate thresholds on.
+- ``n_units`` is the format's natural size unit (PDF pages, DOCX/RTF
+  lines, PPTX slides, XLSX sheets, EPUB chapters, LaTeX sections,
+  subtitle cues) — the auditable size signal a quota/quality gate
+  thresholds on.
 - ``n_unmapped`` is PDF-only (glyph codes with no Unicode meaning);
   0 for formats whose text is stored as text.
-- ``is_markup`` marks rows whose ``text`` is HTML (EPUB chapters):
-  downstream must route those through `operators/html.py`
-  (``html_to_text`` / ``extract_main_text``) — which
-  :func:`document_plain_text` does as a JVM column expression, so
-  the markup→text step costs no second Python stage.
-- ``creator`` carries PDF ``/Author`` and OPC ``dc:creator`` — the
-  same role under both names.
+- ``is_markup`` marks rows whose ``text`` still needs a JVM
+  resolution step — EPUB chapters (``html_to_text``), LaTeX source
+  (``latex_to_text``), subtitle sources (cue parse + join) — which
+  :func:`document_plain_text` applies as column expressions keyed on
+  ``format``, so markup→text costs no second Python stage.
+- ``creator`` carries PDF ``/Author``, OPC ``dc:creator`` and RTF
+  ``\\author`` — the same role under all names.
 """
 
 from __future__ import annotations
