@@ -1,0 +1,117 @@
+"""Feed parsing (`operators/feeds.py`): hand-authored RSS 2.0 and
+Atom documents per their public specs; expectations hand-derived."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_project_using_telegram_and_aws_spark.operators.feeds import (
+    feed_entries,
+    feed_metadata,
+)
+
+RSS = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+<title>Coffee News</title>
+<link>http://cn.example/</link>
+<item>
+  <title>Beans &amp; Prices</title>
+  <link>http://cn.example/a1</link>
+  <pubDate>Sat, 15 Aug 2026 10:00:00 GMT</pubDate>
+  <description><![CDATA[Prices <b>rose</b> today.]]></description>
+</item>
+<item>
+  <title>No link item</title>
+  <description>dropped: nothing to fetch</description>
+</item>
+<item>
+  <title>Second</title>
+  <link>http://cn.example/a2</link>
+</item>
+</channel></rss>"""
+
+ATOM = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+<title>Roast Blog</title>
+<link rel="self" href="http://rb.example/feed.xml"/>
+<link rel="alternate" href="http://rb.example/"/>
+<entry>
+  <title>Light roasts</title>
+  <link rel="enclosure" href="http://rb.example/audio.mp3"/>
+  <link href="http://rb.example/p1"/>
+  <updated>2026-08-10T00:00:00Z</updated>
+  <summary>Why light roasts taste brighter.</summary>
+</entry>
+<entry>
+  <title>Dark roasts</title>
+  <link rel="alternate" href="http://rb.example/p2"/>
+  <published>2026-08-12T00:00:00Z</published>
+</entry>
+</feed>"""
+
+
+def _entries(spark, body):
+    df = spark.createDataFrame([("u", body)], "feed_url string, body string")
+    return feed_entries(df).orderBy("link").collect()
+
+
+class TestRss:
+    def test_items_entities_cdata_and_dropped_linkless(self, spark):
+        rows = _entries(spark, RSS)
+        assert len(rows) == 2  # the linkless item dropped
+        a1, a2 = rows
+        assert a1.feed_url == "u"  # passthrough column
+        assert a1.feed_kind == "rss"
+        assert a1.title == "Beans & Prices"
+        assert a1.link == "http://cn.example/a1"
+        assert a1.published == "Sat, 15 Aug 2026 10:00:00 GMT"
+        assert a1.summary == "Prices <b>rose</b> today."  # CDATA raw html
+        assert a2.title == "Second" and a2.published is None
+
+    def test_channel_metadata_not_shadowed_by_items(self, spark):
+        df = spark.createDataFrame([(RSS,)], "body string")
+        m = feed_metadata(df).collect()[0]["feed"]
+        assert m["title"] == "Coffee News"
+        assert m["site_link"] == "http://cn.example/"
+        assert m["feed_kind"] == "rss"
+
+
+class TestAtom:
+    def test_entries_link_preference_and_date_fallback(self, spark):
+        rows = _entries(spark, ATOM)
+        assert len(rows) == 2
+        p1, p2 = rows
+        # rel=alternate (or unmarked) wins over the enclosure link
+        assert p1.link == "http://rb.example/p1"
+        assert p1.published == "2026-08-10T00:00:00Z"  # updated fallback
+        assert p1.summary == "Why light roasts taste brighter."
+        assert p2.link == "http://rb.example/p2"
+        assert p2.published == "2026-08-12T00:00:00Z"
+        assert p1.feed_kind == "atom"
+
+    def test_feed_metadata_alternate_site_link(self, spark):
+        df = spark.createDataFrame([(ATOM,)], "body string")
+        m = feed_metadata(df).collect()[0]["feed"]
+        assert m["title"] == "Roast Blog"
+        assert m["site_link"] == "http://rb.example/"  # not rel=self
+        assert m["feed_kind"] == "atom"
+
+
+def test_feeds_seed_the_frontier(spark):
+    """Composition: feed entry links are build_frontier seeds — the
+    same hookup sitemap_urls has."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
+        build_frontier,
+    )
+
+    df = spark.createDataFrame([(RSS,)], "body string")
+    seeds = feed_entries(df).select(F.col("link").alias("url"))
+    crawled = spark.createDataFrame(
+        [("http://cn.example/a2",)], "url string")
+    frontier = build_frontier(
+        spark.createDataFrame([], "url string, outlinks array<string>"),
+        crawled=crawled,
+        seeds=seeds,
+    )
+    got = {r.url for r in frontier.collect()}
+    assert got == {"http://cn.example/a1"}  # a2 already crawled
