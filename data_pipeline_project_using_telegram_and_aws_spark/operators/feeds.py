@@ -46,9 +46,17 @@ def _unescape(raw: Column) -> Column:
 
 
 def _tag_text(block: Column, tag: str) -> Column:
-    # (?:\w+:)? — namespace-prefixed variants match by localname
+    # (?:\w+:)? — namespace-prefixed variants match by localname.
+    # (?![^>]*/>) — a self-closing open (`<atom:link rel="self"/>`,
+    # near-universal in WordPress RSS ahead of the real `<link>`) has
+    # no text content; without the rejection the lazy capture would
+    # span from it into the NEXT tag's content.  \b + `\s*>` on the
+    # close keep `<linkage>`/`</linkage>` from matching tag `link`.
     return _unescape(F.regexp_extract(
-        block, rf"(?is)<(?:\w+:)?{tag}[^>]*>\s*(.*?)\s*</(?:\w+:)?{tag}", 1
+        block,
+        rf"(?is)<(?:\w+:)?{tag}\b(?![^>]*/>)[^>]*>"
+        rf"\s*(.*?)\s*</(?:\w+:)?{tag}\s*>",
+        1,
     ))
 
 

@@ -139,8 +139,19 @@ def sniff_office(raw: bytes) -> str:
         return "xlsx"
     if "content.xml" in names and "META-INF/manifest.xml" in names:
         return "odf"  # odt/odp/ods share one layout and one extractor
-    if "META-INF/container.xml" in names or "mimetype" in names:
+    if "META-INF/container.xml" in names:
         return "epub"
+    if "mimetype" in names:
+        # The OCF mimetype part must BE application/epub+zip; any zip
+        # merely containing a member of that name is not an EPUB and
+        # must fall through to plain zip, not quarantine as a broken
+        # one. It is STORED first per OCF, so the read is cheap.
+        try:
+            if _open_zip(raw).read("mimetype").strip() == \
+                    b"application/epub+zip":
+                return "epub"
+        except Exception:  # noqa: BLE001 — torn member: not an EPUB
+            pass
     return "zip"
 
 

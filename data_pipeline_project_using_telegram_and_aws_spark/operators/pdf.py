@@ -1034,6 +1034,13 @@ class _FontDecoder:
                 unmapped += 1
             else:
                 out.append(got)
+        if len(s) % w:
+            # A trailing partial code (odd byte of an Identity-H
+            # 2-byte string) is malformed show data: count it as
+            # unmapped so the extraction-confidence gate sees it,
+            # rather than silently dropping it.
+            out.append("�")
+            unmapped += 1
         return "".join(out), unmapped
 
 

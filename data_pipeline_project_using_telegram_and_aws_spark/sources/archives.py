@@ -120,17 +120,24 @@ def _make_splitter(kind: str, member_pattern: str | None,
             out = []
             for path, content in zip(batch["path"], batch["content"]):
                 raw = bytes(content)
+                # Buffer per archive: the member generators are lazy,
+                # so a container that tears MID-iteration (tar header
+                # walk raising after members already yielded) must
+                # discard the partial rows — the ONE per-file error
+                # row is authoritative (module contract).
+                rows = []
                 try:
-                    out.extend(per_archive(
+                    rows.extend(per_archive(
                         path, raw, pattern, max_member_bytes
                     ))
                 except Exception as e:  # noqa: BLE001 — an archive
-                    # that cannot be opened at all is ONE per-file
-                    # quarantine row, never a task failure
-                    out.append(dict.fromkeys(_COLS) | {
+                    # that cannot be opened (or iterated) is ONE
+                    # per-file quarantine row, never a task failure
+                    rows = [dict.fromkeys(_COLS) | {
                         "archive": path,
                         "error": f"{type(e).__name__}: {e}"[:200],
-                    })
+                    }]
+                out.extend(rows)
             yield pd.DataFrame(out, columns=_COLS)
 
     return split

@@ -23,7 +23,12 @@ of (doc_id, doc) rows is
    without refetching.
 
 Zones partition the input exactly: |batch| = |quarantine| + |reject|
-+ |good| per batch. All three land under ``ingest_batch=<batch_id>``
++ |good| per batch — including degenerate ids: a row whose doc_id is
+NULL (or uncastable to long) or duplicated within the batch is
+quarantined up front with a ``bad doc_id`` reason, because the
+byte-carrying zone writes join back by id and an inner join would
+silently drop NULL ids and fan out duplicates, breaking the
+invariant. All three land under ``ingest_batch=<batch_id>``
 dynamic partition overwrite (deterministic transform ⇒ at-least-once
 replay rewrites byte-identically — the ledger pattern everywhere in
 `streaming/`).
@@ -56,10 +61,34 @@ def ingest_documents_batch(
     doc_col: str = "doc",
 ) -> None:
     spark = batch.sparkSession
-    slim = batch.select(
+    raw = batch.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(doc_col).alias("doc"),
     ).localCheckpoint(eager=True)  # read the source once, split thrice
+    # Degenerate ids break the join-back-by-id zone writes (NULL never
+    # matches an inner join; duplicates fan out) — quarantine them up
+    # front so the zone invariant holds row-for-row.
+    dup_ids = (
+        raw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    bad_fmt = F.lit(None).cast("string").alias("format")
+    bad_id = (
+        raw.filter(F.col("doc_id").isNull())
+        .select("doc_id", "doc", bad_fmt,
+                F.lit("bad doc_id: null or not castable to long")
+                .alias("reason"))
+        .unionByName(
+            raw.join(F.broadcast(dup_ids), "doc_id", "left_semi")
+            .select("doc_id", "doc", bad_fmt,
+                    F.lit("bad doc_id: duplicated within batch")
+                    .alias("reason"))
+        )
+    )
+    slim = raw.filter(F.col("doc_id").isNotNull()).join(
+        F.broadcast(dup_ids), "doc_id", "left_anti"
+    )
     rows = document_plain_text(
         extract_documents(slim)
     ).localCheckpoint(eager=True)
@@ -72,6 +101,8 @@ def ingest_documents_batch(
     (
         slim.join(F.broadcast(quarantined), "doc_id")
         .select("doc_id", "doc", "format", "reason", "ingest_batch")
+        .unionByName(bad_id.select("doc_id", "doc", "format",
+                                   "reason", stamp))
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(quarantine_path)

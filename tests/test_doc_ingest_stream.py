@@ -98,6 +98,44 @@ def test_document_front_door_zones_and_resume(spark, tmp_path):
     assert g2 == {1, 2, 3, 7} and q2 == {5, 6, 8}
 
 
+def test_degenerate_ids_quarantined_invariant_holds(spark, tmp_path):
+    """NULL and duplicated doc_id rows land in quarantine with a
+    'bad doc_id' reason instead of being dropped (NULL never matches
+    the join-back) or fanned out (duplicate join multiplies rows):
+    |batch| = |quarantine| + |reject| + |good| exactly."""
+    src = tmp_path / "src"
+    src.mkdir()
+    good, reject, quar, ck = (
+        str(tmp_path / z) for z in ("good", "reject", "quar", "ck")
+    )
+    rows = [
+        (1, bytearray(_fixture_docx())),    # good
+        (None, bytearray(_fixture_pdf())),  # quarantine: null id
+        (7, bytearray(_fixture_pdf())),     # quarantine: dup id
+        (7, bytearray(_fixture_docx())),    # quarantine: dup id
+        (8, bytearray(b"junk")),            # quarantine: bad container
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b0.parquet")
+    )
+    start_document_ingest_stream(
+        spark, str(src) + "/*", SCHEMA, good, reject, quar, ck,
+        min_chars=30,
+    ).awaitTermination(180)
+    g = spark.read.parquet(good).collect()
+    rj = spark.read.parquet(reject).collect()
+    q = spark.read.parquet(quar).collect()
+    assert len(g) + len(rj) + len(q) == len(rows)  # exact partition
+    assert {r.doc_id for r in g} == {1} and not rj
+    reasons = {(r.doc_id, r.reason.split(":")[0]) for r in q}
+    assert (None, "bad doc_id") in reasons
+    assert sum(1 for r in q if r.doc_id == 7
+               and "duplicated" in r.reason) == 2
+    assert sum(1 for r in q if r.doc_id == 8) == 1
+    # degenerate rows still carry their bytes (re-runnable)
+    assert all(r.doc is not None for r in q)
+
+
 def test_good_zone_feeds_curation(spark, tmp_path):
     """The front door's good zone is a documents-table-shaped input:
     plain_text renames to text and the EXISTING curation chain runs

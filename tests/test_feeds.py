@@ -97,6 +97,38 @@ class TestAtom:
         assert m["feed_kind"] == "atom"
 
 
+WORDPRESS_RSS = """<?xml version="1.0"?>
+<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom"><channel>
+<title>WP Site</title>
+<atom:link href="https://x.example/feed/" rel="self" type="application/rss+xml" />
+<link>https://x.example</link>
+<item>
+  <title>Post One</title>
+  <atom:link href="https://x.example/p1-comments" rel="replies" />
+  <link>https://x.example/p1</link>
+  <pubDate>Mon, 10 Aug 2026 09:00:00 GMT</pubDate>
+</item>
+</channel></rss>"""
+
+
+class TestSelfClosingAtomLink:
+    """The near-universal WordPress `<atom:link rel="self" .../>`
+    precedes the real `<link>`; a self-closing open must not capture
+    into the next tag's content."""
+
+    def test_channel_site_link_skips_self_closing(self, spark):
+        df = spark.createDataFrame([(WORDPRESS_RSS,)], "body string")
+        m = feed_metadata(df).collect()[0]["feed"]
+        assert m["site_link"] == "https://x.example"
+        assert m["title"] == "WP Site"
+
+    def test_item_link_skips_self_closing(self, spark):
+        rows = _entries(spark, WORDPRESS_RSS)
+        assert len(rows) == 1
+        assert rows[0].link == "https://x.example/p1"
+        assert rows[0].title == "Post One"
+
+
 def test_feeds_seed_the_frontier(spark):
     """Composition: feed entry links are build_frontier seeds — the
     same hookup sitemap_urls has."""
