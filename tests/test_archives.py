@@ -123,6 +123,30 @@ def test_tar_members_gz_and_composition_with_documents(spark, tmp_path):
     assert out["unknown"].error.startswith("ValueError")
 
 
+def test_tar_tear_mid_iteration_one_error_row(spark, tmp_path):
+    """A tar whose member walk raises AFTER yielding valid members
+    must land as ONE authoritative per-file error row — the partial
+    member rows are discarded (module contract)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("ok.txt")
+        info.size = 10
+        tf.addfile(info, io.BytesIO(b"0123456789"))
+    whole = buf.getvalue()
+    # keep member one (header 512 + padded data 512), then append a
+    # copy of its header with NO data behind it: iteration yields
+    # member one, then tears with ReadError("unexpected end of data")
+    # while walking past the phantom member's declared bytes
+    torn = whole[:1024] + whole[:512]
+    p = tmp_path / "torn.tar"
+    p.write_bytes(torn)
+    out = read_tar_archives(spark, str(p)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.member is None and r.content is None
+    assert r.error is not None  # ReadError: invalid header et al.
+
+
 def test_tar_bomb_cap(spark, tmp_path):
     _tar_file(tmp_path / "c.tar", {"big.bin": b"\x00" * 50_000},
               mode="w")

@@ -284,6 +284,20 @@ class TestSniff:
         # torn zip: magic present, central directory unreadable
         assert sniff_office(b"PK\x03\x04" + b"\x00" * 8) == "not-zip"
 
+    def test_mimetype_member_must_be_epub_mimetype(self):
+        # a zip merely CONTAINING a member named 'mimetype' is not an
+        # EPUB (OCF requires its bytes to be application/epub+zip);
+        # it must dispatch as plain zip, not quarantine as broken epub
+        assert sniff_office(
+            _zip_bytes({"mimetype": b"text/plain", "a.txt": b"x"})
+        ) == "zip"
+        # the real OCF mimetype alone (container.xml torn away) still
+        # identifies the format — the extractor then reports exactly
+        # which required part is missing
+        assert sniff_office(
+            _zip_bytes({"mimetype": b"application/epub+zip"})
+        ) == "epub"
+
 
 class TestSpark:
     def test_mixed_batch_conservation_and_composition(self, spark):

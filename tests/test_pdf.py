@@ -248,6 +248,32 @@ class TestFonts:
         assert got["text"] == "ABCXY�"
         assert got["n_unmapped"] == 1
 
+    def test_type0_trailing_odd_byte_counts_unmapped(self):
+        # A 3-byte show string under a 2-byte Identity-H font is
+        # malformed: the trailing partial code must surface as an
+        # unmapped U+FFFD, not vanish from the confidence signal.
+        cmap = (b"begincmap\n"
+                b"1 begincodespacerange <0000> <FFFF>"
+                b" endcodespacerange\n"
+                b"1 beginbfrange <0001> <0003> <0041> endbfrange\n"
+                b"endcmap")
+        w = PdfWriter()
+        tu = w.stream(b"", cmap)
+        font = w.add(b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+                     b" /Encoding /Identity-H /ToUnicode "
+                     + str(tu).encode() + b" 0 R >>")
+        c = w.stream(b"", b"BT /F1 9 Tf <000102> Tj ET")
+        page = w.add(b"<< /Type /Page /Parent 5 0 R /Contents "
+                     + str(c).encode() + b" 0 R /Resources << /Font"
+                     b" << /F1 " + str(font).encode() + b" 0 R >> >> >>")
+        pages = w.add(b"<< /Type /Pages /Kids [" + str(page).encode()
+                      + b" 0 R] /Count 1 >>")
+        assert pages == 5
+        root = w.add(b"<< /Type /Catalog /Pages 5 0 R >>")
+        got = extract_pdf(w.build(root))
+        assert got["text"] == "A�"
+        assert got["n_unmapped"] == 1
+
     def test_text_without_font_counts_unmapped(self):
         got = extract_pdf(_simple_pdf([b"BT (orphan) Tj ET"]))
         assert got["n_unmapped"] >= 1
