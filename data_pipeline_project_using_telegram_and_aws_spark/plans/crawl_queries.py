@@ -35,7 +35,16 @@ front-door role at crawl scale):
 - ``/gone`` a 404 → other zone (not a defect, not corpus text);
 - ``/hidden`` robots noindex via ``<meta content=noindex
             name=robots>`` (swapped attributes — the r10 ADVICE case);
-- ``/torn`` a lying Content-Length → per-record quarantine row.
+- ``/torn`` a lying Content-Length → per-record quarantine row;
+- ``/feed`` an RSS 2.0 response (application/rss+xml) in the
+            near-universal WordPress shape — ``<atom:link rel=self/>``
+            self-closing tags ahead of the real ``<link>`` at channel
+            AND item level (the r12 ADVICE case), a CDATA summary
+            carrying HTML, and an entity-escaped title. Each entry
+            lands as one ``zone='feed'`` row (title / link-as-
+            canonical / published / raw summary as description /
+            visible summary text), so `operators/feeds.py` is on the
+            driver-red path end-to-end.
 """
 
 from __future__ import annotations
@@ -73,6 +82,31 @@ _PAGE_HIDDEN = (
     "<html><head><meta content=noindex name=robots></head><body>"
     "<p>Hidden page body prose long enough to pass the block"
     " threshold easily.</p></body></html>"
+)
+
+_FEED_RSS = (
+    '<?xml version="1.0"?>'
+    '<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom">'
+    "<channel>"
+    "<title>Fix Feed</title>"
+    '<atom:link href="http://fix.example/feed" rel="self"'
+    ' type="application/rss+xml" />'
+    "<link>http://fix.example</link>"
+    "<item>"
+    "<title>Beans &amp; brews</title>"
+    '<atom:link href="http://fix.example/a-comments" rel="replies" />'
+    "<link>http://fix.example/a</link>"
+    "<pubDate>Mon, 05 Jan 2026 08:00:00 GMT</pubDate>"
+    "<description><![CDATA[<p>Summary with <b>bold</b>"
+    " prose.</p>]]></description>"
+    "</item>"
+    "<item>"
+    "<title>Second post</title>"
+    "<link>http://fix.example/b</link>"
+    "<pubDate>Tue, 06 Jan 2026 09:30:00 GMT</pubDate>"
+    "<description>Plain summary text.</description>"
+    "</item>"
+    "</channel></rss>"
 )
 
 
@@ -125,6 +159,9 @@ def _fixture_warc() -> bytes:
         member(f"{u}/torn", http(
             200, [("Content-Type", "text/html")], b"<p>torn</p>"),
             length=120),
+        member(f"{u}/feed", http(
+            200, [("Content-Type", "application/rss+xml; charset=utf-8")],
+            _FEED_RSS.encode())),
     ]
     return b"".join(recs)
 
@@ -133,9 +170,11 @@ def wc1_warc_html_extract(spark, sf_dir):
     """The crawl front door as one hash-checked row (module
     docstring): read_warc → zone triage (the `streaming/
     crawl_ingest.py` CASE) → html_to_text / extract_main_text /
-    html_metadata / robots_noindex, all on the embedded fixture. One
-    Python stage (the WARC split), everything after JVM columns —
-    the production shape at 1-file scale."""
+    html_metadata / robots_noindex for HTML responses, feed_entries
+    for syndication responses (one `zone='feed'` row per entry), all
+    on the embedded fixture. One Python stage (the WARC split),
+    everything after JVM columns — the production shape at 1-file
+    scale."""
     import os
     import tempfile
 
@@ -143,7 +182,7 @@ def wc1_warc_html_extract(spark, sf_dir):
     # rounds, adjudication reruns) must not leak one directory each.
     # The version suffix is the fixture's change marker; the atomic
     # replace keeps a concurrent reader off a torn file.
-    d = os.path.join(tempfile.gettempdir(), "wc1_fixture_v1")
+    d = os.path.join(tempfile.gettempdir(), "wc1_fixture_v2")
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, "fixture.warc.gz")
     blob = _fixture_warc()
@@ -153,18 +192,25 @@ def wc1_warc_html_extract(spark, sf_dir):
             f.write(blob)
         os.replace(tmp, p)
 
-    recs = read_warc(spark, p)
-    is_good = (
-        F.col("parse_error").isNull()
-        & (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
+    from ..operators.feeds import feed_entries
+
+    # split ONCE: both the HTML and the feed branch consume the
+    # record set, so pin the (7-row) split output eagerly — without
+    # this each branch re-runs the Python WARC-split stage
+    recs = read_warc(spark, p).localCheckpoint(eager=True)
+    ok = F.col("parse_error").isNull() & (F.col("http_status") == 200)
+    is_good = ok & F.col("http_content_type").startswith("text/html")
+    is_feed = ok & F.col("http_content_type").rlike(
+        r"^application/(rss|atom)\+xml"
     )
     zone = (
         F.when(F.col("parse_error").isNotNull(), F.lit("quarantine"))
         .when(is_good, F.lit("good"))
+        .when(is_feed, F.lit("feed"))
         .otherwise(F.lit("other"))
     )
-    base = recs.select(
+    null_str = F.lit(None).cast("string")
+    base = recs.filter(~is_feed).select(
         F.col("target_uri").alias("uri"),
         zone.alias("zone"),
         F.col("http_status").alias("status"),
@@ -172,23 +218,43 @@ def wc1_warc_html_extract(spark, sf_dir):
         F.when(is_good, F.col("payload").cast("string")).alias("__html"),
     )
     meta = html_metadata(F.col("__html"))
-    return (
-        extract_main_text(base, html_col="__html")
-        .select(
-            "uri",
-            "zone",
-            "status",
-            "error_kind",
-            meta.getField("title").alias("title"),
-            meta.getField("description").alias("description"),
-            meta.getField("lang").alias("lang"),
-            meta.getField("canonical").alias("canonical"),
-            robots_noindex(F.col("__html")).alias("noindex"),
-            html_to_text(F.col("__html")).alias("text"),
-            "main_text",
-        )
-        .orderBy("uri")
+    html_rows = extract_main_text(base, html_col="__html").select(
+        "uri",
+        "zone",
+        "status",
+        "error_kind",
+        meta.getField("title").alias("title"),
+        meta.getField("description").alias("description"),
+        meta.getField("lang").alias("lang"),
+        meta.getField("canonical").alias("canonical"),
+        robots_noindex(F.col("__html")).alias("noindex"),
+        html_to_text(F.col("__html")).alias("text"),
+        "main_text",
+        null_str.alias("published"),
     )
+    feed_rows = feed_entries(
+        recs.filter(is_feed).select(
+            F.col("target_uri").alias("uri"),
+            F.col("http_status").alias("status"),
+            F.col("payload").cast("string").alias("__body"),
+        ),
+        body_col="__body",
+    ).select(
+        "uri",
+        F.lit("feed").alias("zone"),
+        "status",
+        null_str.alias("error_kind"),
+        "title",
+        F.col("summary").alias("description"),  # raw (may carry HTML)
+        null_str.alias("lang"),
+        F.col("link").alias("canonical"),  # the entry's fetch URL
+        F.lit(None).cast("boolean").alias("noindex"),
+        html_to_text(F.col("summary")).alias("text"),  # visible text
+        null_str.alias("main_text"),
+        "published",
+    )
+    # feed entries share the record's uri; canonical breaks the tie
+    return html_rows.unionByName(feed_rows).orderBy("uri", "canonical")
 
 
 # ---------------------------------------------------------------------------
@@ -338,44 +404,68 @@ def _sqlq(s: str) -> str:
 
 
 ORACLE = {
+    # Feed-entry rows hand-derived from _FEED_RSS: entity-unescaped
+    # title, CDATA-unwrapped raw summary as description, pubDate as
+    # written, entry link as canonical, visible summary text.
     "wc1_warc_html_extract": f"""
         SELECT * FROM (VALUES
             ('http://fix.example/a', 'good', CAST(200 AS INTEGER),
              CAST(NULL AS VARCHAR),
              'Café & Crème', 'Le café du coin', 'en',
              'http://fix.example/a', FALSE,
-             {_sqlq(_TEXT_A)}, {_sqlq(_MAIN_A)}),
+             {_sqlq(_TEXT_A)}, {_sqlq(_MAIN_A)},
+             CAST(NULL AS VARCHAR)),
             ('http://fix.example/b', 'good', CAST(200 AS INTEGER),
              CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), FALSE,
-             {_sqlq(_TEXT_B)}, {_sqlq(_TEXT_B)}),
+             {_sqlq(_TEXT_B)}, {_sqlq(_TEXT_B)},
+             CAST(NULL AS VARCHAR)),
             ('http://fix.example/bad', 'quarantine',
              CAST(200 AS INTEGER), 'undecodable utf-8 body',
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS BOOLEAN),
-             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR)),
+            ('http://fix.example/feed', 'feed', CAST(200 AS INTEGER),
+             CAST(NULL AS VARCHAR),
+             'Beans & brews',
+             '<p>Summary with <b>bold</b> prose.</p>',
+             CAST(NULL AS VARCHAR), 'http://fix.example/a',
+             CAST(NULL AS BOOLEAN),
+             'Summary with bold prose.', CAST(NULL AS VARCHAR),
+             'Mon, 05 Jan 2026 08:00:00 GMT'),
+            ('http://fix.example/feed', 'feed', CAST(200 AS INTEGER),
+             CAST(NULL AS VARCHAR),
+             'Second post', 'Plain summary text.',
+             CAST(NULL AS VARCHAR), 'http://fix.example/b',
+             CAST(NULL AS BOOLEAN),
+             'Plain summary text.', CAST(NULL AS VARCHAR),
+             'Tue, 06 Jan 2026 09:30:00 GMT'),
             ('http://fix.example/gone', 'other', CAST(404 AS INTEGER),
              CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS BOOLEAN),
-             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR)),
             ('http://fix.example/hidden', 'good',
              CAST(200 AS INTEGER), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), TRUE,
-             {_sqlq(_TEXT_H)}, {_sqlq(_TEXT_H)}),
+             {_sqlq(_TEXT_H)}, {_sqlq(_TEXT_H)},
+             CAST(NULL AS VARCHAR)),
             ('http://fix.example/torn', 'quarantine',
              CAST(NULL AS INTEGER), 'record truncated',
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS BOOLEAN),
-             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR))
         ) AS t(uri, zone, status, error_kind, title, description,
-               lang, canonical, noindex, text, main_text)
-        ORDER BY uri
+               lang, canonical, noindex, text, main_text, published)
+        ORDER BY uri, canonical
     """,
     # Hand-derived (module comment above wc2): exact-fraction stationary
     # solution rounded to 4 dp; inlink counts / top anchors / out-degrees

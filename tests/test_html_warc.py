@@ -969,6 +969,16 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
             f"<html><body><p>{body}</p><p>{a}</p></body></html>"
         ).encode()
 
+    feed_xml = (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<title>A Feed</title><link>http://a.com/</link>"
+        "<item><title>From feed</title>"
+        "<link>http://b.com/fromfeed</link></item>"
+        "<item><title>Known</title>"
+        "<link>http://a.com/2</link></item>"
+        "</channel></rss>"
+    ).encode()
+
     src = tmp_path / "landing"
     src.mkdir()
     write_warc_responses(
@@ -978,6 +988,8 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
                           "http://b.com/open"])),
             ("http://a.com/2", 200, "text/html",
              page(prose + " Two.", ["http://a.com/1"])),
+            ("http://a.com/feed.xml", 200, "application/rss+xml",
+             feed_xml),
         ],
         str(src / "r1.warc.gz"),
     )
@@ -995,12 +1007,27 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
             "host string, body string",
         )
     )
-    frontier = build_frontier(
-        good1, rules=rules, crawled=good1.select("url")
+    # feed responses land in the OTHER zone typed + payload-intact;
+    # their entry links seed the frontier exactly like sitemap URLs
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.feeds import (
+        feed_entries,
     )
-    want_next = {"http://b.com/open"}
+
+    feed_docs = (
+        spark.read.parquet(zones["other"])
+        .filter(F.col("http_content_type").startswith(
+            "application/rss+xml"))
+        .select(F.col("target_uri").alias("feed_url"),
+                F.col("payload").cast("string").alias("body"))
+    )
+    seeds = feed_entries(feed_docs).select(F.col("link").alias("url"))
+    frontier = build_frontier(
+        good1, rules=rules, crawled=good1.select("url"), seeds=seeds
+    )
+    want_next = {"http://b.com/open", "http://b.com/fromfeed"}
     assert {r.url for r in frontier.collect()} == want_next
-    # a.com/1 <-> a.com/2 already crawled; /private robots-blocked
+    # a.com/1 <-> a.com/2 already crawled (the feed's a.com/2 entry
+    # dies at the same anti-join); /private robots-blocked
 
     # politeness: the frontier schedules against the hosts' robots
     # crawl-delays before fetching (operators/links.schedule_fetches)
@@ -1019,7 +1046,9 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
         r.url: (r.crawl_delay, r.planned_offset_s)
         for r in schedule_fetches(frontier, directives).collect()
     }
-    assert sched["http://b.com/open"] == (2.5, 0.0)
+    # both frontier urls are on b.com: one per crawl-delay slot
+    assert all(sched[u][0] == 2.5 for u in want_next)
+    assert sorted(sched[u][1] for u in want_next) == [0.0, 2.5]
 
     # round 2: 'fetch' the frontier, land it, resume the stream
     write_warc_responses(
@@ -1034,6 +1063,7 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
     good2 = spark.read.parquet(zones["good"])
     assert {r.url for r in good2.collect()} == {
         "http://a.com/1", "http://a.com/2", "http://b.com/open",
+        "http://b.com/fromfeed",
     }
     # after round 2 the frontier is dry (the new page links nowhere)
     f2 = build_frontier(good2, rules=rules, crawled=good2.select("url"))

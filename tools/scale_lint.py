@@ -171,6 +171,7 @@ def _extension_plans(spark, sf_dir):
         "ext_video_metadata": _video_metadata_plan(spark),
         "ext_domain_report": _domain_report_plan(spark, docs),
         "ext_html_extract": _html_extract_plan(spark, docs),
+        "ext_feed_entries": _feed_entries_plan(spark, docs),
         **_hybrid_and_dsir_plans(
             F,
             docs,
@@ -211,6 +212,31 @@ def _html_extract_plan(spark, docs):
         html_to_text("html").alias("text"),
         html_metadata("html").alias("meta"),
     )
+
+
+def _feed_entries_plan(spark, docs):
+    """RSS wrapped around the documents table → one row per entry
+    (operators/feeds.py): must stay a pure JVM regexp projection —
+    explode over regexp_extract_all, no exchange, no Python stage."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.feeds import (
+        feed_entries,
+    )
+
+    feeds_df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<rss version="2.0"><channel><title>c</title>'
+                  "<link>http://x.example</link><item><title>t</title>"
+                  "<link>http://x.example/d/"),
+            F.col("doc_id"),
+            F.lit("</link><description>"),
+            F.col("text"),
+            F.lit("</description></item></channel></rss>"),
+        ).alias("body"),
+    )
+    return feed_entries(feeds_df)
 
 
 def _domain_report_plan(spark, docs):
@@ -407,7 +433,7 @@ def main() -> int:
         "(ext_*: funnel, dialog/SFT assembly, embedding drift, "
         "k-anonymity, preference records, agreement, semantic "
         "decontamination, erasure blast radius, RRF fusion, MMR "
-        "rerank, DSIR scoring+selection); every finding "
+        "rerank, DSIR scoring+selection, feed entries); every finding "
         "needs a bounded-operand justification in tools/scale_lint.py.",
         "",
         "| query | finding | justification |",
