@@ -11,6 +11,36 @@ from data_pipeline_project_using_telegram_and_aws_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# --- suite tiers -----------------------------------------------------------
+# core tier:  python -m pytest tests/ -m "not slow"   (product pins, <15 min
+#             target — every session runs this before a commit)
+# full tier:  python -m pytest tests/                 (adds hypothesis
+#             property tests, the differential-fuzz axes, and the marked
+#             multi-round e2e modules — close-outs and the driver run this)
+# Hypothesis-driven tests are auto-marked: a new property test lands in the
+# full tier without anyone remembering a decorator.
+
+SLOW_MODULES = {
+    "test_differential_fuzz",  # 20 oracle fuzz axes, many Spark jobs each
+    "test_full_recipe",        # corpus-recipe e2e chains
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-tier only (hypothesis / fuzz axes / heavy e2e); "
+        "the core tier runs -m 'not slow'",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fn = getattr(item, "function", None)
+        is_hypothesis = fn is not None and hasattr(fn, "hypothesis")
+        if is_hypothesis or item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

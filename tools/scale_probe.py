@@ -525,6 +525,71 @@ def probe_graph(spark, n_edges: int) -> dict:
     }
 
 
+def probe_graph_skewed(spark, n_edges: int) -> dict:
+    """Hub-heavy power-law adversary for the per-round edge-keyed
+    shuffles (the realistic web-graph shape the uniform multigraph
+    probe can't exercise): destination endpoints drawn through an
+    inverse-power transform of a hash-uniform u (exponent 3 — node 0
+    alone receives ~10% of all edges, the top decile of nodes ~46%),
+    sources uniform. PageRank's contribution groupBy(dst) sees the
+    hot key through its map-side partial combine; the rank×edges
+    src-keyed join and the hash-min component rounds see it raw —
+    this measures whether AQE's skew handling carries the hub or a
+    salted variant must gate behind scale_rules."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.components import (
+        connected_components,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
+        hits,
+        pagerank,
+    )
+
+    n_nodes = max(8, n_edges // 4)
+    u = F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0
+    hub_dst = F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0))).cast(
+        "long"
+    )
+    src = F.pmod(F.xxhash64(F.col("id") + 13), F.lit(n_nodes))
+    edges = (
+        spark.range(n_edges)
+        .select(src.alias("src"), hub_dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    hub_share = (
+        edges.groupBy("dst").count().agg(F.max("count")).collect()[0][0]
+        / edges.count()
+    )
+
+    t0 = time.time()
+    pagerank(edges, tol=1e-4, max_iters=60).agg(F.sum("rank")).collect()
+    t_pr = time.time() - t0
+
+    t0 = time.time()
+    n_comp = (
+        connected_components(
+            edges, "src", "dst", driver_max_edges=0, algorithm="star"
+        )
+        .select("component")
+        .distinct()
+        .count()
+    )
+    t_star = time.time() - t0
+
+    t0 = time.time()
+    hits(edges, tol=1e-4, max_iters=60).agg(F.sum("authority")).collect()
+    t_hits = time.time() - t0
+    return {
+        "n_edges": n_edges,
+        "n_nodes": n_nodes,
+        "hub_share": round(hub_share, 4),
+        "components": n_comp,
+        "pagerank_sec": round(t_pr, 2),
+        "star_cc_sec": round(t_star, 2),
+        "hits_sec": round(t_hits, 2),
+    }
+
+
 def probe_substr(spark, n_docs: int) -> dict:
     """Exact-substring dedup at growing corpus size: deterministic
     docs (~400 chars) over a small alphabet with a 25% planted shared
@@ -803,6 +868,15 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         for n in sizes:
             print(json.dumps({"family": "graph", **probe_graph(spark, n)}))
+        return
+    if sys.argv[1:2] == ["--graph-skewed"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [200000, 600000, 2000000]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            print(json.dumps(
+                {"family": "graph_skewed", **probe_graph_skewed(spark, n)}
+            ))
         return
     if sys.argv[1:2] == ["--crawl"]:
         sizes = [int(a) for a in sys.argv[2:]] or [200, 600, 2000]
