@@ -122,7 +122,14 @@ def exact_substring_spans(
         .filter(F.col("__n") >= min_count)
         .select("__h")
     )
-    marked = grams.join(dup, "__h").select(id_col, "__p")
+    # merge hint: the duplicated-hash set's size is DATA-DEPENDENT
+    # (tiny on a clean corpus, corpus-sized on a duplicate-heavy one),
+    # and Catalyst's static post-aggregate estimate has no way to know
+    # which — at 200k probe docs it statically picked a broadcast
+    # whose build job OOMed the driver JVM. Pin the keyed-join shape
+    # and let AQE convert to broadcast from the MEASURED runtime size
+    # when dup really is small.
+    marked = grams.join(dup.hint("merge"), "__h").select(id_col, "__p")
     return _stitch_spans(marked, k, id_col)
 
 
@@ -330,7 +337,11 @@ def exact_substr_against_index(
     dup_hashes = within.union(
         corpus_hits.select(F.col("gram_hash").alias("__h"))
     ).distinct()
-    marked = grams.join(dup_hashes, "__h").select(id_col, "__p")
+    # same data-dependent-size argument as exact_substring_spans:
+    # keyed join statically, AQE broadcast only from runtime size
+    marked = grams.join(dup_hashes.hint("merge"), "__h").select(
+        id_col, "__p"
+    )
     batch_spans = _stitch_spans(marked, k, id_col)
     cleaned = remove_spans(batch, batch_spans, id_col, text_col)
     retro_pos = corpus_hits.select(
