@@ -546,9 +546,14 @@ def probe_graph_skewed(spark, n_edges: int) -> dict:
 
     n_nodes = max(8, n_edges // 4)
     u = F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0
-    hub_dst = F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0))).cast(
-        "long"
-    )
+    # 15% of edges aim straight at node 0 (a SIZE-INDEPENDENT hot-hub
+    # fraction — the inverse-power tail alone concentrates only
+    # n^(-1/3) on the top node, which VANISHES as the graph grows),
+    # the rest follow the power-law tail.
+    tail_dst = F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0)))
+    hub_dst = F.when(
+        F.pmod(F.xxhash64(F.col("id") + 99), F.lit(100)) < 15, F.lit(0)
+    ).otherwise(tail_dst).cast("long")
     src = F.pmod(F.xxhash64(F.col("id") + 13), F.lit(n_nodes))
     edges = (
         spark.range(n_edges)
