@@ -142,14 +142,17 @@ def _probe(run: Runner, raw: bytes) -> dict | None:
 
 
 def _chunk_means(data: bytes, n: int = 8) -> list | None:
-    """The 8-dim feature: per-chunk byte means scaled to [0, 1]."""
+    """The n-dim feature: per-chunk byte means scaled to [0, 1].
+    ALWAYS exactly n entries (equal-split chunks; an empty chunk from
+    data shorter than n contributes 0.0) so the feature column's
+    dimensionality is stable across rows."""
     if not data:
         return None
-    step = max(1, -(-len(data) // n))  # ceil
-    return [
-        sum(data[i:i + step]) / (255.0 * max(1, len(data[i:i + step])))
-        for i in range(0, len(data), step)
-    ][:n]
+    out = []
+    for i in range(n):
+        seg = data[i * len(data) // n:(i + 1) * len(data) // n]
+        out.append(sum(seg) / (255.0 * len(seg)) if seg else 0.0)
+    return out
 
 
 def ffmpeg_feature_decoder(run: Runner | None = None):

@@ -147,3 +147,153 @@ def test_feeds_seed_the_frontier(spark):
     )
     got = {r.url for r in frontier.collect()}
     assert got == {"http://cn.example/a1"}  # a2 already crawled
+
+
+# ---------------------------------------------------------------------------
+# property: model → render → parse roundtrip (the fuzz-axis form: the
+# expectation derives from the STRUCTURED model, never from parsing)
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_TEXT = st.text(alphabet="ab Zö9&<>'\"—", max_size=24)
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;").replace("'", "&apos;")
+    )
+
+
+def _norm(s):
+    if s is None:
+        return None
+    return s.strip() or None
+
+
+_rss_entry = st.fixed_dictionaries({
+    "title": st.one_of(st.none(), _TEXT),
+    "has_link": st.booleans(),
+    "published": st.one_of(
+        st.none(), st.just("Mon, 05 Jan 2026 08:00:00 GMT")
+    ),
+    "summary": st.one_of(st.none(), _TEXT),
+    "cdata": st.booleans(),
+    "noise": st.booleans(),  # self-closing atom:link before <link>
+})
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_rss_entry, max_size=4), st.booleans())
+def test_rss_model_roundtrip(spark, entries, channel_noise):
+    parts = ['<?xml version="1.0"?><rss version="2.0"'
+             ' xmlns:atom="http://www.w3.org/2005/Atom"><channel>'
+             "<title>Chan</title>"]
+    if channel_noise:
+        parts.append('<atom:link href="http://x.example/feed"'
+                     ' rel="self" />')
+    parts.append("<link>http://x.example</link>")
+    for i, e in enumerate(entries):
+        parts.append("<item>")
+        if e["noise"]:
+            parts.append(f'<atom:link href="http://x.example/c{i}"'
+                         ' rel="replies" />')
+        if e["title"] is not None:
+            parts.append(f"<title>{_esc(e['title'])}</title>")
+        if e["has_link"]:
+            parts.append(f"<link>http://x.example/{i}</link>")
+        if e["published"] is not None:
+            parts.append(f"<pubDate>{e['published']}</pubDate>")
+        if e["summary"] is not None:
+            # CDATA only when the content cannot form an entity or a
+            # terminator (the parser unescapes after unwrap by design)
+            if e["cdata"] and "&" not in e["summary"] \
+                    and "]]>" not in e["summary"]:
+                parts.append("<description><![CDATA["
+                             f"{e['summary']}]]></description>")
+            else:
+                parts.append(
+                    f"<description>{_esc(e['summary'])}</description>"
+                )
+        parts.append("</item>")
+    parts.append("</channel></rss>")
+    body = "".join(parts)
+
+    df = spark.createDataFrame([(body,)], "body string")
+    got = {r.link: r for r in feed_entries(df).collect()}
+    want = {
+        f"http://x.example/{i}": e
+        for i, e in enumerate(entries) if e["has_link"]
+    }
+    assert set(got) == set(want)
+    for link, e in want.items():
+        r = got[link]
+        assert r.feed_kind == "rss"
+        assert r.title == _norm(e["title"]), (e, r)
+        assert r.published == e["published"]
+        assert r.summary == _norm(e["summary"]), (e, r)
+    meta = feed_metadata(df).collect()[0]["feed"]
+    assert meta["title"] == "Chan"
+    assert meta["site_link"] == "http://x.example"
+
+
+_atom_entry = st.fixed_dictionaries({
+    "title": st.one_of(st.none(), _TEXT),
+    "rels": st.lists(
+        st.sampled_from(["alternate", "enclosure", "self", None]),
+        max_size=3,
+    ),
+    "published": st.booleans(),
+    "updated": st.booleans(),
+})
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_atom_entry, max_size=3))
+def test_atom_model_roundtrip(spark, entries):
+    parts = ['<?xml version="1.0"?>'
+             '<feed xmlns="http://www.w3.org/2005/Atom">'
+             "<title>AChan</title>"
+             '<link rel="alternate" href="http://a.example/"/>']
+    for i, e in enumerate(entries):
+        parts.append("<entry>")
+        if e["title"] is not None:
+            parts.append(f"<title>{_esc(e['title'])}</title>")
+        for j, rel in enumerate(e["rels"]):
+            rel_attr = f' rel="{rel}"' if rel is not None else ""
+            parts.append(
+                f'<link{rel_attr} href="http://a.example/{i}/{j}"/>'
+            )
+        if e["published"]:
+            parts.append("<published>2026-01-0%d</published>" % (i + 1))
+        if e["updated"]:
+            parts.append("<updated>2026-02-0%d</updated>" % (i + 1))
+        parts.append("</entry>")
+    parts.append("</feed>")
+    body = "".join(parts)
+
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = feed_entries(df).collect()
+
+    def want_link(i, e):
+        # first alternate-or-unmarked link wins, else the first link
+        for j, rel in enumerate(e["rels"]):
+            if rel in (None, "alternate"):
+                return f"http://a.example/{i}/{j}"
+        return f"http://a.example/{i}/0" if e["rels"] else None
+
+    want = {
+        want_link(i, e): (i, e)
+        for i, e in enumerate(entries) if want_link(i, e)
+    }
+    assert {r.link for r in rows} == set(want)
+    for r in rows:
+        i, e = want[r.link]
+        assert r.feed_kind == "atom"
+        assert r.title == _norm(e["title"])
+        exp_pub = ("2026-01-0%d" % (i + 1)) if e["published"] else (
+            ("2026-02-0%d" % (i + 1)) if e["updated"] else None
+        )
+        assert r.published == exp_pub, (e, r)
