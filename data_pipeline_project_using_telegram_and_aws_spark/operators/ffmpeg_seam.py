@@ -174,8 +174,11 @@ def ffmpeg_feature_decoder(run: Runner | None = None):
             }
             info = _probe(run, raw) if raw else None
             if info is not None:
-                row["width"] = info["width"]
-                row["height"] = info["height"]
+                # dims land only on full success: the module contract
+                # says a row whose probe OR decode fails carries NULL
+                # width/height/n_frames/feature, so probe-derived dims
+                # must not survive a decode failure as a false
+                # success signal
                 try:
                     if info["kind"] == "video":
                         plane = run(video_gray_argv(1), raw)
@@ -186,8 +189,10 @@ def ffmpeg_feature_decoder(run: Runner | None = None):
                     else:
                         plane = run(audio_pcm_argv(), raw)
                     row["feature"] = _chunk_means(plane)
+                    row["width"] = info["width"]
+                    row["height"] = info["height"]
                 except Exception:  # noqa: BLE001 — undecodable: nulls
-                    pass
+                    row["n_frames"] = None
             out.append(row)
         return pd.DataFrame(
             out, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields]

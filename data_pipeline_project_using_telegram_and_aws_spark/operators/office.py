@@ -123,12 +123,15 @@ def _read_part(zf: zipfile.ZipFile, name: str) -> bytes:
 
 def sniff_office(raw: bytes) -> str:
     """Container format from bytes: ``docx | pptx | xlsx | odf |
-    epub | zip | not-zip``. Reads only the central directory (names),
-    never part contents, so it is safe as a cheap pre-gate."""
+    epub | zip | not-zip``. Reads the central directory (names) and —
+    only when the epub decision needs it — the tiny STORED ``mimetype``
+    member (OCF stores it first, uncompressed); no other part content
+    is ever touched, so it stays a cheap pre-gate."""
     if len(raw) < 4 or raw[:2] != b"PK":
         return "not-zip"
     try:
-        names = set(_open_zip(raw).namelist())
+        zf = _open_zip(raw)
+        names = set(zf.namelist())
     except ValueError:
         return "not-zip"
     if "word/document.xml" in names:
@@ -147,8 +150,7 @@ def sniff_office(raw: bytes) -> str:
         # must fall through to plain zip, not quarantine as a broken
         # one. It is STORED first per OCF, so the read is cheap.
         try:
-            if _open_zip(raw).read("mimetype").strip() == \
-                    b"application/epub+zip":
+            if zf.read("mimetype").strip() == b"application/epub+zip":
                 return "epub"
         except Exception:  # noqa: BLE001 — torn member: not an EPUB
             pass

@@ -122,13 +122,19 @@ def exact_substring_spans(
         .filter(F.col("__n") >= min_count)
         .select("__h")
     )
-    # merge hint: the duplicated-hash set's size is DATA-DEPENDENT
-    # (tiny on a clean corpus, corpus-sized on a duplicate-heavy one),
-    # and Catalyst's static post-aggregate estimate has no way to know
-    # which — at 200k probe docs it statically picked a broadcast
-    # whose build job OOMed the driver JVM. Pin the keyed-join shape
-    # and let AQE convert to broadcast from the MEASURED runtime size
-    # when dup really is small.
+    # merge hint — a DELIBERATE strategy pin (AQE does not override a
+    # user join-strategy hint, so no runtime broadcast conversion
+    # happens; that is the point, not a loophole). Rationale: the
+    # dup set's size is DATA-DEPENDENT (tiny on a clean corpus,
+    # corpus-sized on a duplicate-heavy one) and Catalyst's blind
+    # post-aggregate estimate statically picked a broadcast at the
+    # 200k-doc probe whose build job — which re-executes the whole
+    # explode+aggregate subtree in the broadcast thread — OOMed the
+    # JVM. The pinned SMJ is also measured FASTER at probe scale
+    # (60k docs: 7.8 s vs the static broadcast's 14.5 s) because the
+    # gram subtree runs once, pipelined, instead of twice; and its
+    # worst case is the same keyed shuffle the dup groupBy already
+    # pays, skew-safe on the uniform 48-bit hash.
     marked = grams.join(dup.hint("merge"), "__h").select(id_col, "__p")
     return _stitch_spans(marked, k, id_col)
 
@@ -337,8 +343,10 @@ def exact_substr_against_index(
     dup_hashes = within.union(
         corpus_hits.select(F.col("gram_hash").alias("__h"))
     ).distinct()
-    # same data-dependent-size argument as exact_substring_spans:
-    # keyed join statically, AQE broadcast only from runtime size
+    # same deliberate strategy pin as exact_substring_spans: the
+    # dup-hash set's size is data-dependent, the static broadcast
+    # re-executes its subtree, and the pinned SMJ's worst case is the
+    # keyed shuffle this plan pays anyway
     marked = grams.join(dup_hashes.hint("merge"), "__h").select(
         id_col, "__p"
     )

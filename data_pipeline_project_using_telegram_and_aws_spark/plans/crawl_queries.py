@@ -162,6 +162,9 @@ def _fixture_warc() -> bytes:
         member(f"{u}/feed", http(
             200, [("Content-Type", "application/rss+xml; charset=utf-8")],
             _FEED_RSS.encode())),
+        # 200 with NO Content-Type header at all: content_type NULL →
+        # zone 'other' (pins the NULL-safe feed/HTML dispatch)
+        member(f"{u}/untyped", http(200, [], b"raw bytes no type")),
     ]
     return b"".join(recs)
 
@@ -182,7 +185,7 @@ def wc1_warc_html_extract(spark, sf_dir):
     # rounds, adjudication reruns) must not leak one directory each.
     # The version suffix is the fixture's change marker; the atomic
     # replace keeps a concurrent reader off a torn file.
-    d = os.path.join(tempfile.gettempdir(), "wc1_fixture_v2")
+    d = os.path.join(tempfile.gettempdir(), "wc1_fixture_v3")
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, "fixture.warc.gz")
     blob = _fixture_warc()
@@ -210,7 +213,12 @@ def wc1_warc_html_extract(spark, sf_dir):
         .otherwise(F.lit("other"))
     )
     null_str = F.lit(None).cast("string")
-    base = recs.filter(~is_feed).select(
+    # coalesce: a 200 response with NO Content-Type header makes
+    # is_feed NULL, and filter(~NULL) would drop the record from BOTH
+    # branches — the crawl_ingest.py:102 guard, applied here too so
+    # row conservation holds (such a record belongs in zone 'other')
+    not_feed = ~F.coalesce(is_feed, F.lit(False))
+    base = recs.filter(not_feed).select(
         F.col("target_uri").alias("uri"),
         zone.alias("zone"),
         F.col("http_status").alias("status"),
@@ -458,6 +466,13 @@ ORACLE = {
              CAST(NULL AS VARCHAR)),
             ('http://fix.example/torn', 'quarantine',
              CAST(NULL AS INTEGER), 'record truncated',
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BOOLEAN),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR)),
+            ('http://fix.example/untyped', 'other',
+             CAST(200 AS INTEGER), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
              CAST(NULL AS BOOLEAN),

@@ -170,7 +170,8 @@ def test_resize_media_requires_fake_or_injected(spark):
 H264 = b"\x00\x00\x00\x01\x67" + bytes(range(40))      # Annex-B NAL
 MP3 = b"ID3" + bytes(24)                                # ID3v2 header
 AAC = b"\xff\xf1\x50\x80" + bytes(20)                   # ADTS sync
-GARBAGE = b"not media at all"
+MP4 = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)  # probes, but
+GARBAGE = b"not media at all"                           # decode fails
 
 _W, _H, _NF = 4, 2, 3
 _PLANE = _W * _H
@@ -206,7 +207,7 @@ def _make_fake_run():
 
         kind = sniff_compressed_media(bytes(data))
         if argv == PROBE_ARGV:
-            if kind == "h264-annexb":
+            if kind in ("h264-annexb", "mp4"):
                 return _json.dumps({"streams": [{
                     "codec_type": "video", "width": w, "height": h,
                     "nb_frames": str(nf),
@@ -216,6 +217,8 @@ def _make_fake_run():
                     {"streams": [{"codec_type": "audio"}]}
                 ).encode()
             raise RuntimeError("ffprobe: unreadable input")
+        if kind == "mp4":  # probes as video, codec unsupported
+            raise RuntimeError("ffmpeg: decoder not found")
         if argv == video_gray_argv(1):
             return planes(bytes(data), 1)
         if argv == video_gray_argv():
@@ -233,13 +236,13 @@ def test_ffmpeg_seam_features_end_to_end(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, H264), (2, MP3), (3, AAC), (4, GARBAGE)],
+        [(1, H264), (2, MP3), (3, AAC), (4, GARBAGE), (5, MP4)],
         "media_id long, media binary",
     )
     out = {r.media_id: r for r in extract_media_features(
         df, decoder=ffmpeg_feature_decoder(run=_make_fake_run())
     ).collect()}
-    assert len(out) == 4 and all(
+    assert len(out) == 5 and all(
         len(r.content_hash) == 32 for r in out.values()
     )
     v = out[1]  # the video row: probed dims + one decoded gray plane
@@ -254,6 +257,11 @@ def test_ffmpeg_seam_features_end_to_end(spark):
     g = out[4]  # unprobeable row: nulls, never a task failure
     assert g.width is None and g.feature is None
     assert g.n_bytes == len(GARBAGE)
+    m = out[5]  # probes as video but decode fails: FULLY null — the
+    # probe-derived dims must not survive as a false success signal
+    assert (m.width, m.height, m.n_frames, m.feature) == (
+        None, None, None, None
+    )
 
 
 def test_ffmpeg_seam_frame_sampling_end_to_end(spark):

@@ -13,6 +13,10 @@ set -u
 N=${1:-4}
 cd "$(dirname "$0")/.."
 
+n_files=$(ls tests/test_*.py | wc -l)
+[ "$N" -gt "$n_files" ] && N=$n_files  # an empty shard would run ALL
+[ "$N" -lt 1 ] && N=1                  # of tests/ (bare pytest call)
+
 PINNED="tests/test_bucketing.py tests/test_etl_pipeline.py"
 shard_files=()
 for ((i = 0; i < N; i++)); do shard_files[i]=""; done
@@ -28,6 +32,10 @@ cpus=$((32 / N))
 [ "$cpus" -lt 2 ] && cpus=2
 pids=()
 for ((i = 0; i < N; i++)); do
+    if [ -z "${shard_files[i]// /}" ]; then  # pinning can empty a
+        pids[i]=""                           # shard at high N
+        continue
+    fi
     # shellcheck disable=SC2086 — word splitting is the point
     SPARK_GRAFT_CPUS=$cpus python -m pytest ${shard_files[i]} \
         -m "not slow" -q --no-header \
@@ -37,6 +45,7 @@ done
 
 rc=0
 for ((i = 0; i < N; i++)); do
+    [ -z "${pids[i]}" ] && continue
     if ! wait "${pids[i]}"; then rc=1; fi
     echo "shard $i: $(tail -1 "/tmp/core_shard_$i.log")"
 done
