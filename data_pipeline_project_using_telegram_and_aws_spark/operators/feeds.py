@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["feed_entries", "feed_metadata"]
+__all__ = ["feed_entries", "feed_metadata", "feed_published_ts"]
 
 
 def _unescape(raw: Column) -> Column:
@@ -115,6 +115,30 @@ def feed_entries(df: DataFrame, body_col: str = "body") -> DataFrame:
         _tag_text(b, "summary").alias("summary"),
     )
     return rss.unionByName(atom).filter(F.col("link").isNotNull())
+
+
+def feed_published_ts(published: Column | str) -> Column:
+    """The ``published`` string as a TIMESTAMP instant — RSS writes
+    RFC 822 (`Mon, 05 Jan 2026 08:00:00 GMT` / `+0200`, day-of-week
+    optional per the grammar), Atom writes ISO 8601; both zone forms
+    resolve to absolute instants. Unparseable/absent input is NULL
+    (absence is data). Opt-in column helper: `feed_entries` keeps the
+    as-written string (the raw-zone contract); recency priors /
+    recrawl scheduling parse it with this. Two-digit RFC 822 years
+    (obsolete since RFC 1123) are deliberately not handled. All
+    JVM-side ``try_to_timestamp`` — no Python, no exceptions."""
+    c = F.col(published) if isinstance(published, str) else published
+    c = F.trim(c)
+    # Spark's parser rejects day-of-week letters outright (the
+    # cross-version E restriction), and RFC 822 makes the DOW
+    # optional anyway — strip it, then parse day-first with either
+    # zone form. 'd' accepts both 1- and 2-digit days.
+    rfc = F.regexp_replace(c, r"^[A-Za-z]{3},\s*", "")
+    return F.coalesce(
+        F.try_to_timestamp(c),  # ISO 8601 via the default parser
+        F.try_to_timestamp(rfc, F.lit("d MMM yyyy HH:mm:ss zzz")),
+        F.try_to_timestamp(rfc, F.lit("d MMM yyyy HH:mm:ss XX")),
+    )
 
 
 def feed_metadata(df: DataFrame, body_col: str = "body") -> DataFrame:

@@ -154,3 +154,67 @@ def test_tar_bomb_cap(spark, tmp_path):
         spark, str(tmp_path / "c.tar"), max_member_bytes=100
     ).collect()
     assert len(out) == 1 and "declares 50000" in out[0].error
+
+
+def test_fuzz_axis21_mutated_archives_quarantine_promptly(spark, tmp_path):
+    """Fuzz axis 21: random truncations/byte-flips/splices of zip and
+    tar (plain + gz) archives through the REAL distributed sources —
+    every mutated FILE must land as at least one row (member rows or
+    the per-file error row), per-row error XOR content holds, and no
+    mutation hangs or fails the batch. The per-file quarantine
+    doctrine under adversarial container bytes."""
+    import gzip
+    import random
+
+    parts = {"a/one.txt": b"first body text", "b/two.bin": b"\x01" * 64}
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, d in parts.items():
+            zf.writestr(n, d)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        for n, d in parts.items():
+            info = tarfile.TarInfo(n)
+            info.size = len(d)
+            tf.addfile(info, io.BytesIO(d))
+    bases = {
+        "zip": zbuf.getvalue(),
+        "tar": tbuf.getvalue(),
+        "tgz": gzip.compress(tbuf.getvalue(), mtime=0),
+    }
+    rng = random.Random(21)
+    counts = {}
+    for kind, base in bases.items():
+        d = tmp_path / kind
+        d.mkdir()
+        n_files = 0
+        for trial in range(12):
+            raw = bytearray(base)
+            m = trial % 3
+            if m == 0 and len(raw) > 2:
+                raw = raw[:rng.randrange(1, len(raw))]
+            elif m == 1:
+                for _ in range(rng.randrange(1, 5)):
+                    raw[rng.randrange(len(raw))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(raw))
+                j = rng.randrange(len(raw))
+                raw[i:i + 12] = raw[j:j + 12]
+            ext = "zip" if kind == "zip" else (
+                "tar" if kind == "tar" else "tar.gz")
+            (d / f"m{trial}.{ext}").write_bytes(bytes(raw))
+            n_files += 1
+        counts[kind] = n_files
+
+    for kind, reader in (("zip", read_zip_archives),
+                         ("tar", read_tar_archives),
+                         ("tgz", read_tar_archives)):
+        glob = str(tmp_path / kind) + "/*"
+        out = reader(spark, glob, max_member_bytes=10_000).collect()
+        archives = {r.archive for r in out}
+        assert len(archives) == counts[kind], (kind, len(archives))
+        for r in out:  # quarantine XOR payload, never both/neither
+            if r.error is not None:
+                assert r.content is None
+            else:
+                assert r.content is not None and r.n_bytes >= 0

@@ -297,3 +297,31 @@ def test_atom_model_roundtrip(spark, entries):
             ("2026-02-0%d" % (i + 1)) if e["updated"] else None
         )
         assert r.published == exp_pub, (e, r)
+
+
+def test_feed_published_ts_rfc822_and_iso(spark):
+    """Hand-derived instants: each input names its zone, so the
+    expected UTC rendering is arithmetic, independent of session TZ."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.feeds import (
+        feed_published_ts,
+    )
+
+    cases = [
+        ("Mon, 05 Jan 2026 08:00:00 GMT", "2026-01-05 08:00:00"),
+        ("Mon, 05 Jan 2026 08:00:00 +0200", "2026-01-05 06:00:00"),
+        ("Mon, 5 Jan 2026 08:00:00 GMT", "2026-01-05 08:00:00"),
+        ("05 Jan 2026 08:00:00 GMT", "2026-01-05 08:00:00"),  # no DOW
+        ("2026-08-10T00:00:00Z", "2026-08-10 00:00:00"),      # Atom
+        ("2026-08-10T05:30:00+05:30", "2026-08-10 00:00:00"),
+        (" 2026-08-10T00:00:00Z ", "2026-08-10 00:00:00"),    # trim
+        ("not a date", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "p string")
+    got = [
+        r.u for r in df.select(
+            F.date_format(feed_published_ts("p"), "yyyy-MM-dd HH:mm:ss")
+            .alias("u")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
