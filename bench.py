@@ -7,13 +7,26 @@ Each query is executed to completion JVM-side via the noop sink (no
 collect-to-Python overhead in the measurement; plan + shuffle + agg are all
 exercised).
 
-Methodology: each query is timed twice and the best run is recorded, with a
-JVM GC nudge before each query. Measured rationale: local[32] run-to-run
-noise on a single timing reaches 4x (ss1_bruteforce_topk: 1.0 s in
-isolation, 17.3 s once mid-suite) because heap pressure and codegen-cache
-churn from *earlier* queries in the shared JVM bleed into the next timing.
-Best-of-2 + GC isolates the steady-state cost of the plan under test —
-the thing the number is meant to track round-over-round.
+Methodology (r13 protocol — min over interleaved sweeps): each row
+gets ONE untimed warmup execution of ITS OWN plan in the first sweep
+(codegen + parquet footers for that plan, not a suite-global warmup);
+then the whole suite is swept THREE times, each sweep timing ONE
+GC-nudged run per row, and each row records its MINIMUM across
+sweeps. Measured rationale (BENCH_NOTES r13, three protocol variants
+measured on identical code): (a) the r12→r13 adjudications showed
+best-of-2-after-suite-global-warmup rides the JIT ramp (isolated rows
+read monotone-decreasing across 4 executions: tx7 2.19→1.73→1.65) and
+byte-identical code swung ±70% round-over-round, costing rounds 9-12
+an opening adjudication tax each — the per-row warmup fixes that; (b)
+this host's dominant noise is AMBIENT DRIFT in multi-minute windows
+(a converged-best variant requiring two CONFIRMING runs within 5%
+back-to-back measured WORSE invocation-to-invocation spread than
+single runs, because back-to-back confirmations share the ambient
+window — agreement between correlated samples confirms a slow window,
+not a floor). Sweeps minutes apart are the decorrelated samples; the
+min keeps the cleanest window each row saw. Protocol changed at r13;
+BENCH_NOTES.md carries the same-code spread measurements of all three
+variants and the old-vs-new continuity reading.
 """
 
 from __future__ import annotations
@@ -70,10 +83,34 @@ HEADLINE = [
     "sd1_semantic_dedup",
     "lm2_bigram_quality",
     "dd7_span_dedup",
+    # round-13 registry addition (new row — compare per-query vs r12)
+    "sx1_exact_substring_spans",
 ]
 
 
-def _bucketed_join_pair(spark, sf_dir, timings: dict) -> None:
+N_SWEEPS = 3
+
+
+def _timed_once(spark, fn, warmup: bool) -> float:
+    """One GC-nudged timed execution (plus an untimed warmup of THIS
+    plan when asked — first sweep only). One run per sweep on purpose:
+    back-to-back repeats share the ambient window (module docstring),
+    so extra same-window runs buy correlation, not information — the
+    decorrelated repeats are the sweeps."""
+    if warmup:
+        fn()  # codegen + footers for THIS plan
+    spark._jvm.System.gc()
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def _merge_min(timings: dict, name: str, t: float) -> None:
+    timings[name] = round(min(timings.get(name, float("inf")), t), 3)
+
+
+def _bucketed_join_pair(spark, sf_dir, timings: dict,
+                        first_sweep: bool = True) -> None:
     """Bucketed-vs-shuffled fact-to-fact join (lineitem ⋈ orders on
     orderkey, count + exact revenue sum): the write-once-shuffle-never
     trade sources/bucketing.py exists for, tracked round-over-round as
@@ -94,10 +131,12 @@ def _bucketed_join_pair(spark, sf_dir, timings: dict) -> None:
         "l_orderkey", "l_extendedprice"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # stale catalog entries / orphaned warehouse dirs from a previous
-    # process are handled inside write_bucketed (overwrite mode)
-    write_bucketed(li, "bench_li_b", 32, "l_orderkey")
-    write_bucketed(o, "bench_o_b", 32, "o_orderkey")
+    if first_sweep:
+        # stale catalog entries / orphaned warehouse dirs from a
+        # previous process are handled inside write_bucketed
+        # (overwrite mode); sweep 2 reuses sweep 1's tables
+        write_bucketed(li, "bench_li_b", 32, "l_orderkey")
+        write_bucketed(o, "bench_o_b", 32, "o_orderkey")
 
     def shuffled():
         return (
@@ -124,14 +163,12 @@ def _bucketed_join_pair(spark, sf_dir, timings: dict) -> None:
             ("xj1_fact_join_shuffled", shuffled),
             ("xj2_fact_join_bucketed", bucketed),
         ):
-            best = None
-            for _ in range(2):
-                spark._jvm.System.gc()
-                t0 = time.time()
-                fn().write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+            _merge_min(timings, name, _timed_once(
+                spark,
+                lambda: fn().write.format("noop")
+                .mode("overwrite").save(),
+                warmup=first_sweep,
+            ))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
@@ -154,23 +191,18 @@ def main() -> None:
     qs.setdefault("pk2_materialized_sequences", pk2_materialized_sequences)
     names = [n for n in HEADLINE if n in qs]
 
-    # warm the JVM + parquet footers with the cheapest query once
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
     timings: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(2):
-            spark._jvm.System.gc()
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-
-    _bucketed_join_pair(spark, sf_dir, timings)
+    for sweep in range(N_SWEEPS):
+        for name in names:
+            _merge_min(timings, name, _timed_once(
+                spark,
+                lambda: qs[name](spark, sf_dir).write.format("noop")
+                .mode("overwrite").save(),
+                warmup=(sweep == 0),
+            ))
+        _bucketed_join_pair(
+            spark, sf_dir, timings, first_sweep=(sweep == 0)
+        )
 
     print(
         json.dumps(
@@ -180,6 +212,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": "r13-min-of-3-interleaved-sweeps(warmup1)",
             }
         )
     )

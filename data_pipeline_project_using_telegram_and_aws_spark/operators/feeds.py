@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["feed_entries", "feed_metadata", "feed_published_ts"]
+__all__ = [
+    "feed_entries",
+    "feed_metadata",
+    "feed_published_ts",
+    "feed_seeds",
+]
 
 
 def _unescape(raw: Column) -> Column:
@@ -47,14 +52,20 @@ def _unescape(raw: Column) -> Column:
 
 def _tag_text(block: Column, tag: str) -> Column:
     # (?:\w+:)? — namespace-prefixed variants match by localname.
-    # (?![^>]*/>) — a self-closing open (`<atom:link rel="self"/>`,
+    # _ATTRS consumes the attribute region quote-aware (a quoted value
+    # is one unit, so `>` or `/>` INSIDE an attribute value — legal
+    # XML like `<link attr="a/>b">url</link>` — neither terminates the
+    # open tag nor trips the self-closing rejection; the alternatives
+    # are first-char-disjoint, so no backtracking blowup).
+    # (?!_ATTRS/>) — a self-closing open (`<atom:link rel="self"/>`,
     # near-universal in WordPress RSS ahead of the real `<link>`) has
     # no text content; without the rejection the lazy capture would
     # span from it into the NEXT tag's content.  \b + `\s*>` on the
     # close keep `<linkage>`/`</linkage>` from matching tag `link`.
+    attrs = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
     return _unescape(F.regexp_extract(
         block,
-        rf"(?is)<(?:\w+:)?{tag}\b(?![^>]*/>)[^>]*>"
+        rf"(?is)<(?:\w+:)?{tag}\b(?!{attrs}/>){attrs}>"
         rf"\s*(.*?)\s*</(?:\w+:)?{tag}\s*>",
         1,
     ))
@@ -138,6 +149,40 @@ def feed_published_ts(published: Column | str) -> Column:
         F.try_to_timestamp(c),  # ISO 8601 via the default parser
         F.try_to_timestamp(rfc, F.lit("d MMM yyyy HH:mm:ss zzz")),
         F.try_to_timestamp(rfc, F.lit("d MMM yyyy HH:mm:ss XX")),
+    )
+
+
+def feed_seeds(
+    entries: DataFrame,
+    now_s: float,
+    half_life_s: float = 7 * 86400.0,
+) -> DataFrame:
+    """`feed_entries` rows → frontier seeds ``(url, priority)`` with a
+    publish-recency priority: ``0.5 ** (age / half_life_s)`` in
+    (0, 1] — an entry published ``half_life_s`` ago scores half a
+    just-published one (the freshness dial; default one week). Future
+    timestamps clamp to age 0 (clock skew is not a ranking signal),
+    unparseable/absent ``published`` yields NULL priority — such
+    seeds still enter the frontier but sort AFTER every dated one in
+    `links.schedule_fetches(priority_col=...)` and
+    `links.build_frontier(max_per_host=...)`'s cap (both order
+    NULLS LAST). ``now_s`` is the caller's clock (epoch seconds),
+    passed in — the `recrawl.schedule_revisits` determinism contract.
+    All JVM-side column math; duplicate links across feeds collapse
+    to their freshest reading in `build_frontier`'s per-key MAX."""
+    ts = F.unix_timestamp(
+        feed_published_ts(F.col("published"))
+    ).cast("double")
+    age = F.greatest(F.lit(float(now_s)) - ts, F.lit(0.0))
+    # greatest() SKIPS nulls (an undated entry would read age 0 →
+    # priority 1.0); the isNotNull guard keeps absence as NULL
+    pri = F.when(
+        ts.isNotNull(),
+        F.pow(F.lit(0.5), age / F.lit(float(half_life_s))),
+    )
+    return entries.select(
+        F.col("link").alias("url"),
+        F.round(pri, 9).alias("priority"),
     )
 
 

@@ -128,12 +128,15 @@ def _probe(run: Runner, raw: bytes) -> dict | None:
     audio = [s for s in streams if s.get("codec_type") == "audio"]
     if video:
         s = video[0]
-        nb = s.get("nb_frames")
+        # real ffprobe writes "N/A" (not absent) for raw elementary
+        # streams' nb_frames; a bare int() would escape the try above
+        # and crash the task instead of nulling the row
+        nb = str(s.get("nb_frames", ""))
         return {
             "kind": "video",
             "width": int(s["width"]) if s.get("width") else None,
             "height": int(s["height"]) if s.get("height") else None,
-            "n_frames": int(nb) if nb is not None else None,
+            "n_frames": int(nb) if nb.isdigit() else None,
         }
     if audio:
         return {"kind": "audio", "width": None, "height": None,
@@ -188,6 +191,12 @@ def ffmpeg_feature_decoder(run: Runner | None = None):
                         )
                     else:
                         plane = run(audio_pcm_argv(), raw)
+                    if not plane:
+                        # ffmpeg exiting 0 with zero output bytes (0
+                        # frames / 0 PCM samples) is a decode failure
+                        # under the contract: all four columns NULL,
+                        # not probe dims beside a NULL feature
+                        raise ValueError("empty decode plane")
                     row["feature"] = _chunk_means(plane)
                     row["width"] = info["width"]
                     row["height"] = info["height"]

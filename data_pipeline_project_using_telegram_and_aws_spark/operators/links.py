@@ -366,14 +366,27 @@ def build_frontier(
     `robots_directives` sitemap rows → fetched sitemaps → seed URLs)
     and the operator's entry point for hand-curated seed lists; they
     ride the same crawled-set anti-join and robots gate as
-    discovered outlinks."""
+    discovered outlinks. Seeds MAY carry a ``priority`` double (the
+    `feeds.feed_seeds` publish-recency score); when they do, the
+    frontier keeps the MAX priority per canonical key (outlink-only
+    candidates get NULL), the per-host cap keeps the
+    highest-priority URLs first (NULLS LAST, md5 tiebreak), and the
+    column rides out for `schedule_fetches(priority_col=...)`."""
     from pyspark.sql.window import Window
 
     from .robots import robots_gate
 
     cand = good.select(F.explode(F.col(outlinks_col)).alias("url"))
-    if seeds is not None:
+    has_priority = seeds is not None and "priority" in seeds.columns
+    if has_priority:
+        cand = cand.withColumn(
+            "priority", F.lit(None).cast("double")
+        ).unionByName(
+            seeds.select("url", F.col("priority").cast("double"))
+        )
+    elif seeds is not None:
         cand = cand.unionByName(seeds.select(F.col("url")))
+    pri_agg = [F.max("priority").alias("priority")] if has_priority else []
     cand = (
         cand
         .withColumn("__key", normalize_url("url"))
@@ -381,7 +394,7 @@ def build_frontier(
         # ONE candidate per canonical key (not per raw string):
         # variants of the same page collapse here, deterministically
         .groupBy("__key")
-        .agg(F.min("url").alias("url"))
+        .agg(F.min("url").alias("url"), *pri_agg)
     )
     if crawled is not None:
         seen = crawled.select(
@@ -394,8 +407,12 @@ def build_frontier(
         ).drop("allowed")
     if max_per_host is not None:
         host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+        cap_order = (
+            [F.desc_nulls_last("priority"), F.md5("url")]
+            if has_priority else [F.md5("url")]
+        )
         rn = F.row_number().over(
-            Window.partitionBy(host).orderBy(F.md5("url"))
+            Window.partitionBy(host).orderBy(*cap_order)
         )
         cand = cand.withColumn("__rn", rn).filter(
             F.col("__rn") <= max_per_host
@@ -570,6 +587,7 @@ def schedule_fetches(
     user_agent: str = "*",
     default_delay: float = 1.0,
     max_delay: float = 30.0,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Politeness schedule for a fetch round: each frontier URL gets
     its host's crawl-delay (from `robots.robots_directives` rows,
@@ -582,6 +600,14 @@ def schedule_fetches(
     honors the host's delay. A fetch executor can sort by
     ``planned_offset_s`` and stream the round out without ever
     hitting one host faster than its policy allows.
+
+    ``priority_col`` (optional): a double column on ``frontier``
+    (the `feeds.feed_seeds` publish-recency score ridden through
+    `build_frontier`); when given, each host's slots go to its
+    highest-priority URLs first (NULLS LAST — undated seeds and
+    plain outlinks queue behind every dated one), md5 as the
+    deterministic tiebreak. Fresh feed entries therefore fetch
+    EARLIEST within their host's politeness budget.
 
     Plan shape: one host-keyed window + one broadcast-sized join on
     the per-host delay table (origin-sized, like every robots frame).
@@ -630,8 +656,12 @@ def schedule_fetches(
         out = out.withColumn(
             "crawl_delay", F.lit(None).cast("double")
         )
+    slot_order = (
+        [F.desc_nulls_last(priority_col), F.md5(F.col(url_col))]
+        if priority_col is not None else [F.md5(F.col(url_col))]
+    )
     slot = F.row_number().over(
-        Window.partitionBy("host").orderBy(F.md5(F.col(url_col)))
+        Window.partitionBy("host").orderBy(*slot_order)
     ) - F.lit(1)
     delay = F.coalesce("crawl_delay", F.lit(float(default_delay)))
     return (

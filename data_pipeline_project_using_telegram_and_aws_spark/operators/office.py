@@ -148,10 +148,16 @@ def sniff_office(raw: bytes) -> str:
         # The OCF mimetype part must BE application/epub+zip; any zip
         # merely containing a member of that name is not an EPUB and
         # must fall through to plain zip, not quarantine as a broken
-        # one. It is STORED first per OCF, so the read is cheap.
+        # one. OCF mandates it STORED with a ~20-byte body, so a
+        # member that is neither stored nor tiny cannot be a real
+        # EPUB — and reading it anyway would hand a crafted DEFLATE
+        # bomb a full decompression inside this cheap pre-gate.
         try:
-            if zf.read("mimetype").strip() == b"application/epub+zip":
-                return "epub"
+            info = zf.getinfo("mimetype")
+            if (info.compress_type == zipfile.ZIP_STORED
+                    or info.file_size <= 256):
+                if zf.read("mimetype").strip() == b"application/epub+zip":
+                    return "epub"
         except Exception:  # noqa: BLE001 — torn member: not an EPUB
             pass
     return "zip"

@@ -161,6 +161,35 @@ def dd7_span_dedup(spark, sf_dir):
     return D.span_exact_dedup(docs, span_tokens=16).orderBy("doc_id")
 
 
+def sx1_exact_substring_spans(spark, sf_dir):
+    """ExactSubstr span marking (operators/substr_dedup.py — Lee et
+    al. arXiv:2107.06499 recast as an inverted k-gram index + island
+    stitch): every maximal span whose 30-char windows all repeat
+    corpus-wide, as 1-based (doc_id, span_start, span_length).
+    Registered in round 13, funded by ss2's retirement
+    (similarity_queries.py note), after the family survived a real
+    planner defect at the 200k probe (the data-dependent dup-hash
+    aggregate static-broadcast OOM, fixed by the deliberate merge pin
+    in `exact_substring_spans`) — this row re-checks the pinned
+    plan's RESULTS every round. The oracle groups on the raw 30-char
+    gram STRING, so the check is STRONGER than a replay: it verifies
+    the engine's 48-bit md5-prefix gram hashing against true string
+    equality (a collision would hash-mismatch; ~(1.5e5)²/2⁴⁹ ≈ 4e-5
+    at sf0.01)."""
+    from ..operators.substr_dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_substring_spans(docs, k=30)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_length").cast("long").alias("span_length"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_topk": dd2_ngram_jaccard_topk,
@@ -169,6 +198,7 @@ QUERIES = {
     "dd6_embedding_cosine_neardup": dd6_embedding_cosine_neardup,
     "cc1_neardup_components": cc1_neardup_components,
     "dd7_span_dedup": dd7_span_dedup,
+    "sx1_exact_substring_spans": sx1_exact_substring_spans,
 }
 
 # Shared SQL fragments (DuckDB): word 3-gram distinct shingles per doc.
@@ -390,6 +420,37 @@ ORACLE = {
                    AS n_dropped_spans
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    # Groups on the raw 30-char gram (not its hash): the oracle checks
+    # the engine's 48-bit gram hashing against exact string equality.
+    "sx1_exact_substring_spans": """
+        WITH grams AS (
+            SELECT doc_id, CAST(g AS BIGINT) AS p,
+                   substring(text, CAST(g AS INT), 30) AS gram
+            FROM documents,
+                 UNNEST(generate_series(
+                     1, greatest(length(text) - 29, 0)
+                 )) AS t(g)
+        ),
+        dup AS (
+            SELECT gram FROM grams GROUP BY gram HAVING COUNT(1) >= 2
+        ),
+        marked AS (
+            SELECT doc_id, p FROM grams JOIN dup USING (gram)
+        ),
+        islands AS (
+            SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY p
+                   ) AS island
+            FROM marked
+        )
+        SELECT doc_id,
+               MIN(p) AS span_start,
+               MAX(p) - MIN(p) + 30 AS span_length
+        FROM islands
+        GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
     """,
     "dd5_simhash_fingerprints": """
         WITH tokens AS (

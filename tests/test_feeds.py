@@ -128,6 +128,29 @@ class TestSelfClosingAtomLink:
         assert rows[0].link == "https://x.example/p1"
         assert rows[0].title == "Post One"
 
+    def test_slash_gt_inside_attribute_value_not_self_closing(self, spark):
+        """Legal XML may carry '/>' INSIDE a quoted attribute value
+        (`<link attr="a/>b">url</link>`); the quote-aware rejection
+        must not mistake it for a self-closing tag and drop the entry
+        (r12 advisor finding — the old lookahead returned zero rows)."""
+        rss = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+<title>Q</title>
+<link type="a/>b">https://q.example</link>
+<item>
+  <title attr='x/>y'>Tricky</title>
+  <link data-note="see /> escaping">https://q.example/t1</link>
+</item>
+</channel></rss>"""
+        rows = _entries(spark, rss)
+        assert len(rows) == 1
+        assert rows[0].link == "https://q.example/t1"
+        assert rows[0].title == "Tricky"
+        m = feed_metadata(
+            spark.createDataFrame([(rss,)], "body string")
+        ).collect()[0]["feed"]
+        assert m["site_link"] == "https://q.example"
+
 
 def test_feeds_seed_the_frontier(spark):
     """Composition: feed entry links are build_frontier seeds — the
@@ -147,6 +170,105 @@ def test_feeds_seed_the_frontier(spark):
     )
     got = {r.url for r in frontier.collect()}
     assert got == {"http://cn.example/a1"}  # a2 already crawled
+
+
+def test_feed_seeds_recency_priority(spark):
+    """feed_seeds: 0.5 ** (age/half_life) — exact at 0, 1 and 2
+    half-lives, future timestamps clamp to 1.0, unparseable published
+    is NULL priority (still a seed, sorts last)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.feeds import feed_seeds
+
+    now = 1_755_000_000.0  # 2025-08-12T12:00:00Z
+    hl = 86_400.0
+
+    def iso(age_s):
+        import datetime as dt
+        return dt.datetime.fromtimestamp(
+            now - age_s, dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    entries = spark.createDataFrame(
+        [
+            ("http://e/now", iso(0)),
+            ("http://e/1hl", iso(hl)),
+            ("http://e/2hl", iso(2 * hl)),
+            ("http://e/future", iso(-3600)),
+            ("http://e/undated", "not a date"),
+        ],
+        "link string, published string",
+    )
+    got = {
+        r.url: r.priority
+        for r in feed_seeds(entries, now_s=now, half_life_s=hl).collect()
+    }
+    assert got["http://e/now"] == 1.0
+    assert abs(got["http://e/1hl"] - 0.5) < 1e-9
+    assert abs(got["http://e/2hl"] - 0.25) < 1e-9
+    assert got["http://e/future"] == 1.0  # clamp: skew is not signal
+    assert got["http://e/undated"] is None
+
+
+def test_feed_priority_rides_frontier_into_fetch_slots(spark):
+    """The full freshness hookup: feed_seeds priority survives
+    build_frontier's canonical-key dedup (MAX per key; outlink-only
+    candidates NULL), steers the per-host cap, and orders
+    schedule_fetches slots freshest-first within each host."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.feeds import feed_seeds
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.links import (
+        build_frontier,
+        schedule_fetches,
+    )
+
+    now = 1_755_000_000.0
+
+    def iso(age_s):
+        import datetime as dt
+        return dt.datetime.fromtimestamp(
+            now - age_s, dt.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    entries = spark.createDataFrame(
+        [
+            # h1: fresh beats stale beats undated; duplicate link
+            # keeps its freshest reading through the per-key MAX
+            ("http://h1.example/fresh", iso(3600)),
+            ("http://h1.example/fresh", iso(11 * 86400)),
+            ("http://h1.example/stale", iso(31 * 86400)),
+            ("http://h1.example/undated", None),
+        ],
+        "link string, published string",
+    )
+    seeds = feed_seeds(entries, now_s=now)
+    good = spark.createDataFrame(
+        [("http://h0.example/", ["http://h1.example/outlink"])],
+        "url string, outlinks array<string>",
+    )
+    frontier = build_frontier(good, seeds=seeds)
+    pri = {r.url: r.priority for r in frontier.collect()}
+    assert pri["http://h1.example/outlink"] is None
+    assert pri["http://h1.example/undated"] is None
+    assert pri["http://h1.example/fresh"] > pri["http://h1.example/stale"]
+    # dup link kept the FRESH reading, not the stale one
+    assert pri["http://h1.example/fresh"] > 0.9
+
+    sched = {
+        r.url: r.fetch_slot
+        for r in schedule_fetches(
+            frontier, priority_col="priority"
+        ).collect()
+    }
+    assert sched["http://h1.example/fresh"] == 0
+    assert sched["http://h1.example/stale"] == 1
+    # undated + outlink queue behind every dated seed (NULLS LAST)
+    assert {
+        sched["http://h1.example/undated"],
+        sched["http://h1.example/outlink"],
+    } == {2, 3}
+
+    # per-host cap keeps the freshest when it bites
+    capped = build_frontier(good, seeds=seeds, max_per_host=2)
+    kept = {r.url for r in capped.collect()}
+    assert kept == {"http://h1.example/fresh", "http://h1.example/stale"}
 
 
 # ---------------------------------------------------------------------------

@@ -973,7 +973,8 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
         '<?xml version="1.0"?><rss version="2.0"><channel>'
         "<title>A Feed</title><link>http://a.com/</link>"
         "<item><title>From feed</title>"
-        "<link>http://b.com/fromfeed</link></item>"
+        "<link>http://b.com/fromfeed</link>"
+        "<pubDate>Wed, 12 Aug 2026 09:00:00 GMT</pubDate></item>"
         "<item><title>Known</title>"
         "<link>http://a.com/2</link></item>"
         "</channel></rss>"
@@ -1011,6 +1012,7 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
     # their entry links seed the frontier exactly like sitemap URLs
     from data_pipeline_project_using_telegram_and_aws_spark.operators.feeds import (
         feed_entries,
+        feed_seeds,
     )
 
     feed_docs = (
@@ -1020,7 +1022,9 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
         .select(F.col("target_uri").alias("feed_url"),
                 F.col("payload").cast("string").alias("body"))
     )
-    seeds = feed_entries(feed_docs).select(F.col("link").alias("url"))
+    # seeds carry the publish-recency priority (feed_seeds): the
+    # round clock is one hour after the fromfeed entry's pubDate
+    seeds = feed_seeds(feed_entries(feed_docs), now_s=1_786_528_800.0)
     frontier = build_frontier(
         good1, rules=rules, crawled=good1.select("url"), seeds=seeds
     )
@@ -1044,11 +1048,16 @@ def test_crawl_loop_two_rounds(spark, tmp_path):
     )
     sched = {
         r.url: (r.crawl_delay, r.planned_offset_s)
-        for r in schedule_fetches(frontier, directives).collect()
+        for r in schedule_fetches(
+            frontier, directives, priority_col="priority"
+        ).collect()
     }
-    # both frontier urls are on b.com: one per crawl-delay slot
+    # both frontier urls are on b.com: one per crawl-delay slot, and
+    # the feed entry with a RECENT pubDate outranks the undated
+    # outlink for the host's first slot (publish-recency freshness)
     assert all(sched[u][0] == 2.5 for u in want_next)
-    assert sorted(sched[u][1] for u in want_next) == [0.0, 2.5]
+    assert sched["http://b.com/fromfeed"][1] == 0.0
+    assert sched["http://b.com/open"][1] == 2.5
 
     # round 2: 'fetch' the frontier, land it, resume the stream
     write_warc_responses(

@@ -292,6 +292,50 @@ def test_ffmpeg_seam_frame_sampling_end_to_end(spark):
     )
 
 
+def test_ffmpeg_seam_empty_decode_is_failure(spark):
+    """ffmpeg can exit 0 with ZERO output bytes (0 frames / 0 PCM
+    samples); the contract says a failed decode carries NULL for all
+    four columns — probe-derived dims must not survive beside a NULL
+    feature (r12 advisor finding)."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.ffmpeg_seam import (
+        PROBE_ARGV,
+        ffmpeg_feature_decoder,
+    )
+
+    w, h, nf = _W, _H, _NF
+
+    def empty_run(argv, data):
+        import json as _json
+
+        from data_pipeline_project_using_telegram_and_aws_spark.operators.ffmpeg_seam import (
+            sniff_compressed_media as sniff,
+        )
+        if argv == PROBE_ARGV:
+            kind = sniff(bytes(data))
+            if kind == "h264-annexb":
+                return _json.dumps({"streams": [{
+                    "codec_type": "video", "width": w, "height": h,
+                    "nb_frames": str(nf),
+                }]}).encode()
+            return _json.dumps(
+                {"streams": [{"codec_type": "audio"}]}
+            ).encode()
+        return b""  # decode "succeeds" but emits nothing
+
+    df = spark.createDataFrame(
+        [(1, H264), (2, MP3)], "media_id long, media binary"
+    )
+    out = {r.media_id: r for r in extract_media_features(
+        df, decoder=ffmpeg_feature_decoder(run=empty_run)
+    ).collect()}
+    for mid in (1, 2):
+        r = out[mid]
+        assert (r.width, r.height, r.n_frames, r.feature) == (
+            None, None, None, None
+        ), r
+        assert r.n_bytes > 0 and len(r.content_hash) == 32
+
+
 def test_sniff_compressed_media():
     from data_pipeline_project_using_telegram_and_aws_spark.operators.ffmpeg_seam import (
         sniff_compressed_media,
@@ -306,6 +350,81 @@ def test_sniff_compressed_media():
     assert sniff_compressed_media(ftyp) == "mp4"
     assert sniff_compressed_media(GARBAGE) == "unknown"
     assert sniff_compressed_media(b"") == "unknown"
+
+
+def _which_ffmpeg():
+    import shutil
+    return (shutil.which("ffmpeg") is not None
+            and shutil.which("ffprobe") is not None)
+
+
+@pytest.mark.skipif(
+    not _which_ffmpeg(),
+    reason="ffmpeg/ffprobe not on PATH — the seam's real-binary leg "
+    "runs where they exist; the fake-runner tests pin the contract "
+    "here",
+)
+def test_ffmpeg_seam_real_binary_leg(spark):
+    """The argv contract proven against ACTUAL ffmpeg output (r12
+    verdict #5): media fixtures are synthesized by ffmpeg itself
+    (lavfi test sources), so no binary fixtures enter the repo and
+    the encode→sniff→probe→decode loop is closed end-to-end."""
+    import subprocess
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.ffmpeg_seam import (
+        ffmpeg_feature_decoder,
+        ffmpeg_frame_sampler,
+        sniff_compressed_media,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    def gen(argv):
+        try:
+            return subprocess.run(
+                argv, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, check=True,
+            ).stdout
+        except subprocess.CalledProcessError:
+            pytest.skip(f"this ffmpeg build lacks an encoder: {argv}")
+
+    h264 = gen(["ffmpeg", "-v", "error", "-f", "lavfi", "-i",
+                "testsrc=duration=0.3:size=64x48:rate=10",
+                "-c:v", "libx264", "-f", "h264", "pipe:1"])
+    aac = gen(["ffmpeg", "-v", "error", "-f", "lavfi", "-i",
+               "sine=frequency=440:duration=0.3",
+               "-c:a", "aac", "-f", "adts", "pipe:1"])
+    assert sniff_compressed_media(h264) == "h264-annexb"
+    assert sniff_compressed_media(aac) == "aac-adts"
+
+    df = spark.createDataFrame(
+        [(1, h264), (2, aac), (3, GARBAGE)],
+        "media_id long, media binary",
+    )
+    out = {r.media_id: r for r in extract_media_features(
+        df, decoder=ffmpeg_feature_decoder()  # the REAL runner
+    ).collect()}
+    v = out[1]
+    assert (v.width, v.height) == (64, 48)
+    assert v.n_frames is not None and v.n_frames >= 1
+    assert len(v.feature) == 8
+    assert all(0.0 <= x <= 1.0 for x in v.feature)
+    a = out[2]
+    assert a.width is None and a.height is None
+    assert len(a.feature) == 8
+    g = out[3]
+    assert (g.width, g.height, g.n_frames, g.feature) == (
+        None, None, None, None
+    )
+
+    frames = sample_frames(
+        df, max_frames=2, frame_sampler=ffmpeg_frame_sampler()
+    ).collect()
+    assert {r.media_id for r in frames} == {1}
+    assert 1 <= len(frames) <= 2
+    assert all(len(r.frame_hash) == 32 and r.n_frames >= 1
+               for r in frames)
 
 
 def test_codec_gate_messages_pinned():

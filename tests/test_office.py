@@ -284,6 +284,23 @@ class TestSniff:
         # torn zip: magic present, central directory unreadable
         assert sniff_office(b"PK\x03\x04" + b"\x00" * 8) == "not-zip"
 
+    def test_mimetype_bomb_not_decompressed(self):
+        """A DEFLATE 'mimetype' member declaring a large body cannot
+        be a real EPUB (OCF: stored, ~20 bytes) — the sniff must fall
+        through to 'zip' WITHOUT decompressing it (r12 advisor
+        finding: a ~1000:1 crafted member turned the cheap pre-gate
+        into a decompression-bomb vector)."""
+        bomb = _zip_bytes({"mimetype": b"\x00" * 4_000_000})
+        # the crafted member compresses ~1000:1; the gate reads only
+        # the central-directory metadata, never inflates
+        assert len(bomb) < 10_000
+        assert sniff_office(bomb) == "zip"
+        # tolerance intact: a small DEFLATED mimetype with the real
+        # OCF body still sniffs as epub (_zip_bytes deflates all
+        # members, so test_all_formats' _epub() already rides it)
+        small = _zip_bytes({"mimetype": b"application/epub+zip"})
+        assert sniff_office(small) == "epub"
+
     def test_mimetype_member_must_be_epub_mimetype(self):
         # a zip merely CONTAINING a member named 'mimetype' is not an
         # EPUB (OCF requires its bytes to be application/epub+zip);

@@ -175,10 +175,12 @@ def test_registry_is_exactly_50_rows_with_r5_swaps(spark):
     qs, os_ = all_queries(), all_oracles()
     assert len(qs) == 50 and set(os_) == set(qs)
     for name in ("lm1_unigram_quality", "rt1_bm25_topk",
-                 "wc1_warc_html_extract", "wc2_link_graph_pagerank"):
+                 "wc1_warc_html_extract", "wc2_link_graph_pagerank",
+                 "sx1_exact_substring_spans"):
         assert name in qs
     for name in ("tx3_langid_heuristic", "q25_date_functions",
-                 "q38_hash_sample", "q5_tpch_q6_forecast_revenue"):
+                 "q38_hash_sample", "q5_tpch_q6_forecast_revenue",
+                 "ss2_label_blocked_neardup"):
         assert name not in qs
 
 
@@ -449,3 +451,29 @@ def test_pk2_materialized_sequences_still_correct(spark, sf_dir):
     )
     want = [tuple(r) for r in con.execute(PK2_RETIRED_ORACLE).fetchall()]
     assert got == want
+
+
+def test_ss2_label_blocked_still_correct(spark, sf_dir):
+    """Round 13 (sx1 funded): ss2's label-blocked top-20 pairs are
+    replayed verbatim against its retired DuckDB oracle — the exact
+    check the driver used to run. Its distinct plan property (the
+    blocked_pairs_max_block_rows cost guard) stays pinned in
+    tests/test_similarity.py."""
+    import duckdb
+
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.similarity_queries import (
+        SS2_RETIRED_ORACLE,
+        ss2_label_blocked_neardup,
+    )
+
+    got = [
+        (r.label, r.vec_a, r.vec_b, r.cos_sim)
+        for r in ss2_label_blocked_neardup(spark, sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(SS2_RETIRED_ORACLE).fetchall()]
+    assert got == want and len(got) == 20

@@ -28,7 +28,8 @@ for f in tests/test_*.py; do
     j=$(((j + 1) % N))
 done
 
-cpus=$((32 / N))
+cpus=$(($(nproc) / N))  # host cores, not a hardcoded 32: on smaller
+                        # machines local[32/N] would oversubscribe
 [ "$cpus" -lt 2 ] && cpus=2
 pids=()
 for ((i = 0; i < N; i++)); do
