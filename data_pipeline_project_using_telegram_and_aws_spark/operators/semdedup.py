@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .components import connected_components
-from .similarity import blocked_neardup_pairs, build_ivf_index, ivf_assign
+from .similarity import (
+    blocked_neardup_pairs,
+    build_ivf_index,
+    hierarchical_ivf_assign,
+    ivf_assign,
+)
 
 
 def semantic_dedup(
@@ -56,6 +61,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_block_rows: int | None = None,
+    coarse_probes: int | None = None,
 ) -> DataFrame:
     """Label every vector with its semantic-duplicate group and keep flag.
 
@@ -68,7 +74,14 @@ def semantic_dedup(
     Pass ``centroids`` to reuse an already-trained index (e.g. the IVF
     ANN centroids of the same corpus); otherwise one is trained via
     ``build_ivf_index(k, iters, sample_n, cache_key)``.
-    """
+
+    ``coarse_probes`` (optional) switches assignment to the two-level
+    `similarity.hierarchical_ivf_assign` scale path with that many
+    probed coarse cells — the dial for corpora where flat n·k scoring
+    dominates (the r13 probe's Θ(n^1.5) wall; see that function's
+    docstring for the approximation contract and the k ∝ n^(2/3)
+    sizing rule it unlocks). Default None = exact flat assignment,
+    the driver-oracle (sd1) geometry."""
     if centroids is None:
         centroids = build_ivf_index(
             vectors,
@@ -79,7 +92,13 @@ def semantic_dedup(
             id_col=id_col,
             vec_col=vec_col,
         )
-    assign = ivf_assign(vectors, centroids, 1, id_col, vec_col)
+    if coarse_probes is not None:
+        assign = hierarchical_ivf_assign(
+            vectors, centroids, probes=coarse_probes,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        assign = ivf_assign(vectors, centroids, 1, id_col, vec_col)
     # the assignment feeds BOTH the pair scan and the final labeling
     # join; checkpoint it so the argmin window runs once (the bench-scale
     # analogue of persisting assignments bucketed by centroid_id —

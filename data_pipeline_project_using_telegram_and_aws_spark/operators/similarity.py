@@ -41,6 +41,7 @@ expressions (functions/vectors.py) — no Python UDF in any hot path.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
@@ -380,7 +381,10 @@ def train_centroids_lloyd(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
-        best = ivf_assign(train, cents, 1, id_col, vec_col)
+        # out_id must follow id_col or the member join below only
+        # resolves for the default "vec_id" (latent until the r13
+        # two-level path trained over a (__fid, __fvec) frame)
+        best = ivf_assign(train, cents, 1, id_col, vec_col, out_id=id_col)
         members = train.join(best, id_col).select(
             "centroid_id", F.posexplode(vec_col).alias("d", "e")
         )
@@ -514,6 +518,144 @@ def ivf_assign(
     if keep_score:
         # callers ranking WITHIN a cell (prototypicality pruning) need
         # the similarity itself, not just the cell id
+        return ranked.select(
+            out_id, "centroid_id", F.col("__cos").alias("cos")
+        )
+    return ranked.select(out_id, "centroid_id")
+
+
+def hierarchical_ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    probes: int = 4,
+    coarse_k: int | None = None,
+    coarse_iters: int = 2,
+    max_rank: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+    keep_score: bool = False,
+) -> DataFrame:
+    """Two-level (coarse-quantized) centroid assignment — the scale
+    path past `ivf_assign`'s flat n·k scoring. The r13 SemDeDup probe
+    measured the flat design's honest asymptote: with the k ∝ √n
+    sizing rule, assignment (n·k) and in-cluster pairs (n²/k) balance
+    at Θ(n^1.5) — wall exponent 1.12 and climbing at 200k vectors
+    (BENCH_NOTES r13; the earlier 0.61 readings were fixture-floor).
+    Standard IVF fix: cluster the k fine centroids into ~√k COARSE
+    cells (Lloyd over the k-row centroid frame — index-sized, cheap),
+    route each vector to its ``probes`` nearest coarse cells, and
+    score only those cells' fine centroids: per-vector scored
+    centroids drop from k to ~probes·√k + √k. With two-level
+    assignment the balanced sizing rule improves to k ∝ n^(2/3)
+    (assignment n·√k against pairs n²/k → both Θ(n^(4/3))).
+
+    Approximation contract, stated: EXACT whenever ``probes >=
+    coarse_k`` (every cell probed); otherwise a vector whose true
+    nearest fine centroid lives outside its probed coarse cells gets
+    its best PROBED centroid — the standard IVF recall trade,
+    boundary-perturbation only for clustering consumers (SemDeDup
+    blocks). Falls back to flat `ivf_assign` when k is too small for
+    two levels to pay (k < 4·probes). The one driver action is a
+    ``count()`` of the CENTROID frame (index-sized by construction).
+    Plan shape: coarse Lloyd + two corpus-keyed windows (coarse
+    top-probes, fine top-``max_rank``); centroids and the
+    cell→members map are broadcast — the corpus never shuffles except
+    through its own id-keyed windows, same property as the flat
+    path."""
+    k = centroids.count()
+    if coarse_k is None:
+        coarse_k = max(2, int(math.isqrt(k)))
+    if k < 4 * probes or coarse_k >= k:
+        return ivf_assign(
+            vectors, centroids, max_rank, id_col, vec_col, out_id,
+            keep_score,
+        )
+    fine = centroids.select(
+        F.col("centroid_id").alias("__fid"),
+        F.col("cvec").alias("__fvec"),
+        norm(F.col("cvec")).alias("__fn"),
+    )
+    coarse = train_centroids_lloyd(
+        fine, k=coarse_k, iters=coarse_iters,
+        id_col="__fid", vec_col="__fvec",
+    ).select(
+        F.col("centroid_id").alias("__coarse"),
+        F.col("cvec").alias("__cv"),
+        norm(F.col("cvec")).alias("__cn"),
+    )
+    # fine centroid → its coarse cell; then one broadcastable k-row
+    # map (coarse cell → member fine centroids with norms)
+    c2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "__fid", "__fvec", "__fn", "__coarse",
+            F.round(
+                cosine_with_norms(
+                    F.col("__fvec"), F.col("__cv"),
+                    F.col("__fn"), F.col("__cn"),
+                ), 4,
+            ).alias("__cos"),
+        )
+    )
+    wc = Window.partitionBy("__fid").orderBy(
+        F.desc("__cos"), F.asc("__coarse")
+    )
+    cells = (
+        c2c.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") == 1)
+        .groupBy("__coarse")
+        .agg(F.collect_list(
+            F.struct("__fid", "__fvec", "__fn")
+        ).alias("__members"))
+    )
+    # level 1: each vector's `probes` nearest coarse cells (the vec
+    # rides through this window so level 2 never re-joins the corpus)
+    v = vectors.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
+    s1 = v.crossJoin(F.broadcast(coarse)).select(
+        out_id, "__v", "__vn", "__coarse",
+        F.round(
+            cosine_with_norms(
+                F.col("__v"), F.col("__cv"),
+                F.col("__vn"), F.col("__cn"),
+            ), 4,
+        ).alias("__cos1"),
+    )
+    w1 = Window.partitionBy(out_id).orderBy(
+        F.desc("__cos1"), F.asc("__coarse")
+    )
+    probed = (
+        s1.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= probes)
+        .select(out_id, "__v", "__vn", "__coarse")
+    )
+    # level 2: score only the probed cells' fine centroids
+    s2 = (
+        probed.join(F.broadcast(cells), "__coarse")
+        .select(out_id, "__v", "__vn",
+                F.explode("__members").alias("__m"))
+        .select(
+            out_id,
+            F.col("__m.__fid").alias("centroid_id"),
+            F.round(
+                cosine_with_norms(
+                    F.col("__v"), F.col("__m.__fvec"),
+                    F.col("__vn"), F.col("__m.__fn"),
+                ), 4,
+            ).alias("__cos"),
+        )
+    )
+    w2 = Window.partitionBy(out_id).orderBy(
+        F.desc("__cos"), F.asc("centroid_id")
+    )
+    ranked = s2.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= max_rank
+    )
+    if keep_score:
         return ranked.select(
             out_id, "centroid_id", F.col("__cos").alias("cos")
         )

@@ -256,3 +256,84 @@ def test_blocked_neardup_guard_raises_on_oversized_block(spark):
     # over the bound: loud failure naming the block and the dial
     with _pytest.raises(Exception, match="max_block_rows"):
         blocked_neardup_pairs(vecs, max_block_rows=5).collect()
+
+
+# ---------------------------------------------------------------------------
+# two-level (coarse-quantized) assignment — the r13 scale path
+
+
+def test_hierarchical_assign_exact_when_all_cells_probed(spark):
+    """Contract: probes >= coarse_k probes every cell, so the
+    two-level result must equal flat ivf_assign EXACTLY."""
+    df, _ = _vectors(spark, n=60, dims=16)
+    cents = S.train_centroids_lloyd(df, k=16, iters=2)
+    flat = {(r.vec_id, r.centroid_id) for r in S.ivf_assign(
+        df, cents, 1
+    ).collect()}
+    got = {(r.vec_id, r.centroid_id) for r in S.hierarchical_ivf_assign(
+        df, cents, probes=4, coarse_k=4
+    ).collect()}
+    assert got == flat and len(got) == 61
+
+
+def test_hierarchical_assign_small_k_falls_back_to_flat(spark):
+    """k < 4*probes: two levels cannot pay — the flat path runs and
+    the results are definitionally exact."""
+    df, _ = _vectors(spark, n=30, dims=16)
+    cents = S.train_centroids_lloyd(df, k=8, iters=2)
+    flat = {(r.vec_id, r.centroid_id) for r in S.ivf_assign(
+        df, cents, 1
+    ).collect()}
+    got = {(r.vec_id, r.centroid_id) for r in S.hierarchical_ivf_assign(
+        df, cents, probes=4
+    ).collect()}
+    assert got == flat
+
+
+def test_hierarchical_assign_probed_recall_and_determinism(spark):
+    """Under real pruning (probes < coarse_k): one row per vector,
+    deterministic across runs, and the probed assignment agrees with
+    flat for the large majority of vectors (boundary perturbation
+    only); every disagreement is still a valid centroid id."""
+    df, _ = _vectors(spark, n=200, dims=16, seed=11)
+    cents = S.train_centroids_lloyd(df, k=25, iters=2)
+    flat = {r.vec_id: r.centroid_id
+            for r in S.ivf_assign(df, cents, 1).collect()}
+    a1 = {r.vec_id: r.centroid_id for r in S.hierarchical_ivf_assign(
+        df, cents, probes=2, coarse_k=5
+    ).collect()}
+    a2 = {r.vec_id: r.centroid_id for r in S.hierarchical_ivf_assign(
+        df, cents, probes=2, coarse_k=5
+    ).collect()}
+    assert a1 == a2                         # deterministic end to end
+    assert set(a1) == set(flat)             # one row per vector
+    valid = {r.centroid_id for r in cents.collect()}
+    assert set(a1.values()) <= valid
+    agree = sum(1 for v in a1 if a1[v] == flat[v])
+    assert agree >= 0.7 * len(flat), f"{agree}/{len(flat)}"
+
+
+def test_semantic_dedup_coarse_probes_dial(spark):
+    """semantic_dedup(coarse_probes=) runs the two-level path and
+    keeps the output invariants: one row per vector, every dup_group
+    names its own minimum member, kept marks exactly the exemplar."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    df, _ = _vectors(spark, n=120, dims=16, seed=3)
+    out = semantic_dedup(
+        df, k=16, iters=2, tau=0.9, coarse_probes=2
+    ).collect()
+    assert len(out) == 121
+    groups = {}
+    for r in out:
+        groups.setdefault(r.dup_group, []).append((r.vec_id, r.kept))
+    for g, members in groups.items():
+        ids = sorted(i for i, _ in members)
+        assert g == ids[0]
+        assert [k for i, k in members if i == g] == [True]
+        assert all(not k for i, k in members if i != g)
+    # the planted near-copy (vec 120 ~ vec 0) must collapse with vec 0
+    by_id = {r.vec_id: r.dup_group for r in out}
+    assert by_id[120] == by_id[0] == 0

@@ -314,11 +314,19 @@ def probe_components(spark, n: int) -> dict:
     }
 
 
-def probe_semdedup(spark, n: int, k: int) -> dict:
+def probe_semdedup(
+    spark, n: int, k: int, coarse_probes: int | None = None
+) -> dict:
     """sd1's shape at centroid count k: intra-cluster pair scans cost
     ~n²/k, so FIXED k goes quadratic while the ivf_n_centroids rule
     (k ~ √n) holds the per-cluster operand steady — the same
-    fixed-vs-scaled story as the LSH geometry probes."""
+    fixed-vs-scaled story as the LSH geometry probes.
+    ``coarse_probes`` switches assignment to the two-level
+    `hierarchical_ivf_assign` path (r13): flat assignment costs n·k,
+    which at the k ~ √n balance point makes the WHOLE pipeline
+    Θ(n^1.5); two-level assignment (~n·√k·(1+probes)) unlocks the
+    k ~ n^(2/3) rule where assignment and pairs balance at
+    Θ(n^(4/3))."""
     from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
         ivf_sample_n,
     )
@@ -334,11 +342,17 @@ def probe_semdedup(spark, n: int, k: int) -> dict:
     cents = build_ivf_index(
         emb, k=k, iters=2, sample_n=ivf_sample_n(k), cache_key=None
     )
-    rows = semantic_dedup(emb, centroids=cents, tau=0.4).count()
+    train_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    rows = semantic_dedup(
+        emb, centroids=cents, tau=0.4, coarse_probes=coarse_probes
+    ).count()
     return {
         "n": n,
         "k": k,
+        "coarse_probes": coarse_probes,
         "result_rows": rows,
+        "train_sec": train_sec,
         "sec": round(time.time() - t0, 2),
     }
 
@@ -1094,11 +1108,22 @@ def main() -> None:
         spark = get_spark("scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
         for n in sizes:
-            # rule-k only: the fixed-k16 twin measured 1.21-and-
-            # climbing at 60k (r12) — the rule IS the scale design
+            # flat rule-k is the sd1 oracle geometry; the coarse twin
+            # is the r13 two-level-assignment scale path (fixed-k16
+            # measured 1.21-and-climbing back in r12 — not re-run).
+            # The k ~ n^(2/3) rule the two-level path unlocks is NOT
+            # swept here: train_centroids_lloyd deliberately costs
+            # O(sample·k·iters) = O(k²) at the 16-per-centroid sample
+            # rule (155 s at k=737 vs 13 s at k=200, measured r13), so
+            # that rule additionally needs two-level TRAINING before
+            # its dedup-side win is reachable end-to-end — recorded in
+            # BENCH_NOTES as the boundary of the current design.
             print(json.dumps({
                 "family": "semdedup",
                 "rule_k": probe_semdedup(spark, n, ivf_n_centroids(n)),
+                "rule_k_coarse": probe_semdedup(
+                    spark, n, ivf_n_centroids(n), coarse_probes=4
+                ),
             }))
         return
     if sys.argv[1:2] == ["--curation"]:
