@@ -413,6 +413,146 @@ def train_centroids_lloyd(
     return cents
 
 
+def train_centroids_hierarchical(
+    vectors: DataFrame,
+    k: int = 256,
+    iters: int = 3,
+    coarse_k: int | None = None,
+    coarse_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int | None = None,
+) -> DataFrame:
+    """Two-level Lloyd training — the index-BUILD half of the r13
+    two-level scale path. `train_centroids_lloyd` deliberately costs
+    O(sample·k·iters): at the 16-per-centroid sample rule that is
+    O(k²·iters), which gates the k ∝ n^(2/3) sizing rule
+    `hierarchical_ivf_assign` unlocks (measured: k=737 trains in
+    155 s vs 13 s at k=200, BENCH_NOTES r13). This trainer cuts the
+    per-iteration term to O(sample·√k): train ~√k COARSE centroids on
+    the sample (flat Lloyd, O(sample·√k)), partition the sample into
+    coarse cells once, then run the fine Lloyd iterations with each
+    vector scoring only ITS CELL's fine centroids (a k-row
+    broadcastable join on the cell id, per-vector amplification
+    ~k/√k = √k).
+
+    Approximation vs flat training, stated: fine centroids never
+    migrate across coarse-cell boundaries, so cells quantize their
+    own region — the standard two-level k-means trade (cluster
+    quality differs at cell boundaries; for IVF/SemDeDup consumers
+    the downstream assignment is what matters, and it re-scores
+    against the FULL fine-centroid set via flat or probed
+    assignment). Determinism: same md5 sample/seed ordering and the
+    same scaled-long exact mean arithmetic as the flat trainer; seeds
+    are the first ceil(k/coarse_k) members of each cell in md5
+    order, so centroid_id remains the seed vector's id. A cell with
+    fewer members than its quota yields fewer centroids (total ≤ k,
+    the flat trainer's empty-centroid drop generalized).
+
+    Output schema identical to `train_centroids_lloyd`:
+    (centroid_id, cvec: array<double>)."""
+    if coarse_k is None:
+        coarse_k = max(2, int(math.isqrt(k)))
+    train = vectors
+    if sample_n is not None:
+        train = (
+            vectors.orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(sample_n)
+            .localCheckpoint(eager=True)
+        )
+    if coarse_k >= k:
+        return train_centroids_lloyd(
+            train, k, iters, id_col, vec_col, sample_n=None
+        )
+    from ..functions.scale_rules import ivf_sample_n
+
+    coarse = train_centroids_lloyd(
+        train, coarse_k, coarse_iters, id_col, vec_col,
+        sample_n=ivf_sample_n(coarse_k),
+    )
+    cell = ivf_assign(
+        train, coarse, 1, id_col, vec_col, out_id=id_col
+    ).withColumnRenamed("centroid_id", "__cell")
+    part = train.join(cell, id_col).localCheckpoint(eager=True)
+    quota = -(-k // coarse_k)  # ceil: per-cell fine-centroid budget
+    ws = Window.partitionBy("__cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cents = (
+        part.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= quota)
+        .select(
+            "__cell",
+            F.col(id_col).alias("centroid_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias(
+                "cvec"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = (
+            part.join(
+                F.broadcast(
+                    cents.select(
+                        "__cell", "centroid_id", "cvec",
+                        norm(F.col("cvec")).alias("__cn"),
+                    )
+                ),
+                "__cell",
+            )
+            .select(
+                F.col(id_col), "centroid_id", "__cell",
+                F.round(
+                    cosine_with_norms(
+                        F.col(vec_col), F.col("cvec"),
+                        norm(F.col(vec_col)), F.col("__cn"),
+                    ), 4,
+                ).alias("__cos"),
+            )
+        )
+        wb = Window.partitionBy(id_col).orderBy(
+            F.desc("__cos"), F.asc("centroid_id")
+        )
+        best = (
+            scored.withColumn("__bn", F.row_number().over(wb))
+            .filter(F.col("__bn") == 1)
+            .select(id_col, "centroid_id", "__cell")
+        )
+        members = part.select(id_col, vec_col).join(best, id_col).select(
+            "centroid_id", "__cell",
+            F.posexplode(vec_col).alias("d", "e"),
+        )
+        # identical exact fixed-point mean arithmetic as the flat
+        # trainer (scaled-long sum, two deterministic divisions)
+        means = members.groupBy("centroid_id", "__cell", "d").agg(
+            (
+                F.sum(
+                    F.round(F.col("e").cast("double") * 1000000.0)
+                    .cast("long")
+                )
+                / 1000000.0
+                / F.count("e")
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("centroid_id", "__cell")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("d", "m"))
+            ).alias("dm"))
+            .select(
+                "__cell", "centroid_id",
+                F.transform("dm", lambda x: x.getField("m")).alias(
+                    "cvec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents.select("centroid_id", "cvec")
+
+
 # (cache_key, k, iters, sample_n, session_id) -> checkpointed centroids
 # DataFrame. Session id is part of the key because a localCheckpoint is
 # only valid inside the SparkContext that produced it.

@@ -337,3 +337,61 @@ def test_semantic_dedup_coarse_probes_dial(spark):
     # the planted near-copy (vec 120 ~ vec 0) must collapse with vec 0
     by_id = {r.vec_id: r.dup_group for r in out}
     assert by_id[120] == by_id[0] == 0
+
+
+def test_hierarchical_training_deterministic_schema_and_fallback(spark):
+    df, _ = _vectors(spark, n=120, dims=16, seed=5)
+    c1 = {r.centroid_id: r.cvec for r in S.train_centroids_hierarchical(
+        df, k=16, iters=2, coarse_k=4
+    ).collect()}
+    c2 = {r.centroid_id: r.cvec for r in S.train_centroids_hierarchical(
+        df, k=16, iters=2, coarse_k=4
+    ).collect()}
+    assert c1 == c2                           # deterministic end to end
+    assert 0 < len(c1) <= 16
+    assert all(len(v) == 16 for v in c1.values())
+    assert set(c1) <= set(range(121))         # ids are sample members
+    # coarse_k >= k: degenerates to the flat trainer exactly
+    flat = {r.centroid_id: r.cvec for r in S.train_centroids_lloyd(
+        df, k=8, iters=2
+    ).collect()}
+    degen = {r.centroid_id: r.cvec for r in S.train_centroids_hierarchical(
+        df, k=8, iters=2, coarse_k=8
+    ).collect()}
+    assert degen == flat
+
+
+def test_hierarchical_training_quantization_near_flat(spark):
+    """Two-level training's boundary trade must not wreck the
+    quantization: mean best-cosine to the hierarchical centroids
+    stays within 0.05 of the flat trainer's on random data."""
+    df, _ = _vectors(spark, n=200, dims=16, seed=13)
+
+    def mean_best(cents):
+        a = S.ivf_assign(df, cents, 1, keep_score=True)
+        return a.agg(F.avg("cos")).collect()[0][0]
+
+    flat = mean_best(S.train_centroids_lloyd(df, k=16, iters=2))
+    hier = mean_best(S.train_centroids_hierarchical(
+        df, k=16, iters=2, coarse_k=4
+    ))
+    assert hier >= flat - 0.05, (hier, flat)
+
+
+def test_semantic_dedup_full_two_level_composition(spark):
+    """The complete r13 scale path: hierarchical TRAINING +
+    hierarchical ASSIGNMENT under semantic_dedup — invariants hold
+    and the planted near-copy still collapses with its original."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    df, _ = _vectors(spark, n=150, dims=16, seed=21)
+    cents = S.train_centroids_hierarchical(df, k=25, iters=2, coarse_k=5)
+    out = semantic_dedup(
+        df, centroids=cents, tau=0.9, coarse_probes=3
+    ).collect()
+    assert len(out) == 151
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[150].dup_group == by_id[0].dup_group == 0
+    assert by_id[0].kept and not by_id[150].kept

@@ -315,7 +315,8 @@ def probe_components(spark, n: int) -> dict:
 
 
 def probe_semdedup(
-    spark, n: int, k: int, coarse_probes: int | None = None
+    spark, n: int, k: int, coarse_probes: int | None = None,
+    hier_train: bool = False,
 ) -> dict:
     """sd1's shape at centroid count k: intra-cluster pair scans cost
     ~n²/k, so FIXED k goes quadratic while the ivf_n_centroids rule
@@ -335,13 +336,19 @@ def probe_semdedup(
     )
     from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
         build_ivf_index,
+        train_centroids_hierarchical,
     )
 
     emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
     t0 = time.time()
-    cents = build_ivf_index(
-        emb, k=k, iters=2, sample_n=ivf_sample_n(k), cache_key=None
-    )
+    if hier_train:
+        cents = train_centroids_hierarchical(
+            emb, k=k, iters=2, sample_n=ivf_sample_n(k)
+        )
+    else:
+        cents = build_ivf_index(
+            emb, k=k, iters=2, sample_n=ivf_sample_n(k), cache_key=None
+        )
     train_sec = round(time.time() - t0, 2)
     t0 = time.time()
     rows = semantic_dedup(
@@ -1109,20 +1116,22 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         for n in sizes:
             # flat rule-k is the sd1 oracle geometry; the coarse twin
-            # is the r13 two-level-assignment scale path (fixed-k16
+            # is the r13 two-level-ASSIGNMENT scale path (fixed-k16
             # measured 1.21-and-climbing back in r12 — not re-run).
-            # The k ~ n^(2/3) rule the two-level path unlocks is NOT
-            # swept here: train_centroids_lloyd deliberately costs
-            # O(sample·k·iters) = O(k²) at the 16-per-centroid sample
-            # rule (155 s at k=737 vs 13 s at k=200, measured r13), so
-            # that rule additionally needs two-level TRAINING before
-            # its dedup-side win is reachable end-to-end — recorded in
-            # BENCH_NOTES as the boundary of the current design.
+            # k23_two_level is the full two-level design: the
+            # k ~ n^(2/3) rule needs train_centroids_hierarchical
+            # because the flat trainer costs O(sample·k·iters) = O(k²)
+            # at the 16-per-centroid sample rule (155 s at k=737 vs
+            # 13 s at k=200, measured r13).
             print(json.dumps({
                 "family": "semdedup",
                 "rule_k": probe_semdedup(spark, n, ivf_n_centroids(n)),
                 "rule_k_coarse": probe_semdedup(
                     spark, n, ivf_n_centroids(n), coarse_probes=4
+                ),
+                "k23_two_level": probe_semdedup(
+                    spark, n, max(4, round(n ** (2.0 / 3.0))),
+                    coarse_probes=4, hier_train=True,
                 ),
             }))
         return
