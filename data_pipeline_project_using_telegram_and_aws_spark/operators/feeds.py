@@ -72,8 +72,13 @@ def _tag_text(block: Column, tag: str) -> Column:
 
 
 def _atom_link(block: Column) -> Column:
+    # quote-aware attr consumption (the _tag_text pattern): a '>'
+    # inside a quoted attribute value must not truncate the tag
+    # slice, or rel/href parsed from the truncated slice mis-read
     links = F.regexp_extract_all(
-        block, F.lit(r"(?is)<(?:\w+:)?link\b[^>]*/?>"), F.lit(0)
+        block,
+        F.lit(r"(?is)<(?:\w+:)?link\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*/?>"),
+        F.lit(0),
     )
 
     def href(tag: Column) -> Column:

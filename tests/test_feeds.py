@@ -151,6 +151,23 @@ class TestSelfClosingAtomLink:
         ).collect()[0]["feed"]
         assert m["site_link"] == "https://q.example"
 
+    def test_atom_link_attr_with_gt_not_truncated(self, spark):
+        """Same quote-awareness for Atom <link> tag slicing: a '>'
+        inside a quoted attribute must not truncate the tag, or the
+        rel/href parsed from the truncated slice mis-read."""
+        atom = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+<title>T</title>
+<entry>
+  <title>E</title>
+  <link rel="enclosure" href="http://x.example/skip.mp3"/>
+  <link title="a > b" rel="alternate" href="http://x.example/e1"/>
+</entry>
+</feed>"""
+        rows = _entries(spark, atom)
+        assert len(rows) == 1
+        assert rows[0].link == "http://x.example/e1"
+
 
 def test_feeds_seed_the_frontier(spark):
     """Composition: feed entry links are build_frontier seeds — the
