@@ -41,11 +41,12 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     yields fewer partitions (e.g. one small parquet file locally). The heavy
     per-row work (shingling, md5 signatures) otherwise runs in a single
     task. On a real multi-file 100 TB scan the input is already wide and
-    this is a no-op."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want, key)
-    return df
+    this is a no-op. (r13: promoted to the shared
+    ``functions/spread.spread`` so every compute-heavy operator family
+    uses one implementation; this alias keeps the module's call sites.)"""
+    from ..functions.spread import spread
+
+    return spread(df, key)
 
 
 def with_text_hash(df: DataFrame, text_col: str = "text") -> DataFrame:

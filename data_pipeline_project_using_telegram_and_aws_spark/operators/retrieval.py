@@ -87,8 +87,16 @@ def corpus_term_stats(
     stopword terms — paid at index-build time; persist the output
     (bucketed by term for a serving layout) to amortize across query
     sets, then score with ``bm25_scores(..., stats=...)``."""
-    tf = _tf_rows(docs, id_col, text_col)
+    from ..functions.spread import spread
+
+    tf = _tf_rows(spread(docs, id_col), id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # NOTE: _corpus_constants stays UNSPREAD everywhere in this module —
+    # its avgdl is a global double mean whose partial-aggregation order
+    # follows the partitioning; keeping the scan's native partitioning
+    # keeps the accumulated value bit-identical round over round (the
+    # integer/count aggregations above are order-insensitive, so
+    # spreading them is value-neutral).
     stats = _corpus_constants(docs, id_col, text_col)
     return (
         tf.join(dfreq, "term")
@@ -160,8 +168,10 @@ def bm25_scores(
         # query-term occurrences only (measured ~2x on rt1: the full
         # corpus tf build was aggregating every term then discarding
         # all but the query's)
+        from ..functions.spread import spread
+
         tf_q = (
-            _term_rows(docs, id_col, text_col)
+            _term_rows(spread(docs, id_col), id_col, text_col)
             .join(F.broadcast(qset), "term")
             .groupBy(id_col, "term", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
@@ -183,13 +193,26 @@ def _rowlocal_tf(
     |terms|-sized (term, tf) entries and keeps hits. No corpus token
     ever becomes a row; no shuffle exists until scoring aggregates.
     Correct for bounded term lists only — the caller's dispatch
-    enforces `scale_rules.bm25_rowlocal_max_terms`."""
+    enforces `scale_rules.bm25_rowlocal_max_terms`.
+
+    r13 optimization (guide §1.2 per-task work + §2.5 input spread):
+    (a) the token array is materialized ONCE per document in a
+    pre-projection — previously every per-term ``count_of`` carried
+    its own copy of the split+filter subtree, so a |terms|-term query
+    re-tokenized every document |terms|+1 times through the
+    interpreted HOF path; (b) the corpus side is spread to session
+    parallelism first (`functions/spread.py`) so the per-term sweeps
+    run on every core instead of the 1-3 partitions a small scan
+    plans. Same rows, same values (per-doc work is row-local)."""
+    from ..functions.spread import spread
+
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = spread(docs, id_col).select(F.col(id_col), toks.alias("__toks"))
 
     def count_of(term: str):
         # helper scope pins the loop variable; a default-arg lambda
         # would read to PySpark as the 2-arg (element, index) form
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
 
     entries = F.array(
         *[
@@ -200,9 +223,9 @@ def _rowlocal_tf(
         ]
     )
     return (
-        docs.select(
+        base.select(
             F.col(id_col),
-            F.size(toks).alias("dl"),
+            F.size("__toks").alias("dl"),
             F.explode(entries).alias("__e"),
         )
         .select(

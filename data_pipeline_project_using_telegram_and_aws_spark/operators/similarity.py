@@ -82,9 +82,16 @@ def _plane_projections(
     groupBy(id) with n_planes codegen'd conditional-sum columns;
     map-side partial agg makes the shuffle a single n_planes-wide row
     per vector per partition."""
+    from ..functions.spread import spread
+
     ws = plane_weights(n_planes, dims)
     warr = [F.array(*[F.lit(w) for w in ws[p]]) for p in range(n_planes)]
-    elems = vectors.select(
+    # spread before the dims-per-vector explode + n_planes conditional
+    # sums: on a small local scan this stage otherwise runs on 1-3
+    # cores (functions/spread.py rationale); keyed by id, so the
+    # per-id partial sums accumulate in the same element order and the
+    # projections stay bit-identical
+    elems = spread(vectors, id_col).select(
         id_col, F.posexplode(vec_col).alias("d", "e")
     ).withColumn("e", F.col("e").cast("double"))
     return elems.groupBy(id_col).agg(
@@ -210,7 +217,11 @@ def brute_force_topk(
             norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    withn = corpus.withColumn("__vn", norm(F.col(vec_col)))
+    from ..functions.spread import spread
+
+    # spread before the |Q|× row amplification + interpreted cosine
+    # folds (functions/spread.py) — row-local math, values unchanged
+    withn = spread(corpus, id_col).withColumn("__vn", norm(F.col(vec_col)))
     pairs = withn.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
     scored = pairs.select(
         query_id_col,
@@ -286,8 +297,22 @@ def blocked_neardup_pairs(
     )
     # norms once per VECTOR before the pair expansion (B rows), not per
     # pair (B²/2 rows × 2): inside the quadratic join only the dot fold
-    # runs — measured ~2× on the sf0.1 semantic-dedup pair scan
-    withn = guarded.withColumn("__n", norm(F.col(vec_col)))
+    # runs — measured ~2× on the sf0.1 semantic-dedup pair scan.
+    # r13: explicit block-keyed repartition to session parallelism —
+    # the pair join's input is block-keyed and tiny in BYTES, so AQE's
+    # byte-based coalescing was re-serializing the whole quadratic
+    # pair expansion + interpreted cosine folds onto ONE task (bytes
+    # are a bad proxy for a stage whose row count is quadratic in its
+    # input). A user repartition is exempt from AQE coalescing and the
+    # window guard + self-join both reuse the block partitioning, so
+    # this adds no extra exchange; on a real corpus whose blocks
+    # already arrive wide it is the same single block-keyed shuffle
+    # the join always paid. Values untouched (cosines are row-local,
+    # the guard count is an integer).
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    withn = guarded.repartition(n_parts, block_col).withColumn(
+        "__n", norm(F.col(vec_col))
+    )
     a = withn.select(
         F.col(block_col),
         F.col(id_col).alias("vec_a"),
@@ -629,13 +654,19 @@ def ivf_assign(
     |vectors|×|centroids| scored rows enter the per-vector top-k window.
     Norms ride the join (computed once per vector/centroid), so per pair
     only the dot fold runs."""
+    from ..functions.spread import spread
+
     c = F.broadcast(
         centroids.select(
             "centroid_id", "cvec", norm(F.col("cvec")).alias("__cn")
         )
     )
+    # spread before the k× row amplification + interpreted cosine folds
+    # (functions/spread.py): the scoring projection runs pre-exchange,
+    # so without this a small scan computes every |vectors|·k cosine on
+    # 1-3 cores. Row-local math — values unchanged.
     scored = (
-        vectors.withColumn("__vn", norm(F.col(vec_col)))
+        spread(vectors, id_col).withColumn("__vn", norm(F.col(vec_col)))
         .crossJoin(c)
         .select(
             F.col(id_col).alias(out_id),

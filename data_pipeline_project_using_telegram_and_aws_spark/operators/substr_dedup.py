@@ -27,14 +27,18 @@ approximation of suffix-array maximal repeats):
   elsewhere as a whole. For corpus hygiene this errs on the side of
   removing slightly more, the same trade the public Spark/BigQuery
   reimplementations of ExactSubstr make.
-- Hash collisions: grams are compared by 48-bit md5-prefix
-  (`winnowing`'s reproducible-in-SQL recipe); a collision can mark a
-  non-repeated gram (~n²/2⁴⁸ expected false grams — negligible below
-  ~10⁷ distinct grams per partition-of-concern, and harmless: one
-  extra marked window).
+- Hash collisions: grams are compared by 64-bit ``xxhash64`` (r13
+  optimization — the old 48-bit md5-prefix recipe spent ~2× the whole
+  pipeline's remaining CPU on md5 + hex + conv per corpus character;
+  measured 3.45 s → 1.62 s for the gram projection alone at sf0.1).
+  A collision can mark a non-repeated gram (~n²/2⁶⁵ expected false
+  grams — 256× fewer than the md5-prefix recipe, and harmless: one
+  extra marked window). The registered oracle (sx1) groups on the raw
+  gram STRING, so it verifies the hashing against true string
+  equality every round regardless of the hash function.
 
-Plan shape: one explode (|text| rows/doc) → one groupBy on gram hash
-(the dominant shuffle, count ≥ 2) → one hash-keyed join back → one
+Plan shape (r13): one explode (|text| rows/doc) → ONE hash-keyed
+shuffle with a count window over the gram hash (dup mark) → one
 per-doc window for island stitching. `remove_spans` is a join + one
 fold (merge overlaps, cut) — zero Python end to end.
 """
@@ -45,16 +49,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _gram_hash(text, pos, k: int):
-    """48-bit md5-prefix integer of the char k-gram at 1-based
-    ``pos`` — `winnowing.winnow_fingerprints`' exact recipe, so the
-    two schemes' fingerprints can be cross-checked in tests."""
-    return F.conv(
-        F.substring(
-            F.md5(F.substring(text, pos, k).cast("binary")), 1, 12
-        ),
-        16,
-        10,
-    ).cast("long")
+    """64-bit ``xxhash64`` of the char k-gram at 1-based ``pos``.
+
+    r13 optimization (guide §1.2 "per-task work"): was the 48-bit
+    md5-prefix recipe shared with `winnowing.winnow_fingerprints` —
+    md5 → hex string → substring → base-16 conv per corpus character,
+    measured 2.1× the cost of the entire rest of the span pipeline at
+    sf0.1. The hash is engine-internal (every registered/pytest oracle
+    of this family compares raw gram strings or end-result spans, never
+    hash values), so only determinism and collision rate matter:
+    xxhash64 is deterministic across sessions/partitions and 64-bit.
+    The md5-prefix recipe remains in `winnowing` where SQL
+    reproducibility is the stated design goal."""
+    return F.xxhash64(F.substring(text, pos, k))
 
 
 def _gram_rows(
@@ -110,32 +117,36 @@ def exact_substring_spans(
     ``k - 1`` chars (islands are maximal runs of duplicated window
     STARTS); `remove_spans` merges them before cutting.
 
-    Scale: the gram-hash groupBy carries one row per character of
+    Scale: the gram-hash shuffle carries one row per character of
     corpus — the honest cost of exactness (the suffix array pays the
-    same n log n on one machine). It shuffles on a uniform 48-bit
-    hash, so there is no skew; duplicated-hash survivors are the only
-    rows that travel into the join."""
+    same n log n on one machine). It shuffles on a uniform 64-bit
+    hash, so there is no skew.
+
+    Plan shape (r13 optimization, guide §2.4 "remove shuffles
+    outright"): dup marking is ONE count window over the gram hash —
+    every position whose hash appears ≥ ``min_count`` times survives
+    the filter directly. This replaces the previous
+    groupBy(count) + self-join shape, which (a) executed the
+    explode+hash subtree TWICE (once per join side), (b) paid two
+    full-size exchanges plus both SMJ sorts, and (c) needed a
+    deliberate merge-strategy pin because Catalyst statically
+    broadcast the data-dependent dup-hash aggregate and OOMed the JVM
+    at the r12 200k-doc probe. The window shape is structurally
+    immune to that planner hazard (no join exists to mis-strategize),
+    shuffles the 20-byte (id, pos, hash) rows exactly once, and
+    measured 10.0 s → 2.7 s on sx1 at sf0.1 together with the
+    xxhash64 change (plan: 2 Exchange + 2 Sort + SMJ → 1 Exchange +
+    1 window Sort on the gram path). Per-hash window groups hold the
+    occurrence count of one 30-char gram — bounded by duplication
+    multiplicity, the same co-location the join shape already forced."""
     grams = _gram_rows(df, k, id_col, text_col)
-    dup = (
-        grams.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    marked = (
+        grams.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        )
         .filter(F.col("__n") >= min_count)
-        .select("__h")
+        .select(id_col, "__p")
     )
-    # merge hint — a DELIBERATE strategy pin (AQE does not override a
-    # user join-strategy hint, so no runtime broadcast conversion
-    # happens; that is the point, not a loophole). Rationale: the
-    # dup set's size is DATA-DEPENDENT (tiny on a clean corpus,
-    # corpus-sized on a duplicate-heavy one) and Catalyst's blind
-    # post-aggregate estimate statically picked a broadcast at the
-    # 200k-doc probe whose build job — which re-executes the whole
-    # explode+aggregate subtree in the broadcast thread — OOMed the
-    # JVM. The pinned SMJ is also measured FASTER at probe scale
-    # (60k docs: 7.8 s vs the static broadcast's 14.5 s) because the
-    # gram subtree runs once, pipelined, instead of twice; and its
-    # worst case is the same keyed shuffle the dup groupBy already
-    # pays, skew-safe on the uniform 48-bit hash.
-    marked = grams.join(dup.hint("merge"), "__h").select(id_col, "__p")
     return _stitch_spans(marked, k, id_col)
 
 
@@ -343,10 +354,14 @@ def exact_substr_against_index(
     dup_hashes = within.union(
         corpus_hits.select(F.col("gram_hash").alias("__h"))
     ).distinct()
-    # same deliberate strategy pin as exact_substring_spans: the
-    # dup-hash set's size is data-dependent, the static broadcast
-    # re-executes its subtree, and the pinned SMJ's worst case is the
-    # keyed shuffle this plan pays anyway
+    # deliberate merge-strategy pin (the r12 200k-probe lesson, kept
+    # here even though the batch path moved to a count window): the
+    # dup-hash set's size is data-dependent, a static broadcast
+    # re-executes its subtree in the broadcast thread (OOM class), and
+    # the pinned SMJ's worst case is the keyed shuffle this plan pays
+    # anyway. This probe path keeps the join because dup_hashes mixes
+    # batch-internal counts with corpus-index hits — a window over the
+    # batch grams alone cannot see the corpus side.
     marked = grams.join(dup_hashes.hint("merge"), "__h").select(
         id_col, "__p"
     )

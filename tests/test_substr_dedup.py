@@ -162,37 +162,52 @@ def test_randomized_differential(spark):
             ), (trial, d)
 
 
-def test_gram_hash_matches_winnowing_recipe(spark):
-    """The 48-bit md5-prefix gram hash is byte-identical to
-    `winnowing.winnow_fingerprints`' — the two span-dedup schemes
-    share one reproducible fingerprint space."""
+def test_gram_hash_contract(spark):
+    """The r13 xxhash64 gram hash's load-bearing properties (replaces
+    the retired md5-prefix/winnowing byte-equality pin — the two
+    schemes no longer share a fingerprint space; substr_dedup's hash
+    is engine-internal and its registered oracle compares raw gram
+    STRINGS, so only these properties matter): (1) equal k-grams hash
+    equal regardless of document or position — the dedup's entire
+    correctness hangs on this; (2) the 14 distinct grams of a
+    15-char pangram-free string hash distinct (collision smoke);
+    (3) the hash of a gram is independent of trailing text (substring
+    slicing really bounds the input)."""
     from pyspark.sql import functions as F
 
     from data_pipeline_project_using_telegram_and_aws_spark.operators.substr_dedup import (
         _gram_hash,
     )
-    from data_pipeline_project_using_telegram_and_aws_spark.operators.winnowing import (
-        winnow_fingerprints,
-    )
 
-    df = spark.createDataFrame(
-        [("x", "abcdefghijklmno")], "doc_id string, text string"
-    )
     k = 8
-    ours = {
-        r.h
-        for r in df.select(
-            F.explode(F.sequence(F.lit(1), F.length("text") - k + 1)).alias(
-                "p"
-            ),
+    df = spark.createDataFrame(
+        [
+            ("x", "abcdefghijklmno"),
+            # same grams embedded at OTHER positions + different tail
+            ("y", "zzabcdefghijklmnoqqqq"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - k + 1)
+            ).alias("p"),
             "text",
         )
-        .select(_gram_hash(F.col("text"), F.col("p"), k).alias("h"))
+        .select(
+            "doc_id",
+            F.substring("text", F.col("p"), k).alias("gram"),
+            _gram_hash(F.col("text"), F.col("p"), k).alias("h"),
+        )
         .collect()
-    }
-    theirs = {
-        r.fingerprint
-        for r in winnow_fingerprints(df, k=k, window=1).collect()
-    }
-    # window=1 keeps every gram, so the fingerprint sets coincide
-    assert theirs == ours and len(ours) > 0
+    )
+    by_gram: dict[str, set[int]] = {}
+    for r in rows:
+        by_gram.setdefault(r.gram, set()).add(r.h)
+    # (1)+(3): one hash per distinct gram across docs/positions/tails
+    assert all(len(hs) == 1 for hs in by_gram.values())
+    # (2): distinct grams → distinct hashes on this fixture
+    all_h = [next(iter(hs)) for hs in by_gram.values()]
+    assert len(set(all_h)) == len(by_gram) > 0
