@@ -81,12 +81,24 @@ def connected_components(
 
         driver_max_edges = cc_driver_max_edges()
     if driver_max_edges > 0:
-        # checkpoint BEFORE the dispatch count: the candidate-edge
+        # checkpoint BEFORE the dispatch probe: the candidate-edge
         # lineage (LSH signatures, pair scans) is the expensive part,
-        # and the count would otherwise recompute it for the collect
+        # and the probe would otherwise recompute it for any later pass
         edges = edges.localCheckpoint(eager=False)
-        if edges.count() <= driver_max_edges:
-            return _driver_union_find(edges, a_col, b_col)
+        # r13: ONE bounded job replaces the old count() + collect()
+        # pair — collect at most driver_max_edges+1 rows; ≤ the bound
+        # means we already hold the complete edge list (a limit past
+        # the frame's size returns everything), > the bound falls
+        # through to the cluster loop having fetched only bound+1 rows.
+        # Same memory bound as before, one fewer job per invocation
+        # (sd1/cc1 pay this dispatch every run).
+        head = edges.select(a_col, b_col).limit(
+            driver_max_edges + 1
+        ).collect()
+        if len(head) <= driver_max_edges:
+            return _driver_union_find_rows(
+                head, edges, a_col, b_col
+            )
     if algorithm == "star":
         return connected_components_star(
             edges, a_col=a_col, b_col=b_col, max_iters=max_iters
@@ -145,7 +157,16 @@ def _driver_union_find(
     """Path-halving union-find over a collected candidate-sized edge
     list; labels = min id per component (exactly the iterative loop's
     contract). One collect in, one parallelize out — no cluster rounds."""
-    collected = edges.select(a_col, b_col).collect()
+    return _driver_union_find_rows(
+        edges.select(a_col, b_col).collect(), edges, a_col, b_col
+    )
+
+
+def _driver_union_find_rows(
+    collected: list, edges: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Union-find over ALREADY-collected edge rows (the fused-dispatch
+    path above — ``edges`` is only consulted for the output schema)."""
     parent: dict = {}
 
     def find(x):

@@ -97,17 +97,23 @@ def semantic_dedup(
             vectors, centroids, probes=coarse_probes,
             id_col=id_col, vec_col=vec_col,
         )
+        clustered = (
+            vectors.select(id_col, vec_col)
+            .join(assign, id_col)
+            .localCheckpoint(eager=False)
+        )
     else:
-        assign = ivf_assign(vectors, centroids, 1, id_col, vec_col)
-    # the assignment feeds BOTH the pair scan and the final labeling
-    # join; checkpoint it so the argmin window runs once (the bench-scale
-    # analogue of persisting assignments bucketed by centroid_id —
-    # similarity.build_ivf_assignments_table is that production layout)
-    clustered = (
-        vectors.select(id_col, vec_col)
-        .join(assign, id_col)
-        .localCheckpoint(eager=False)
-    )
+        # r13: the flat assignment carries the vector through its own
+        # ranking window (``keep_vec``) instead of re-joining the corpus
+        # by id afterwards — one exchange fewer, same rows/values. The
+        # checkpoint still makes the assignment feed BOTH the pair scan
+        # and the final labeling join exactly once (the bench-scale
+        # analogue of persisting assignments bucketed by centroid_id —
+        # similarity.build_ivf_assignments_table is that production
+        # layout).
+        clustered = ivf_assign(
+            vectors, centroids, 1, id_col, vec_col, keep_vec=True
+        ).localCheckpoint(eager=False)
     edges = blocked_neardup_pairs(
         clustered,
         block_col="centroid_id",

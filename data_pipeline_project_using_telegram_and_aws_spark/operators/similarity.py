@@ -646,6 +646,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     out_id: str = "vec_id",
     keep_score: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``max_rank`` nearest centroids by cosine
     (rounded to 4 dp, centroid id as tie-break — deterministic across
@@ -653,7 +654,16 @@ def ivf_assign(
     broadcast; the corpus never shuffles for the scoring, only
     |vectors|×|centroids| scored rows enter the per-vector top-k window.
     Norms ride the join (computed once per vector/centroid), so per pair
-    only the dot fold runs."""
+    only the dot fold runs.
+
+    ``keep_vec`` (r13) carries ``vec_col`` through the ranking window
+    and emits it after the id — consumers that need (id, vec, cell)
+    rows (SemDeDup's pair scan, kNN blocks) then skip an id-keyed
+    re-join against the corpus: the window's one shuffle replaces
+    join + exchange. Dial, not default: the carried vector multiplies
+    the window's shuffle bytes by the vector width, the right trade
+    when the consumer would otherwise shuffle the vectors for the
+    join anyway."""
     from ..functions.spread import spread
 
     c = F.broadcast(
@@ -661,6 +671,7 @@ def ivf_assign(
             "centroid_id", "cvec", norm(F.col("cvec")).alias("__cn")
         )
     )
+    carried = [F.col(vec_col)] if keep_vec else []
     # spread before the k× row amplification + interpreted cosine folds
     # (functions/spread.py): the scoring projection runs pre-exchange,
     # so without this a small scan computes every |vectors|·k cosine on
@@ -670,6 +681,7 @@ def ivf_assign(
         .crossJoin(c)
         .select(
             F.col(id_col).alias(out_id),
+            *carried,
             "centroid_id",
             F.round(
                 cosine_with_norms(
@@ -686,13 +698,12 @@ def ivf_assign(
     ranked = scored.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= max_rank
     )
+    cols = [out_id] + ([vec_col] if keep_vec else []) + ["centroid_id"]
     if keep_score:
         # callers ranking WITHIN a cell (prototypicality pruning) need
         # the similarity itself, not just the cell id
-        return ranked.select(
-            out_id, "centroid_id", F.col("__cos").alias("cos")
-        )
-    return ranked.select(out_id, "centroid_id")
+        return ranked.select(*cols, F.col("__cos").alias("cos"))
+    return ranked.select(*cols)
 
 
 def hierarchical_ivf_assign(

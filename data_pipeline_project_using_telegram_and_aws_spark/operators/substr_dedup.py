@@ -139,7 +139,13 @@ def exact_substring_spans(
     1 window Sort on the gram path). Per-hash window groups hold the
     occurrence count of one 30-char gram — bounded by duplication
     multiplicity, the same co-location the join shape already forced."""
-    grams = _gram_rows(df, k, id_col, text_col)
+    from ..functions.spread import spread
+
+    # spread before the per-character explode+hash (functions/spread.py):
+    # ~|text| xxhash64 rows per doc run pre-exchange, i.e. on the 1-3
+    # cores a small local scan plans without this; measured 5.6 → 3.8 s
+    # end-to-end at sf0.1. Hash/integer work only — values unchanged.
+    grams = _gram_rows(spread(df, id_col), k, id_col, text_col)
     marked = (
         grams.withColumn(
             "__n", F.count(F.lit(1)).over(Window.partitionBy("__h"))
