@@ -82,16 +82,16 @@ def _plane_projections(
     groupBy(id) with n_planes codegen'd conditional-sum columns;
     map-side partial agg makes the shuffle a single n_planes-wide row
     per vector per partition."""
-    from ..functions.spread import spread
-
+    # NOTE (r13 spread screening): an input spread was tried here and
+    # measured SLOWER on ss3 (interleaved A/B: 2.10 vs 1.74 s) — the
+    # conditional-sum projection is fully codegen'd (~2M cheap ops at
+    # sf0.1), so parallelizing it cannot repay the inserted exchange;
+    # the groupBy's own shuffle already redistributes the final agg.
+    # Contrast ivf_assign below, whose interpreted cosine folds are
+    # ~100× heavier per element and DO repay the spread.
     ws = plane_weights(n_planes, dims)
     warr = [F.array(*[F.lit(w) for w in ws[p]]) for p in range(n_planes)]
-    # spread before the dims-per-vector explode + n_planes conditional
-    # sums: on a small local scan this stage otherwise runs on 1-3
-    # cores (functions/spread.py rationale); keyed by id, so the
-    # per-id partial sums accumulate in the same element order and the
-    # projections stay bit-identical
-    elems = spread(vectors, id_col).select(
+    elems = vectors.select(
         id_col, F.posexplode(vec_col).alias("d", "e")
     ).withColumn("e", F.col("e").cast("double"))
     return elems.groupBy(id_col).agg(

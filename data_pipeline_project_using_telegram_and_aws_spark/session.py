@@ -54,6 +54,20 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # r13: the whole-stage-codegen compile cache defaults to 100
+        # generated classes — this engine's 50-query registry compiles
+        # ~280 distinct stages per bench sweep, so the LRU thrashed and
+        # every query re-paid Janino compilation on every run (measured
+        # ABBA on a 10-row interleaved sub-bench: codegen-heavy rows
+        # q6/dd2/dd4 −20-30%, total −9%). 2000 entries ≈ ≤100 MB of
+        # driver heap for generated classes; scale-neutral (it caches
+        # generated CODE keyed by source text, never data or results,
+        # and a production cluster running a query fleet wants the same
+        # headroom). Static conf — must be set before session creation.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
