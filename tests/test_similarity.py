@@ -258,6 +258,39 @@ def test_blocked_neardup_guard_raises_on_oversized_block(spark):
         blocked_neardup_pairs(vecs, max_block_rows=5).collect()
 
 
+def test_blocked_neardup_salt_invariant(spark):
+    """The r13 hot-block salt (guide §2.5: deterministic xxhash salt on
+    the a-side, b-side replicated, join on (block, salt)) must be a
+    pure parallelism dial: every unordered in-block pair appears
+    EXACTLY once with the identical cosine for salt 1 (the unsalted
+    shape), the default, and a salt above the block size."""
+    import random
+
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        blocked_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"b{i % 3}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(30)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    def canon(salt):
+        return sorted(
+            (r.label, r.vec_a, r.vec_b, r.cos_sim)
+            for r in blocked_neardup_pairs(vecs, salt=salt).collect()
+        )
+
+    base = canon(1)
+    # every pair exactly once: C(10,2) per block × 3 blocks
+    assert len(base) == 3 * 45
+    assert len(set(base)) == len(base)
+    assert canon(4) == base
+    assert canon(64) == base  # salt far above block size: still exact
+
+
 # ---------------------------------------------------------------------------
 # two-level (coarse-quantized) assignment — the r13 scale path
 
