@@ -194,12 +194,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for sweep in range(N_SWEEPS):
         for name in names:
+            # guide §1.5: label jobs so a UI-enabled run maps stages to
+            # rows (set outside the timed region; no effect on timing)
+            spark.sparkContext.setJobDescription(
+                f"bench sweep {sweep}: {name}"
+            )
             _merge_min(timings, name, _timed_once(
                 spark,
                 lambda: qs[name](spark, sf_dir).write.format("noop")
                 .mode("overwrite").save(),
                 warmup=(sweep == 0),
             ))
+        spark.sparkContext.setJobDescription(None)
         _bucketed_join_pair(
             spark, sf_dir, timings, first_sweep=(sweep == 0)
         )
