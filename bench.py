@@ -27,6 +27,17 @@ not a floor). Sweeps minutes apart are the decorrelated samples; the
 min keeps the cleanest window each row saw. Protocol changed at r13;
 BENCH_NOTES.md carries the same-code spread measurements of all three
 variants and the old-vs-new continuity reading.
+
+r14 reporting additions (protocol and per-row totals UNCHANGED): the
+output JSON additionally carries per-row "build"/"exec" dicts — the
+split of each row's min-achieving timed run into DataFrame-construction
+time (Catalyst analysis + py4j + lazy-checkpoint planning) and noop-sink
+execution time, build + exec == the row's total — and
+"index_build_sec.ivf_lloyd_training", one cold (cache-bypassed) IVF
+Lloyd training run timed OUTSIDE the sweeps: ss5/sd1 reuse centroids
+trained once per corpus via build_ivf_index's session cache (index
+build and query are different lifecycles), and this field reports that
+excluded cost explicitly instead of leaving it invisible.
 """
 
 from __future__ import annotations
@@ -85,6 +96,10 @@ HEADLINE = [
     "dd7_span_dedup",
     # round-13 registry addition (new row — compare per-query vs r12)
     "sx1_exact_substring_spans",
+    # round-14: ss2 re-registered per the r13 verdict (gate item 1); its
+    # salted blocked-pair operator path is r13-optimized, so track it as
+    # a headline row from now on (new row — no prior bench series)
+    "ss2_label_blocked_neardup",
 ]
 
 
@@ -105,11 +120,43 @@ def _timed_once(spark, fn, warmup: bool) -> float:
     return time.time() - t0
 
 
+def _timed_split(spark, build_fn, run_fn, warmup: bool):
+    """Same timed region as :func:`_timed_once` (build + noop write,
+    one GC-nudged run), additionally splitting out the BUILD share —
+    the time to construct the DataFrame (Catalyst analysis, py4j, any
+    lazy-localCheckpoint planning) before the noop action starts.
+    r14 reporting addition only: total = build + exec exactly, the
+    protocol and the per-row totals are the r13 ones unchanged."""
+    if warmup:
+        run_fn(build_fn())
+    spark._jvm.System.gc()
+    t0 = time.time()
+    df = build_fn()
+    t1 = time.time()
+    run_fn(df)
+    t2 = time.time()
+    return t2 - t0, t1 - t0
+
+
 def _merge_min(timings: dict, name: str, t: float) -> None:
     timings[name] = round(min(timings.get(name, float("inf")), t), 3)
 
 
+def _merge_min_split(
+    timings: dict, builds: dict, execs: dict, name: str,
+    total: float, build: float,
+) -> None:
+    """Row minimum over sweeps on the TOTAL (the r13 statistic,
+    unchanged); build/exec report the split of the min-achieving
+    sweep so build + exec == the row's reported total."""
+    if total < timings.get(name, float("inf")):
+        timings[name] = round(total, 3)
+        builds[name] = round(build, 3)
+        execs[name] = round(total - build, 3)
+
+
 def _bucketed_join_pair(spark, sf_dir, timings: dict,
+                        builds: dict, execs: dict,
                         first_sweep: bool = True) -> None:
     """Bucketed-vs-shuffled fact-to-fact join (lineitem ⋈ orders on
     orderkey, count + exact revenue sum): the write-once-shuffle-never
@@ -163,12 +210,16 @@ def _bucketed_join_pair(spark, sf_dir, timings: dict,
             ("xj1_fact_join_shuffled", shuffled),
             ("xj2_fact_join_bucketed", bucketed),
         ):
-            _merge_min(timings, name, _timed_once(
+            total, build = _timed_split(
                 spark,
-                lambda: fn().write.format("noop")
+                fn,
+                lambda df: df.write.format("noop")
                 .mode("overwrite").save(),
                 warmup=first_sweep,
-            ))
+            )
+            _merge_min_split(
+                timings, builds, execs, name, total, build
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
@@ -192,6 +243,8 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    execs: dict[str, float] = {}
     for sweep in range(N_SWEEPS):
         for name in names:
             # guide §1.5: label jobs so a UI-enabled run maps stages to
@@ -199,16 +252,46 @@ def main() -> None:
             spark.sparkContext.setJobDescription(
                 f"bench sweep {sweep}: {name}"
             )
-            _merge_min(timings, name, _timed_once(
+            total, build = _timed_split(
                 spark,
-                lambda: qs[name](spark, sf_dir).write.format("noop")
+                lambda: qs[name](spark, sf_dir),
+                lambda df: df.write.format("noop")
                 .mode("overwrite").save(),
                 warmup=(sweep == 0),
-            ))
+            )
+            _merge_min_split(timings, builds, execs, name, total, build)
         spark.sparkContext.setJobDescription(None)
         _bucketed_join_pair(
-            spark, sf_dir, timings, first_sweep=(sweep == 0)
+            spark, sf_dir, timings, builds, execs,
+            first_sweep=(sweep == 0),
         )
+
+    # Index-build lifecycle disclosure (r14, VERDICT r13 watch item):
+    # ss5/sd1 train their shared IVF centroids once per corpus via
+    # build_ivf_index's session cache, so the timed rows above never pay
+    # Lloyd training (by design — index build and query are different
+    # lifecycles). Report that excluded cost explicitly: ONE un-cached
+    # training run, timed outside the sweeps, reported outside the
+    # headline total. Additions-only: the queries/value contract is
+    # untouched.
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.plans.similarity_queries import (
+        SS5_ITERS,
+        SS5_K,
+        SS5_SAMPLE,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.sources.tables import load_table
+
+    spark.sparkContext.setJobDescription("bench: ivf index training (untimed lifecycle)")
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    build_ivf_index(
+        emb, k=SS5_K, iters=SS5_ITERS, sample_n=SS5_SAMPLE, cache_key=None
+    ).write.format("noop").mode("overwrite").save()
+    ivf_train_sec = round(time.time() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
 
     print(
         json.dumps(
@@ -219,6 +302,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "protocol": "r13-min-of-3-interleaved-sweeps(warmup1)",
+                # r14 reporting additions (protocol unchanged): per-row
+                # (build, exec) split of the min-achieving sweep, and
+                # the IVF training cost the session index cache excludes
+                # from ss5/sd1's timed rows (one cold training run).
+                "build": builds,
+                "exec": execs,
+                "index_build_sec": {"ivf_lloyd_training": ivf_train_sec},
             }
         )
     )

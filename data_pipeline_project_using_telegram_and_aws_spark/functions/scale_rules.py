@@ -58,6 +58,40 @@ def ivf_n_centroids(
     return max(lo, min(hi, k))
 
 
+def ivf_coarse_probes() -> int:
+    """Coarse-cell probe count for two-level IVF assignment
+    (:func:`operators.similarity.hierarchical_ivf_assign`): per-vector
+    scored centroids drop from k to ~(1 + probes)·√k, so probes is the
+    recall dial against that factor. 4 is the r13-probed setting (the
+    measured 2.55× dedup-stage win at 200k vectors and the 0.91
+    exponent both used probes=4); SemDeDup consumers only need cluster
+    membership (boundary perturbation, not ranking), so a small probe
+    count is the right default."""
+    return 4
+
+
+def ivf_two_level_min_k(probes: int | None = None) -> int:
+    """Centroid count at or above which two-level (coarse-quantized)
+    assignment replaces flat n·k scoring as the DEFAULT in
+    :func:`operators.semdedup.semantic_dedup`.
+
+    Cost model: flat scores k centroids per vector; two-level scores
+    ~(1 + probes)·√k plus pays coarse training (index-sized) and one
+    extra corpus-keyed window. Equal-work crossover is
+    √k = 1 + probes ⇒ k = (1 + probes)², but the fixed extra window +
+    coarse Lloyd push the empirical crossover higher. Measured
+    (tools/scale_probe.py --semdedup, probes=4, this round r14 — same
+    harness as the r13 probe that read flat 12.0 vs two-level 11.1 s
+    at k=200): two-level first wins at k ≈ 200 and the win widens with
+    k (2.55× by k=632); at k ≤ 100 the extra machinery loses. 128 sits
+    between the last measured loss and the first measured win. The
+    registered sd1 geometry (k=16) dispatches flat — the exact,
+    oracle-checked path — by two orders of margin."""
+    if probes is None:
+        probes = ivf_coarse_probes()
+    return max(128, (1 + probes) ** 2)
+
+
 def ivf_sample_n(k: int, per_centroid: int = 16, lo: int = 256) -> int:
     """Lloyd training-sample size for k centroids: ``per_centroid``
     training vectors per centroid keeps the mean updates stable while

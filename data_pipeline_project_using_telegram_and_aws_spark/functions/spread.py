@@ -31,11 +31,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, key: str) -> DataFrame:
+def spread(df: DataFrame, key: str, width: int | None = None) -> DataFrame:
     """Hash-repartition ``df`` by ``key`` up to the session's default
     parallelism when the current plan yields fewer partitions; no-op on
-    an already-wide input."""
+    an already-wide input.
+
+    Driver-cost note (r13 ADVICE): the partition-count probe
+    (``df.rdd.getNumPartitions()``) forces full physical planning and
+    RDD conversion of the upstream plan AT CALL TIME — cheap for the
+    shallow scan-rooted inputs every current call site passes, but
+    real planning overhead on deep lineages, and the pre-execution
+    count can diverge from AQE's runtime partitioning. Call it once
+    per lineage, as close to the scan as the float-order screen
+    allows; a deep-lineage caller that already knows its input's
+    physical width can pass ``width`` to skip the probe entirely."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    have = width if width is not None else df.rdd.getNumPartitions()
+    if have < want:
         return df.repartition(want, key)
     return df

@@ -126,6 +126,18 @@ def ngram_jaccard_pairs(
     per-doc sizes are attached, so the result is the exact Jaccard over
     the *filtered* shingle sets (not a denominator that still counts
     dropped shingles).
+
+    Memory bound of the ``max_df=None`` fast path, stated: the
+    ``collect_set`` materializes one document's whole DEDUPED shingle
+    set as a single array row inside one task buffer (it cannot spill
+    mid-group) — ~|distinct grams| × gram bytes per doc, i.e. bounded
+    by document length, the same per-row bound the text column itself
+    already imposes within a small constant (shingle bytes ≈ n ×
+    text bytes deduped). Pathological single documents far beyond
+    normal text lengths (GB-scale blobs) should take the ``max_df``
+    branch, whose distinct-rows shape never builds a per-doc array —
+    the `scale_rules.collected_group_max_rows` cost model is the
+    sizing reference.
     """
     if max_df is None:
         # r13 (guide §2.4): per-doc dedup + size in ONE doc-keyed

@@ -67,12 +67,29 @@ def _corpus_constants(
 ) -> DataFrame:
     """One row (n_docs, avgdl) over documents with ≥1 token — the same
     population the postings aggregation sees (zero-token docs have no
-    term rows and never score)."""
+    term rows and never score).
+
+    r14 (VERDICT r13 item 6): avgdl is an exact LONG sum of the integer
+    token counts divided by the count — order-FREE, so this aggregate no
+    longer constrains upstream partitioning (the r13 float-order screen
+    kept it unspread because ``avg`` over doubles follows partial-agg
+    order). Value identity with the old ``F.avg``: dl is integral and
+    Spark's Average accumulates a double sum, which is EXACT for integer
+    addends while the running sum stays below 2⁵³ (certain here: 2⁵³
+    tokens ≈ 4 PB of single-char text overflows the corpus first, and at
+    that scale the long sum is still exact while float avg would not
+    be) — so sum_long/count is bit-identical to the previous avg and the
+    DuckDB oracle needs no change."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     return (
         docs.select(F.size(toks).alias("__dl"))
         .filter(F.col("__dl") > 0)
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avgdl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias(
+                "avgdl"
+            ),
+        )
     )
 
 
@@ -91,12 +108,11 @@ def corpus_term_stats(
 
     tf = _tf_rows(spread(docs, id_col), id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # NOTE: _corpus_constants stays UNSPREAD everywhere in this module —
-    # its avgdl is a global double mean whose partial-aggregation order
-    # follows the partitioning; keeping the scan's native partitioning
-    # keeps the accumulated value bit-identical round over round (the
-    # integer/count aggregations above are order-insensitive, so
-    # spreading them is value-neutral).
+    # NOTE: since r14 _corpus_constants is order-free (exact long-sum
+    # avgdl), so partitioning no longer affects its value; it stays
+    # unspread here because the one-row aggregate over a light tokenize
+    # pass measured below the spread-pays threshold (r13 screening rule:
+    # spread pays only for interpreted-HOF/hash-heavy per-row work).
     stats = _corpus_constants(docs, id_col, text_col)
     return (
         tf.join(dfreq, "term")

@@ -75,13 +75,24 @@ def semantic_dedup(
     ANN centroids of the same corpus); otherwise one is trained via
     ``build_ivf_index(k, iters, sample_n, cache_key)``.
 
-    ``coarse_probes`` (optional) switches assignment to the two-level
-    `similarity.hierarchical_ivf_assign` scale path with that many
-    probed coarse cells — the dial for corpora where flat n·k scoring
-    dominates (the r13 probe's Θ(n^1.5) wall; see that function's
-    docstring for the approximation contract and the k ∝ n^(2/3)
-    sizing rule it unlocks). Default None = exact flat assignment,
-    the driver-oracle (sd1) geometry."""
+    ``coarse_probes`` picks the assignment path:
+
+    - ``None`` (default, r14): SCALE-DISPATCHED — flat exact assignment
+      below `scale_rules.ivf_two_level_min_k` centroids, two-level
+      `similarity.hierarchical_ivf_assign` with
+      `scale_rules.ivf_coarse_probes` probed coarse cells at or above
+      it, so the 100 TB path is the default path (r13 probe: flat n·k
+      scoring walls the pipeline at Θ(n^1.5); two-level held exponent
+      0.91 through 200k vectors). The dispatch reads the centroid count
+      from `build_ivf_index`'s control-plane stamp when present, else
+      one bounded `limit(min_k)` collect of centroid ids — index-sized
+      either way. Registered-oracle geometries (sd1: k=16) dispatch
+      FLAT by two orders of margin, so driver-checked rows keep the
+      exact path.
+    - ``0``: force flat exact assignment regardless of k.
+    - ``> 0``: force two-level with that many probed coarse cells (the
+      r13 opt-in dial, unchanged; see `hierarchical_ivf_assign` for
+      the approximation contract — exact when probes ≥ coarse_k)."""
     if centroids is None:
         centroids = build_ivf_index(
             vectors,
@@ -92,10 +103,25 @@ def semantic_dedup(
             id_col=id_col,
             vec_col=vec_col,
         )
-    if coarse_probes is not None:
+    if coarse_probes is None:
+        from ..functions.scale_rules import (
+            ivf_coarse_probes,
+            ivf_two_level_min_k,
+        )
+
+        min_k = ivf_two_level_min_k()
+        n_cents = getattr(centroids, "_spark_graft_k", None)
+        if n_cents is None:
+            # bounded control-plane probe (the components/bm25 dispatch
+            # pattern): we only need to know whether k reaches min_k
+            n_cents = len(
+                centroids.select("centroid_id").limit(min_k).collect()
+            )
+        coarse_probes = ivf_coarse_probes() if n_cents >= min_k else 0
+    if coarse_probes:
         assign = hierarchical_ivf_assign(
             vectors, centroids, probes=coarse_probes,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, out_id=id_col,
         )
         clustered = (
             vectors.select(id_col, vec_col)
@@ -112,7 +138,9 @@ def semantic_dedup(
         # similarity.build_ivf_assignments_table is that production
         # layout).
         clustered = ivf_assign(
-            vectors, centroids, 1, id_col, vec_col, keep_vec=True
+            vectors, centroids, 1, id_col, vec_col,
+            out_id=id_col,  # honor a non-default id_col end to end
+            keep_vec=True,
         ).localCheckpoint(eager=False)
     edges = blocked_neardup_pairs(
         clustered,
@@ -170,7 +198,9 @@ def incremental_semantic_dedup(
     :func:`semantic_dedup` uses, restricted to batch rows that survived
     the keeper probe — so admitting a batch twice in a row admits
     nothing the second time."""
-    assign_new = ivf_assign(new_vectors, centroids, 1, id_col, vec_col)
+    assign_new = ivf_assign(
+        new_vectors, centroids, 1, id_col, vec_col, out_id=id_col
+    )
     batch = (
         new_vectors.select(id_col, vec_col)
         .join(assign_new, id_col)
@@ -282,7 +312,9 @@ def knn_join(
             id_col=id_col,
             vec_col=vec_col,
         )
-    assign = ivf_assign(vectors, centroids, nprobe, id_col, vec_col)
+    assign = ivf_assign(
+        vectors, centroids, nprobe, id_col, vec_col, out_id=id_col
+    )
     clustered = (
         vectors.select(id_col, vec_col)
         .join(assign, id_col)

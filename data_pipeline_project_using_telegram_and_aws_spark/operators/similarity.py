@@ -641,9 +641,11 @@ def build_ivf_index(
         if sample_n is not None:
             sample_n = max(sample_n, ivf_sample_n(k))
     if cache_key is None:
-        return train_centroids_lloyd(
+        cents = train_centroids_lloyd(
             vectors, k, iters, id_col, vec_col, sample_n=sample_n
         )
+        cents._spark_graft_k = k  # control-plane: consumers dispatch
+        return cents              # on k without paying a count job
     spark = vectors.sparkSession
     key = (cache_key, k, iters, sample_n, id(spark.sparkContext))
     cached = _IVF_INDEX_CACHE.get(key)
@@ -651,6 +653,7 @@ def build_ivf_index(
         cached = train_centroids_lloyd(
             vectors, k, iters, id_col, vec_col, sample_n=sample_n
         )
+        cached._spark_graft_k = k
         _IVF_INDEX_CACHE[key] = cached
     return cached
 
@@ -887,7 +890,9 @@ def build_ivf_assignments_table(
     Bucket count bounds probe parallelism (one task per bucket) — size
     it ≥ k at real scale so hot lists split across files.
     """
-    assigned = ivf_assign(vectors, centroids, 1, id_col, vec_col).join(
+    assigned = ivf_assign(
+        vectors, centroids, 1, id_col, vec_col, out_id=id_col
+    ).join(
         vectors.select(
             id_col, vec_col, norm(F.col(vec_col)).alias("__vn")
         ),
@@ -919,7 +924,9 @@ def append_ivf_assignments(
     drift between the frozen codebook and new data shows up as rising
     residual distance, the standard reindex trigger."""
     spark = new_vectors.sparkSession
-    assigned = ivf_assign(new_vectors, centroids, 1, id_col, vec_col).join(
+    assigned = ivf_assign(
+        new_vectors, centroids, 1, id_col, vec_col, out_id=id_col
+    ).join(
         new_vectors.select(
             id_col, vec_col, norm(F.col(vec_col)).alias("__vn")
         ),
@@ -1079,7 +1086,9 @@ def ivf_topk(
         )
     queries = vectors.filter(F.col(id_col) < n_queries)
 
-    lists = ivf_assign(vectors, centroids, 1, id_col, vec_col)
+    lists = ivf_assign(
+        vectors, centroids, 1, id_col, vec_col, out_id=id_col
+    )
     probes = ivf_assign(
         queries, centroids, nprobe, id_col, vec_col, out_id="query_id"
     )

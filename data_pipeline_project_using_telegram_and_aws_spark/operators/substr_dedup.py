@@ -47,6 +47,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Version stamp of the gram-hash recipe persisted gram indexes were built
+# under. r13 switched `_gram_hash` from the 48-bit md5-prefix recipe to
+# xxhash64: an index persisted under the OLD recipe silently yields zero
+# matches at probe time (duplicates admitted, no error). The stamp makes
+# that mismatch loud — build/append write it as a table property and the
+# probe path refuses an index whose stamp is absent (pre-r13 build) or
+# different. Bump this constant whenever the `_gram_hash` recipe changes.
+GRAM_HASH_VERSION = "xxhash64-v1"
+_GRAM_HASH_PROP = "spark_graft.gram_hash_version"
+
+
+def _stamp_gram_hash_version(spark, table: str) -> None:
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('{_GRAM_HASH_PROP}' = '{GRAM_HASH_VERSION}')"
+    )
+
+
+def _require_gram_hash_version(spark, table: str) -> None:
+    """Fail loudly when ``table`` was built under a different (or
+    pre-versioning) gram-hash recipe — a mismatched index cannot match
+    any probe gram and would silently admit every duplicate."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    got = props.get(_GRAM_HASH_PROP)
+    if got != GRAM_HASH_VERSION:
+        raise ValueError(
+            f"gram index {table!r} carries gram-hash version {got!r} but "
+            f"this engine computes {GRAM_HASH_VERSION!r}; probing it would "
+            "silently match nothing. Rebuild the index with "
+            "build_gram_index (indexes persisted before the hash-version "
+            "stamp predate the r13 xxhash64 recipe change)."
+        )
+
 
 def _gram_hash(text, pos, k: int):
     """64-bit ``xxhash64`` of the char k-gram at 1-based ``pos``.
@@ -119,8 +153,14 @@ def exact_substring_spans(
 
     Scale: the gram-hash shuffle carries one row per character of
     corpus — the honest cost of exactness (the suffix array pays the
-    same n log n on one machine). It shuffles on a uniform 64-bit
-    hash, so there is no skew.
+    same n log n on one machine). The 64-bit hash spreads DISTINCT
+    grams uniformly, but key MULTIPLICITY is the corpus's: the count
+    window co-locates every occurrence of one gram in one task, so a
+    duplication-heavy corpus (a boilerplate line repeated 10⁸ times)
+    concentrates that gram's rows on one spilling straggler — the
+    same co-location the previous groupBy+join shape forced, now
+    named. If that regime is the workload, split the mark into a
+    partial count + filter two-pass before the window.
 
     Plan shape (r13 optimization, guide §2.4 "remove shuffles
     outright"): dup marking is ONE count window over the gram hash —
@@ -272,6 +312,9 @@ def build_gram_index(
         .sortBy("gram_hash")
         .saveAsTable(table)
     )
+    # stamp the hash recipe the index was built under (probe paths
+    # refuse an unstamped/mismatched index — see GRAM_HASH_VERSION)
+    _stamp_gram_hash_version(spark, table)
 
 
 def append_to_gram_index(
@@ -290,6 +333,7 @@ def append_to_gram_index(
     probe input), not the cut text: a later doc repeating a span this
     batch carried must still match it, exactly as it would have in
     the one-shot batch computation."""
+    _require_gram_hash_version(spark, table)
     stamp = F.lit(int(batch_id) if batch_id is not None else -1).cast(
         "long"
     )
@@ -342,6 +386,7 @@ def exact_substr_against_index(
     Plan: batch grams (projection + explode) → ONE hash-keyed join
     against the bucketed index (batch side shuffles, corpus side
     reads in place) → per-doc island windows on each side."""
+    _require_gram_hash_version(spark, table)
     grams = _gram_rows(batch, k, id_col, text_col).localCheckpoint(
         eager=False
     )

@@ -125,17 +125,12 @@ def sd1_semantic_dedup(spark, sf_dir):
 
 QUERIES = {
     "ss1_bruteforce_topk": ss1_bruteforce_topk,
-    # ss2_label_blocked_neardup left the 50-row registry in round 13
-    # (funding sx1_exact_substring_spans): its driver-checkable
-    # surface is hash-checked elsewhere — exact cosine arithmetic by
-    # ss1, block-scoped pair generation + threshold by sd1's
-    # cluster-blocked pairs, canonical (low, high) pair emission with
-    # the desc-sim/asc-id tail by ss3 and dd6 — and its DISTINCT
-    # value (the in-plan blocked_pairs_max_block_rows cost guard) is
-    # a plan property the sf0.01 oracle never exercises; it stays
-    # pinned in tests/test_similarity.py. Still callable and replayed
-    # against its retired DuckDB oracle in
-    # tests/test_registry_consolidation.py.
+    # ss2 was deregistered mid-build in round 13 to fund the sx1 slot;
+    # the round-13 verdict ruled the registry can hold 51 rows and a
+    # silent drop is a gate failure, so it is re-registered here
+    # (round 14) alongside sx1. Its retired-oracle replay test in
+    # tests/test_registry_consolidation.py stays as a second pin.
+    "ss2_label_blocked_neardup": ss2_label_blocked_neardup,
     "ss3_lsh_bucketed_neardup": ss3_lsh_bucketed_neardup,
     "ss5_ivf_topk": ss5_ivf_topk,
     "sd1_semantic_dedup": sd1_semantic_dedup,
@@ -219,6 +214,17 @@ def _lloyd_cte(k: int, iters: int, dims: int = 64, sample_n: int = 256) -> str:
 
 
 ORACLE = {
+    "ss2_label_blocked_neardup": """
+        SELECT CAST(a.label AS BIGINT) AS label,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.label = b.label
+        WHERE a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 20
+    """,
     "ss1_bruteforce_topk": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -365,16 +371,6 @@ ORACLE = {
     """,
 }
 
-# ss2's retired oracle, replayed verbatim by
-# tests/test_registry_consolidation.py::test_ss2_label_blocked_still_correct
-SS2_RETIRED_ORACLE = """
-    SELECT CAST(a.label AS BIGINT) AS label,
-           a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_cosine_similarity(
-               CAST(a.embedding AS DOUBLE[]),
-               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.label = b.label
-    WHERE a.vec_id < b.vec_id
-    ORDER BY cos_sim DESC, vec_a, vec_b
-    LIMIT 20
-"""
+# ss2 was re-registered in round 14; the replay test in
+# tests/test_registry_consolidation.py keeps using this alias.
+SS2_RETIRED_ORACLE = ORACLE["ss2_label_blocked_neardup"]

@@ -173,14 +173,16 @@ def test_registry_is_exactly_50_rows_with_r5_swaps(spark):
     from data_pipeline_project_using_telegram_and_aws_spark.plans import all_oracles, all_queries
 
     qs, os_ = all_queries(), all_oracles()
-    assert len(qs) == 50 and set(os_) == set(qs)
+    # Round 14: ss2 re-registered per the round-13 verdict (the registry
+    # holds 51 rows — sx1's addition must not cost ss2 its slot).
+    assert len(qs) == 51 and set(os_) == set(qs)
     for name in ("lm1_unigram_quality", "rt1_bm25_topk",
                  "wc1_warc_html_extract", "wc2_link_graph_pagerank",
-                 "sx1_exact_substring_spans"):
+                 "sx1_exact_substring_spans",
+                 "ss2_label_blocked_neardup"):
         assert name in qs
     for name in ("tx3_langid_heuristic", "q25_date_functions",
-                 "q38_hash_sample", "q5_tpch_q6_forecast_revenue",
-                 "ss2_label_blocked_neardup"):
+                 "q38_hash_sample", "q5_tpch_q6_forecast_revenue"):
         assert name not in qs
 
 

@@ -428,3 +428,46 @@ def test_semantic_dedup_full_two_level_composition(spark):
     by_id = {r.vec_id: r for r in out}
     assert by_id[150].dup_group == by_id[0].dup_group == 0
     assert by_id[0].kept and not by_id[150].kept
+
+
+def test_semantic_dedup_scale_dispatch(spark, monkeypatch):
+    """r14 (VERDICT r13 item 5): coarse_probes=None is SCALE-DISPATCHED —
+    flat below scale_rules.ivf_two_level_min_k centroids, two-level at or
+    above it. Pins: (a) at the registered sd1-class geometry (k=16 <<
+    min_k) the auto path is byte-identical to forced-flat
+    (coarse_probes=0); (b) with the threshold lowered under k, the auto
+    path routes two-level (observed via hierarchical_ivf_assign being
+    invoked) and — because ivf_coarse_probes() >= coarse_k at this k —
+    stays EXACT, so rows still match flat."""
+    from data_pipeline_project_using_telegram_and_aws_spark.functions import (
+        scale_rules,
+    )
+    from data_pipeline_project_using_telegram_and_aws_spark.operators import (
+        semdedup as SD,
+    )
+
+    df, _ = _vectors(spark, n=120, dims=16, seed=3)
+
+    def rows(**kw):
+        return sorted(
+            map(tuple, SD.semantic_dedup(df, k=16, iters=2, tau=0.9, **kw)
+                .collect())
+        )
+
+    flat = rows(coarse_probes=0)
+    assert rows(coarse_probes=None) == flat  # k=16 < min_k -> flat
+
+    calls = []
+    real_hier = SD.hierarchical_ivf_assign
+
+    def spy(*a, **kw):
+        calls.append(kw.get("probes"))
+        return real_hier(*a, **kw)
+
+    monkeypatch.setattr(SD, "hierarchical_ivf_assign", spy)
+    monkeypatch.setattr(scale_rules, "ivf_two_level_min_k", lambda probes=None: 4)
+    auto = rows(coarse_probes=None)
+    assert calls and calls[0] == scale_rules.ivf_coarse_probes()
+    # probes (4) >= coarse_k (isqrt(16)=4): the exactness contract holds,
+    # so the dispatched two-level result equals flat
+    assert auto == flat

@@ -1,5 +1,6 @@
 """Capture ``.explain("formatted")`` for headline queries into
-``plans/r13/<query>_<tag>.txt`` — the optimization round's evidence files.
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default r14) — the
+optimization round's evidence files.
 
 Usage:
     python tools/capture_plans.py <tag> [query ...]   # default: all headline
@@ -34,7 +35,8 @@ def main() -> None:
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r13")
+                           "plans",
+                           os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

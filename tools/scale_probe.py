@@ -315,7 +315,7 @@ def probe_components(spark, n: int) -> dict:
 
 
 def probe_semdedup(
-    spark, n: int, k: int, coarse_probes: int | None = None,
+    spark, n: int, k: int, coarse_probes: int | None = 0,
     hier_train: bool = False,
 ) -> dict:
     """sd1's shape at centroid count k: intra-cluster pair scans cost
@@ -327,7 +327,9 @@ def probe_semdedup(
     which at the k ~ √n balance point makes the WHOLE pipeline
     Θ(n^1.5); two-level assignment (~n·√k·(1+probes)) unlocks the
     k ~ n^(2/3) rule where assignment and pairs balance at
-    Θ(n^(4/3))."""
+    Θ(n^(4/3)). ``coarse_probes`` semantics follow semantic_dedup's
+    r14 contract: 0 forces flat (the probe's reference arm — None
+    would SCALE-DISPATCH since r14), >0 forces two-level."""
     from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
         ivf_sample_n,
     )
@@ -361,6 +363,115 @@ def probe_semdedup(
         "result_rows": rows,
         "train_sec": train_sec,
         "sec": round(time.time() - t0, 2),
+    }
+
+
+def probe_dot_shapes(spark, n_pairs: int, dims: int = 64) -> dict:
+    """r14 (VERDICT r13 item 4): the interpreted HOF dot-product fold vs
+    the codegen explode-matmul shape, isolated on a synthetic PAIR frame
+    so block machinery (joins, windows, guards) doesn't confound the
+    per-pair arithmetic. ``n_pairs`` models a block's quadratic pair
+    volume (a production max-block of 10⁴ rows ≈ 5·10⁷ pairs).
+
+    - ``fold``: functions.vectors.cosine_with_norms — zip_with +
+      aggregate, Catalyst's interpreted lambda path, zero extra rows.
+    - ``matmul``: posexplode one side, element_at the other, groupBy the
+      pair id with a sum — every operator whole-stage-codegen'd, but the
+      frame inflates ×dims through a keyed aggregation (partial agg
+      collapses it map-side; the shuffle carries one row per pair).
+
+    Values: both arms compute identical cosines (same double widening,
+    same rounding); the probe asserts agreement on a sample."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    pairs = (
+        spark.range(n_pairs)
+        .select(
+            F.col("id").alias("pair_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dims)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col("id") * 2 + d), F.lit(1000))
+                    .cast("double") / 500.0 - 1.0
+                ).cast("float"),
+            ).alias("va"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dims)),
+                lambda d: (
+                    F.pmod(F.xxhash64(F.col("id") * 2 + 1 + d), F.lit(1000))
+                    .cast("double") / 500.0 - 1.0
+                ).cast("float"),
+            ).alias("vb"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "pair_id")
+        .localCheckpoint(eager=True)
+    )
+    withn = pairs.select(
+        "pair_id", "va", "vb",
+        norm(F.col("va")).alias("na"), norm(F.col("vb")).alias("nb"),
+    )
+
+    def fold_df():
+        return withn.select(
+            "pair_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ), 4,
+            ).alias("cos_sim"),
+        )
+
+    def matmul_df():
+        el = withn.select(
+            "pair_id", "na", "nb",
+            F.posexplode("va").alias("d", "ea"), "vb",
+        ).select(
+            "pair_id", "na", "nb",
+            (
+                F.col("ea").cast("double")
+                * F.element_at("vb", F.col("d") + 1).cast("double")
+            ).alias("prod"),
+        )
+        return el.groupBy("pair_id").agg(
+            F.round(
+                F.sum("prod") / (F.first("na") * F.first("nb")), 4
+            ).alias("cos_sim")
+        )
+
+    # value agreement on a sample (matmul's sum order differs only by
+    # partial-agg grouping; a pair's dims rows stay in one partition —
+    # posexplode is row-local — so the double sum order is the array
+    # order on both arms)
+    sample_fold = {
+        r.pair_id: r.cos_sim for r in fold_df().limit(200).collect()
+    }
+    sample_mm = {
+        r.pair_id: r.cos_sim
+        for r in matmul_df().filter(
+            F.col("pair_id").isin(*sample_fold)
+        ).collect()
+    }
+    agree = sum(
+        1 for k in sample_fold if sample_mm.get(k) == sample_fold[k]
+    )
+
+    def timed(df_fn) -> float:
+        df_fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        df_fn().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 2)
+
+    return {
+        "n_pairs": n_pairs,
+        "dims": dims,
+        "agree_sample": f"{agree}/{len(sample_fold)}",
+        "fold_sec": timed(fold_df),
+        "matmul_sec": timed(matmul_df),
     }
 
 
@@ -1134,6 +1245,38 @@ def main() -> None:
                     coarse_probes=4, hier_train=True,
                 ),
             }))
+        return
+    if sys.argv[1:2] == ["--dot-shapes"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [
+            100_000, 1_000_000, 5_000_000, 20_000_000
+        ]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for n in sizes:
+            print(json.dumps({
+                "family": "dot_shapes", **probe_dot_shapes(spark, n)
+            }), flush=True)
+        return
+    if sys.argv[1:2] == ["--semdedup-dispatch"]:
+        # r14: back the scale_rules.ivf_two_level_min_k threshold — at
+        # fixed n, sweep k across the candidate crossover and compare
+        # forced-flat vs forced-two-level end-to-end (dedup stage only;
+        # centroids trained once per k and shared by both arms via the
+        # explicit `centroids=` pass-through inside probe_semdedup).
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+        ks = [int(a) for a in sys.argv[3:]] or [64, 128, 200, 346]
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        for k in ks:
+            print(json.dumps({
+                "family": "semdedup_dispatch",
+                "n": n,
+                "k": k,
+                "flat": probe_semdedup(spark, n, k, coarse_probes=0),
+                "two_level": probe_semdedup(
+                    spark, n, k, coarse_probes=4
+                ),
+            }), flush=True)
         return
     if sys.argv[1:2] == ["--curation"]:
         sizes = [int(a) for a in sys.argv[2:]] or [5000, 15000, 50000]
