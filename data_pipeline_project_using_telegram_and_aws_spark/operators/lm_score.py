@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 # exchanges never canonicalize equal). Vocab-sized frames are exactly
 # what a 100 TB pipeline persists between passes; values are integer
 # counts (order-free).
-_CKPT_MODEL = True
+_CKPT_MODEL = True      # unigram/model frames
+_CKPT_MODEL_BI = True   # bigram count frame (c12)
 
 
 def _tokens(text_col: str):
@@ -185,7 +186,7 @@ def bigram_interpolated_cross_entropy(
         "bg.t1", "bg.t2"
     )
     c12 = bi_ref.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("__n12"))
-    if _CKPT_MODEL:
+    if _CKPT_MODEL_BI:
         # two consumers (the scoring join and the c1 prefix rollup)
         c12 = c12.localCheckpoint(eager=False)
     c1 = c12.groupBy("t1").agg(F.sum("__n12").alias("__n1"))
@@ -302,7 +303,7 @@ def kneser_ney_cross_entropy(
         "bg.t1", "bg.t2"
     )
     c12 = bi_ref.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("__n12"))
-    if _CKPT_MODEL:
+    if _CKPT_MODEL_BI:
         # four consumers (scoring join, c1, cont, the B constant)
         c12 = c12.localCheckpoint(eager=False)
     # per prefix: total count AND distinct continuation types

@@ -130,6 +130,7 @@ def bm25_scores(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     stats: DataFrame | None = None,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, bm25) — BM25 score for every (query, corpus
     doc) pair sharing at least one term, top-``top`` per query (None =
@@ -142,7 +143,20 @@ def bm25_scores(
     given, ``docs`` is unused and scoring is one broadcast join + one
     bounded aggregation. When None, the index statistics are derived
     inline, restricted to query-term survivors BEFORE any broadcast or
-    window, so df/dl never materialize at vocabulary/corpus size."""
+    window, so df/dl never materialize at vocabulary/corpus size.
+
+    ``terms`` (r14, optional): the DISTINCT whitespace tokens of the
+    query texts, when the caller already owns them (a literal query
+    set, a parsed user query) — pure planning metadata, the same
+    caller-knows pattern as ``ivf_topk_from_table``'s ``probe_ids``.
+    Supplying it skips the dispatch's bounded collect job over the
+    query frame (~0.4 s of pure job scheduling per invocation at bench
+    scale). Must equal the distinct non-empty tokens of
+    ``query_text_col`` split on single spaces; scoring correctness
+    does not depend on it beyond the rowlocal-vs-explode dispatch and
+    the rowlocal path's term list (a superset would add zero-tf rows
+    that the ``tf > 0`` filter drops; a missing term would silently
+    not score — so pass exactly the token set)."""
     qterms = (
         _term_rows(queries, query_id_col, query_text_col)
         .select(query_id_col, "term")
@@ -165,9 +179,12 @@ def bm25_scores(
         from ..functions.scale_rules import bm25_rowlocal_max_terms
 
         bound = bm25_rowlocal_max_terms()
-        probe = [
-            r["term"] for r in qset.limit(bound + 1).collect()
-        ]
+        if terms is not None:
+            probe = sorted(set(terms))[: bound + 1]
+        else:
+            probe = [
+                r["term"] for r in qset.limit(bound + 1).collect()
+            ]
         if len(probe) <= bound:
             rel = _rowlocal_tf(docs, sorted(probe), id_col, text_col)
             dfreq = rel.groupBy("term").agg(
@@ -225,24 +242,25 @@ def _rowlocal_tf(
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     base = spread(docs, id_col).select(F.col(id_col), toks.alias("__toks"))
 
-    def count_of(term: str):
-        # helper scope pins the loop variable; a default-arg lambda
-        # would read to PySpark as the 2-arg (element, index) form
-        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+    # r14 construction-cost fix (guide §7.3 driver-side plan work): the
+    # per-term (term, tf) structs were built as |terms| py4j HOF-lambda
+    # Column chains; ONE JVM-parsed expression string builds the
+    # identical tree (string-literal escaping below) at 0.326 → 0.105 s
+    # of construction per build. Values identical (same equality
+    # comparison, same struct shape; pinned in tests/test_retrieval.py).
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("term"), count_of(t).alias("tf")
-            )
-            for t in terms
-        ]
+    entries = ",".join(
+        f"named_struct('term', {_sql_str(t)}, "
+        f"'tf', size(filter(__toks, x -> x = {_sql_str(t)})))"
+        for t in terms
     )
     return (
         base.select(
             F.col(id_col),
             F.size("__toks").alias("dl"),
-            F.explode(entries).alias("__e"),
+            F.explode(F.expr(f"array({entries})")).alias("__e"),
         )
         .select(
             id_col,

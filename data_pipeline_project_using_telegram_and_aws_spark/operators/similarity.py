@@ -90,18 +90,22 @@ def _plane_projections(
     # Contrast ivf_assign below, whose interpreted cosine folds are
     # ~100× heavier per element and DO repay the spread.
     ws = plane_weights(n_planes, dims)
-    warr = [F.array(*[F.lit(w) for w in ws[p]]) for p in range(n_planes)]
     elems = vectors.select(
         id_col, F.posexplode(vec_col).alias("d", "e")
     ).withColumn("e", F.col("e").cast("double"))
-    return elems.groupBy(id_col).agg(
-        *[
-            F.sum(F.col("e") * F.element_at(warr[p], F.col("d") + 1)).alias(
-                f"__proj{p}"
-            )
-            for p in range(n_planes)
-        ]
-    )
+    # r14 construction-cost fix (driver-side plan-build, guide §7.3):
+    # the weight literals were built as n_planes × dims individual
+    # F.lit() py4j calls (1024 round trips at 16×64) — one JVM-parsed
+    # expression string per plane builds the IDENTICAL expression tree
+    # ("1.0D" parses to the exact double literal) at 0.905 → 0.127 s of
+    # pure construction per build, paid by ss3/ss4/dd6 every invocation.
+    aggs = []
+    for p in range(n_planes):
+        arr = ",".join(f"{w}D" for w in ws[p])
+        aggs.append(
+            F.expr(f"sum(e * element_at(array({arr}), d + 1)) AS __proj{p}")
+        )
+    return elems.groupBy(id_col).agg(*aggs)
 
 
 def hyperplane_bits(

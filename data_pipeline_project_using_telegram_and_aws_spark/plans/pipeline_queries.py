@@ -170,7 +170,12 @@ def rt1_bm25_topk(spark, sf_dir):
     4dp-rounded score on BOTH sides, so rank order is engine-stable."""
     docs = load_table(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(RT_QUERIES, ["query_id", "query_text"])
-    return bm25_scores(docs, qdf, top=RT_TOP)
+    # r14: the query set is a module literal, so its distinct token set
+    # is caller-owned planning metadata — passing it skips the
+    # dispatch's collect job over the query frame (~0.4 s/invocation of
+    # pure job scheduling; see bm25_scores' terms contract).
+    terms = sorted({t for _, q in RT_QUERIES for t in q.split(" ") if t})
+    return bm25_scores(docs, qdf, top=RT_TOP, terms=terms)
 
 
 QUERIES = {

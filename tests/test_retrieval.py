@@ -251,3 +251,52 @@ def test_bm25f_matches_independent_implementation(spark):
         ).collect()
     }
     assert ranked[1] < ranked[2]
+
+
+def test_rowlocal_tf_expr_escaping_and_terms_hint(spark):
+    """r14: _rowlocal_tf builds its per-term struct array as one parsed
+    SQL expression — terms containing quotes/backslashes must survive
+    the string-literal escaping, and bm25_scores(terms=) must match the
+    probe-collect dispatch exactly."""
+    from data_pipeline_project_using_telegram_and_aws_spark.operators.retrieval import (
+        _rowlocal_tf,
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "it's a test it's"),
+            (2, "a\\b plain a\\b a\\b"),
+            (3, "plain test"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in _rowlocal_tf(
+            docs, ["it's", "a\\b", "plain", "absent"], "doc_id", "text"
+        ).collect()
+    }
+    assert got == {
+        (1, "it's"): (2, 4),
+        (2, "a\\b"): (3, 4),
+        (2, "plain"): (1, 4),
+        (3, "plain"): (1, 2),
+    }
+
+    qdf = spark.createDataFrame(
+        [(0, "plain test"), (1, "it's plain")],
+        ["query_id", "query_text"],
+    )
+    via_probe = sorted(
+        map(tuple, bm25_scores(docs, qdf, top=5).collect())
+    )
+    via_hint = sorted(
+        map(
+            tuple,
+            bm25_scores(
+                docs, qdf, top=5, terms=["plain", "test", "it's"]
+            ).collect(),
+        )
+    )
+    assert via_probe == via_hint and len(via_probe) > 0
