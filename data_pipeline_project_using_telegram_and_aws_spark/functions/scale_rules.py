@@ -58,6 +58,27 @@ def ivf_n_centroids(
     return max(lo, min(hi, k))
 
 
+def ivf_n_centroids_two_level(
+    n_vectors: int, lo: int = 4, hi: int = 1 << 20
+) -> int:
+    """Centroid count for an index whose consumers use TWO-LEVEL
+    assignment (:func:`ivf_two_level_min_k` regime): ``k = n^(2/3)``.
+
+    Rationale: with flat n·k assignment the balance against the
+    intra-cluster pair scan (n²/k) is k = √n → both terms Θ(n^1.5) —
+    that is the wall, not an escape (r13 probe: flat dedup exponent
+    1.29; and even two-level assignment under the √n rule re-exposes
+    the pair term: r14 measured exponent 1.36 from 200k→600k because
+    pairs n²/√n dominate). Two-level assignment costs ~n·√k, which
+    balances n²/k at k = n^(2/3) — both terms Θ(n^(4/3)), the best
+    composed exponent this design admits. Requires
+    `train_centroids_hierarchical` for the build (flat Lloyd training
+    is O(k²) under the per-centroid sample rule — 155 s at k=737,
+    r13). Measured curve: BENCH_NOTES r14 composed-probe section."""
+    k = round(max(n_vectors, 1) ** (2.0 / 3.0))
+    return max(lo, min(hi, k))
+
+
 def ivf_coarse_probes() -> int:
     """Coarse-cell probe count for two-level IVF assignment
     (:func:`operators.similarity.hierarchical_ivf_assign`): per-vector
@@ -80,16 +101,17 @@ def ivf_two_level_min_k(probes: int | None = None) -> int:
     extra corpus-keyed window. Equal-work crossover is
     √k = 1 + probes ⇒ k = (1 + probes)², but the fixed extra window +
     coarse Lloyd push the empirical crossover higher. Measured
-    (tools/scale_probe.py --semdedup, probes=4, this round r14 — same
-    harness as the r13 probe that read flat 12.0 vs two-level 11.1 s
-    at k=200): two-level first wins at k ≈ 200 and the win widens with
-    k (2.55× by k=632); at k ≤ 100 the extra machinery loses. 128 sits
-    between the last measured loss and the first measured win. The
-    registered sd1 geometry (k=16) dispatches flat — the exact,
-    oracle-checked path — by two orders of margin."""
+    (tools/scale_probe.py --semdedup-dispatch, n=20k, probes=4, r14):
+    k=128 two-level LOSES (10.84 vs 9.30 s dedup), k=200 it wins
+    (7.81 vs 8.18 s — matching the r13 reading 11.1 vs 12.0 at the
+    same geometry), and the win widens with k (2.55× by k=632,
+    r13 probe). 160 is the bracket midpoint between the last measured
+    loss (128) and the first measured win (200). The registered sd1
+    geometry (k=16) dispatches flat — the exact, oracle-checked
+    path — by an order of magnitude of margin."""
     if probes is None:
         probes = ivf_coarse_probes()
-    return max(128, (1 + probes) ** 2)
+    return max(160, (1 + probes) ** 2)
 
 
 def ivf_sample_n(k: int, per_centroid: int = 16, lo: int = 256) -> int:

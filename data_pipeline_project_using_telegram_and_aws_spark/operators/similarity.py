@@ -613,6 +613,7 @@ def build_ivf_index(
     cache_key: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool = False,
 ) -> DataFrame:
     """IVF index build, split from the query lifecycle.
 
@@ -637,27 +638,56 @@ def build_ivf_index(
     k×dims values of index *metadata* (16×64 doubles here), not corpus
     data; nothing is collected to the driver. With ``cache_key=None``
     the cache is bypassed (always retrain).
+
+    ``two_level=True`` (r14) builds an index intended for two-level
+    assignment consumers (`semantic_dedup`'s default dispatch above
+    `scale_rules.ivf_two_level_min_k`): with ``k=None`` the sizing rule
+    becomes ``ivf_n_centroids_two_level`` (k ∝ n^(2/3) — the balance
+    two-level assignment unlocks) and training runs
+    `train_centroids_hierarchical` (flat Lloyd is O(k²) under the
+    per-centroid sample rule and becomes the build bottleneck exactly
+    in the k range where two-level pays).
     """
     if k is None:
-        from ..functions.scale_rules import ivf_n_centroids, ivf_sample_n
+        from ..functions.scale_rules import (
+            ivf_n_centroids,
+            ivf_n_centroids_two_level,
+            ivf_sample_n,
+        )
 
-        k = ivf_n_centroids(vectors.count())
+        n = vectors.count()
+        # r14: an index whose consumers run two-level assignment wants
+        # the k ∝ n^(2/3) sizing (assignment n·√k balances pairs n²/k
+        # at Θ(n^(4/3)) — scale_rules.ivf_n_centroids_two_level); the
+        # flat rule k ∝ √n re-exposes the Θ(n^1.5) pair wall (measured
+        # exponent 1.36 at 200k→600k, BENCH_NOTES r14).
+        k = ivf_n_centroids_two_level(n) if two_level else ivf_n_centroids(n)
         if sample_n is not None:
             sample_n = max(sample_n, ivf_sample_n(k))
-    if cache_key is None:
-        cents = train_centroids_lloyd(
-            vectors, k, iters, id_col, vec_col, sample_n=sample_n
-        )
+
+    def _train():
+        if two_level:
+            # flat Lloyd is O(k²) under the per-centroid sample rule —
+            # the two-level trainer keeps the build O(sample·√k)
+            cents = train_centroids_hierarchical(
+                vectors, k=k, iters=iters, id_col=id_col,
+                vec_col=vec_col, sample_n=sample_n,
+            )
+        else:
+            cents = train_centroids_lloyd(
+                vectors, k, iters, id_col, vec_col, sample_n=sample_n
+            )
         cents._spark_graft_k = k  # control-plane: consumers dispatch
         return cents              # on k without paying a count job
+
+    if cache_key is None:
+        return _train()
     spark = vectors.sparkSession
-    key = (cache_key, k, iters, sample_n, id(spark.sparkContext))
+    key = (cache_key, k, iters, sample_n, two_level,
+           id(spark.sparkContext))
     cached = _IVF_INDEX_CACHE.get(key)
     if cached is None:
-        cached = train_centroids_lloyd(
-            vectors, k, iters, id_col, vec_col, sample_n=sample_n
-        )
-        cached._spark_graft_k = k
+        cached = _train()
         _IVF_INDEX_CACHE[key] = cached
     return cached
 

@@ -471,3 +471,29 @@ def test_semantic_dedup_scale_dispatch(spark, monkeypatch):
     # probes (4) >= coarse_k (isqrt(16)=4): the exactness contract holds,
     # so the dispatched two-level result equals flat
     assert auto == flat
+
+
+def test_build_ivf_index_two_level(spark):
+    """r14: build_ivf_index(two_level=True) sizes k by the n^(2/3) rule
+    (when k=None), trains hierarchically, and stamps the control-plane
+    k; the output schema matches the flat builder's."""
+    from data_pipeline_project_using_telegram_and_aws_spark.functions.scale_rules import (
+        ivf_n_centroids_two_level,
+    )
+
+    df, _ = _vectors(spark, n=120, dims=16, seed=5)
+    cents = S.build_ivf_index(
+        df, k=None, iters=1, sample_n=64, two_level=True
+    )
+    want_k = ivf_n_centroids_two_level(121)
+    assert cents._spark_graft_k == want_k
+    rows = cents.collect()
+    assert 0 < len(rows) <= want_k
+    assert set(cents.columns) == {"centroid_id", "cvec"}
+    assert all(len(r.cvec) == 16 for r in rows)
+    # cache keys distinguish two_level builds
+    a = S.build_ivf_index(df, k=8, iters=1, sample_n=64,
+                          cache_key="tl-test")
+    b = S.build_ivf_index(df, k=8, iters=1, sample_n=64,
+                          cache_key="tl-test", two_level=True)
+    assert a is not b
