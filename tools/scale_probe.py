@@ -379,9 +379,15 @@ def probe_dot_shapes(spark, n_pairs: int, dims: int = 64) -> dict:
       pair id with a sum — every operator whole-stage-codegen'd, but the
       frame inflates ×dims through a keyed aggregation (partial agg
       collapses it map-side; the shuffle carries one row per pair).
+    - ``arrow`` (r14, guide §4.2): a vectorized pandas UDF — the two
+      float arrays cross the JVM→Python boundary once per pair through
+      Arrow batches, numpy does the row-block dot products. Summation is
+      numpy pairwise instead of the fold's sequential order (differs in
+      ULPs; both arms round to 4 dp, same class of gap as the
+      DuckDB-oracle-vs-Spark arithmetic the registry already tolerates).
 
-    Values: both arms compute identical cosines (same double widening,
-    same rounding); the probe asserts agreement on a sample."""
+    Values: all arms compute the same rounded cosines; the probe asserts
+    agreement on a sample."""
     from pyspark.sql import functions as F
 
     from data_pipeline_project_using_telegram_and_aws_spark.functions.vectors import (
@@ -443,10 +449,33 @@ def probe_dot_shapes(spark, n_pairs: int, dims: int = 64) -> dict:
             ).alias("cos_sim")
         )
 
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _arrow_cos(va, vb, na, nb):
+        import numpy as np
+        import pandas as pd
+
+        A = np.vstack(va.to_numpy()).astype("float64")
+        B = np.vstack(vb.to_numpy()).astype("float64")
+        d = (A * B).sum(axis=1)
+        return pd.Series(
+            np.round(d / (na.to_numpy() * nb.to_numpy()), 4)
+        )
+
+    def arrow_df():
+        return withn.select(
+            "pair_id",
+            _arrow_cos(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
+
     # value agreement on a sample (matmul's sum order differs only by
     # partial-agg grouping; a pair's dims rows stay in one partition —
     # posexplode is row-local — so the double sum order is the array
-    # order on both arms)
+    # order on both arms; arrow's pairwise sum is checked on the same
+    # rounded values)
     sample_fold = {
         r.pair_id: r.cos_sim for r in fold_df().limit(200).collect()
     }
@@ -456,8 +485,17 @@ def probe_dot_shapes(spark, n_pairs: int, dims: int = 64) -> dict:
             F.col("pair_id").isin(*sample_fold)
         ).collect()
     }
+    sample_ar = {
+        r.pair_id: r.cos_sim
+        for r in arrow_df().filter(
+            F.col("pair_id").isin(*sample_fold)
+        ).collect()
+    }
     agree = sum(
         1 for k in sample_fold if sample_mm.get(k) == sample_fold[k]
+    )
+    agree_ar = sum(
+        1 for k in sample_fold if sample_ar.get(k) == sample_fold[k]
     )
 
     def timed(df_fn) -> float:
@@ -470,8 +508,10 @@ def probe_dot_shapes(spark, n_pairs: int, dims: int = 64) -> dict:
         "n_pairs": n_pairs,
         "dims": dims,
         "agree_sample": f"{agree}/{len(sample_fold)}",
+        "agree_arrow": f"{agree_ar}/{len(sample_fold)}",
         "fold_sec": timed(fold_df),
         "matmul_sec": timed(matmul_df),
+        "arrow_sec": timed(arrow_df),
     }
 
 
