@@ -67,7 +67,17 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+    # Tests run tiny fixtures, so the suite is job-scheduling-latency
+    # bound, not compute bound: a narrower master means fewer no-op
+    # tasks per stage. local[8] measured ~31% faster than local[32]
+    # over a representative module subset (ABBA: 98.9/118.2 s at 8 vs
+    # 153.0/161.1 s at 32 on this host), and local[8] is exactly what
+    # tools/run_core_tier.sh has always validated the suite under. An
+    # explicit $SPARK_GRAFT_CPUS still wins (the driver's scaling axis).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus is None:
+        cpus = str(min(8, os.cpu_count() or 8))
+    s = get_spark("tests", master=f"local[{cpus}]", shuffle_partitions=8)
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
